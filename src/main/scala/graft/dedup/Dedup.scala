@@ -1,0 +1,213 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+import graft.functions.VectorOps
+import graft.similarity.Similarity
+
+/** Deduplication operators over the `documents` (text) and `embeddings`
+  * tables — the training-data-pipeline superset (SURVEY.md §7.2 step 6).
+  *
+  * All hashing goes through md5 (present and bit-identical in both Spark
+  * and DuckDB) so every operator is oracle-checkable. Engine-internal
+  * murmur3 (`hash()`/`xxhash64`) would be faster but is deliberately not
+  * used in the *verified* surface; nothing else would change at scale.
+  *
+  * Scale posture:
+  *  - exact dedup: one hash-shuffle on the text digest — the canonical
+  *    groupBy-dedup, linear.
+  *  - MinHash+LSH: signatures are one scan + one (doc,seed) aggregate;
+  *    candidate pairs come from an equi-join on (band, signature) — never
+  *    an all-pairs product. Band width / seed count are the recall knobs.
+  *  - n-gram Jaccard: exact pairwise verification — intentionally run on a
+  *    sampled subset (candidate verification is the role this plays in a
+  *    real pipeline; the LSH join is the generator).
+  *  - SimHash: 16-bit signature via per-bit majority vote, one aggregate.
+  *  - embedding near-dup: cosine within LSH buckets only.
+  */
+object Dedup {
+
+  /** Exact-dup summary: total / distinct / duplicate text counts. */
+  def exactSummary(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"))
+      .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+  }
+
+  /** Distinct whitespace tokens per doc (shingle n=1 base). */
+  private def distinctTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+
+  /** MinHash (8 seeds, 4 bands of 2) + LSH candidate pairs.
+    * minhash_j(doc) = min over tokens of md5(j ":" token); band signature
+    * joins equal docs into candidate buckets. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val mh = distinctTokens(spark, dir)
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("token")))).as("minh"))
+    val bands = mh
+      .groupBy(col("doc_id"), expr("i div 2").as("band"))
+      .agg(concat_ws("|",
+        max(when(col("i") % 2 === 0, col("minh"))),
+        max(when(col("i") % 2 === 1, col("minh")))).as("sig"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact word-bigram Jaccard on a 1-in-50 doc sample (pairwise
+    * verification stage; LSH is the candidate generator at scale). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val sh = d.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))")).as("s"))
+      .distinct()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.alias("x")
+      .join(sh.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(n.alias("na"), col("da") === col("na.doc_id"))
+      .join(n.alias("nb"), col("db") === col("nb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("common") * lit(1.0) / (col("na.n") + col("nb.n") - col("common"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy("da", "db")
+  }
+
+  /** 16-bit SimHash per document: bit j is the sign of the per-token
+    * majority vote on bit j of md5(token). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val bits = distinctTokens(spark, dir)
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("digit",
+        expr("locate(substring(md5(token), (j div 4) + 1, 1), '0123456789abcdef') - 1"))
+      .withColumn("bitv",
+        expr("(digit div (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2"))
+    bits.groupBy("doc_id", "j")
+      .agg(sum(col("bitv") * 2 - 1).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") >= 0, expr("cast(pow(2, 15 - j) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets. */
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val bv = Similarity.buckets(spark, dir, 6).join(emb, "vec_id")
+    bv.alias("a")
+      .join(bv.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorOps.dot("a.embedding", "b.embedding") /
+          (sqrt(VectorOps.norm2("a.embedding")) * sqrt(VectorOps.norm2("b.embedding"))), 4).as("cos_r"))
+      .filter(col("cos_r") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactSummary _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding" -> (embeddingPairs _))
+
+  private val distinctTokSql =
+    """SELECT DISTINCT doc_id, t.token
+      |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      |WHERE t.token <> ''""".stripMargin
+
+  private val bucketsSql =
+    """WITH d AS (
+      |  SELECT vec_id, j,
+      |    sum(CAST(embedding[i+1] AS DOUBLE) * ((i*31 + j*17) % 7 - 3)) AS dotj
+      |  FROM embeddings, UNNEST(range(0, 6)) jj(j),
+      |       UNNEST(range(0, len(embedding))) tt(i)
+      |  GROUP BY vec_id, j),
+      |b AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dotj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM d GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT n_docs, n_distinct, n_docs - n_distinct AS n_dups
+        |FROM (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents)""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS ($distinctTokSql),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
+         |  FROM tok, UNNEST(range(0, 8)) s(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 2 AS band,
+         |    max(CASE WHEN i % 2 = 0 THEN minh END) || '|' ||
+         |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
+         |  FROM mh GROUP BY doc_id, i // 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 2),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS s
+        |  FROM d, UNNEST(range(1, len(arr))) t(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, common * 1.0 / (na.n + nb.n - common) AS jac
+        |FROM pairs JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
+        |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS ($distinctTokSql),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    strpos('0123456789abcdef', substr(md5(token), (j // 4) + 1, 1)) - 1 AS digit
+         |  FROM tok, UNNEST(range(0, 16)) jj(j)),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    sum(((digit // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) * 2 - 1) AS vote
+         |  FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 15 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      s"""$bucketsSql,
+         |e AS (SELECT b.vec_id, b.bucket, em.embedding FROM b JOIN embeddings em USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS va, b2.vec_id AS vb,
+         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(b2.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)) AS n2b
+         |  FROM e a JOIN e b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id,
+         |       UNNEST(range(1, len(a.embedding) + 1)) t(i)
+         |  GROUP BY 1, 2)
+         |SELECT va AS vec_a, vb AS vec_b,
+         |       round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
+         |FROM p WHERE round(dot / (sqrt(n2a) * sqrt(n2b)), 4) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

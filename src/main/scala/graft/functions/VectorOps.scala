@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{expr, sqrt}
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * higher-order functions (`zip_with` + `aggregate`) — no UDFs, stays inside
+  * whole-stage codegen. Elements are widened float→double before any
+  * arithmetic; accumulation is sequential within the row, so results are
+  * deterministic (independent of partitioning).
+  */
+object VectorOps {
+
+  /** Dot product of two array<float|double> columns (by column name). */
+  def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+
+  /** Squared L2 norm. */
+  def norm2(a: String): Column = expr(
+    s"aggregate($a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+
+  /** Cosine similarity. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Signed-random-projection dot against a deterministic integer
+    * hyperplane family: plane `j`, component `i` has coefficient
+    * `((i*31 + j*17) % 7) - 3`. Integer coefficients keep the hyperplanes
+    * bit-identical across engines (no libm dependence). `j` must be an
+    * integer column in scope. */
+  def planeDot(emb: String, j: String): Column = expr(
+    s"aggregate(sequence(0, size($emb) - 1), cast(0.0 as double), " +
+      s"(acc, i) -> acc + cast(element_at($emb, i + 1) as double) * cast((i*31 + $j*17) % 7 - 3 as double))")
+}

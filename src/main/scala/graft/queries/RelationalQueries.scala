@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+
+/** Relational capability superset (SURVEY.md §7.2 step 4): joins, richer
+  * aggregates, window functions, grouping sets, set operations over the
+  * TPC-H-ish fixture tables. The reference has none of these (§2.7); the
+  * 100 TB north star pulls them in.
+  *
+  * Float determinism vs the DuckDB oracle: money aggregates go through
+  * exact DECIMAL arithmetic (sum of decimal is order-independent) and are
+  * cast to DOUBLE only at the very end — both engines then produce
+  * bit-identical doubles. `l_quantity` is integer-valued so plain double
+  * sums are already exact.
+  *
+  * Scale notes per query are inline; the general posture: filters first
+  * (pushed to the parquet scan), dimension tables broadcast, fact-fact
+  * joins shuffle on the join key and AQE handles skew/coalescing.
+  */
+object RelationalQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  // ---- TPC-H Q1 analog: one-pass scan + 6-way aggregate, no join.
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val price = dec("l_extendedprice")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    val tax = (lit(1.0) + col("l_tax")).cast("decimal(8,2)")
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * disc).cast("double").as("sum_disc_price"),
+        sum(price * disc * tax).cast("double").as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(8,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---- TPC-H Q3 analog: customer ⋈ orders ⋈ lineitem, top-10 revenue.
+  // customer side is filter-reduced then broadcast by AQE; the orders ⋈
+  // lineitem join shuffles on the order key. Top-k = TakeOrderedAndProject,
+  // no global sort materialization.
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec("l_extendedprice") * disc).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---- TPC-H Q5 analog: 6-table join, revenue per nation.
+  // region/nation broadcast (tiny always); supplier/customer co-partition
+  // with the facts via the shuffle joins; AQE converts to broadcast when
+  // the filtered side is small.
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * disc).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  // ---- TPC-H Q6 analog: pure scan-filter-aggregate; every predicate must
+  // reach the parquet scan (PushedFilters).
+  def q6RevenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(sum(dec("l_extendedprice") * col("l_discount").cast("decimal(8,2)"))
+        .cast("double").as("revenue"))
+  }
+
+  // ---- semi / anti joins (EXISTS / NOT EXISTS)
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val ord = Tables(spark, dir, "orders").select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val ord = Tables(spark, dir, "orders").select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  // ---- window function: top-2 orders per customer. Single shuffle on the
+  // partition key; row_number + filter prunes before any further op.
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- grouping sets: ROLLUP over (returnflag, linestatus)
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  // ---- set operations on customer key sets of two order years
+  private def custkeysOfYear(spark: SparkSession, dir: String, y: Int): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(f"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(f"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+
+  def intersectYears(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    custkeysOfYear(spark, dir, 1996).intersect(custkeysOfYear(spark, dir, 1997))
+      .orderBy("o_custkey")
+  }
+
+  def exceptYears(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    custkeysOfYear(spark, dir, 1996).except(custkeysOfYear(spark, dir, 1997))
+      .orderBy("o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q1_pricing" -> (q1Pricing _),
+    "rel_q3_topk" -> (q3TopK _),
+    "rel_q5_region_rev" -> (q5RegionRevenue _),
+    "rel_q6_rev_filter" -> (q6RevenueFilter _),
+    "rel_semi_join" -> (semiJoin _),
+    "rel_anti_join" -> (antiJoin _),
+    "rel_window_rank" -> (windowRank _),
+    "rel_rollup" -> (rollupAgg _),
+    "rel_intersect" -> (intersectYears _),
+    "rel_except" -> (exceptYears _))
+
+  val oracles: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2)) * CAST(CAST(1.0 AS DOUBLE) + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_q5_region_rev" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "rel_q6_rev_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24.0""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "rel_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+import graft.functions.VectorOps
+
+/** Similarity search over the `embeddings` table (array<float> column).
+  *
+  * Two paths, per the training-data-pipeline brief:
+  *  - brute-force cosine top-k — the correctness baseline; O(N·d) per query
+  *    vector, embarrassingly parallel, query side broadcast.
+  *  - signed-random-projection LSH bucketing — the scale path: bucket once
+  *    (one scan), then candidate generation is an equi-join on the bucket
+  *    id instead of an all-pairs cross product.
+  *
+  * Cosine scores are rounded to 4 decimals *before* ordering/thresholding so
+  * the comparison with the oracle is deterministic (double summation order
+  * may differ across engines by ~1 ulp).
+  */
+object Similarity {
+
+  /** LSH bucket id per vector: `planes` sign bits of deterministic integer
+    * hyperplane projections. */
+  def buckets(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("j", explode(sequence(lit(0), lit(planes - 1))))
+      .withColumn("dotj", VectorOps.planeDot("embedding", "j"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dotj") >= 0, expr("cast(pow(2, j) as bigint)"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .orderBy(desc("cos_r"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** LSH bucket histogram (6 planes → up to 64 buckets). */
+  def annBuckets(spark: SparkSession, dir: String): DataFrame =
+    buckets(spark, dir, 6)
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+
+  /** ANN top-k: candidates restricted to the query vector's LSH bucket,
+    * then exact cosine within the bucket (the IVF-style scale path). */
+  def annTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val b = buckets(spark, dir, 6)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val bv = b.join(emb, "vec_id")
+    val q = bv.filter(col("vec_id") === queryVecId)
+      .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
+    bv.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .orderBy(desc("cos_r"), asc("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_buckets" -> (annBuckets _),
+    "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)))
+
+  private val bucketsSql =
+    """WITH d AS (
+      |  SELECT vec_id, j,
+      |    sum(CAST(embedding[i+1] AS DOUBLE) * ((i*31 + j*17) % 7 - 3)) AS dotj
+      |  FROM embeddings, UNNEST(range(0, 6)) jj(j),
+      |       UNNEST(range(0, len(embedding))) tt(i)
+      |  GROUP BY vec_id, j),
+      |b AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dotj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM d GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+        |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
+        |FROM s ORDER BY cos_r DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_ann_buckets" ->
+      s"""$bucketsSql
+         |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "sim_ann_topk" ->
+      s"""$bucketsSql,
+         |e AS (SELECT b.vec_id, b.bucket, em.embedding FROM b JOIN embeddings em USING (vec_id)),
+         |q AS (SELECT bucket AS qbucket, embedding AS qe FROM e WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+         |  FROM e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.bucket = q.qbucket
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
+         |FROM s ORDER BY cos_r DESC, vec_id ASC LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+
+/** Text-analysis operators for the training-data-pipeline superset:
+  * quality scoring, marker-based language ID, token counting (whitespace +
+  * regex "BPE-ish" word pieces), and document fingerprinting.
+  *
+  * All scores are built from integer counts and a single final double
+  * division, so results are bit-deterministic and oracle-checkable.
+  * One scan + one aggregate per query; no joins.
+  */
+object TextAnalysis {
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+  }
+
+  private val tokSql =
+    """SELECT doc_id, lang, t.token
+      |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      |WHERE t.token <> ''""".stripMargin
+
+  /** Per-doc quality: token count, stopword ratio, average token length,
+    * and a 0/1 quality gate (the heuristic family used to filter web text
+    * before LLM training). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("token"))).as("char_sum"),
+        sum(when(col("token").isin("the", "a"), 1).otherwise(0)).as("stop_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        (col("char_sum") * lit(1.0) / col("n_tokens")).as("avg_token_len"),
+        (col("stop_cnt") * lit(1.0) / col("n_tokens")).as("stop_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens").between(5, 1000) && col("stop_ratio") < 0.5, 1).otherwise(0))
+      .orderBy("doc_id")
+
+  /** Marker-token language ID: score each language by hits on its marker
+    * set, argmax with a fixed priority tiebreak (n-gram-profile shape;
+    * profiles here are word-level markers fitted to the fixture vocab). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = tokens(spark, dir)
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum(when(col("token").isin("the", "a", "order"), 1).otherwise(0)).as("s_en"),
+        sum(when(col("token").isin("data", "table", "row"), 1).otherwise(0)).as("s_es"),
+        sum(when(col("token").isin("spark", "join"), 1).otherwise(0)).as("s_de"),
+        sum(when(col("token").isin("window", "merge"), 1).otherwise(0)).as("s_fr"),
+        sum(when(col("token").isin("batch", "stream"), 1).otherwise(0)).as("s_zh"))
+    val guess =
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+          col("s_es") >= col("s_zh"), "es")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+    scores
+      .select(col("doc_id"), guess.as("lang_guess"), col("lang").as("lang_actual"))
+      .withColumn("is_match", col("lang_guess") === col("lang_actual"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-document fingerprint families: md5 of the sorted distinct
+    * token set; docs sharing a fingerprint are permutation-duplicates. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), asc("fp"))
+  }
+
+  /** Token counting: whitespace tokens vs regex word-piece tokens. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("word_tokens"),
+        length(col("text")).cast("long").as("n_chars_txt"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (quality _),
+    "text_langid" -> (langId _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_token_stats" -> (tokenStats _))
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH tok AS ($tokSql),
+         |g AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(length(token)) AS char_sum,
+         |    CAST(sum(CASE WHEN token IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, stop_cnt,
+         |  char_sum * 1.0 / n_tokens AS avg_token_len,
+         |  stop_cnt * 1.0 / n_tokens AS stop_ratio,
+         |  CASE WHEN n_tokens BETWEEN 5 AND 1000
+         |        AND stop_cnt * 1.0 / n_tokens < 0.5 THEN 1 ELSE 0 END AS quality
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH tok AS ($tokSql),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    sum(CASE WHEN token IN ('the','a','order') THEN 1 ELSE 0 END) AS s_en,
+         |    sum(CASE WHEN token IN ('data','table','row') THEN 1 ELSE 0 END) AS s_es,
+         |    sum(CASE WHEN token IN ('spark','join') THEN 1 ELSE 0 END) AS s_de,
+         |    sum(CASE WHEN token IN ('window','merge') THEN 1 ELSE 0 END) AS s_fr,
+         |    sum(CASE WHEN token IN ('batch','stream') THEN 1 ELSE 0 END) AS s_zh
+         |  FROM tok GROUP BY doc_id, lang)
+         |SELECT doc_id,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_guess,
+         |  lang AS lang_actual,
+         |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |        WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |        WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |        WHEN s_fr >= s_zh THEN 'fr'
+         |        ELSE 'zh' END) = lang AS is_match
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT fp, count(*) AS n_docs
+        |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |      FROM documents)
+        |GROUP BY fp ORDER BY n_docs DESC, fp ASC""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
