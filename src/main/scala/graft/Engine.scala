@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Session tuning applied at the top of every query. The driver owns the
   * SparkSession (Bench.scala/Verify.scala create it), so we only touch
@@ -19,7 +20,10 @@ import org.apache.spark.sql.SparkSession
 object Engine {
   def tune(spark: SparkSession): Unit = {
     def set(k: String, v: String): Unit =
-      try spark.conf.set(k, v) catch { case _: Throwable => () }
+      try spark.conf.set(k, v) catch {
+        case NonFatal(e) =>
+          System.err.println(s"[engine] cannot set $k: ${e.getMessage}")
+      }
     set("spark.sql.adaptive.enabled", "true")
     set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -43,13 +43,22 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .filter(col("token") =!= "")
 
-  /** MinHash (8 seeds, 4 bands of 2) + LSH candidate pairs.
+  /** MinHash (12 seeds, 6 bands of 2) + LSH candidate pairs.
     * minhash_j(doc) = min over tokens of md5(j ":" token); band signature
-    * joins equal docs into candidate buckets. */
+    * joins equal docs into candidate buckets.
+    *
+    * Buckets are size-capped (2..MaxBucket members) before the self-join:
+    * a pathological duplicate cluster of 1M docs would otherwise emit
+    * ~10^12 pairs from one bucket. Capped buckets drop pair *candidates*
+    * only (a real pipeline routes mega-buckets to a cluster-representative
+    * collapse instead of pairwise comparison); singleton buckets can't
+    * produce pairs at all, so pruning them is free. */
+  val MaxBucket = 10
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val mh = distinctTokens(spark, dir)
-      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("i", explode(sequence(lit(0), lit(11))))
       .groupBy("doc_id", "i")
       .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("token")))).as("minh"))
     val bands = mh
@@ -57,8 +66,13 @@ object Dedup {
       .agg(concat_ws("|",
         max(when(col("i") % 2 === 0, col("minh"))),
         max(when(col("i") % 2 === 1, col("minh")))).as("sig"))
-    bands.alias("a")
-      .join(bands.alias("b"),
+    val small = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, MaxBucket))
+      .select("band", "sig")
+    val capped = bands.join(small, Seq("band", "sig"))
+    capped.alias("a")
+      .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -67,16 +81,29 @@ object Dedup {
   }
 
   /** Exact word-bigram Jaccard on a 1-in-50 doc sample (pairwise
-    * verification stage; LSH is the candidate generator at scale). */
+    * verification stage; LSH is the candidate generator at scale).
+    *
+    * Shingles with document frequency > MaxShingleDf are dropped before the
+    * self-join: the join output is quadratic in per-shingle frequency, so a
+    * ubiquitous bigram ("of the") dominates the whole job at scale while
+    * contributing almost no discriminative signal. Jaccard is then defined
+    * over the rare-shingle sets on BOTH sides of the comparison (numerator
+    * and denominators), which keeps it a true similarity on the capped
+    * universe. */
+  val MaxShingleDf = 20
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val d = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= 2)
-    val sh = d.select(col("doc_id"),
+    val shAll = d.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))")).as("s"))
       .distinct()
+    val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("s")
+    val sh = shAll.join(rare, Seq("s"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.alias("x")
       .join(sh.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -91,12 +118,12 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 16-bit SimHash per document: bit j is the sign of the per-token
+  /** 32-bit SimHash per document: bit j is the sign of the per-token
     * majority vote on bit j of md5(token). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val bits = distinctTokens(spark, dir)
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("j", explode(sequence(lit(0), lit(31))))
       .withColumn("digit",
         expr("locate(substring(md5(token), (j div 4) + 1, 1), '0123456789abcdef') - 1"))
       .withColumn("bitv",
@@ -104,7 +131,7 @@ object Dedup {
     bits.groupBy("doc_id", "j")
       .agg(sum(col("bitv") * 2 - 1).as("vote"))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") >= 0, expr("cast(pow(2, 15 - j) as bigint)"))
+      .agg(sum(when(col("vote") >= 0, expr("cast(pow(2, 31 - j) as bigint)"))
         .otherwise(0L)).as("simhash"))
       .orderBy("doc_id")
   }
@@ -139,7 +166,8 @@ object Dedup {
   private val bucketsSql =
     """WITH d AS (
       |  SELECT vec_id, j,
-      |    sum(CAST(embedding[i+1] AS DOUBLE) * ((i*31 + j*17) % 7 - 3)) AS dotj
+      |    sum(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1024) AS BIGINT)
+      |        * ((i*31 + j*17) % 7 - 3)) AS dotj
       |  FROM embeddings, UNNEST(range(0, 6)) jj(j),
       |       UNNEST(range(0, len(embedding))) tt(i)
       |  GROUP BY vec_id, j),
@@ -156,23 +184,29 @@ object Dedup {
       s"""WITH tok AS ($distinctTokSql),
          |mh AS (
          |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
-         |  FROM tok, UNNEST(range(0, 8)) s(i) GROUP BY doc_id, i),
+         |  FROM tok, UNNEST(range(0, 12)) s(i) GROUP BY doc_id, i),
          |bands AS (
          |  SELECT doc_id, i // 2 AS band,
          |    max(CASE WHEN i % 2 = 0 THEN minh END) || '|' ||
          |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
-         |  FROM mh GROUP BY doc_id, i // 2)
+         |  FROM mh GROUP BY doc_id, i // 2),
+         |small AS (
+         |  SELECT band, sig FROM bands GROUP BY band, sig
+         |  HAVING count(*) BETWEEN 2 AND ${MaxBucket}),
+         |capped AS (SELECT b.* FROM bands b JOIN small USING (band, sig))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM capped a JOIN capped b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
         |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 2),
-        |sh AS (
+        |sh_all AS (
         |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS s
         |  FROM d, UNNEST(range(1, len(arr))) t(i)),
+        |rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= ${MaxShingleDf}),
+        |sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (s)),
         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
@@ -187,13 +221,13 @@ object Dedup {
          |bits AS (
          |  SELECT doc_id, j,
          |    strpos('0123456789abcdef', substr(md5(token), (j // 4) + 1, 1)) - 1 AS digit
-         |  FROM tok, UNNEST(range(0, 16)) jj(j)),
+         |  FROM tok, UNNEST(range(0, 32)) jj(j)),
          |votes AS (
          |  SELECT doc_id, j,
          |    sum(((digit // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) * 2 - 1) AS vote
          |  FROM bits GROUP BY doc_id, j)
          |SELECT doc_id,
-         |  CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 15 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 31 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""$bucketsSql,

@@ -26,10 +26,15 @@ object VectorOps {
 
   /** Signed-random-projection dot against a deterministic integer
     * hyperplane family: plane `j`, component `i` has coefficient
-    * `((i*31 + j*17) % 7) - 3`. Integer coefficients keep the hyperplanes
-    * bit-identical across engines (no libm dependence). `j` must be an
-    * integer column in scope. */
+    * `((i*31 + j*17) % 7) - 3`. Components are quantized to a fixed-point
+    * integer grid first — `floor(x * 1024)` is exact (float→double widening
+    * and ×2^10 are both lossless), so the whole projection is BIGINT
+    * arithmetic: bit-identical in any engine and independent of summation
+    * order. A float dot product here could flip a sign bit near 0 between
+    * engines and silently change every downstream LSH candidate set. `j`
+    * must be an integer column in scope. */
   def planeDot(emb: String, j: String): Column = expr(
-    s"aggregate(sequence(0, size($emb) - 1), cast(0.0 as double), " +
-      s"(acc, i) -> acc + cast(element_at($emb, i + 1) as double) * cast((i*31 + $j*17) % 7 - 3 as double))")
+    s"aggregate(sequence(0, size($emb) - 1), cast(0 as bigint), " +
+      s"(acc, i) -> acc + cast(floor(cast(element_at($emb, i + 1) as double) * 1024) as bigint) " +
+      s"* cast((i*31 + $j*17) % 7 - 3 as bigint))")
 }

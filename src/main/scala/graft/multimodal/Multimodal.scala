@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
 
@@ -14,19 +14,30 @@ case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, fm
 
 /** Multimodal-column plumbing for the training-data-pipeline superset.
   *
-  * Real image/audio codecs are not available in this container, so
-  * [[Multimodal.decodeStub]] is a clearly-marked deterministic fake. The
-  * Spark-side plumbing is real: binary column in the schema, typed
-  * `Dataset[MediaRecord]`, partition-wise batch iteration (`mapPartitions`,
-  * the JVM analog of an Arrow-batched Python UDF), and a relational
-  * metadata result that joins back by key. Swapping the stub for a real
-  * decoder changes no plan shape.
+  * Real image/audio codecs are not available in this container, so the
+  * "decode" is a clearly-marked deterministic fake derived from the payload
+  * byte length. Two implementations of the same contract:
+  *
+  *  - [[mediaMeta]] — the verified query: the stub is pure column
+  *    arithmetic over `length(binary)` so the whole pipeline stays inside
+  *    whole-stage codegen (and is oracle-checkable byte-for-byte; both
+  *    sides measure UTF-8 **bytes**, not characters, so non-ASCII text is
+  *    safe).
+  *  - [[decodeTyped]] — the partition-wise typed-batch path (the JVM analog
+  *    of an Arrow-batched decode UDF) kept for real decoders that need
+  *    imperative per-record work (PNG IHDR / JPEG SOF0 header parses,
+  *    frame sampling, resizing). Exercised in the test suite; swapping the
+  *    stub body for a real codec changes no plan shape.
   */
 object Multimodal {
 
-  /** STUB decode: deterministic metadata derived from the payload bytes.
-    * A real implementation would parse the container header (PNG IHDR,
-    * JPEG SOF0, ...) here. */
+  /** STUB decode arithmetic (single source of truth for both paths). */
+  private def stubWidth(n: Column): Column = lit(64L) + n % 577L
+  private def stubHeight(n: Column): Column = lit(64L) + (n * 31L) % 417L
+  private def stubFmt(n: Column): Column =
+    when(n % 3 === 0, "png").when(n % 3 === 1, "jpg").otherwise("webp")
+
+  /** STUB decode, typed form (mirrors the column form exactly). */
   def decodeStub(payload: Array[Byte]): MediaMeta0 = {
     val n = payload.length.toLong
     val fmt = (n % 3) match {
@@ -39,35 +50,41 @@ object Multimodal {
 
   case class MediaMeta0(byte_len: Long, width: Long, height: Long, fmt: String)
 
-  /** documents.text cast to a binary payload column → typed decode →
-    * per-media metadata. */
+  /** documents.text cast to a binary payload column → per-media metadata,
+    * all column expressions (whole-stage codegen, no JVM object round-trip). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    import spark.implicits._
-    val media: Dataset[MediaRecord] = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
-    media
-      .mapPartitions { it =>
-        it.map { r =>
-          val m = decodeStub(r.payload)
-          MediaMeta(r.doc_id, m.byte_len, m.width, m.height, m.fmt)
-        }
-      }
-      .toDF()
+    val n = length(col("text").cast("binary")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), n.as("byte_len"),
+        stubWidth(n).as("width"), stubHeight(n).as("height"),
+        stubFmt(n).as("fmt"))
       .orderBy("doc_id")
+  }
+
+  /** Partition-wise typed decode (for genuinely imperative codecs). Not in
+    * the verified query path — see class doc. */
+  def decodeTyped(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val m = decodeStub(r.payload)
+        MediaMeta(r.doc_id, m.byte_len, m.width, m.height, m.fmt)
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mediaMeta _))
 
-  /** Oracle mirrors the stub arithmetic on the (ASCII) text length. */
+  /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
+    * (= Spark length over the binary cast), so non-ASCII text matches. */
   val oracles: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
-        |  64 + CAST(length(text) AS BIGINT) % 577 AS width,
-        |  64 + (CAST(length(text) AS BIGINT) * 31) % 417 AS height,
-        |  CASE CAST(length(text) AS BIGINT) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  64 + CAST(strlen(text) AS BIGINT) % 577 AS width,
+        |  64 + (CAST(strlen(text) AS BIGINT) * 31) % 417 AS height,
+        |  CASE CAST(strlen(text) AS BIGINT) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -53,9 +53,10 @@ object EmojiQueries {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token"))
 
-  // ---- q3: global counts + ratio (reference q3:104-113,161-176; A4)
+  // ---- global token stats (A4 global-aggregate shape; the reference's
+  //      actual q3 emoji/word ratio is TweetQueries.emojiWordRatio)
 
-  def q3Counts(spark: SparkSession, dir: String): DataFrame =
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
     tokens(spark, dir)
       .agg(count(lit(1)).as("token_cnt"),
         countDistinct(col("token")).as("distinct_cnt"))
@@ -120,7 +121,7 @@ object EmojiQueries {
     "q1_top_tokens" -> (q1Top _),
     "q1_least_tokens" -> (q1Least _),
     "q1_specific_token" -> (q1Specific _),
-    "q3_counts" -> (q3Counts _),
+    "tok_global_stats" -> (tokenStats _),
     "q4_dim_token" -> (q4DimToken _),
     "q5_category_token" -> (q5CategoryToken _),
     "q6_dim_incl" -> (q6DimIncl _),
@@ -142,7 +143,7 @@ object EmojiQueries {
          |SELECT token, count(*) AS cnt FROM tok
          |WHERE regexp_matches(token, '^(spark|join|scan)$$')
          |GROUP BY token ORDER BY cnt DESC, token""".stripMargin,
-    "q3_counts" ->
+    "tok_global_stats" ->
       s"""WITH tok AS ($tokSql)
          |SELECT token_cnt, distinct_cnt, distinct_cnt * 1.0 / token_cnt AS ratio
          |FROM (SELECT count(*) AS token_cnt, count(DISTINCT token) AS distinct_cnt FROM tok)""".stripMargin,

@@ -42,7 +42,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "ev_json_extract" ->
-      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      """SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events WHERE contains(props, '"k"')

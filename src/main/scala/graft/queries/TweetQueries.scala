@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+import graft.emoji.EmojiOps
+
+/** The reference's seven questions at full semantic fidelity, over an
+  * A.1-shaped NDJSON tweet corpus (FIXTURES.md §A — committed, deterministic,
+  * emoji-bearing: glued runs, ZWJ sequences, skin tones, artifact chars,
+  * missing fields). This module is the true reference-parity surface:
+  *
+  *  - S1: `spark.read.json` directory batch scan with schema inference
+  *    (reference q1/Runner.scala:93).
+  *  - S2/S3: static-then-stream schema bootstrap + JSON file-stream source
+  *    (q2/Runner.scala:95-97) — [[streamTopEmoji]].
+  *  - P1/P2: nested-field and array-of-struct path projection
+  *    (`data.text`, `data.entities.mentions.username`,
+  *    `data.context_annotations.domain.name`, `includes.places.country` —
+  *    q4:110, q5:99, q6:109; Catalyst `GetArrayStructFields`).
+  *  - F1 regex prefilter, F3 parameterized filter (two entries differing
+  *    only by parameter, q1:204), F5 negative substring (q6:219), F6
+  *    `isNotNull` (q4:111).
+  *  - T1–T3 tokenization via the strict single-pass emoji extractor
+  *    (EmojiOps; quirk-parity pipeline exercised in unit tests), T4/T5 word
+  *    pipeline for the q3 ratio.
+  *  - G1/G2 explode and double explode (dimension × emoji cross product,
+  *    q4:116-117 — an emoji in a tweet mentioning 3 users counts 3×).
+  *  - A1/A2/A4 grouped and global counts; O1/O2/O3 orderings.
+  *
+  * Scale: identical shape to the §2.9 normal form — scan → narrow
+  * projections/generators → one hash-aggregate shuffle → sort of the small
+  * aggregated side. JSON scans at 100 TB benefit from Spark's nested-schema
+  * pruning (only `data.text` + the dimension path are parsed).
+  */
+object TweetQueries {
+
+  /** Committed fixture corpus (see fixtures/tweets/). Absolute so the
+    * DuckDB oracle reads the identical files. */
+  val FixtureDir = "/root/repo/fixtures/tweets"
+
+  private val fixtureGlob = s"$FixtureDir/*.json"
+
+  /** DuckDB-side scan of the same NDJSON files. */
+  private val tweetsSql =
+    s"read_json_auto('$fixtureGlob', format='newline_delimited')"
+
+  /** RE2 spelling of [[EmojiOps.EmojiClass]] (identical semantics). */
+  private val EmojiClassSql =
+    """[\x{1F300}-\x{1F5FF}\x{1F600}-\x{1F64F}\x{1F900}-\x{1F9FF}]"""
+
+  /** Word-pipeline spec (T4/T5, SURVEY.md §2.3): strip whitespace, Unicode
+    * category C (control/format — covers ZWJ), and the artifact chars, then
+    * keep pure alphanumeric-or-apostrophe words. Same class compiles in
+    * Java regex (Spark) and RE2 (DuckDB). */
+  private val WordNoiseSpec = """[\s\p{C}()|]"""
+  private val WordValidSpec = "^[A-Za-z0-9']+$"
+
+  private def tweets(spark: SparkSession): DataFrame = {
+    Engine.tune(spark)
+    spark.read.json(FixtureDir)
+  }
+
+  /** text → exploded individual emoji code points (T1–T3+F2 in one pass). */
+  private def emojiRows(spark: SparkSession): DataFrame =
+    tweets(spark)
+      .select(col("data.text").as("text"))
+      .filter(col("text").isNotNull && col("text").rlike(EmojiOps.EmojiClass))
+      .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+
+  private val emojiRowsSql =
+    s"""SELECT unnest(regexp_extract_all(data.text, '$EmojiClassSql')) AS emoji
+       |FROM $tweetsSql""".stripMargin
+
+  // ---- q1 family: most / least / parameterized emoji (q1:93-113,142-162,191-205)
+
+  def topEmoji(spark: SparkSession, dir: String): DataFrame =
+    emojiRows(spark).groupBy("emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("emoji"))
+
+  def leastEmoji(spark: SparkSession, dir: String): DataFrame =
+    emojiRows(spark).groupBy("emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("cnt"), asc("emoji"))
+
+  /** F3: the user-supplied regex reaches the filter as a parameter
+    * (q1:204 `rlike userEmoji`); registered twice with different params. */
+  def specificEmoji(pattern: String)(spark: SparkSession, dir: String): DataFrame =
+    emojiRows(spark).filter(col("emoji").rlike(pattern))
+      .groupBy("emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("emoji"))
+
+  // ---- q3: emoji count / word count ratio (q3:104-113,161-176; A4 global aggs)
+
+  def emojiWordRatio(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(
+      transform(split(col("text"), " "),
+        w => regexp_replace(w, WordNoiseSpec, "")),
+      w => w.rlike(WordValidSpec))
+    tweets(spark)
+      .select(col("data.text").as("text"))
+      .select(
+        size(EmojiOps.extractEmojis(col("text"))).as("ec"),
+        size(words).as("wc"))
+      .agg(sum("ec").as("emoji_cnt"), sum("wc").as("word_cnt"))
+      .withColumn("ratio", col("emoji_cnt") * lit(1.0) / col("word_cnt"))
+  }
+
+  // ---- q4: most-mentioned user × emoji (q4:110-123; P2, F6, G2, A2, O3)
+
+  def mentionEmoji(spark: SparkSession, dir: String): DataFrame =
+    tweets(spark)
+      .select(col("data.text").as("text"),
+        col("data.entities.mentions.username").as("mentions"))
+      .filter(col("includes").isNotNull)         // F6/F7: resolved below the projection
+      .filter(col("mentions").isNotNull && col("text").isNotNull)
+      .select(explode(col("mentions")).as("username"), col("text"))
+      .select(col("username"), explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .groupBy("username", "emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("username"), desc("cnt"), asc("emoji"))
+
+  // ---- q5: emoji per context-annotation category (q5:99-112)
+
+  def categoryEmoji(spark: SparkSession, dir: String): DataFrame =
+    tweets(spark)
+      .select(col("data.text").as("text"),
+        col("data.context_annotations.domain.name").as("cats"))
+      .filter(col("cats").isNotNull && col("text").isNotNull)
+      .select(explode(col("cats")).as("category"), col("text"))
+      .select(col("category"), explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .groupBy("category", "emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("category"), desc("cnt"), asc("emoji"))
+
+  // ---- q6: emoji per country, include / exclude variants (q6:108-228; F3/F5)
+
+  private def countryEmoji(spark: SparkSession): DataFrame =
+    tweets(spark)
+      .select(col("data.text").as("text"),
+        col("includes.places.country").as("countries"))
+      .filter(col("countries").isNotNull && col("text").isNotNull)
+      .select(explode(col("countries")).as("country"), col("text"))
+      .select(col("country"), explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+
+  def countryEmojiIncl(pattern: String)(spark: SparkSession, dir: String): DataFrame =
+    countryEmoji(spark).filter(col("country").rlike(pattern))
+      .groupBy("country", "emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("country"), desc("cnt"), asc("emoji"))
+
+  /** F5: negative substring filter (q6:219 `!contains`). */
+  def countryEmojiExcl(substr: String)(spark: SparkSession, dir: String): DataFrame =
+    countryEmoji(spark).filter(!col("country").contains(substr))
+      .groupBy("country", "emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("country"), desc("cnt"), asc("emoji"))
+
+  // ---- q2 analog: the same top-emoji aggregation through Structured
+  //      Streaming (S2/S3 file-stream source, A6 complete-mode state, O5
+  //      sort-on-streaming-aggregate, memory sink standing in for console).
+
+  def streamTopEmoji(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val static = spark.read.json(FixtureDir)                 // S3 schema bootstrap
+    val stream = spark.readStream.schema(static.schema).json(FixtureDir)
+    val agg = stream
+      .select(col("data.text").as("text"))
+      .filter(col("text").isNotNull && col("text").rlike(EmojiOps.EmojiClass))
+      .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .groupBy("emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("emoji"))                    // O5: legal in complete mode
+    val name = "graft_tweets_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(desc("cnt"), asc("emoji"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tw_q1_top_emoji" -> (topEmoji _),
+    "tw_q1_least_emoji" -> (leastEmoji _),
+    "tw_q1_emoji_grin" -> specificEmoji("^😀$") _,   // 😀 U+1F600
+    "tw_q1_emoji_fire" -> specificEmoji("^🔥$") _,   // 🔥 U+1F525
+    "tw_q2_stream_top_emoji" -> (streamTopEmoji _),
+    "tw_q3_ratio" -> (emojiWordRatio _),
+    "tw_q4_mention_emoji" -> (mentionEmoji _),
+    "tw_q5_category_emoji" -> (categoryEmoji _),
+    "tw_q6_country_incl" -> countryEmojiIncl("^(Brazil|Japan)$") _,
+    "tw_q6_country_excl" -> countryEmojiExcl("an") _)
+
+  private def groupedSql(dimExpr: String, dimName: String, where: String): String =
+    s"""SELECT $dimName, emoji, count(*) AS cnt
+       |FROM (
+       |  SELECT unnest($dimExpr) AS $dimName, data.text AS text, includes
+       |  FROM $tweetsSql),
+       |  UNNEST(regexp_extract_all(text, '$EmojiClassSql')) e(emoji)
+       |$where
+       |GROUP BY $dimName, emoji
+       |ORDER BY $dimName ASC, cnt DESC, emoji ASC""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "tw_q1_top_emoji" ->
+      s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
+         |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
+    "tw_q1_least_emoji" ->
+      s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
+         |GROUP BY emoji ORDER BY cnt ASC, emoji""".stripMargin,
+    "tw_q1_emoji_grin" ->
+      s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
+         |WHERE regexp_matches(emoji, '^😀$$')
+         |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
+    "tw_q1_emoji_fire" ->
+      s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
+         |WHERE regexp_matches(emoji, '^🔥$$')
+         |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
+    "tw_q2_stream_top_emoji" ->
+      s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
+         |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
+    "tw_q3_ratio" ->
+      s"""WITH t AS (SELECT data.text AS text FROM $tweetsSql),
+         |e AS (SELECT CAST(sum(len(regexp_extract_all(text, '$EmojiClassSql'))) AS BIGINT) AS emoji_cnt FROM t),
+         |w AS (SELECT count(*) AS word_cnt FROM (
+         |   SELECT regexp_replace(token, '[\\s\\p{C}()|]', '', 'g') AS w
+         |   FROM t, UNNEST(string_split(text, ' ')) tt(token)) x
+         |   WHERE regexp_matches(w, '^[A-Za-z0-9'']+$$'))
+         |SELECT emoji_cnt, word_cnt, emoji_cnt * 1.0 / word_cnt AS ratio FROM e, w""".stripMargin,
+    "tw_q4_mention_emoji" -> groupedSql(
+      "list_transform(data.entities.mentions, m -> m.username)", "username",
+      "WHERE includes IS NOT NULL"),
+    "tw_q5_category_emoji" -> groupedSql(
+      "list_transform(data.context_annotations, a -> a.domain.name)", "category", ""),
+    "tw_q6_country_incl" -> groupedSql(
+      "list_transform(includes.places, p -> p.country)", "country",
+      "WHERE regexp_matches(country, '^(Brazil|Japan)$')"),
+    "tw_q6_country_excl" -> groupedSql(
+      "list_transform(includes.places, p -> p.country)", "country",
+      "WHERE NOT contains(country, 'an')"))
+}

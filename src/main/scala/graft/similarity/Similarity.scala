@@ -72,7 +72,8 @@ object Similarity {
   private val bucketsSql =
     """WITH d AS (
       |  SELECT vec_id, j,
-      |    sum(CAST(embedding[i+1] AS DOUBLE) * ((i*31 + j*17) % 7 - 3)) AS dotj
+      |    sum(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1024) AS BIGINT)
+      |        * ((i*31 + j*17) % 7 - 3)) AS dotj
       |  FROM embeddings, UNNEST(range(0, 6)) jj(j),
       |       UNNEST(range(0, len(embedding))) tt(i)
       |  GROUP BY vec_id, j),

@@ -30,11 +30,18 @@ object StreamingOps {
     name
   }
 
-  /** Static-then-stream schema bootstrap (reference S3, q2:95-97). */
+  /** Static-then-stream schema bootstrap (reference S3, q2:95-97). The
+    * nanosecond-timestamp normalization (Tables.normalizeEvents) applies on
+    * top of the streaming source exactly as it does on the batch scan. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source tails a *directory* (reference S2 semantics);
+    // the glob filter selects the events table out of the fixture dir
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    Tables.normalizeEvents(stream)
   }
 
   /** Complete-mode grouped count over the event stream (A6 parity: state
