@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm2 / cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(
+        VectorOps.dot("a", "b").as("dot"),
+        VectorOps.norm2("a").as("n2"),
+        VectorOps.cosine("a", "a").as("self_cos"))
+    val r = df.head()
+    assert(r.getDouble(0) == 1.0 * 4 - 2 * 5 + 3 * 6)  // 12
+    assert(r.getDouble(1) == 14.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("planeDot is exact integer arithmetic: invariant under repartitioning") {
+    val vecs = (0L until 64L).map(i =>
+      (i, (0 until 16).map(d => ((i * 37 + d * 11) % 13 - 6).toFloat / 7f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def buckets(parts: Int) = df.repartition(parts)
+      .withColumn("j", explode(sequence(lit(0), lit(5))))
+      .withColumn("dotj", VectorOps.planeDot("embedding", "j"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dotj") >= 0, expr("cast(pow(2, j) as bigint)"))
+        .otherwise(0L)).as("bucket"))
+      .orderBy("vec_id").collect().toSeq
+    assert(buckets(1) == buckets(7))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.emoji.EmojiOps
+import graft.ingest.FileFeeder
+
+/** The reference's static/stream duality (SURVEY.md §5.4, q2:95-97) as an
+  * executable assertion: NDJSON rotated into a directory by FileFeeder
+  * (tmp-file + atomic rename, reference S4 protocol), aggregated once via
+  * the file-stream source in complete mode into a memory sink, once via a
+  * plain batch read — identical results required. */
+class StreamingDualitySpec extends SparkSpec {
+
+  test("complete-mode streaming aggregate equals batch recomputation over the same files") {
+    val dir = Files.createTempDirectory("graft-duality")
+    val lines = Seq(
+      Seq("""{"text": "hello 😀 world"}""",
+          """{"text": "😀😀 glued 🔥"}"""),
+      Seq("""{"text": "no emoji"}""",
+          """{"text": "🔥 and 🙏"}"""),
+      Seq("""{"text": "😀 again"}"""))
+    val written = FileFeeder.feed(dir, lines)
+    assert(written.size == 3)
+    assert(written.forall(p => p.getFileName.toString.matches("feed-\\d{5}\\.json")))
+
+    val static = spark.read.json(dir.toString)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .groupBy("emoji").agg(count(lit(1)).as("cnt"))
+
+    val stream = spark.readStream.schema(static.schema).json(dir.toString)
+    val q = agg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("duality_t").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("duality_t").orderBy("emoji").collect().toSeq
+    val batch = agg(static).orderBy("emoji").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // 😀: 4 occurrences across files (incl. inside the glued run)
+    assert(streamed.map(r => r.getString(0) -> r.getLong(1)).toMap.apply("😀") == 4L)
+  }
+}
