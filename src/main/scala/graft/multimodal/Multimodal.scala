@@ -74,8 +74,30 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling plumbing: each payload yields one row per fixed-stride
+    * "frame" (stub boundaries every FrameStep bytes — a real video decoder
+    * would emit keyframe offsets here). The generator shape (posexplode of
+    * a per-record offset sequence) is exactly what a real frame sampler
+    * compiles to; only the boundary arithmetic is stubbed. */
+  val FrameStep = 100L
+
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val n = length(col("text").cast("binary")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), n.as("byte_len"))
+      .filter(col("byte_len") > 0)
+      .select(col("doc_id"), col("byte_len"),
+        posexplode(expr(s"sequence(0L, byte_len - 1, ${FrameStep}L)")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("offset"),
+        least(lit(FrameStep), col("byte_len") - col("col")).as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (mediaMeta _))
+    "mm_meta" -> (mediaMeta _),
+    "mm_frames" -> (mediaFrames _))
 
   /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
     * (= Spark length over the binary cast), so non-ASCII text matches. */
@@ -86,5 +108,13 @@ object Multimodal {
         |  64 + CAST(strlen(text) AS BIGINT) % 577 AS width,
         |  64 + (CAST(strlen(text) AS BIGINT) * 31) % 417 AS height,
         |  CASE CAST(strlen(text) AS BIGINT) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      s"""SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |       k * ${FrameStep} AS offset,
+         |       least(${FrameStep}, strlen(text) - k * ${FrameStep}) AS frame_len
+         |FROM documents,
+         |     UNNEST(range(0, (strlen(text) - 1) // ${FrameStep} + 1)) t(k)
+         |WHERE strlen(text) > 0
+         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

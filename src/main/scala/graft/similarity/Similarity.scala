@@ -64,10 +64,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
+    * set (vec_id < 8), ranked per query by a window function. The shape is
+    * the scale path for "embed the eval set, find its neighbors in the
+    * corpus": corpus scan × broadcast queries, per-query top-k via
+    * row_number — no corpus self-join, no global sort. */
+  def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** Per-label centroid components: the class-centroid computation of a
+    * training pipeline, emitted as (label, dim, value) rows. Sums go
+    * through exact DECIMAL so the result is independent of partitioning
+    * and engine (float additions would drift at 1 ulp per reorder). The
+    * float is first cast through its string form: both engines print the
+    * shortest round-trip decimal for a float, giving an identical DECIMAL
+    * on both sides (a direct float→decimal cast is exact in Spark but
+    * 9-digit-lossy in DuckDB). */
+  def centroidComponents(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))).as("avg_v"))
+      .orderBy("label", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_buckets" -> (annBuckets _),
-    "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)))
+    "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
+    "sim_knn_batch" -> (knnBatch _),
+    "sim_centroids" -> (centroidComponents _))
 
   private val bucketsSql =
     """WITH d AS (
@@ -110,5 +151,27 @@ object Similarity {
          |  WHERE e.bucket = q.qbucket
          |  GROUP BY e.vec_id)
          |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
-         |FROM s ORDER BY cos_r DESC, vec_id ASC LIMIT 10""".stripMargin)
+         |FROM s ORDER BY cos_r DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.qid, e.vec_id,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+        |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+        |  WHERE e.vec_id <> q.qid
+        |  GROUP BY q.qid, e.vec_id),
+        |r AS (
+        |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+        |                                vec_id ASC) AS rn
+        |  FROM s)
+        |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        |  CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*) AS avg_v
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin)
 }

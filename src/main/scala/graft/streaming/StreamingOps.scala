@@ -6,6 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
 
+/** Output row of the stateful session summary (update-mode sink schema). */
+case class SessionRow(user_id: Long, n_events: Long, first_us: Long, last_us: Long)
+
 /** Structured Streaming equivalents of the reference's streaming surface
   * (SURVEY.md §2.1 S2/S3, §2.5 A6, §2.6 O5, K2): file-stream source with a
   * statically-bootstrapped schema, complete-mode stateful aggregation, and
@@ -70,9 +73,66 @@ object StreamingOps {
       .orderBy("hr", "event_type")
   }
 
+  /** Per-user session summary via arbitrary stateful processing
+    * (KeyValueGroupedDataset.mapGroupsWithState) — the custom-state
+    * primitive the training-pipeline brief calls for. State = running
+    * (count, first_ts, last_ts) per user, re-emitted each micro-batch in
+    * update mode. On the finite fixture source every file arrives in one
+    * batch, so the final table is the batch aggregate (the oracle);
+    * multi-batch state carry-over is asserted in the test suite. */
+  def sessionSummary(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    val sessions = eventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), SessionRow](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val (c0, lo0, hi0) =
+            if (state.exists) state.get else (0L, Long.MaxValue, Long.MinValue)
+          var c = c0; var lo = lo0; var hi = hi0
+          rows.foreach { case (_, t) =>
+            c += 1
+            if (t < lo) lo = t
+            if (t > hi) hi = t
+          }
+          state.update((c, lo, hi))
+          SessionRow(user, c, lo, hi)
+      }
+    val name = "graft_sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy("user_id")   // last update per key wins (single batch: identity)
+      .agg(max("n_events").as("n_events"),
+        min("first_us").as("first_us"), max("last_us").as("last_us"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming deduplication (dropDuplicates over the stream's key column):
+    * bounded-input distinct set; ordering applied to the materialized
+    * result (a sort inside the stream is illegal in append mode). */
+  def streamDistinctTypes(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val distinctTypes = eventStream(spark, dir)
+      .select(col("event_type")).dropDuplicates("event_type")
+    val name = "graft_dd_" + UUID.randomUUID().toString.replace("-", "")
+    val q = distinctTypes.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_complete_counts" -> (completeCounts _),
-    "stream_hourly_counts" -> (hourlyCounts _))
+    "stream_hourly_counts" -> (hourlyCounts _),
+    "stream_session_summary" -> (sessionSummary _),
+    "stream_dedup_types" -> (streamDistinctTypes _))
 
   val oracles: Map[String, String] = Map(
     "stream_complete_counts" ->
@@ -81,5 +141,11 @@ object StreamingOps {
     "stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "stream_session_summary" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_dedup_types" ->
+      """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin)
 }

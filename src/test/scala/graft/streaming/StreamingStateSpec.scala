@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.SparkSpec
+import graft.ingest.FileFeeder
+
+/** Bounded-state streaming semantics the verified queries can't show on a
+  * single-batch source: append-mode watermark window closing across
+  * micro-batches, and mapGroupsWithState carrying state between batches. */
+class StreamingStateSpec extends SparkSpec {
+
+  private def eventLine(ts: String, user: Long): String =
+    s"""{"ts": "$ts", "user_id": $user}"""
+
+  test("append-mode watermarked window emits only after the watermark passes its end") {
+    val dir = Files.createTempDirectory("graft-append")
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:05:00Z", 1),
+      eventLine("2024-01-01T10:40:00Z", 2))), prefix = "b0")
+
+    val static = spark.read.json(dir.toString)
+    val stream = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hr"), col("cnt"))
+
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("append_wm_t").start()
+    try {
+      q.processAllAvailable()
+      // watermark = 10:40 - 10m = 10:30 < 11:00 -> hour-10 window still open
+      assert(spark.table("append_wm_t").count() == 0)
+
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T12:30:00Z", 3))), prefix = "b1")
+      q.processAllAvailable()
+      // watermark = 12:20 > 11:00 -> hour-10 window closed and emitted
+      val rows = spark.table("append_wm_t")
+        .select(col("hr").cast("string"), col("cnt")).collect().toSeq
+      assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+        Seq(("2024-01-01 10:00:00", 2L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState carries per-key state across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mgws")
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:00:00Z", 7),
+      eventLine("2024-01-01T10:01:00Z", 7),
+      eventLine("2024-01-01T10:02:00Z", 8))), prefix = "b0")
+
+    val static = spark.read.json(dir.toString)
+    val counts = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (user, c)
+      }
+
+    val q = counts.toDF("user_id", "cnt").writeStream
+      .outputMode("update").format("memory").queryName("mgws_t").start()
+    try {
+      q.processAllAvailable()
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T10:03:00Z", 7))), prefix = "b1")
+      q.processAllAvailable()
+      // batch 2 re-emits only user 7, with state 2+1=3
+      val last = spark.table("mgws_t")
+        .groupBy("user_id").agg(max("cnt").as("cnt"))
+        .orderBy("user_id").as[(Long, Long)].collect().toSeq
+      assert(last == Seq((7L, 3L), (8L, 1L)))
+    } finally q.stop()
+  }
+}
