@@ -180,7 +180,7 @@ object Dedup {
     """WITH d AS (
       |  SELECT vec_id, j,
       |    sum(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1024) AS BIGINT)
-      |        * ((i*31 + j*17) % 7 - 3)) AS dotj
+      |        * ((i*73 + i*i*31 + j*179 + j*j*97 + i*j*53) % 101 - 50)) AS dotj
       |  FROM embeddings, UNNEST(range(0, 10)) jj(j),
       |       UNNEST(range(0, len(embedding))) tt(i)
       |  GROUP BY vec_id, j),

@@ -26,7 +26,7 @@ object VectorOps {
 
   /** Signed-random-projection dot against a deterministic integer
     * hyperplane family: plane `j`, component `i` has coefficient
-    * `((i*31 + j*17) % 7) - 3`. Components are quantized to a fixed-point
+    * `((i*73 + i*i*31 + j*179 + j*j*97 + i*j*53) % 101) - 50` (the i*i/j*j/i*j terms break the linear structure that would make planes cyclic shifts of each other). Components are quantized to a fixed-point
     * integer grid first — `floor(x * 1024)` is exact (float→double widening
     * and ×2^10 are both lossless), so the whole projection is BIGINT
     * arithmetic: bit-identical in any engine and independent of summation
@@ -36,5 +36,5 @@ object VectorOps {
   def planeDot(emb: String, j: String): Column = expr(
     s"aggregate(sequence(0, size($emb) - 1), cast(0 as bigint), " +
       s"(acc, i) -> acc + cast(floor(cast(element_at($emb, i + 1) as double) * 1024) as bigint) " +
-      s"* cast((i*31 + $j*17) % 7 - 3 as bigint))")
+      s"* cast((i*73 + i*i*31 + $j*179 + $j*$j*97 + i*$j*53) % 101 - 50 as bigint))")
 }
