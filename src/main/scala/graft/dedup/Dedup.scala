@@ -164,8 +164,38 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Near-dup candidate pairs by SimHash banding: 4 bands of 8 bits; any
+    * shared band makes a candidate, then exact Hamming distance (one
+    * `bit_count(xor)`) filters to <= MaxHamming. By pigeonhole, a pair
+    * within Hamming 3 of a 32-bit signature must agree on at least one of
+    * the 4 bands, so recall at the threshold is total — the standard
+    * simhash dedup layout (band join, never all-pairs). */
+  val MaxHamming = 3
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sh = simhash(spark, dir)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"(simhash div ${1L << (8 * b)}) % 256").as("key")))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactSummary _),
+    "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
@@ -242,6 +272,30 @@ object Dedup {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 31 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH tok AS ($distinctTokSql),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    strpos('0123456789abcdef', substr(md5(token), (j // 4) + 1, 1)) - 1 AS digit
+         |  FROM tok, UNNEST(range(0, 32)) jj(j)),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    sum(((digit // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) * 2 - 1) AS vote
+         |  FROM bits GROUP BY doc_id, j),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 31 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, simhash, b AS band,
+         |    (simhash // CAST(pow(2, 8 * b) AS BIGINT)) % 256 AS key
+         |  FROM sh, UNNEST(range(0, 4)) t(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${MaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""$bucketsSql,
          |nrm AS (

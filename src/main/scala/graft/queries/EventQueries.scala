@@ -36,8 +36,20 @@ object EventQueries {
       .orderBy("hr", "event_type")
   }
 
+  /** JSON-path prop extraction via get_json_object (the JSON-function
+    * analog of the regexp path above; FIXTURES.md §C role map). */
+  def jsonPath(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_json_extract" -> (jsonExtract _),
+    "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -47,6 +59,10 @@ object EventQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events WHERE contains(props, '"k"')
         |GROUP BY 1 ORDER BY k""".stripMargin,
+    "ev_json_path" ->
+      """SELECT k, count(*) AS cnt FROM (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |WHERE k IS NOT NULL GROUP BY k ORDER BY k""".stripMargin,
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type,
         |       count(*) AS cnt,

@@ -172,7 +172,33 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  // ---- salted join: the manual skew remedy for a hot join key. The fact
+  // side gets a deterministic salt (l_linenumber % SaltBuckets); the dim
+  // side is replicated SaltBuckets× with every salt value, so a hot
+  // orderkey's rows spread over SaltBuckets reducers instead of one.
+  // Semantically identical to the plain join (the oracle IS the plain
+  // join) — AQE's skew-join split handles this adaptively, but the salting
+  // pattern works on any engine and under any partitioner.
+  private val SaltBuckets = 8
+
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("l_salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("o_salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && col("l_salt") === col("o_salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_salted_join" -> (saltedJoin _),
     "rel_q1_pricing" -> (q1Pricing _),
     "rel_q3_topk" -> (q3TopK _),
     "rel_q5_region_rev" -> (q5RegionRevenue _),
@@ -185,6 +211,11 @@ object RelationalQueries {
     "rel_except" -> (exceptYears _))
 
   val oracles: Map[String, String] = Map(
+    "rel_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rel_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

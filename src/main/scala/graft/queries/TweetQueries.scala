@@ -151,6 +151,30 @@ object TweetQueries {
       .groupBy("country", "emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(asc("country"), desc("cnt"), asc("emoji"))
 
+  // ---- q7: historical corpora, schema-polymorphic (q7:62-108). The same
+  //      pipeline runs over the v1.1 schema (`full_text`, A.2) and the 2015
+  //      dump schema (`text`, A.3) — the text column name is a parameter
+  //      (SURVEY.md §7.4 risk 5), not a duplicated pipeline. The 2006-2009
+  //      corpus carries text emoticons but no Unicode emoji, so its emoji
+  //      census is empty — the reference's own documented finding
+  //      (pptx slide 19) reproduced as a verifiable result.
+
+  def histTopEmoji(subdir: String, textCol: String)(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.read.json(s"/root/repo/fixtures/$subdir")
+      .select(col(textCol).as("text"))
+      .filter(col("text").isNotNull)
+      .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .groupBy("emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("emoji"))
+  }
+
+  private def histSql(subdir: String, textCol: String): String =
+    s"""SELECT emoji, count(*) AS cnt FROM (
+       |  SELECT unnest(regexp_extract_all($textCol, '$EmojiClassSql')) AS emoji
+       |  FROM read_json_auto('/root/repo/fixtures/$subdir/*.json', format='newline_delimited'))
+       |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin
+
   // ---- q2 analog: the same top-emoji aggregation through Structured
   //      Streaming (S2/S3 file-stream source, A6 complete-mode state, O5
   //      sort-on-streaming-aggregate, memory sink standing in for console).
@@ -183,7 +207,9 @@ object TweetQueries {
     "tw_q4_mention_emoji" -> (mentionEmoji _),
     "tw_q5_category_emoji" -> (categoryEmoji _),
     "tw_q6_country_incl" -> countryEmojiIncl("^(Brazil|Japan)$") _,
-    "tw_q6_country_excl" -> countryEmojiExcl("an") _)
+    "tw_q6_country_excl" -> countryEmojiExcl("an") _,
+    "tw_q7_2009_emoji" -> histTopEmoji("hist2009", "full_text") _,
+    "tw_q7_2015_emoji" -> histTopEmoji("hist2015", "text") _)
 
   private def groupedSql(dimExpr: String, dimName: String, where: String): String =
     s"""SELECT $dimName, emoji, count(*) AS cnt
@@ -231,5 +257,7 @@ object TweetQueries {
       "WHERE regexp_matches(country, '^(Brazil|Japan)$')"),
     "tw_q6_country_excl" -> groupedSql(
       "list_transform(includes.places, p -> p.country)", "country",
-      "WHERE NOT contains(country, 'an')"))
+      "WHERE NOT contains(country, 'an')"),
+    "tw_q7_2009_emoji" -> histSql("hist2009", "full_text"),
+    "tw_q7_2015_emoji" -> histSql("hist2015", "text"))
 }
