@@ -197,8 +197,45 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- running window frame: cumulative revenue per customer in order
+  // date order (rowsBetween unbounded-preceding..current). One shuffle on
+  // the partition key; DECIMAL accumulation keeps every prefix sum exact.
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("run_cnt", count(lit(1)).over(w))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  // ---- UNION (distinct) completing the set-op family with intersect/except
+  def unionYears(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    custkeysOfYear(spark, dir, 1996).union(custkeysOfYear(spark, dir, 1997))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  // ---- pivot: returnflag columns per linestatus (manual-CASE equivalent
+  // in the oracle; Spark's pivot plans to the same conditional aggregates)
+  def pivotFlags(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .orderBy("l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_join" -> (saltedJoin _),
+    "rel_window_running" -> (windowRunning _),
+    "rel_union" -> (unionYears _),
+    "rel_pivot" -> (pivotFlags _),
     "rel_q1_pricing" -> (q1Pricing _),
     "rel_q3_topk" -> (q3TopK _),
     "rel_q5_region_rev" -> (q5RegionRevenue _),
@@ -211,6 +248,26 @@ object RelationalQueries {
     "rel_except" -> (exceptYears _))
 
   val oracles: Map[String, String] = Map(
+    "rel_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                 ROWS UNBOUNDED PRECEDING) AS run_cnt
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "rel_union" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |UNION
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -91,7 +91,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sketch-based vocabulary size: approx_count_distinct (HyperLogLog++)
+    * next to the exact count. At 100 TB the exact distinct needs a full
+    * shuffle of every token; the sketch is one pass, mergeable, and fixed
+    * memory — this is the operator a real corpus-stats job runs.
+    * Deliberately ABSENT from `oracles`: HLL estimates are engine-specific
+    * (driver records the weaker rows-only check); the 2% rsd accuracy
+    * contract is asserted in TextAnalysisSpec instead. */
+  def vocabApprox(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .agg(
+        approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
+        countDistinct(col("token")).as("vocab_exact"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_approx" -> (vocabApprox _),
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
