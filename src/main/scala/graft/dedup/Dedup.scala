@@ -23,7 +23,7 @@ import graft.similarity.Similarity
   *  - n-gram Jaccard: exact pairwise verification — intentionally run on a
   *    sampled subset (candidate verification is the role this plays in a
   *    real pipeline; the LSH join is the generator).
-  *  - SimHash: 16-bit signature via per-bit majority vote, one aggregate.
+  *  - SimHash: 48-bit signature via per-bit majority vote, one aggregate.
   *  - embedding near-dup: cosine within LSH buckets only.
   */
 object Dedup {
@@ -122,10 +122,10 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 32-bit SimHash per document: bit j is the sign of the per-token
+  /** 48-bit SimHash per document: bit j is the sign of the per-token
     * majority vote on bit j of md5(token). One md5 per token and one
-    * aggregate pass with 32 vote columns — no per-bit row explosion (the
-    * naive explode shuffles 32×|doc,token| rows; this shuffles |docs|). */
+    * aggregate pass with 48 vote columns — no per-bit row explosion (the
+    * naive explode shuffles 48×|doc,token| rows; this shuffles |docs|). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     def voteExpr(j: Int): Column = {
@@ -137,9 +137,9 @@ object Dedup {
     val votes = distinctTokens(spark, dir)
       .withColumn("digest", md5(col("token")))
       .groupBy("doc_id")
-      .agg(voteExpr(0), (1 until 32).map(voteExpr): _*)
-    val hash = (0 until 32)
-      .map(j => when(col(s"v$j") >= 0, lit(1L << (31 - j))).otherwise(0L))
+      .agg(voteExpr(0), (1 until 48).map(voteExpr): _*)
+    val hash = (0 until 48)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << (47 - j))).otherwise(0L))
       .reduce(_ + _)
     votes.select(col("doc_id"), hash.as("simhash")).orderBy("doc_id")
   }
@@ -167,7 +167,7 @@ object Dedup {
   /** Near-dup candidate pairs by SimHash banding: 4 bands of 8 bits; any
     * shared band makes a candidate, then exact Hamming distance (one
     * `bit_count(xor)`) filters to <= MaxHamming. By pigeonhole, a pair
-    * within Hamming 3 of a 32-bit signature must agree on at least one of
+    * within Hamming 3 of a 48-bit signature must agree on at least one of
     * the 4 bands, so recall at the threshold is total — the standard
     * simhash dedup layout (band join, never all-pairs). */
   val MaxHamming = 3
@@ -177,7 +177,7 @@ object Dedup {
     val sh = simhash(spark, dir)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        expr(s"(simhash div ${1L << (8 * b)}) % 256").as("key")))
+        expr(s"(simhash div ${1L << (12 * b)}) % 4096").as("key")))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
@@ -264,31 +264,31 @@ object Dedup {
          |bits AS (
          |  SELECT doc_id, j,
          |    strpos('0123456789abcdef', substr(md5(token), (j // 4) + 1, 1)) - 1 AS digit
-         |  FROM tok, UNNEST(range(0, 32)) jj(j)),
+         |  FROM tok, UNNEST(range(0, 48)) jj(j)),
          |votes AS (
          |  SELECT doc_id, j,
          |    sum(((digit // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) * 2 - 1) AS vote
          |  FROM bits GROUP BY doc_id, j)
          |SELECT doc_id,
-         |  CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 31 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 47 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH tok AS ($distinctTokSql),
          |bits AS (
          |  SELECT doc_id, j,
          |    strpos('0123456789abcdef', substr(md5(token), (j // 4) + 1, 1)) - 1 AS digit
-         |  FROM tok, UNNEST(range(0, 32)) jj(j)),
+         |  FROM tok, UNNEST(range(0, 48)) jj(j)),
          |votes AS (
          |  SELECT doc_id, j,
          |    sum(((digit // (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) * 2 - 1) AS vote
          |  FROM bits GROUP BY doc_id, j),
          |sh AS (
          |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 31 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |    CAST(sum(CASE WHEN vote >= 0 THEN CAST(pow(2, 47 - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM votes GROUP BY doc_id),
          |banded AS (
          |  SELECT doc_id, simhash, b AS band,
-         |    (simhash // CAST(pow(2, 8 * b) AS BIGINT)) % 256 AS key
+         |    (simhash // CAST(pow(2, 12 * b) AS BIGINT)) % 4096 AS key
          |  FROM sh, UNNEST(range(0, 4)) t(b))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
