@@ -1,0 +1,39 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.emoji.EmojiOps
+import graft.ingest.FileFeeder
+
+/** Pins the double-explode multiplicity contract (SURVEY.md §7.4 risk 4,
+  * reference q4:116-117): an emoji in a tweet with N mentions counts N
+  * times — one row per (mention, emoji) pair, mention-major order. */
+class TweetQueriesSpec extends SparkSpec {
+
+  test("double explode yields |mentions| x |emojis| rows per tweet") {
+    val dir = Files.createTempDirectory("graft-mult")
+    FileFeeder.feed(dir, Seq(Seq(
+      """{"data": {"text": "a 😀 b 🔥😀", "entities": {"mentions": [{"username": "u1"}, {"username": "u2"}]}}, "includes": {"places": [{"country": "X"}]}}""")))
+    val rows = spark.read.json(dir.toString)
+      .select(col("data.text").as("text"),
+        col("data.entities.mentions.username").as("mentions"))
+      .filter(col("includes").isNotNull)
+      .select(explode(col("mentions")).as("username"), col("text"))
+      .select(col("username"), explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    // 2 mentions x 3 emojis (😀, 🔥, 😀 — glued run decomposed, dup kept)
+    assert(rows == Seq(
+      ("u1", "😀"), ("u1", "🔥"), ("u1", "😀"),
+      ("u2", "😀"), ("u2", "🔥"), ("u2", "😀")))
+  }
+
+  test("q7 schema polymorphism: same pipeline, parameterized text column") {
+    val h2009 = TweetQueries.histTopEmoji("hist2009", "full_text")(spark, "")
+    val h2015 = TweetQueries.histTopEmoji("hist2015", "text")(spark, "")
+    // 2006-2009 corpus carries emoticons only -> empty emoji census
+    assert(h2009.count() == 0)
+    assert(h2015.count() > 0)
+  }
+}
