@@ -128,11 +128,30 @@ object StreamingOps {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joins a
+    * broadcast static dimension (customer segment by key) before the
+    * stateful aggregate — the standard "enrich then aggregate" layout.
+    * The static side is re-planned per micro-batch; broadcast keeps the
+    * join shuffle-free on the stream side. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+    val table = runToMemory(spark, agg)
+    spark.table(table).orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_complete_counts" -> (completeCounts _),
     "stream_hourly_counts" -> (hourlyCounts _),
     "stream_session_summary" -> (sessionSummary _),
-    "stream_dedup_types" -> (streamDistinctTypes _))
+    "stream_dedup_types" -> (streamDistinctTypes _),
+    "stream_static_join" -> (streamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_complete_counts" ->
@@ -147,5 +166,10 @@ object StreamingOps {
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup_types" ->
-      """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin)
+      """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

@@ -104,7 +104,27 @@ object TextAnalysis {
         approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
         countDistinct(col("token")).as("vocab_exact"))
 
+  /** Winnowing document fingerprints (the MOSS rolling-window scheme):
+    * hash every 8-char k-gram, take the min hash of each 4-gram window,
+    * dedupe — a ~1/window-size sample of positions that is robust to
+    * insertions (near-identical docs share most fingerprints). Entirely
+    * column expressions: transform/slice/array_min run inside codegen with
+    * no row explosion; the per-doc work is O(len·window). */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 11)
+      .withColumn("hashes",
+        expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))"))
+      .withColumn("fps", array_distinct(
+        expr("transform(sequence(0, size(hashes) - 4), w -> array_min(slice(hashes, w + 1, 4)))")))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnow _),
     "text_vocab_approx" -> (vocabApprox _),
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
@@ -112,6 +132,19 @@ object TextAnalysis {
     "text_token_stats" -> (tokenStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_winnow" ->
+      """WITH kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text) - 6),
+        |                   i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hashes
+        |  FROM documents WHERE strlen(text) >= 11),
+        |win AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(0, len(hashes) - 3),
+        |                   w -> list_min(hashes[CAST(w+1 AS INTEGER):CAST(w+4 AS INTEGER)]))) AS fps
+        |  FROM kg)
+        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, list_min(fps) AS min_fp
+        |FROM win ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH tok AS ($tokSql),
          |g AS (
