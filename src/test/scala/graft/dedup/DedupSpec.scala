@@ -1,0 +1,52 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end dedup behavior on a corpus with KNOWN duplicate structure
+  * (the fixture tables are duplicate-sparse, so the oracle checks there
+  * are mostly vacuous for recall; this pins that the operators actually
+  * find what they must find). Doc ids are multiples of 50 so rows survive
+  * ngramJaccard's 1-in-50 sample. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", "en", "s0", 51L),
+      (50L, "the quick brown fox jumps over the lazy dog tonight", "en", "s0", 51L),   // exact dup of 0
+      (100L, "the quick brown fox jumps over the lazy dog yesterday", "en", "s0", 53L), // near dup of 0
+      (150L, "completely different words about spark shuffles and joins", "en", "s1", 57L),
+      (200L, "another unrelated document mentioning window functions only", "en", "s1", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact summary counts the duplicate") {
+    val r = Dedup.exactSummary(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 4L, 1L))
+  }
+
+  test("minhash LSH surfaces the exact duplicate as a candidate pair") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 50L)), s"pairs=$pairs")
+  }
+
+  test("ngram Jaccard scores the exact dup 1.0 and the near dup above threshold") {
+    val jac = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((0L, 50L)) == 1.0)
+    assert(jac.contains((0L, 100L)) && jac((0L, 100L)) >= 0.5, s"jac=$jac")
+    assert(!jac.contains((0L, 150L)) && !jac.contains((150L, 200L)))
+  }
+
+  test("identical documents share a simhash (hamming 0 in the pair join)") {
+    val pairs = Dedup.simhashPairs(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 50L)).contains(0), s"pairs=$pairs")
+  }
+}
