@@ -21,7 +21,7 @@ object Smoke {
 
     try SparkEntry.queries("rel_q1_pricing")(spark, "/root/testdata/nope").collect()
     catch { case NonFatal(ex) =>
-      println(s"BAD-DIR ERROR: ${ex.getClass.getSimpleName}: ${ex.getMessage.take(120)}")
+      println(s"BAD-DIR ERROR: ${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(120)}")
     }
 
     println("grin: " + SparkEntry.queries("tw_q1_emoji_grin")(spark, "").collect().mkString(" | "))

@@ -164,7 +164,7 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Near-dup candidate pairs by SimHash banding: 4 bands of 8 bits; any
+  /** Near-dup candidate pairs by SimHash banding: 4 bands of 12 bits; any
     * shared band makes a candidate, then exact Hamming distance (one
     * `bit_count(xor)`) filters to <= MaxHamming. By pigeonhole, a pair
     * within Hamming 3 of a 48-bit signature must agree on at least one of

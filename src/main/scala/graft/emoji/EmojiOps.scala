@@ -62,9 +62,16 @@ object EmojiOps {
       !token.contains("(") && !token.contains(")") && !token.contains("|")
 
   /** q3's word pipeline (reference q3:167-168,173-174): strip whitespace /
-    * control / invisible characters, then keep alphanumeric' words. */
+    * control / invisible characters, then keep alphanumeric' words.
+    * [[WordNoise]] is the reference's literal Java class (with its `&&`
+    * intersection quirk — JVM-only, pinned in unit tests). The `Spec`
+    * variants are the intended semantics spelled portably (same class
+    * compiles in Java regex and RE2), used by every oracle-verified query;
+    * they additionally strip the artifact `\|` the quirk class misses. */
   val WordNoise: String = "[(\\s)(\\p{C})(\\p{Cntrl}&&[^\\r\\n\\t])()]"
   val WordValid: String = "^[A-Za-z0-9']+$"
+  val WordNoiseSpec: String = "[\\s\\p{C}()|]"
+  val WordValidSpec: String = WordValid
 
   def cleanWord(w: Column): Column = regexp_replace(w, WordNoise, "")
   def isWord(w: Column): Column = w.rlike(WordValid)

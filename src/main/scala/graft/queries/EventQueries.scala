@@ -19,6 +19,7 @@ object EventQueries {
       .filter(col("props").contains("\"k\""))
       .withColumn("k",
         regexp_extract(col("props"), """"k":\s*(\d+)""", 1).cast("long"))
+      .filter(col("k").isNotNull)  // NULL sorts first in Spark, last in DuckDB
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
@@ -54,11 +55,13 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "ev_json_extract" ->
-      """SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
-        |       count(*) AS cnt,
+      """SELECT k, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-        |FROM events WHERE contains(props, '"k"')
-        |GROUP BY 1 ORDER BY k""".stripMargin,
+        |FROM (
+        |  SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, value
+        |  FROM events WHERE contains(props, '"k"'))
+        |WHERE k IS NOT NULL
+        |GROUP BY k ORDER BY k""".stripMargin,
     "ev_json_path" ->
       """SELECT k, count(*) AS cnt FROM (
         |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -49,12 +49,10 @@ object TweetQueries {
   private val EmojiClassSql =
     """[\x{1F300}-\x{1F5FF}\x{1F600}-\x{1F64F}\x{1F900}-\x{1F9FF}]"""
 
-  /** Word-pipeline spec (T4/T5, SURVEY.md §2.3): strip whitespace, Unicode
-    * category C (control/format — covers ZWJ), and the artifact chars, then
-    * keep pure alphanumeric-or-apostrophe words. Same class compiles in
-    * Java regex (Spark) and RE2 (DuckDB). */
-  private val WordNoiseSpec = """[\s\p{C}()|]"""
-  private val WordValidSpec = "^[A-Za-z0-9']+$"
+  /** Word-pipeline spec (T4/T5, SURVEY.md §2.3) — single source of truth
+    * in [[EmojiOps.WordNoiseSpec]]/[[EmojiOps.WordValidSpec]]. */
+  private val WordNoiseSpec = EmojiOps.WordNoiseSpec
+  private val WordValidSpec = EmojiOps.WordValidSpec
 
   private def tweets(spark: SparkSession): DataFrame = {
     Engine.tune(spark)
@@ -189,12 +187,8 @@ object TweetQueries {
       .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
       .groupBy("emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("emoji"))                    // O5: legal in complete mode
-    val name = "graft_tweets_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name).orderBy(desc("cnt"), asc("emoji"))
+    graft.streaming.StreamingOps.runToMemory(spark, agg)
+      .orderBy(desc("cnt"), asc("emoji"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

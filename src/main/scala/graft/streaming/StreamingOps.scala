@@ -21,16 +21,25 @@ case class SessionRow(user_id: Long, n_events: Long, first_us: Long, last_us: Lo
   */
 object StreamingOps {
 
-  private def runToMemory(spark: SparkSession, streamed: DataFrame): String = {
+  /** Runs a streaming frame to completion through a memory sink, then
+    * materializes the result locally and DROPS the temp view — repeated
+    * invocations in one session (Bench/Explain/Verify loops) must not
+    * accumulate orphaned in-memory tables. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame,
+      mode: String = "complete"): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
     val q = streamed.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    name
+    val t = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Static-then-stream schema bootstrap (reference S3, q2:95-97). The
@@ -53,8 +62,7 @@ object StreamingOps {
     Engine.tune(spark)
     val agg = eventStream(spark, dir)
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-    val table = runToMemory(spark, agg)
-    spark.table(table).orderBy("event_type")
+    runToMemory(spark, agg).orderBy("event_type")
   }
 
   /** Watermarked tumbling 1-hour window aggregation over the event stream.
@@ -67,8 +75,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
-    val table = runToMemory(spark, agg)
-    spark.table(table)
+    runToMemory(spark, agg)
       .select(col("window.start").as("hr"), col("event_type"), col("cnt"), col("sum_val"))
       .orderBy("hr", "event_type")
   }
@@ -101,12 +108,7 @@ object StreamingOps {
           state.update((c, lo, hi))
           SessionRow(user, c, lo, hi)
       }
-    val name = "graft_sess_" + UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.toDF().writeStream
-      .outputMode("update").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToMemory(spark, sessions.toDF(), mode = "update")
       .groupBy("user_id")   // last update per key wins (single batch: identity)
       .agg(max("n_events").as("n_events"),
         min("first_us").as("first_us"), max("last_us").as("last_us"))
@@ -120,12 +122,7 @@ object StreamingOps {
     Engine.tune(spark)
     val distinctTypes = eventStream(spark, dir)
       .select(col("event_type")).dropDuplicates("event_type")
-    val name = "graft_dd_" + UUID.randomUUID().toString.replace("-", "")
-    val q = distinctTypes.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name).orderBy("event_type")
+    runToMemory(spark, distinctTypes, mode = "append").orderBy("event_type")
   }
 
   /** Stream-static enrichment join: the unbounded event stream joins a
@@ -142,8 +139,7 @@ object StreamingOps {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
-    val table = runToMemory(spark, agg)
-    spark.table(table).orderBy("c_mktsegment")
+    runToMemory(spark, agg).orderBy("c_mktsegment")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

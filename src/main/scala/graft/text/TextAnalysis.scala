@@ -135,9 +135,9 @@ object TextAnalysis {
     "text_winnow" ->
       """WITH kg AS (
         |  SELECT doc_id,
-        |    list_transform(range(1, strlen(text) - 6),
+        |    list_transform(range(1, length(text) - 6),
         |                   i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hashes
-        |  FROM documents WHERE strlen(text) >= 11),
+        |  FROM documents WHERE length(text) >= 11),
         |win AS (
         |  SELECT doc_id, list_distinct(
         |    list_transform(range(0, len(hashes) - 3),

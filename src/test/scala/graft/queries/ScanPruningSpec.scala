@@ -19,8 +19,7 @@ class ScanPruningSpec extends SparkSpec {
       .filter(col("event_type") === "error")
       .agg(count(lit(1)).as("cnt"))
     val scan = q.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") &&
-      scan.contains("isnotnull(event_type") || scan.contains("event_type#"),
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
       s"expected partition filter in scan:\n$scan")
     // pruned read returns the same count as the unpruned filter
     val expected = graft.Tables(spark, "/root/testdata/sf0.001", "events")
