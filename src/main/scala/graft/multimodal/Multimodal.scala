@@ -95,9 +95,29 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize planning: fit each (stub-decoded) image into TargetPx² while
+    * preserving aspect ratio — the dimension arithmetic every real resize
+    * kernel needs, as exact column expressions (the pixel transform itself
+    * would live in the typed-decode path next to the codec). */
+  val TargetPx = 224L
+
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val n = length(col("text").cast("binary")).cast("long")
+    val w = stubWidth(n)
+    val h = stubHeight(n)
+    val scale = least(lit(TargetPx) / w.cast("double"), lit(TargetPx) / h.cast("double"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), w.as("width"), h.as("height"),
+        greatest(lit(1L), floor(w.cast("double") * scale).cast("long")).as("out_w"),
+        greatest(lit(1L), floor(h.cast("double") * scale).cast("long")).as("out_h"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mediaMeta _),
-    "mm_frames" -> (mediaFrames _))
+    "mm_frames" -> (mediaFrames _),
+    "mm_resize" -> (mediaResize _))
 
   /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
     * (= Spark length over the binary cast), so non-ASCII text matches. */
@@ -116,5 +136,19 @@ object Multimodal {
          |FROM documents,
          |     UNNEST(range(0, (strlen(text) - 1) // ${FrameStep} + 1)) t(k)
          |WHERE strlen(text) > 0
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    64 + CAST(strlen(text) AS BIGINT) % 577 AS width,
+         |    64 + (CAST(strlen(text) AS BIGINT) * 31) % 417 AS height
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, width, height,
+         |    least(${TargetPx} / CAST(width AS DOUBLE), ${TargetPx} / CAST(height AS DOUBLE)) AS scale
+         |  FROM m)
+         |SELECT doc_id, width, height,
+         |  greatest(1, CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT)) AS out_w,
+         |  greatest(1, CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT)) AS out_h
+         |FROM s ORDER BY doc_id""".stripMargin)
 }
