@@ -22,7 +22,11 @@ object Bench {
     // codegen JIT costs land here instead of on whichever query sorts first.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case NonFatal(e) => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case NonFatal(e) =>

@@ -104,20 +104,70 @@ object TextAnalysis {
         approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
         countDistinct(col("token")).as("vocab_exact"))
 
+  /** Winnowing k-gram hash spec, single-sourced for Spark and the DuckDB
+    * oracle: a degree-7 polynomial hash over code points, base 257 mod
+    * 1e9+7. Everything stays exact BIGINT (max intermediate value
+    * 8·cp_max·(M−1) < 2^63), so both engines produce bit-identical hashes
+    * — the same cross-engine fixed-point pattern as VectorOps.planeDot. */
+  private val HashMod = 1000000007L
+  private val HashBase = 257L
+  val KGram = 8
+  val WinnowWindow = 4
+  /** pows(j) = HashBase^(KGram-1-j) mod HashMod. */
+  private val pows: Array[Long] =
+    Array.iterate(1L, KGram)(p => p * HashBase % HashMod).reverse
+
+  /** Spark-side k-gram hash over a precomputed code-point array `cs`. */
+  private def kgramHashExpr: String = {
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      if (j == 0) s"element_at(cs, i) * ${p}L"
+      else s"element_at(cs, i + $j) * ${p}L"
+    }.mkString(" + ")
+    s"transform(sequence(1, size(cs) - ${KGram - 1}), i -> ($terms) % ${HashMod}L)"
+  }
+
+  /** DuckDB-side spelling of the same hash (list indices need INTEGER). */
+  private def kgramHashSql: String = {
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      val idx = if (j == 0) "CAST(i AS INTEGER)" else s"CAST(i + $j AS INTEGER)"
+      s"cs[$idx] * CAST($p AS BIGINT)"
+    }.mkString(" + ")
+    s"list_transform(range(1, len(cs) - ${KGram - 2}), i -> ($terms) % $HashMod)"
+  }
+
   /** Winnowing document fingerprints (the MOSS rolling-window scheme):
     * hash every 8-char k-gram, take the min hash of each 4-gram window,
     * dedupe — a ~1/window-size sample of positions that is robust to
     * insertions (near-identical docs share most fingerprints). Entirely
-    * column expressions: transform/slice/array_min run inside codegen with
-    * no row explosion; the per-doc work is O(len·window). */
+    * column expressions: one O(len) code-point pass, then 8 exact BIGINT
+    * multiply-adds per position — no per-position digest, no hex-string
+    * materialization (the md5 variant, kept below as the test-pinned
+    * parity path, allocated ~32 bytes of string per input character). */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     Tables(spark, dir, "documents")
-      .filter(length(col("text")) >= 11)
-      .withColumn("hashes",
-        expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))"))
+      .filter(length(col("text")) >= KGram + WinnowWindow - 1)
+      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("hashes", expr(kgramHashExpr))
       .withColumn("fps", array_distinct(
-        expr("transform(sequence(0, size(hashes) - 4), w -> array_min(slice(hashes, w + 1, 4)))")))
+        expr(s"transform(sequence(0, size(hashes) - $WinnowWindow), w -> array_min(slice(hashes, w + 1, $WinnowWindow)))")))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The original digest-based winnow, kept as the parity path for tests
+    * (TextAnalysisSpec pins that both schemes select the same *positions*
+    * structure on a known doc). Not registered: per-k-gram md5 is a
+    * scale-killer (one digest + 32-char hex string per character). */
+  def winnowMd5(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= KGram + WinnowWindow - 1)
+      .withColumn("hashes",
+        expr(s"transform(sequence(1, length(text) - ${KGram - 1}), i -> md5(substring(text, i, $KGram)))"))
+      .withColumn("fps", array_distinct(
+        expr(s"transform(sequence(0, size(hashes) - $WinnowWindow), w -> array_min(slice(hashes, w + 1, $WinnowWindow)))")))
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("min_fp"))
       .orderBy("doc_id")
@@ -133,18 +183,18 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_winnow" ->
-      """WITH kg AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(text) - 6),
-        |                   i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hashes
-        |  FROM documents WHERE length(text) >= 11),
-        |win AS (
-        |  SELECT doc_id, list_distinct(
-        |    list_transform(range(0, len(hashes) - 3),
-        |                   w -> list_min(hashes[CAST(w+1 AS INTEGER):CAST(w+4 AS INTEGER)]))) AS fps
-        |  FROM kg)
-        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, list_min(fps) AS min_fp
-        |FROM win ORDER BY doc_id""".stripMargin,
+      s"""WITH chars AS (
+         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+         |  FROM documents WHERE length(text) >= ${KGram + WinnowWindow - 1}),
+         |kg AS (
+         |  SELECT doc_id, $kgramHashSql AS hashes FROM chars),
+         |win AS (
+         |  SELECT doc_id, list_distinct(
+         |    list_transform(range(0, len(hashes) - ${WinnowWindow - 1}),
+         |                   w -> list_min(hashes[CAST(w+1 AS INTEGER):CAST(w+$WinnowWindow AS INTEGER)]))) AS fps
+         |  FROM kg)
+         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, list_min(fps) AS min_fp
+         |FROM win ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH tok AS ($tokSql),
          |g AS (

@@ -12,6 +12,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("winnow: BIGINT rolling-hash scheme matches the md5 parity path structurally") {
+    val fast = TextAnalysis.winnow(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_fps").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val md5 = TextAnalysis.winnowMd5(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_fps").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // both schemes fingerprint exactly the same documents
+    assert(fast.keySet == md5.keySet && fast.nonEmpty)
+    // winnowing density: every 4-window of k-grams contributes one selection,
+    // so per doc the distinct-fp count is positive and bounded by the k-gram count
+    fast.foreach { case (id, n) => assert(n >= 1 && n <= md5(id) * 4 + 3, s"doc $id n_fps=$n") }
+  }
+
+  test("winnow hashes are partition-invariant (exact BIGINT arithmetic)") {
+    val a = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
+    val b = TextAnalysis.winnow(spark, "/root/testdata/sf0.001")
+      .repartition(7).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("language ID guesses are deterministic and cover every doc") {
     val df = TextAnalysis.langId(spark, "/root/testdata/sf0.001")
     val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
