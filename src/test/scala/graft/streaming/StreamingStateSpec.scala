@@ -46,6 +46,33 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyAppend executes across >=3 micro-batches and matches the batch cutoff") {
+    val sf = "/root/testdata/sf0.001"
+    // the minDataBatches=3 contract inside hourlyAppend throws if the
+    // time-split feed collapsed into fewer triggers, so a plain run IS the
+    // multi-batch proof; cross-check the aggregate against batch Spark
+    val streamed = StreamingOps.hourlyAppend(spark, sf)
+    val wm = graft.Tables(spark, sf, "events")
+      .agg(max(date_trunc("millisecond", col("ts")))).head().getTimestamp(0).getTime - 600000L
+    val batch = graft.Tables(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("hr").cast("long") * 1000L + 3600000L <= wm)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+  }
+
+  test("runToMemory fails loudly when the sink exceeds the row cap") {
+    val dir = Files.createTempDirectory("graft-cap")
+    FileFeeder.feed(dir, Seq((1 to 10).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", i))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    val stream = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id"))
+    val e = intercept[IllegalStateException] {
+      StreamingOps.runToMemory(spark, stream, mode = "append", maxRows = 5)
+    }
+    assert(e.getMessage.contains("rows > cap"))
+  }
+
   test("mapGroupsWithState carries per-key state across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mgws")
