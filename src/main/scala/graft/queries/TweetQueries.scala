@@ -45,6 +45,18 @@ object TweetQueries {
   private val tweetsSql =
     s"read_json_auto('$fixtureGlob', format='newline_delimited')"
 
+  /** Corpus resolution honoring the driver contract's `dir` parameter: a
+    * `tweets/` subdirectory under the scale-factor dir wins; the committed
+    * fixture is the fallback. The driver's testdata carries no tweets
+    * table, so its Verify/Bench runs resolve to the fixture — which is
+    * what the static oracle SQL reads; a user pointing the library at
+    * their own corpus gets it honored. Bench-scale measurement of the
+    * tokenizer lives in `tw_q1_top_emoji_scaled` (TweetCorpus). */
+  def tweetsDir(dir: String): String = {
+    val candidate = new java.io.File(dir, "tweets")
+    if (candidate.isDirectory) candidate.getPath else FixtureDir
+  }
+
   /** RE2 spelling of [[EmojiOps.EmojiClass]] (identical semantics). */
   private val EmojiClassSql =
     """[\x{1F300}-\x{1F5FF}\x{1F600}-\x{1F64F}\x{1F900}-\x{1F9FF}]"""
@@ -54,14 +66,14 @@ object TweetQueries {
   private val WordNoiseSpec = EmojiOps.WordNoiseSpec
   private val WordValidSpec = EmojiOps.WordValidSpec
 
-  private def tweets(spark: SparkSession): DataFrame = {
+  private def tweets(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    spark.read.json(FixtureDir)
+    spark.read.json(tweetsDir(dir))
   }
 
   /** text → exploded individual emoji code points (T1–T3+F2 in one pass). */
-  private def emojiRows(spark: SparkSession): DataFrame =
-    tweets(spark)
+  private def emojiRows(spark: SparkSession, dir: String): DataFrame =
+    tweets(spark, dir)
       .select(col("data.text").as("text"))
       .filter(col("text").isNotNull && col("text").rlike(EmojiOps.EmojiClass))
       .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
@@ -73,17 +85,51 @@ object TweetQueries {
   // ---- q1 family: most / least / parameterized emoji (q1:93-113,142-162,191-205)
 
   def topEmoji(spark: SparkSession, dir: String): DataFrame =
-    emojiRows(spark).groupBy("emoji").agg(count(lit(1)).as("cnt"))
+    emojiRows(spark, dir).groupBy("emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("emoji"))
 
   def leastEmoji(spark: SparkSession, dir: String): DataFrame =
-    emojiRows(spark).groupBy("emoji").agg(count(lit(1)).as("cnt"))
+    emojiRows(spark, dir).groupBy("emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(asc("cnt"), asc("emoji"))
+
+  /** Quirk-parity census (reference q1:104-109 VERBATIM semantics, as
+    * observed on the JVM): T1 deletes every char outside the quirk class
+    * — including spaces — T2's lone-surrogate RegexSpace never matches a
+    * well-formed string under code-point semantics (no-op), so T3's split
+    * yields ONE glued token per tweet; F2/F4 then drop empties and
+    * anything carrying an artifact `()|`. The census therefore counts
+    * glued emoji RUNS, not individual emojis — the reference's actual
+    * output, distinct from the strict census above, now under the hash
+    * gate rather than unit tests only. The observed pipeline is portable
+    * SQL (T2 removed as the no-op it is), so DuckDB's RE2 oracle agrees
+    * with Spark's Java regex exactly. */
+  def topEmojiQuirk(spark: SparkSession, dir: String): DataFrame =
+    tweets(spark, dir)
+      .select(col("data.text").as("text"))
+      .filter(col("text").isNotNull)
+      .select(explode(EmojiOps.referenceTokenize(col("text"))).as("token"))
+      .filter(EmojiOps.isEmojiToken(col("token")))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+
+  /** The strict census at bench scale: same plan as [[topEmoji]], over the
+    * deterministic 100k-tweet generated corpus (TweetCorpus) — the entry
+    * that actually measures the tokenizer instead of session overhead. */
+  def topEmojiScaled(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val corpus = graft.ingest.TweetCorpus.ensureScaled()
+    spark.read.json(corpus)
+      .select(col("data.text").as("text"))
+      .filter(col("text").isNotNull && col("text").rlike(EmojiOps.EmojiClass))
+      .select(explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
+      .groupBy("emoji").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("emoji"))
+  }
 
   /** F3: the user-supplied regex reaches the filter as a parameter
     * (q1:204 `rlike userEmoji`); registered twice with different params. */
   def specificEmoji(pattern: String)(spark: SparkSession, dir: String): DataFrame =
-    emojiRows(spark).filter(col("emoji").rlike(pattern))
+    emojiRows(spark, dir).filter(col("emoji").rlike(pattern))
       .groupBy("emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("emoji"))
 
@@ -94,7 +140,7 @@ object TweetQueries {
       transform(split(col("text"), " "),
         w => regexp_replace(w, WordNoiseSpec, "")),
       w => w.rlike(WordValidSpec))
-    tweets(spark)
+    tweets(spark, dir)
       .select(col("data.text").as("text"))
       .select(
         size(EmojiOps.extractEmojis(col("text"))).as("ec"),
@@ -106,7 +152,7 @@ object TweetQueries {
   // ---- q4: most-mentioned user × emoji (q4:110-123; P2, F6, G2, A2, O3)
 
   def mentionEmoji(spark: SparkSession, dir: String): DataFrame =
-    tweets(spark)
+    tweets(spark, dir)
       .select(col("data.text").as("text"),
         col("data.entities.mentions.username").as("mentions"))
       .filter(col("includes").isNotNull)         // F6/F7: resolved below the projection
@@ -119,7 +165,7 @@ object TweetQueries {
   // ---- q5: emoji per context-annotation category (q5:99-112)
 
   def categoryEmoji(spark: SparkSession, dir: String): DataFrame =
-    tweets(spark)
+    tweets(spark, dir)
       .select(col("data.text").as("text"),
         col("data.context_annotations.domain.name").as("cats"))
       .filter(col("cats").isNotNull && col("text").isNotNull)
@@ -130,8 +176,8 @@ object TweetQueries {
 
   // ---- q6: emoji per country, include / exclude variants (q6:108-228; F3/F5)
 
-  private def countryEmoji(spark: SparkSession): DataFrame =
-    tweets(spark)
+  private def countryEmoji(spark: SparkSession, dir: String): DataFrame =
+    tweets(spark, dir)
       .select(col("data.text").as("text"),
         col("includes.places.country").as("countries"))
       .filter(col("countries").isNotNull && col("text").isNotNull)
@@ -139,13 +185,13 @@ object TweetQueries {
       .select(col("country"), explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
 
   def countryEmojiIncl(pattern: String)(spark: SparkSession, dir: String): DataFrame =
-    countryEmoji(spark).filter(col("country").rlike(pattern))
+    countryEmoji(spark, dir).filter(col("country").rlike(pattern))
       .groupBy("country", "emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(asc("country"), desc("cnt"), asc("emoji"))
 
   /** F5: negative substring filter (q6:219 `!contains`). */
   def countryEmojiExcl(substr: String)(spark: SparkSession, dir: String): DataFrame =
-    countryEmoji(spark).filter(!col("country").contains(substr))
+    countryEmoji(spark, dir).filter(!col("country").contains(substr))
       .groupBy("country", "emoji").agg(count(lit(1)).as("cnt"))
       .orderBy(asc("country"), desc("cnt"), asc("emoji"))
 
@@ -179,8 +225,9 @@ object TweetQueries {
 
   def streamTopEmoji(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val static = spark.read.json(FixtureDir)                 // S3 schema bootstrap
-    val stream = spark.readStream.schema(static.schema).json(FixtureDir)
+    val corpus = tweetsDir(dir)
+    val static = spark.read.json(corpus)                     // S3 schema bootstrap
+    val stream = spark.readStream.schema(static.schema).json(corpus)
     val agg = stream
       .select(col("data.text").as("text"))
       .filter(col("text").isNotNull && col("text").rlike(EmojiOps.EmojiClass))
@@ -194,6 +241,8 @@ object TweetQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tw_q1_top_emoji" -> (topEmoji _),
     "tw_q1_least_emoji" -> (leastEmoji _),
+    "tw_q1_top_emoji_quirk" -> (topEmojiQuirk _),
+    "tw_q1_top_emoji_scaled" -> (topEmojiScaled _),
     "tw_q1_emoji_grin" -> specificEmoji("^😀$") _,   // 😀 U+1F600
     "tw_q1_emoji_fire" -> specificEmoji("^🔥$") _,   // 🔥 U+1F525
     "tw_q2_stream_top_emoji" -> (streamTopEmoji _),
@@ -222,6 +271,23 @@ object TweetQueries {
     "tw_q1_least_emoji" ->
       s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
          |GROUP BY emoji ORDER BY cnt ASC, emoji""".stripMargin,
+    // the quirk census: T1 delete (RE2 spelling), T2 omitted as the no-op
+    // the JVM pipeline exhibits, T3 split, F2/F4 filters — glued runs
+    "tw_q1_top_emoji_quirk" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(
+         |    regexp_replace(data.text, '[^\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F900}-\\x{1F9FF}()|]', '', 'g'),
+         |    ' ')) AS token
+         |  FROM $tweetsSql WHERE data.text IS NOT NULL)
+         |SELECT token, count(*) AS cnt FROM tok
+         |WHERE regexp_matches(token, '[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F900}-\\x{1F9FF}()|]')
+         |  AND NOT contains(token, '(') AND NOT contains(token, ')') AND NOT contains(token, '|')
+         |GROUP BY token ORDER BY cnt DESC, token""".stripMargin,
+    "tw_q1_top_emoji_scaled" ->
+      s"""SELECT emoji, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_extract_all(data.text, '$EmojiClassSql')) AS emoji
+         |  FROM read_json_auto('${graft.ingest.TweetCorpus.ScaledDir}/*.json', format='newline_delimited'))
+         |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
     "tw_q1_emoji_grin" ->
       s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
          |WHERE regexp_matches(emoji, '^😀$$')
