@@ -74,6 +74,61 @@ object Multimodal {
     }
   }
 
+  /** REAL container-header parse — not a stub: PNG IHDR and JPEG SOFn
+    * width/height straight from header bytes. PNG: 8-byte signature, then
+    * the IHDR chunk carries big-endian u32 width/height at offsets 16/20.
+    * JPEG: walk the FF-marker segment chain from SOI past APPn/DQT/DHT to
+    * the first start-of-frame marker (C0–CF minus DHT C4 / JPG C8 / DAC
+    * CC), whose payload is precision(1) height(2) width(2) big-endian.
+    * Returns None for payloads that are neither — callers fall back to
+    * the stub, so text-as-bytes fixtures keep working unchanged. */
+  def parseImageHeader(p: Array[Byte]): Option[MediaMeta0] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(p, 12, 4, "US-ASCII") == "IHDR")
+      Some(MediaMeta0(p.length.toLong, u32(16), u32(20), "png"))
+    else if (p.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out: Option[MediaMeta0] = None
+      var halt = false
+      while (!halt && out.isEmpty && i + 9 < p.length) {
+        if (u8(i) != 0xff) halt = true
+        else {
+          val marker = u8(i + 1)
+          // standalone markers (no length field): TEM, RSTn, repeated SOI
+          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0xd8) i += 2
+          else {
+            val len = u16(i + 2)
+            if (len < 2) halt = true
+            else if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              out = Some(MediaMeta0(p.length.toLong,
+                u16(i + 7).toLong, u16(i + 5).toLong, "jpg"))
+            } else i += 2 + len
+          }
+        }
+      }
+      out
+    } else None
+  }
+
+  /** Typed decode with the real header parse, stub as fallback for opaque
+    * payloads — the genuine-codec form of [[decodeTyped]]; identical
+    * mapPartitions plan shape, so swapping it in changes nothing upstream. */
+  def decodeHeaders(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val m = parseImageHeader(r.payload).getOrElse(decodeStub(r.payload))
+        MediaMeta(r.doc_id, m.byte_len, m.width, m.height, m.fmt)
+      }
+    }
+  }
+
   /** Frame-sampling plumbing: each payload yields one row per fixed-stride
     * "frame" (stub boundaries every FrameStep bytes — a real video decoder
     * would emit keyframe offsets here). The generator shape (posexplode of

@@ -21,6 +21,54 @@ class MultimodalSpec extends SparkSpec {
     assert(typed.nonEmpty)
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdrLen = Array(0, 0, 0, 13)
+    val ihdr = "IHDR".getBytes("US-ASCII").map(_.toInt)
+    def be32(v: Int) = Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    // bit depth, color type, compression, filter, interlace
+    val tail = Array(8, 2, 0, 0, 0)
+    (sig ++ ihdrLen ++ ihdr ++ be32(w) ++ be32(h) ++ tail).map(_.toByte)
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array(v >>> 8, v & 0xff)
+    val soi = Array(0xff, 0xd8)
+    // APP0 "JFIF" segment the scanner must walk over
+    val app0 = Array(0xff, 0xe0) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII").map(_.toInt) ++ Array(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    // DQT stub segment (length 4: just the length field + 2 filler bytes)
+    val dqt = Array(0xff, 0xdb) ++ be16(4) ++ Array(0, 0)
+    // SOF0: precision 8, then height, width, 3 components (truncated fine)
+    val sof0 = Array(0xff, 0xc0) ++ be16(17) ++ Array(8) ++ be16(h) ++ be16(w) ++
+      Array(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    (soi ++ app0 ++ dqt ++ sof0).map(_.toByte)
+  }
+
+  test("parseImageHeader reads real dimensions from real PNG/JPEG header bytes") {
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480))
+      .map(m => (m.width, m.height, m.fmt)) == Some((640L, 480L, "png")))
+    assert(Multimodal.parseImageHeader(jpegBytes(1920, 1080))
+      .map(m => (m.width, m.height, m.fmt)) == Some((1920L, 1080L, "jpg")))
+    // a 16k-wide panorama exercises the full u16 range
+    assert(Multimodal.parseImageHeader(jpegBytes(65535, 1))
+      .map(m => (m.width, m.height)) == Some((65535L, 1L)))
+    assert(Multimodal.parseImageHeader("not an image".getBytes) == None)
+    assert(Multimodal.parseImageHeader(Array[Byte]()) == None)
+  }
+
+  test("decodeHeaders parses real payloads and falls back to the stub for opaque ones") {
+    val media = Seq(
+      MediaRecord(1L, pngBytes(320, 200)),
+      MediaRecord(2L, jpegBytes(800, 600)),
+      MediaRecord(3L, "plain text payload".getBytes)).toDS()
+    val out = Multimodal.decodeHeaders(media).orderBy("doc_id").collect().toSeq
+    assert(out(0).width == 320L && out(0).height == 200L && out(0).fmt == "png")
+    assert(out(1).width == 800L && out(1).height == 600L && out(1).fmt == "jpg")
+    val stub = Multimodal.decodeStub("plain text payload".getBytes)
+    assert(out(2) == MediaMeta(3L, stub.byte_len, stub.width, stub.height, stub.fmt))
+  }
+
   test("stub decode: non-ASCII payloads measure UTF-8 bytes, not characters") {
     val r = Seq((1L, "😀")).toDF("doc_id", "text")
       .select(length(col("text").cast("binary")).cast("long").as("n"))
