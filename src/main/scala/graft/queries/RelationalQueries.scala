@@ -197,6 +197,45 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- two-phase hot-key salting: the production refinement of the
+  // blanket salted join above. Phase 1 detects hot join keys by count
+  // threshold (a tiny set — broadcast both ways); phase 2 salts the fact
+  // side and replicates the dim side ONLY for those keys (salt 0
+  // elsewhere), so the dim-side blow-up is |hot| × SaltBuckets instead of
+  // |dim| × SaltBuckets. At 100 TB the phase-1 count is the cheap part
+  // (map-side-combined count per key); production would sample instead of
+  // scanning, but the plan shape is identical. Oracle = the plain join,
+  // same as rel_salted_join: salting must never change semantics.
+  private val HotKeyThreshold = 6L
+
+  def saltedJoinHot(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("k_cnt"))
+      .filter(col("k_cnt") >= HotKeyThreshold)
+      .select(col("l_orderkey").as("hot_key"))
+    val liSalted = li
+      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
+      .withColumn("l_salt",
+        when(col("hot_key").isNotNull, pmod(col("l_linenumber"), lit(SaltBuckets)))
+          .otherwise(lit(0)))
+      .drop("hot_key")
+    val ordSalted = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
+      .withColumn("o_salt", explode(
+        when(col("hot_key").isNotNull, sequence(lit(0), lit(SaltBuckets - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      .drop("hot_key")
+    liSalted.join(ordSalted,
+        col("l_orderkey") === col("o_orderkey") && col("l_salt") === col("o_salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- running window frame: cumulative revenue per customer in order
   // date order (rowsBetween unbounded-preceding..current). One shuffle on
   // the partition key; DECIMAL accumulation keeps every prefix sum exact.
@@ -233,6 +272,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_join" -> (saltedJoin _),
+    "rel_salted_join_hot" -> (saltedJoinHot _),
     "rel_window_running" -> (windowRunning _),
     "rel_union" -> (unionYears _),
     "rel_pivot" -> (pivotFlags _),
@@ -269,6 +309,13 @@ object RelationalQueries {
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "rel_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // identical to rel_salted_join's oracle: hot-key salting is a pure
+    // physical rewrite, the logical result must not move
+    "rel_salted_join_hot" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
