@@ -236,6 +236,75 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- as-of join: each event matched to the user's latest order at or
+  // before the event time — the operator Spark lacks natively (DuckDB's
+  // ASOF JOIN is the oracle). Implemented as the ONE-SHUFFLE distributed
+  // algorithm: tag and union both sides, sort within user by (time, side)
+  // with orders first on ties (<= semantics), and carry the last non-null
+  // order columns forward with a running window. No row explosion — the
+  // equi-join-then-rank alternative multiplies every event by the user's
+  // full order history before discarding all but one row; this shape
+  // shuffles each input row exactly once at any scale. Orders are first
+  // deduped to one row per (custkey, orderdate) — max orderkey — because
+  // an as-of tie among equal timestamps is otherwise nondeterministic on
+  // BOTH engines.
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val dedupe = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(desc("o_orderkey"))
+    val ord = Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(dedupe)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("is_event"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+    val carry = Window.partitionBy("user_id")
+      .orderBy(asc("t_us"), asc("is_event"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionAll(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(carry))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(carry))
+      .filter(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy("event_id")
+  }
+
+  // ---- binned range join: events × orders within ±1 day on the time
+  // axis alone (NO equi key). The naive plan is a nested-loop cross
+  // product — quadratic, dead at scale. Binning the time axis at the
+  // radius width turns it into an equi-join: each order falls in exactly
+  // one bin, each event probes its own bin ± 1, the exact predicate
+  // re-checks inside the match. Every qualifying pair appears exactly
+  // once, the join shuffles on the bin key, and the blow-up is a fixed
+  // 3× on the probe side regardless of data size.
+  private val RangeRadiusUs = 86400000000L // 1 day in microseconds
+
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("ebin", explode(array(
+        expr(s"e_us div ${RangeRadiusUs}L - 1"),
+        expr(s"e_us div ${RangeRadiusUs}L"),
+        expr(s"e_us div ${RangeRadiusUs}L + 1"))))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      .withColumn("obin", expr(s"o_us div ${RangeRadiusUs}L"))
+    // radius check belongs in the JOIN condition: with a post-filter, an
+    // event whose bin held only out-of-range orders would lose its
+    // null-padded row and vanish instead of counting 0
+    ev.join(ord, col("ebin") === col("obin") &&
+        abs(col("o_us") - col("e_us")) <= RangeRadiusUs, "left")
+      .groupBy("event_id")
+      .agg(count(col("o_orderkey")).as("n_near"))
+      .orderBy("event_id")
+  }
+
   // ---- running window frame: cumulative revenue per customer in order
   // date order (rowsBetween unbounded-preceding..current). One shuffle on
   // the partition key; DECIMAL accumulation keeps every prefix sum exact.
@@ -273,6 +342,8 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_join" -> (saltedJoin _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
+    "rel_asof_join" -> (asofJoin _),
+    "rel_range_join_binned" -> (rangeJoinBinned _),
     "rel_window_running" -> (windowRunning _),
     "rel_union" -> (unionYears _),
     "rel_pivot" -> (pivotFlags _),
@@ -320,6 +391,27 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // distributed algorithm; both sides dedupe order-date ties first
+    "rel_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                             ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id,
+        |       o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    // plain inequality join (DuckDB plans IEJoin); the Spark side must
+    // reproduce it exactly through the bin-equi-join rewrite
+    "rel_range_join_binned" ->
+      """SELECT e.event_id, count(o.o_orderkey) AS n_near
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_orderdate >= e.ts - INTERVAL 1 DAY
+        | AND o.o_orderdate <= e.ts + INTERVAL 1 DAY
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "rel_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
