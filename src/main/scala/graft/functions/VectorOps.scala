@@ -1,23 +1,36 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{expr, sqrt}
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions.{col, expr, sqrt}
 
-/** Vector math over `array<float>` embedding columns, built from codegen'd
-  * higher-order functions (`zip_with` + `aggregate`) — no UDFs, stays inside
-  * whole-stage codegen. Elements are widened float→double before any
-  * arithmetic; accumulation is sequential within the row, so results are
-  * deterministic (independent of partitioning).
+/** Vector math over `array<float>` embedding columns. The hot paths
+  * ([[dot]]/[[norm2]]) are native Catalyst expressions with `doGenCode`
+  * (GraftExpressions.scala) — a primitive loop per row, no lambda frames,
+  * no boxing. The `aggregate`/`zip_with` spellings are kept as the
+  * portable SPEC ([[dotSpec]]/[[norm2Spec]]): same sequential
+  * double-accumulation order, so both forms are bit-identical (pinned in
+  * VectorOpsSpec) and every DuckDB oracle is unchanged.
   */
 object VectorOps {
 
-  /** Dot product of two array<float|double> columns (by column name). */
-  def dot(a: String, b: String): Column = expr(
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def ex(name: String) = GraftBridge.expression(col(name))
+
+  /** Dot product of two array<float> columns (by column name) — native
+    * codegen'd expression. */
+  def dot(a: String, b: String): Column = native(ArrayDotProduct(ex(a), ex(b)))
+
+  /** Squared L2 norm — native codegen'd expression. */
+  def norm2(a: String): Column = native(ArrayNorm2(ex(a)))
+
+  /** Portable higher-order-function spec of [[dot]]. */
+  def dotSpec(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
       "cast(0.0 as double), (acc, v) -> acc + v)")
 
-  /** Squared L2 norm. */
-  def norm2(a: String): Column = expr(
+  /** Portable higher-order-function spec of [[norm2]]. */
+  def norm2Spec(a: String): Column = expr(
     s"aggregate($a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
 
   /** Cosine similarity. */

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into the sql-package-private Column ↔ Expression
+  * converters, so the graft library can expose native Catalyst
+  * expressions (GraftExpressions.scala) as ordinary `Column`s. This is
+  * the established pattern for third-party expression libraries on
+  * Spark 4 (the converters are `private[sql]`); nothing else from the
+  * private surface is touched. */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

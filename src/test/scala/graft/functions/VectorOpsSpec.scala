@@ -19,6 +19,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("native codegen'd dot/norm2 are bit-identical to the higher-order-function spec") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val paired = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("embedding").as("other")).limit(3))
+    val r = paired.select(
+      VectorOps.dot("embedding", "other").as("nat_dot"),
+      VectorOps.dotSpec("embedding", "other").as("spec_dot"),
+      VectorOps.norm2("embedding").as("nat_n2"),
+      VectorOps.norm2Spec("embedding").as("spec_n2"))
+      .collect()
+    assert(r.nonEmpty)
+    // bit-identical, not approximately equal: same sequential double
+    // accumulation order in the generated loop and the aggregate() lambda
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1), row.toString)
+      assert(row.getDouble(2) == row.getDouble(3), row.toString)
+    }
+  }
+
+  test("native expressions reject non-float-array inputs at analysis time") {
+    val df = Seq((Seq(1.0, 2.0), 3)).toDF("d", "i")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorOps.dot("d", "d")).head()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
   test("planeDot is exact integer arithmetic: invariant under repartitioning") {
     val vecs = (0L until 64L).map(i =>
       (i, (0 until 16).map(d => ((i * 37 + d * 11) % 13 - 6).toFloat / 7f)))
