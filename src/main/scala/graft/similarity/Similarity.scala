@@ -85,6 +85,59 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) ANN: the second canonical ANN structure next to
+    * LSH. Coarse quantizer = the per-label centroids (a deterministic
+    * stand-in for k-means — same plan shape); every vector is assigned to
+    * its NEAREST centroid (not its own label), queries probe their cell,
+    * exact cosine ranks within it. At scale this is the classic layout:
+    * centroids are tiny and broadcast, assignment is one scan, candidate
+    * generation is an equi-join on the cell id.
+    *
+    * Cross-engine determinism: cell assignment must never hinge on a
+    * float comparison — double summation order differs between engines
+    * and a 1-ulp drift near a cell boundary would flip the candidate set.
+    * So both vectors and centroids are quantized to the exact
+    * `floor(x·1024)` integer grid (the [[graft.functions.VectorOps.planeDot]]
+    * pattern) and distances are BIGINT sums; ties break by smallest
+    * label. The centroid VALUE is the exact-DECIMAL average (identical
+    * doubles on both engines, proven by `sim_centroids`), so its
+    * quantization is identical too. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // quantized centroid components per (label, dim)
+    val cent = emb.select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy(col("c_label"), col("pos").as("dim"))
+      .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))) * 1024).cast("long").as("cq"))
+    // quantized vector components
+    val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+    // exact integer distance to every centroid, argmin with label tiebreak
+    val dists = vdim.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "c_label")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
+    val minD = dists.groupBy("vec_id").agg(min("dist").as("md"))
+    val assign = dists.join(minD, Seq("vec_id"))
+      .filter(col("dist") === col("md"))
+      .groupBy("vec_id").agg(min("c_label").as("cell"))
+    val corpus = emb.join(assign, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val q = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    corpus.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Per-label centroid components: the class-centroid computation of a
     * training pipeline, emitted as (label, dim, value) rows. Sums go
     * through exact DECIMAL so the result is independent of partitioning
@@ -108,6 +161,7 @@ object Similarity {
     "sim_ann_buckets" -> (annBuckets _),
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_centroids" -> (centroidComponents _))
 
   private val bucketsSql =
@@ -162,6 +216,46 @@ object Similarity {
         |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
         |  WHERE e.vec_id <> q.qid
         |  GROUP BY q.qid, e.vec_id),
+        |r AS (
+        |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+        |                                vec_id ASC) AS rn
+        |  FROM s)
+        |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // quantized-integer cell assignment (floor(x*1024) grid, BIGINT
+    // distances, min-label tiebreak) mirrors the Spark side exactly
+    "sim_ivf_topk" ->
+      """WITH cent AS (
+        |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        |  GROUP BY label, i),
+        |vdim AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |dists AS (
+        |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
+        |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label),
+        |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+        |assign AS (
+        |  SELECT d.vec_id, min(d.c_label) AS cell
+        |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+        |  GROUP BY d.vec_id),
+        |corpus AS (
+        |  SELECT e.vec_id, e.embedding, a.cell
+        |  FROM embeddings e JOIN assign a USING (vec_id)),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+        |      FROM corpus WHERE vec_id < 4),
+        |s AS (
+        |  SELECT q.qid, c.vec_id,
+        |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+        |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
+        |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
+        |  GROUP BY q.qid, c.vec_id),
         |r AS (
         |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
         |    row_number() OVER (PARTITION BY qid
