@@ -80,13 +80,25 @@ object TextAnalysis {
       .orderBy(desc("n_docs"), asc("fp"))
   }
 
-  /** Token counting: whitespace tokens vs regex word-piece tokens. */
+  /** GPT-2-style BPE *pre-tokenizer* regex, lookahead-free so the same
+    * pattern runs under Java regex (Spark) and RE2 (DuckDB), both of
+    * which use leftmost-first alternation: contraction suffixes, then
+    * space-prefixed letter runs, digit runs, and punctuation runs. The
+    * match COUNT is the standard pre-BPE sequence-length estimate
+    * (actual BPE merges only split these pieces further). */
+  val BpePretokenRegex: String =
+    """'(s|t|ll|ve|re|d|m)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"""
+
+  /** Token counting: whitespace tokens, bare word tokens, and BPE-ish
+    * pre-tokenizer pieces per document. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("word_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePretokenRegex), lit(0)))
+          .cast("long").as("bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_txt"))
       .orderBy("doc_id")
   }
@@ -237,9 +249,10 @@ object TextAnalysis {
         |      FROM documents)
         |GROUP BY fp ORDER BY n_docs DESC, fp ASC""".stripMargin,
     "text_token_stats" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
-        |  CAST(length(text) AS BIGINT) AS n_chars_txt
-        |FROM documents ORDER BY doc_id""".stripMargin)
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+         |  CAST(len(regexp_extract_all(text, '${BpePretokenRegex.replace("'", "''")}')) AS BIGINT) AS bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_txt
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

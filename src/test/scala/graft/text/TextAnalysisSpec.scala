@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -29,6 +30,15 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.winnow(spark, "/root/testdata/sf0.001")
       .repartition(7).orderBy("doc_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("BPE pre-tokenizer regex splits contractions, words, digits, punct runs") {
+    import spark.implicits._
+    val pieces = Seq("don't stop... 123 times!")
+      .toDF("text")
+      .select(regexp_extract_all(col("text"), lit(TextAnalysis.BpePretokenRegex), lit(0)))
+      .head().getSeq[String](0)
+    assert(pieces == Seq("don", "'t", " stop", "...", " 123", " times", "!"))
   }
 
   test("language ID guesses are deterministic and cover every doc") {
