@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{ArrayDotProduct, ArrayNorm2}
+
+/** Algebraic rewrite over the native vector expressions: a self dot
+  * product IS the squared norm, and [[ArrayNorm2]]'s generated loop does
+  * half the array reads of [[ArrayDotProduct]] on the same input. A user
+  * writing `graft_dot(emb, emb)` (e.g. a generated query) gets the
+  * cheaper operator without knowing it exists — the textbook use of an
+  * optimizer rule: canonicalize what users write into what should run. */
+object DotToNorm extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayDotProduct(a, b) if a.deterministic && a.semanticEquals(b) =>
+      ArrayNorm2(a)
+  }
+}
+
+/** Session-extension wiring for the graft native expressions: SQL-callable
+  * `graft_dot`/`graft_norm2` plus the [[DotToNorm]] optimizer rule. Users
+  * opt in with `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) — the registration path a
+  * library must ship for clusters where it does not own the session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[ArrayNorm2].getName, "graft_norm2"),
+      (args: Seq[Expression]) => ArrayNorm2(args.head)))
+    ext.injectOptimizerRule(_ => DotToNorm)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension path a session-owning user exercises: SQL-callable
+  * native functions and the dot→norm optimizer rewrite, registered via
+  * SparkSessionExtensions on a session the library does NOT build. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions register SQL functions and the DotToNorm optimizer rule") {
+    val base = graft.TestSpark.spark // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .createOrReplaceTempView("graft_ext_v")
+      val r = s.sql("SELECT graft_dot(a, b) AS d, graft_norm2(a) AS n FROM graft_ext_v").head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 5.0)
+      // plan assertions need a non-local source (a literal input folds to
+      // a LocalRelation before the plan can be inspected — which already
+      // proves the functions evaluate); use the parquet fixture
+      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .createOrReplaceTempView("graft_ext_emb")
+      // self-dot canonicalizes to the cheaper norm operator
+      val q = s.sql("SELECT graft_dot(embedding, embedding) AS selfdot FROM graft_ext_emb")
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_norm2"))
+      val viaNorm = s.sql("SELECT graft_norm2(embedding) AS n FROM graft_ext_emb")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(q.collect().map(_.getDouble(0)).toSeq == viaNorm && viaNorm.nonEmpty)
+      // the rule must NOT fire on distinct inputs
+      val q2 = s.sql(
+        "SELECT graft_dot(a.embedding, b.embedding) AS d FROM graft_ext_emb a, graft_ext_emb b")
+      assert(q2.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -36,4 +36,14 @@ class TweetQueriesSpec extends SparkSpec {
     assert(h2009.count() == 0)
     assert(h2015.count() > 0)
   }
+
+  test("O7: sort column resolution is case-insensitive (reference sorts 'Count')") {
+    import spark.implicits._
+    // the reference's q1 orders by a differently-cased alias; the default
+    // caseSensitive=false analyzer resolution is what makes that legal
+    val sorted = Seq(("b", 2L), ("a", 1L)).toDF("emoji", "cnt")
+      .orderBy(org.apache.spark.sql.functions.desc("CNT"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("b", "a"))
+  }
 }
