@@ -121,8 +121,8 @@ object TextAnalysis {
     * 1e9+7. Everything stays exact BIGINT (max intermediate value
     * 8·cp_max·(M−1) < 2^63), so both engines produce bit-identical hashes
     * — the same cross-engine fixed-point pattern as VectorOps.planeDot. */
-  private val HashMod = 1000000007L
-  private val HashBase = 257L
+  private val HashMod = graft.functions.Winnow.HashMod
+  private val HashBase = graft.functions.Winnow.HashBase
   val KGram = 8
   val WinnowWindow = 4
   /** pows(j) = HashBase^(KGram-1-j) mod HashMod. */
@@ -130,6 +130,9 @@ object TextAnalysis {
     Array.iterate(1L, KGram)(p => p * HashBase % HashMod).reverse
 
   /** Spark-side k-gram hash over a precomputed code-point array `cs`. */
+  /** Exposed for the native-vs-spec parity test. */
+  def kgramHashExprForTest: String = kgramHashExpr
+
   private def kgramHashExpr: String = {
     val terms = pows.zipWithIndex.map { case (p, j) =>
       if (j == 0) s"element_at(cs, i) * ${p}L"
@@ -150,12 +153,29 @@ object TextAnalysis {
   /** Winnowing document fingerprints (the MOSS rolling-window scheme):
     * hash every 8-char k-gram, take the min hash of each 4-gram window,
     * dedupe — a ~1/window-size sample of positions that is robust to
-    * insertions (near-identical docs share most fingerprints). Entirely
-    * column expressions: one O(len) code-point pass, then 8 exact BIGINT
-    * multiply-adds per position — no per-position digest, no hex-string
-    * materialization (the md5 variant, kept below as the test-pinned
-    * parity path, allocated ~32 bytes of string per input character). */
+    * insertions (near-identical docs share most fingerprints). Runs as
+    * the native per-row kernel ([[graft.functions.WinnowFingerprints]]):
+    * one JIT'd pass per document, no interpreted lambda frames, no
+    * intermediate 1-char-string arrays. [[winnowSpec]] keeps the
+    * equivalent column-expression pipeline (bit-identical, pinned in
+    * TextAnalysisSpec); the DuckDB oracle spells the same BIGINT math. */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val fps = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), KGram, WinnowWindow))
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= KGram + WinnowWindow - 1)
+      .withColumn("fps", fps)
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Column-expression spelling of [[winnow]] (the portable spec):
+    * code-point array, k-gram polynomial hashes, window mins, dedupe —
+    * all `transform`-based. */
+  def winnowSpec(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     Tables(spark, dir, "documents")
       .filter(length(col("text")) >= KGram + WinnowWindow - 1)

@@ -13,6 +13,35 @@ class TextAnalysisSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("winnow: native kernel is row-identical to the column-expression spec") {
+    val nat = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
+    val spec = TextAnalysis.winnowSpec(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(nat == spec && nat.nonEmpty)
+  }
+
+  test("winnow native kernel: code-point semantics match split('')+ascii on non-ASCII") {
+    import spark.implicits._
+    // é (2-byte UTF-8) and 😀 (4-byte, supplementary): Spark regex
+    // splitting is per code point, so each is ONE hash unit
+    val df = Seq((1L, "café breve café brevissimo"), (2L, "😀😀😀 emoji run here"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("winnow_nn")
+    val fps = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.GraftBridge.expression(col("text")),
+        TextAnalysis.KGram, TextAnalysis.WinnowWindow))
+    val nat = df.select(col("doc_id"), fps.as("fps")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val spec = df
+      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("hashes", expr(TextAnalysis.kgramHashExprForTest))
+      .withColumn("fps", array_distinct(expr(
+        s"transform(sequence(0, size(hashes) - ${TextAnalysis.WinnowWindow}), w -> array_min(slice(hashes, w + 1, ${TextAnalysis.WinnowWindow})))")))
+      .select(col("doc_id"), col("fps")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(nat == spec)
+  }
+
   test("winnow: BIGINT rolling-hash scheme matches the md5 parity path structurally") {
     val fast = TextAnalysis.winnow(spark, "/root/testdata/sf0.001")
       .select("doc_id", "n_fps").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
