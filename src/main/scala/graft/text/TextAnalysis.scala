@@ -103,6 +103,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language document-length quantiles (p50/p90/p99): the length
+    * distribution a corpus-curation job cuts on. EXACT percentiles
+    * (Spark `percentile`, not the t-digest approx): both engines sort and
+    * linearly interpolate, so the doubles agree bit-for-bit — an approx
+    * sketch would be engine-specific and unverifiable, like the HLL
+    * vocabulary below. At 100 TB exact percentile costs a per-group sort;
+    * the production alternative (approx_percentile) keeps the same plan
+    * shape minus the sort. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("double").as("len"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(len, 0.5)").as("p50"),
+        expr("percentile(len, 0.9)").as("p90"),
+        expr("percentile(len, 0.99)").as("p99"))
+      .orderBy("lang")
+  }
+
   /** Sketch-based vocabulary size: approx_count_distinct (HyperLogLog++)
     * next to the exact count. At 100 TB the exact distinct needs a full
     * shuffle of every token; the sketch is one pass, mergeable, and fixed
@@ -211,7 +231,8 @@ object TextAnalysis {
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
-    "text_token_stats" -> (tokenStats _))
+    "text_token_stats" -> (tokenStats _),
+    "text_len_quantiles" -> (lengthQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "text_winnow" ->
@@ -274,5 +295,13 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
          |  CAST(len(regexp_extract_all(text, '${BpePretokenRegex.replace("'", "''")}')) AS BIGINT) AS bpe_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_txt
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact interpolated percentiles: both engines sort + lerp, so the
+    // doubles agree exactly (an approx sketch would not)
+    "text_len_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(length(text) AS DOUBLE), 0.9) AS p90,
+        |  quantile_cont(CAST(length(text) AS DOUBLE), 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }
