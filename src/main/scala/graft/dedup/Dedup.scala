@@ -57,19 +57,19 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    // All 12 minhashes in ONE aggregate pass: 12 min() columns over the
-    // token rows instead of a 12× seed-explode — the shuffle carries
-    // |docs| rows, not 12×|doc,token| rows. Same signatures bit-for-bit.
-    val minCols = (0 until 12).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("token")))).as(s"h$i"))
-    val mh = distinctTokens(spark, dir)
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until 6).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig")))
-    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Signatures AND band keys in ONE per-row kernel call
+    // (functions.MinHashSignature with bandWidth=2): the stage reads the
+    // scan and posexplodes 6 band keys per doc with NO exchange and no
+    // re-referencing of the kernel (a separate element_at banding
+    // projection duplicates the evaluation). Token-free docs yield null →
+    // explode emits nothing, matching the aggregate spelling (kept as
+    // minhashSignaturesSpec, bit-identical).
+    val bandsCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), 12, bandWidth = 2))
+    val bands = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(bandsCol))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
     val small = bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, MaxBucket))
@@ -123,10 +123,25 @@ object Dedup {
   }
 
   /** 48-bit SimHash per document: bit j is the sign of the per-token
-    * majority vote on bit j of md5(token). One md5 per token and one
-    * aggregate pass with 48 vote columns — no per-bit row explosion (the
-    * naive explode shuffles 48×|doc,token| rows; this shuffles |docs|). */
+    * majority vote on bit j of md5(token). Runs as the per-row kernel
+    * (functions.SimHash48): no generate, no 48-vote-column aggregate,
+    * no exchange in the signature stage. [[simhashSpec]] keeps the
+    * aggregate spelling (bit-identical, pinned in DedupSpec). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sigCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SimHash48(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), sigCol.as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  /** Aggregate spelling of [[simhash]] (the portable spec): one md5 per
+    * token, 48 vote columns in one aggregate pass — no per-bit row
+    * explosion (the naive explode shuffles 48×|doc,token| rows). */
+  def simhashSpec(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     def voteExpr(j: Int): Column = {
       val mask = 1 << (j % 4)
@@ -142,6 +157,17 @@ object Dedup {
       .map(j => when(col(s"v$j") >= 0, lit(1L << (47 - j))).otherwise(0L))
       .reduce(_ + _)
     votes.select(col("doc_id"), hash.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Aggregate spelling of the MinHash signatures (the portable spec of
+    * the kernel inside [[minhashLsh]]): 12 min() columns over the token
+    * rows — the shuffle carries |docs| rows, not 12×|doc,token|. */
+  def minhashSignaturesSpec(spark: SparkSession, dir: String): DataFrame = {
+    val minCols = (0 until 12).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("token")))).as(s"h$i"))
+    distinctTokens(spark, dir)
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
   }
 
   /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.

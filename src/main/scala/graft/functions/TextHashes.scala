@@ -1,0 +1,205 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row dedup-signature kernels: MinHash and SimHash signatures over a
+  * document's distinct space-separated tokens, in one pass per row.
+  *
+  * These replace explode → 12-column (resp. 48-column) hash aggregates:
+  * the md5 work is identical, but the per-doc reduction happens inside
+  * the row instead of through a generate + hash-aggregate shuffle, so
+  * the signature stage reads the documents scan and emits |docs| rows
+  * with NO exchange. Digest math matches Spark's `md5()` exactly
+  * (MessageDigest MD5, lowercase hex; min over hex strings ≡ unsigned
+  * byte order of digests), so the DuckDB oracles are untouched and the
+  * aggregate spellings are kept as test-pinned parity paths.
+  */
+object TextHashes {
+
+  private val md5Pool = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Distinct `split(text, ' ')` tokens, empties dropped — exactly the
+    * `array_distinct(split(...))` + `<> ''` base of the aggregate path. */
+  private def distinctTokens(text: String): java.util.LinkedHashSet[String] = {
+    val out = new java.util.LinkedHashSet[String]()
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) out.add(text.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val c = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      c(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      c(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(c))
+  }
+
+  /** `seeds` lowercase-hex minhashes: min over tokens of md5("j:token").
+    * `bandWidth == 0` returns the raw signature (seeds hex strings);
+    * `bandWidth == w` returns seeds/w band signatures, each w hex strings
+    * joined by '|' (the LSH band key — emitting it here keeps the whole
+    * signature+banding stage ONE kernel call per row; a separate
+    * element_at-based banding projection re-references the kernel and the
+    * optimizer may duplicate the evaluation). Null when the document has
+    * no tokens: explode of null emits no rows, matching the aggregate
+    * path which emits no group. */
+  def minhashSignature(s: UTF8String, seeds: Int, bandWidth: Int): ArrayData = {
+    val toks = distinctTokens(s.toString)
+    if (toks.isEmpty) return null
+    val md = md5Pool.get()
+    val mins = new Array[Array[Byte]](seeds)
+    val it = toks.iterator()
+    while (it.hasNext) {
+      val tok = it.next()
+      var j = 0
+      while (j < seeds) {
+        val dig = md.digest((j.toString + ":" + tok).getBytes(StandardCharsets.UTF_8))
+        if (mins(j) == null || unsignedLess(dig, mins(j))) mins(j) = dig
+        j += 1
+      }
+    }
+    if (bandWidth == 0) new GenericArrayData(mins.map(hex(_): Any))
+    else {
+      val nb = seeds / bandWidth
+      val out = new Array[Any](nb)
+      var b = 0
+      while (b < nb) {
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k < bandWidth) {
+          if (k > 0) sb.append('|')
+          sb.append(hex(mins(b * bandWidth + k)).toString)
+          k += 1
+        }
+        out(b) = UTF8String.fromString(sb.toString)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** 48-bit SimHash: bit j (MSB-first) is the sign of the per-token
+    * majority vote on hex-nibble bit j of md5(token). Null when the
+    * document has no tokens. */
+  def simhash48(s: UTF8String): java.lang.Long = {
+    val toks = distinctTokens(s.toString)
+    if (toks.isEmpty) return null
+    val md = md5Pool.get()
+    val votes = new Array[Int](48)
+    val it = toks.iterator()
+    while (it.hasNext) {
+      val tok = it.next()
+      val dig = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 48) {
+        val p = j / 4
+        val nibble =
+          if ((p & 1) == 0) (dig(p / 2) >> 4) & 0xf
+          else dig(p / 2) & 0xf
+        votes(j) += (if (((nibble >> (j % 4)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 48) {
+      if (votes(j) >= 0) sig |= 1L << (47 - j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+/** MinHash signature column: `array<string>` of `seeds` hex minhashes
+  * (bandWidth 0), or `seeds/bandWidth` '|'-joined band keys; null for
+  * token-free documents. */
+case class MinHashSignature(child: Expression, seeds: Int, bandWidth: Int = 0)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSignature(input.asInstanceOf[UTF8String], seeds, bandWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.TextHashes.minhashSignature($c, $seeds, $bandWidth);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 48-bit SimHash column; null for token-free documents. */
+case class SimHash48(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash48"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = TextHashes.simhash48(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_r = graft.functions.TextHashes.simhash48($c);
+       |if (${ev.value}_r == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = ${ev.value}_r.longValue();
+       |}
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}

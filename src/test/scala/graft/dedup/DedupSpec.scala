@@ -49,4 +49,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((0L, 50L)).contains(0), s"pairs=$pairs")
   }
+
+  test("minhash kernel signatures equal the aggregate spec bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val sigCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), 12))
+    val native = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), sigCol.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until 12).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+      .orderBy("doc_id").collect().toSeq
+    val spec = Dedup.minhashSignaturesSpec(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(native == spec && native.nonEmpty)
+  }
+
+  test("simhash kernel equals the 48-vote aggregate spec bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val native = Dedup.simhash(spark, sf).collect().toSeq
+    val spec = Dedup.simhashSpec(spark, sf).collect().toSeq
+    assert(native == spec && native.nonEmpty)
+  }
 }
