@@ -68,6 +68,59 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection LSH bucket id over `array<float>`: bit j set
+  * when the exact-integer hyperplane projection `Σ_i floor(x_i·1024) ·
+  * coef(i,j)` is non-negative, `coef(i,j) = ((i·73 + i²·31 + j·179 +
+  * j²·97 + i·j·53) mod 101) − 50` — term-for-term the
+  * [[VectorOps.planeDot]] spec, all planes in ONE pass per row. Replaces
+  * an explode(planes) → interpreted-lambda aggregate → groupBy-sum
+  * pipeline: no generate, no exchange, bit-identical buckets (the
+  * arithmetic is exact BIGINT on both engines). */
+case class LshBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float> input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(a: Any): Any =
+    LshBucket.bucket(a.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.LshBucket.bucket($x, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  def bucket(emb: ArrayData, planes: Int): Long = {
+    val n = emb.numElements()
+    var out = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val q = math.floor(emb.getFloat(i).toDouble * 1024.0).toLong
+        val il = i.toLong
+        val jl = j.toLong
+        val coef = (il * 73 + il * il * 31 + jl * 179 + jl * jl * 97 + il * jl * 53) % 101 - 50
+        acc += q * coef
+        i += 1
+      }
+      if (acc >= 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
 /** Squared L2 norm over `array<float>`, same design as [[ArrayDotProduct]]. */
 case class ArrayNorm2(child: Expression)
     extends UnaryExpression {

@@ -21,8 +21,21 @@ import graft.functions.VectorOps
 object Similarity {
 
   /** LSH bucket id per vector: `planes` sign bits of deterministic integer
-    * hyperplane projections. */
+    * hyperplane projections — one per-row kernel call
+    * (functions.LshBucket), no plane-explode, no aggregate shuffle.
+    * [[bucketsSpec]] keeps the explode + planeDot spelling, bit-identical
+    * (pinned in VectorOpsSpec). */
   def buckets(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    Engine.tune(spark)
+    val bucketCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LshBucket(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), planes))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), bucketCol.as("bucket"))
+  }
+
+  /** Explode + planeDot spelling of [[buckets]] (the portable spec). */
+  def bucketsSpec(spark: SparkSession, dir: String, planes: Int): DataFrame = {
     Engine.tune(spark)
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -46,6 +46,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dot"))
   }
 
+  test("LshBucket kernel equals the explode+planeDot bucket spec bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    for (planes <- Seq(6, 10)) {
+      val nat = graft.similarity.Similarity.buckets(spark, sf, planes)
+        .orderBy("vec_id").collect().toSeq
+      val spec = graft.similarity.Similarity.bucketsSpec(spark, sf, planes)
+        .orderBy("vec_id").collect().toSeq
+      assert(nat == spec && nat.nonEmpty, s"planes=$planes")
+    }
+  }
+
   test("planeDot is exact integer arithmetic: invariant under repartitioning") {
     val vecs = (0L until 64L).map(i =>
       (i, (0 until 16).map(d => ((i * 37 + d * 11) % 13 - 6).toFloat / 7f)))
