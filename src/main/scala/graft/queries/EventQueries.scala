@@ -48,10 +48,36 @@ object EventQueries {
       .orderBy("k")
   }
 
+  /** Gap-based sessionization (the batch classic the streaming
+    * `mapGroupsWithState` summary approximates): a new session starts
+    * when a user's inter-event gap exceeds SessionGap. Two windows over
+    * ONE shuffle on user_id: lag() flags session starts, a running sum
+    * numbers them; per-session stats aggregate after. Event times are
+    * compared in exact integer micros on both engines. */
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30 minutes
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("new_s",
+        when(col("t_us") - lag("t_us", 1).over(byUser) > SessionGapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_no", sum("new_s").over(run))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min("t_us").as("first_us"), max("t_us").as("last_us"))
+      .orderBy("user_id", "session_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
-    "ev_hourly_agg" -> (hourlyAgg _))
+    "ev_hourly_agg" -> (hourlyAgg _),
+    "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
     "ev_json_extract" ->
@@ -70,5 +96,22 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS hr, event_type,
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    // identical lag/running-sum windowing in exact integer micros
+    "ev_sessionize" ->
+      s"""WITH t AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, t_us,
+         |    CASE WHEN t_us - lag(t_us) OVER w > ${SessionGapUs} THEN 1 ELSE 0 END AS new_s
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         |s AS (
+         |  SELECT user_id, t_us,
+         |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         |  FROM f)
+         |SELECT user_id, session_no, count(*) AS n_events,
+         |       min(t_us) AS first_us, max(t_us) AS last_us
+         |FROM s GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin)
 }

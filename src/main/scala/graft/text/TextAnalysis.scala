@@ -123,6 +123,53 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Deterministic train/val/test assignment: bucket = first 4 hex chars
+    * of md5(doc_id) as an integer mod 100 → 90/5/5. Hash-based (not
+    * doc_id ranges) so the split is stable under re-partitioning,
+    * re-ingestion order, and corpus growth — the property a training
+    * pipeline needs so yesterday's eval doc never drifts into today's
+    * train set. Pure column arithmetic, identical in both engines. */
+  private val splitBucket =
+    expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+      .cast("long") % 100
+
+  private def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("split",
+      when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
+
+  /** DuckDB spelling of the same bucket (no conv(): nibble arithmetic). */
+  private val splitBucketSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100"
+  }
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    withSplit(Tables(spark, dir, "documents"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
+  /** Train→eval contamination: eval-split documents whose exact text hash
+    * also appears in the train split — the decontamination check every
+    * LLM data pipeline runs before training. One equi-join on the text
+    * digest (AQE broadcasts the distinct-train-hash side when small;
+    * at 100 TB it stays a hash join on the digest, still linear). */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = withSplit(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("split"), md5(col("text")).as("h"))
+    val trainH = d.filter(col("split") === "train")
+      .select(col("h").as("th")).distinct()
+    d.filter(col("split") =!= "train")
+      .join(trainH, col("h") === col("th"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("th").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy("split")
+  }
+
   /** Sketch-based vocabulary size: approx_count_distinct (HyperLogLog++)
     * next to the exact count. At 100 TB the exact distinct needs a full
     * shuffle of every token; the sketch is one pass, mergeable, and fixed
@@ -232,7 +279,9 @@ object TextAnalysis {
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_token_stats" -> (tokenStats _),
-    "text_len_quantiles" -> (lengthQuantiles _))
+    "text_len_quantiles" -> (lengthQuantiles _),
+    "text_split_assign" -> (splitAssign _),
+    "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
     "text_winnow" ->
@@ -303,5 +352,24 @@ object TextAnalysis {
         |  quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50,
         |  quantile_cont(CAST(length(text) AS DOUBLE), 0.9) AS p90,
         |  quantile_cont(CAST(length(text) AS DOUBLE), 0.99) AS p99
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_split_assign" ->
+      s"""WITH d AS (
+         |  SELECT lang, $splitBucketSql AS bucket FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "text_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(text) AS h,
+         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT h FROM d WHERE split = 'train')
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |FROM d LEFT JOIN tr ON d.h = tr.h
+         |WHERE split <> 'train'
+         |GROUP BY split ORDER BY split""".stripMargin)
 }
