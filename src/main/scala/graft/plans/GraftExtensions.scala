@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayNorm2].getName, "graft_norm2"),
       (args: Seq[Expression]) => ArrayNorm2(args.head)))
     ext.injectOptimizerRule(_ => DotToNorm)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

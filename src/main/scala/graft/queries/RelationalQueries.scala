@@ -140,6 +140,21 @@ object RelationalQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  // ---- top-2 per customer through the CUSTOM whole-operator path
+  // (graft.plans.TopKPerGroup: logical node → strategy → bounded-heap
+  // exec). Same semantics as windowRank, but the physical plan keeps a
+  // k-row heap per group instead of sorting every group's full row set —
+  // the oracle is the identical window SQL, so the gate proves the
+  // custom operator end-to-end.
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val df = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.plans.TopK.perGroup(df, Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+      .orderBy("o_custkey", "rn")
+  }
+
   // ---- grouping sets: ROLLUP over (returnflag, linestatus)
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
@@ -343,6 +358,7 @@ object RelationalQueries {
     "rel_salted_join" -> (saltedJoin _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
     "rel_asof_join" -> (asofJoin _),
+    "rel_topk_per_group" -> (topKPerGroup _),
     "rel_range_join_binned" -> (rangeJoinBinned _),
     "rel_window_running" -> (windowRunning _),
     "rel_union" -> (unionYears _),
@@ -466,6 +482,14 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "rel_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    // the custom operator must reproduce the window formulation exactly
+    "rel_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The custom whole-operator path (logical node → strategy → bounded-heap
+  * exec) must agree row-for-row with the window+filter composition it
+  * replaces, and its plan must actually BE the custom exec (no silent
+  * fallback to the window shape). */
+class TopKPerGroupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ordersDf = graft.Tables(spark, sf, "orders")
+    .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+
+  test("TopK.perGroup equals row_number window + filter, and plans the custom exec") {
+    val topk = TopK.perGroup(ordersDf, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+      .orderBy("o_custkey", "rn")
+    // physical nodeName strips the Exec suffix; a logical node could not
+    // appear in an executed plan, so this match IS the custom exec
+    assert(topk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val windowed = ordersDf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+
+    val a = topk.collect().toSeq
+    val b = windowed.collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("TopK.perGroup handles k larger than the group size") {
+    val tiny = ordersDf.filter(col("o_custkey") < 5)
+    val topk = TopK.perGroup(tiny, Seq("o_custkey"),
+      Seq("o_orderkey" -> true), k = 1000)
+      .orderBy("o_custkey", "rn").collect().toSeq
+    assert(topk.size == tiny.count())
+    // ranks are 1..groupSize, dense
+    val perGroup = topk.groupBy(_.getLong(0))
+    perGroup.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted == (1 to rows.size).toSeq)
+    }
+  }
+}
