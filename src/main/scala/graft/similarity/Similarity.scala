@@ -128,14 +128,17 @@ object Similarity {
     val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
         floor(col("col").cast("double") * 1024).cast("long").as("xq"))
-    // exact integer distance to every centroid, argmin with label tiebreak
+    // exact integer distance to every centroid, argmin with label
+    // tiebreak — one row_number window over (dist, label), not a
+    // min-aggregate + self-join (which replans the distance subtree)
     val dists = vdim.join(broadcast(cent), Seq("dim"))
       .groupBy("vec_id", "c_label")
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
-    val minD = dists.groupBy("vec_id").agg(min("dist").as("md"))
-    val assign = dists.join(minD, Seq("vec_id"))
-      .filter(col("dist") === col("md"))
-      .groupBy("vec_id").agg(min("c_label").as("cell"))
+    val argmin = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
+    val assign = dists.withColumn("rk", row_number().over(argmin))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
     val corpus = emb.join(assign, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell"))
     val q = corpus.filter(col("vec_id") < 4)
