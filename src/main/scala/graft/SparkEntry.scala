@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
+import graft.sources.Formats
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,6 +32,7 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Multimodal.queries ++
+      Formats.queries ++
       StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +46,6 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Multimodal.oracles ++
+      Formats.oracles ++
       StreamingOps.oracles
 }

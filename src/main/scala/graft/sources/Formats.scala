@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.io.File
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, Tables}
+
+/** Source-format coverage beyond parquet/JSON: ORC and CSV ingestion,
+  * verified by ROUND-TRIP parity — each query materializes a lineitem
+  * projection into the format once (deterministic per-sf path, marker
+  * guarded), reads it back through the format's own reader, and
+  * aggregates; the DuckDB oracle computes the same aggregate from the
+  * PARQUET original, so any fidelity loss in the format writer/reader
+  * (double formatting, quoting, nulls) breaks the hash.
+  *
+  * CSV is the interesting one: doubles survive because Spark writes
+  * shortest-round-trip representations; the schema is supplied on read
+  * (CSV carries none) — exactly the posture an ingestion job needs.
+  * Scale note: both readers are splittable scans here (ORC natively;
+  * CSV without multiline), so the downstream plan is identical to the
+  * parquet variant's scan → partial agg → exchange → final agg.
+  */
+object Formats {
+
+  private val materialized = TrieMap.empty[String, String]
+
+  private def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Writes the lineitem projection as `fmt` once per (dir, fmt). */
+  private def materialize(spark: SparkSession, dir: String, fmt: String): String =
+    materialized.getOrElseUpdate(s"$dir#$fmt", {
+      val out = s"/tmp/graft-src-$fmt-${sfTag(dir)}"
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        val proj = Tables(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+        val writer = proj.write.mode("overwrite")
+        fmt match {
+          case "orc" => writer.orc(out)
+          case "csv" => writer.option("header", "true").csv(out)
+        }
+        marker.createNewFile()
+      }
+      out
+    })
+
+  private def pricingAgg(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    pricingAgg(spark.read.orc(materialize(spark, dir, "orc")))
+  }
+
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val schema = "l_returnflag STRING, l_linestatus STRING, " +
+      "l_quantity DOUBLE, l_extendedprice DOUBLE"
+    pricingAgg(spark.read.schema(schema)
+      .option("header", "true").csv(materialize(spark, dir, "csv")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_orc_roundtrip" -> (orcRoundtrip _),
+    "src_csv_roundtrip" -> (csvRoundtrip _))
+
+  /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
+  private val pricingSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "src_orc_roundtrip" -> pricingSql,
+    "src_csv_roundtrip" -> pricingSql)
+}
