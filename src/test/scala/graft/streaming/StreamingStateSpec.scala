@@ -73,6 +73,43 @@ class StreamingStateSpec extends SparkSpec {
     assert(e.getMessage.contains("rows > cap"))
   }
 
+  test("flatMapGroupsWithState emits 0..n rows per group as thresholds cross") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("graft-fmgws")
+    FileFeeder.feed(dir, Seq(
+      (1 to 3).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", 7))), prefix = "b0")
+
+    val static = spark.read.json(dir.toString)
+    // emit one row each time a user's cumulative count crosses a multiple
+    // of 2 — an invocation may emit zero rows (odd remainder) or several
+    val milestones = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          ((before / 2 + 1) to (after / 2)).map(m => (user, m * 2)).iterator
+      }
+
+    val q = milestones.toDF("user_id", "milestone").writeStream
+      .outputMode("append").format("memory").queryName("fmgws_t").start()
+    try {
+      q.processAllAvailable()
+      // 3 events -> milestone 2 only
+      assert(spark.table("fmgws_t").as[(Long, Long)].collect().toSet == Set((7L, 2L)))
+      FileFeeder.feed(dir, Seq(
+        (4 to 6).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", 7))), prefix = "b1")
+      q.processAllAvailable()
+      // 6 events -> milestones 4 and 6 added in batch 2 (state carried: 3+3)
+      assert(spark.table("fmgws_t").as[(Long, Long)].collect().toSet ==
+        Set((7L, 2L), (7L, 4L), (7L, 6L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-key state across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mgws")
