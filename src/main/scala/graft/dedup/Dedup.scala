@@ -170,6 +170,47 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
   }
 
+  /** Duplicate-cluster collapse: connected components over the MinHash
+    * candidate-pair graph, the endgame of a production dedup pipeline
+    * (pairs → clusters → keep one representative per cluster). Iterative
+    * min-label propagation in the Pregel layout: per round, one
+    * edges⋈labels join + a min-aggregate, then a driver-side convergence
+    * CHECK (an aggregate count — data rows never transit the driver).
+    * Rounds are bounded by component diameter; duplicate clusters are
+    * near-cliques, so this converges in 1–2 rounds at any scale.
+    * `localCheckpoint` cuts the growing lineage each round (the standard
+    * iterative-algorithm discipline). Cluster id = min doc_id, an
+    * algorithm-independent labeling the recursive-CTE oracle reproduces. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val pairs = minhashLsh(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // the pair pipeline is expensive; compute once
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("root", col("doc"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
+        .groupBy(edges("src").as("doc_n")).agg(min(labels("root")).as("nroot"))
+      val next = labels.join(nbrMin, labels("doc") === nbrMin("doc_n"), "left")
+        .select(labels("doc").as("doc"),
+          least(labels("root"), coalesce(col("nroot"), labels("root"))).as("root"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.root") =!= col("o.root"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels.groupBy(col("root").as("rep")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.
     * 10 hyperplanes (1024 buckets) keep the within-bucket pair count ~2%
     * of the 6-plane variant; per-vector norms are computed once before
@@ -223,6 +264,7 @@ object Dedup {
     "dedup_exact" -> (exactSummary _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_components" -> (components _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _))
@@ -231,6 +273,28 @@ object Dedup {
     """SELECT DISTINCT doc_id, t.token
       |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
       |WHERE t.token <> ''""".stripMargin
+
+  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
+    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
+    * the connected-components oracle built on top of it. */
+  private def minhashCtes: String =
+    s"""tok AS ($distinctTokSql),
+       |mh AS (
+       |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
+       |  FROM tok, UNNEST(range(0, 12)) s(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 2 AS band,
+       |    max(CASE WHEN i % 2 = 0 THEN minh END) || '|' ||
+       |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
+       |  FROM mh GROUP BY doc_id, i // 2),
+       |small AS (
+       |  SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) BETWEEN 2 AND ${MaxBucket}),
+       |capped AS (SELECT b.* FROM bands b JOIN small USING (band, sig)),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   private val bucketsSql =
     """WITH d AS (
@@ -250,23 +314,25 @@ object Dedup {
       """SELECT n_docs, n_distinct, n_docs - n_distinct AS n_dups
         |FROM (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents)""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH tok AS ($distinctTokSql),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
-         |  FROM tok, UNNEST(range(0, 12)) s(i) GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, i // 2 AS band,
-         |    max(CASE WHEN i % 2 = 0 THEN minh END) || '|' ||
-         |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
-         |  FROM mh GROUP BY doc_id, i // 2),
-         |small AS (
-         |  SELECT band, sig FROM bands GROUP BY band, sig
-         |  HAVING count(*) BETWEEN 2 AND ${MaxBucket}),
-         |capped AS (SELECT b.* FROM bands b JOIN small USING (band, sig))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM capped a JOIN capped b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b FROM pr
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure via recursive CTE; component id = min reachable
+    // doc_id — algorithm-independent, so it matches Spark's iterative
+    // min-label propagation exactly
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc)
+         |SELECT root AS rep, count(*) AS n_docs
+         |FROM (SELECT doc, min(root) AS root FROM reach GROUP BY doc)
+         |GROUP BY root ORDER BY rep""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents

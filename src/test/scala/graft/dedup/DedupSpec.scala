@@ -72,4 +72,21 @@ class DedupSpec extends SparkSpec {
     val spec = Dedup.simhashSpec(spark, sf).collect().toSeq
     assert(native == spec && native.nonEmpty)
   }
+
+  test("connected components partition the pair graph with min-id reps") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val comps = Dedup.components(spark, sf).collect().toSeq
+    val pairs = Dedup.minhashLsh(spark, sf)
+    val nodes = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    // every clustered doc is in exactly one component; no singletons
+    assert(comps.map(_.getLong(1)).sum == nodes && comps.nonEmpty)
+    assert(comps.forall(_.getLong(1) >= 2))
+    // the representative is a member: rep id is never larger than any
+    // member, so it must itself appear in the pair graph
+    val nodeSet = pairs.select(col("doc_a")).union(pairs.select(col("doc_b")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(comps.forall(r => nodeSet.contains(r.getLong(0))))
+  }
 }
