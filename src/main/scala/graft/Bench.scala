@@ -45,10 +45,14 @@ object Bench {
         }
         name -> times.min
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact: the driver retains only
+    // a bounded stdout tail, and at 9 decimal digits an 80-query map
+    // overflows it (BENCH_r02/r03 recorded parsed:null for exactly this).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -100,21 +100,44 @@ object TweetCorpus {
     sb.toString
   }
 
-  /** Generates the corpus if absent (marker-guarded against partial
-    * writes) and returns its directory. Same seed → same bytes, so any
-    * process may race to create it. */
+  /** Generates the corpus if absent and returns its directory. Cross-
+    * process safe: the corpus is written into a fresh temp directory and
+    * published with a single atomic rename, so a reader can never list a
+    * half-written ScaledDir (byte-determinism alone doesn't cover the
+    * window where a racing process has deleted files the other just
+    * wrote). The loser of the rename race discards its temp copy — both
+    * copies are byte-identical (same seed), so either winner is correct. */
   def ensureScaled(): String = synchronized {
-    val dir = new File(ScaledDir)
-    val marker = new File(dir, "_COMPLETE")
+    import java.nio.file.{Files, StandardCopyOption}
+    val target = Paths.get(ScaledDir)
+    val marker = new File(ScaledDir, "_COMPLETE")
     if (!marker.exists()) {
-      if (dir.exists()) dir.listFiles().foreach(_.delete())
+      val tmp = Files.createTempDirectory(target.getParent, "graft-tweets-gen-")
       val rnd = new Random(Seed)
       val perFile = ScaledTweets / FilesOut
       val batches = (0 until FilesOut).map { _ =>
         (0 until perFile).map(_ => line(rnd))
       }
-      FileFeeder.feed(Paths.get(ScaledDir), batches, prefix = "tweets")
-      marker.createNewFile()
+      FileFeeder.feed(tmp, batches, prefix = "tweets")
+      Files.createFile(tmp.resolve("_COMPLETE"))
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // Another process published first, or a stale partial dir from a
+          // pre-atomic-rename writer occupies the path. Only a marker-less
+          // occupant is stale — replace it; a marked one is complete.
+          if (!marker.exists()) {
+            val dir = new File(ScaledDir)
+            if (dir.exists()) {
+              dir.listFiles().foreach(_.delete())
+              dir.delete()
+            }
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          } else {
+            tmp.toFile.listFiles().foreach(_.delete())
+            Files.deleteIfExists(tmp)
+          }
+      }
     }
     ScaledDir
   }

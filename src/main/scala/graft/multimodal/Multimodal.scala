@@ -95,20 +95,34 @@ object Multimodal {
       var i = 2
       var out: Option[MediaMeta0] = None
       var halt = false
-      while (!halt && out.isEmpty && i + 9 < p.length) {
+      // minimal bound: a marker is 2 bytes; length/SOF payload bounds are
+      // checked where they are actually read, so short non-SOF tails don't
+      // silently abort the walk
+      while (!halt && out.isEmpty && i + 1 < p.length) {
         if (u8(i) != 0xff) halt = true
         else {
-          val marker = u8(i + 1)
-          // standalone markers (no length field): TEM, RSTn, repeated SOI
-          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0xd8) i += 2
+          // the spec allows any number of 0xFF fill bytes before the marker
+          while (i + 1 < p.length && u8(i + 1) == 0xff) i += 1
+          if (i + 1 >= p.length) halt = true
           else {
-            val len = u16(i + 2)
-            if (len < 2) halt = true
-            else if (marker >= 0xc0 && marker <= 0xcf &&
-                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-              out = Some(MediaMeta0(p.length.toLong,
-                u16(i + 7).toLong, u16(i + 5).toLong, "jpg"))
-            } else i += 2 + len
+            val marker = u8(i + 1)
+            // standalone markers (no length field): TEM, RSTn, repeated SOI
+            if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0xd8) i += 2
+            // SOS starts the entropy-coded stream and EOI ends the file;
+            // SOF always precedes SOS, so reaching either means no frame
+            else if (marker == 0xda || marker == 0xd9) halt = true
+            else if (i + 3 >= p.length) halt = true
+            else {
+              val len = u16(i + 2)
+              if (len < 2) halt = true
+              else if (marker >= 0xc0 && marker <= 0xcf &&
+                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+                if (i + 8 < p.length)
+                  out = Some(MediaMeta0(p.length.toLong,
+                    u16(i + 7).toLong, u16(i + 5).toLong, "jpg"))
+                else halt = true
+              } else i += 2 + len
+            }
           }
         }
       }

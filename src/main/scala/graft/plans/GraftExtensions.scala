@@ -27,15 +27,35 @@ object DotToNorm extends Rule[LogicalPlan] {
   * `.withExtensions(new GraftExtensions)`) — the registration path a
   * library must ship for clusters where it does not own the session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Arity gate for the SQL builders: a mis-called `graft_dot(a)` must
+    * surface as the analyzer's standard wrong-number-of-arguments error,
+    * not an IndexOutOfBoundsException escaping the builder. */
+  private def checkArity(name: String, expected: Int, args: Seq[Expression]): Unit =
+    if (args.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        cause = None)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        checkArity("graft_dot", 2, args)
+        ArrayDotProduct(args(0), args(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_norm2"),
       new ExpressionInfo(classOf[ArrayNorm2].getName, "graft_norm2"),
-      (args: Seq[Expression]) => ArrayNorm2(args.head)))
+      (args: Seq[Expression]) => {
+        checkArity("graft_norm2", 1, args)
+        ArrayNorm2(args.head)
+      }))
     ext.injectOptimizerRule(_ => DotToNorm)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -57,6 +57,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(Array[Byte]()) == None)
   }
 
+  test("parseImageHeader tolerates 0xFF fill bytes and short non-SOF tails") {
+    def be16(v: Int) = Array(v >>> 8, v & 0xff)
+    // spec-legal fill: a run of 0xFF padding bytes before each marker
+    val filled = (Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xe0) ++ be16(4) ++
+      Array(0, 0) ++ Array(0xff, 0xff, 0xc0) ++ be16(17) ++ Array(8) ++
+      be16(240) ++ be16(320) ++ Array(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte)
+    assert(Multimodal.parseImageHeader(filled)
+      .map(m => (m.width, m.height, m.fmt)) == Some((320L, 240L, "jpg")))
+    // a truncated file ending right after a short APP0 must walk (then give
+    // up cleanly), not trip the old 10-trailing-byte loop guard
+    val truncated = (Array(0xff, 0xd8, 0xff, 0xe0) ++ be16(4) ++ Array(0, 0)).map(_.toByte)
+    assert(Multimodal.parseImageHeader(truncated) == None)
+    // entropy-coded data after SOS must never be scanned for markers
+    val sosFirst = (Array(0xff, 0xd8, 0xff, 0xda) ++ be16(4) ++ Array(0, 0) ++
+      Array(0xff, 0xc0) ++ be16(17) ++ Array(8) ++ be16(1) ++ be16(1)).map(_.toByte)
+    assert(Multimodal.parseImageHeader(sosFirst) == None)
+  }
+
   test("decodeHeaders parses real payloads and falls back to the stub for opaque ones") {
     val media = Seq(
       MediaRecord(1L, pngBytes(320, 200)),

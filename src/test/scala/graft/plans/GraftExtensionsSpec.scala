@@ -39,6 +39,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val q2 = s.sql(
         "SELECT graft_dot(a.embedding, b.embedding) AS d FROM graft_ext_emb a, graft_ext_emb b")
       assert(q2.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      // wrong arity surfaces as the analyzer's standard error, not an
+      // IndexOutOfBoundsException out of the builder
+      val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_dot(a) FROM graft_ext_v").collect()
+      }
+      assert(wrongArity.getMessage.contains("graft_dot"))
+      assert(wrongArity.getMessage.contains("2"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
