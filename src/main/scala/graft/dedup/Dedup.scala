@@ -174,30 +174,51 @@ object Dedup {
     * candidate-pair graph, the endgame of a production dedup pipeline
     * (pairs → clusters → keep one representative per cluster). Iterative
     * min-label propagation in the Pregel layout: per round, one
-    * edges⋈labels join + a min-aggregate, then a driver-side convergence
-    * CHECK (an aggregate count — data rows never transit the driver).
-    * Rounds are bounded by component diameter; duplicate clusters are
-    * near-cliques, so this converges in 1–2 rounds at any scale.
-    * `localCheckpoint` cuts the growing lineage each round (the standard
-    * iterative-algorithm discipline). Cluster id = min doc_id, an
-    * algorithm-independent labeling the recursive-CTE oracle reproduces. */
+    * edges⋈labels join + a min-aggregate, then a POINTER-JUMPING hop
+    * (root := root's root, one labels⋈labels join) that halves the
+    * remaining propagation distance, then a driver-side convergence CHECK
+    * (an aggregate count — data rows never transit the driver).
+    * With the hop, rounds grow with log₂(diameter), so the 25-round
+    * bound covers any component with diameter up to ~2²⁵ — a chain-
+    * shaped cluster no longer aborts the query (near-clique clusters
+    * still converge in 1–2 rounds). `localCheckpoint` cuts the growing
+    * lineage each round (the standard iterative-algorithm discipline).
+    * Cluster id = min doc_id, an algorithm-independent labeling the
+    * recursive-CTE oracle reproduces. */
   def components(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val pairs = minhashLsh(spark, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    componentClusters(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
+
+  /** Min-label propagation with pointer jumping over an UNDIRECTED edge
+    * list given as one direction ([[components]]'s engine; parameterized
+    * so the convergence bound is testable on adversarial graph shapes).
+    * Returns (rep, n_docs) per component. */
+  private[dedup] def componentClusters(pairsDf: DataFrame): DataFrame = {
+    val edges = pairsDf.select(col("src"), col("dst"))
+      .union(pairsDf.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // the pair pipeline is expensive; compute once
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("root", col("doc"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    val MaxRounds = 25
+    while (!converged && rounds < MaxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc_n")).agg(min(labels("root")).as("nroot"))
-      val next = labels.join(nbrMin, labels("doc") === nbrMin("doc_n"), "left")
+      val prop = labels.join(nbrMin, labels("doc") === nbrMin("doc_n"), "left")
         .select(labels("doc").as("doc"),
           least(labels("root"), coalesce(col("nroot"), labels("root"))).as("root"))
+      // pointer jumping: follow the label one extra hop (root := label of
+      // root). Roots are always nodes of the graph, so the self-join is
+      // total; `least` keeps the labeling monotone non-increasing.
+      val next = prop.as("l")
+        .join(prop.as("r"), col("l.root") === col("r.doc"), "left")
+        .select(col("l.doc").as("doc"),
+          least(col("l.root"), coalesce(col("r.root"), col("l.root"))).as("root"))
         .localCheckpoint(true)
       converged = next.as("n")
         .join(labels.as("o"), col("n.doc") === col("o.doc"))
@@ -206,7 +227,9 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    require(converged, s"label propagation did not converge in $rounds rounds")
+    require(converged,
+      s"label propagation did not converge in $rounds rounds " +
+        s"(diameter > ~2^$MaxRounds with pointer jumping — not a real graph)")
     labels.groupBy(col("root").as("rep")).agg(count(lit(1)).as("n_docs"))
       .orderBy("rep")
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
@@ -18,6 +18,15 @@ import org.apache.spark.sql.types.IntegerType
   * O(groups·k) per partition instead of sort buffers over everything,
   * and the only pass is the scan itself. At 100 TB that difference is a
   * spilled sort per partition vs a fixed-size heap.
+  *
+  * The heap map is itself bounded: past
+  * `spark.graft.topk.hashGroupLimit` distinct groups per partition
+  * (high-cardinality keys, where O(groups·k) approaches the partition
+  * size) the exec degrades to a task-memory-managed external sort on
+  * (group, order) and streams the first k rows of each group — O(k)
+  * live rows, spilling under pressure exactly like the window
+  * formulation it replaces, so the operator never OOMs where the
+  * fallback it competes with would have spilled.
   *
   * The production refinement (not implemented, same node): a map-side
   * partial pass emitting each partition's local top-k before the
@@ -58,48 +67,102 @@ case class TopKPerGroupExec(
     val groupSeq = groupExprs
     val orderSeq = order
     val kk = k
+    val rn = rnAttr
+    val hashGroupLimit = conf.getConfString(
+      "spark.graft.topk.hashGroupLimit", (1 << 20).toString).toInt
     child.execute().mapPartitions { rows =>
       val groupProj = UnsafeProjection.create(groupSeq, childOutput)
       val rowOrdering = GenerateOrdering.generate(orderSeq, childOutput)
       // per group: a max-heap under the sort order, so the worst kept row
       // is at the head and is evicted when a better row arrives
       val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      rows.foreach { row =>
+      // The row whose (new) group key would push the map past the hash
+      // budget; non-null switches the partition to the sort-based path.
+      var overflowRow: InternalRow = null
+      while (overflowRow == null && rows.hasNext) {
+        val row = rows.next()
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk, rowOrdering.reversed())
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (rowOrdering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      val outProj = UnsafeProjection.create(childOutput :+ rnAttr, childOutput :+ rnAttr)
-      val joined = new JoinedRow
-      val rnRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val it = heaps.entrySet().iterator()
-      new Iterator[InternalRow] {
-        private var buf: Array[InternalRow] = Array.empty
-        private var i = 0
-        private def refill(): Unit = {
-          while (i >= buf.length && it.hasNext) {
-            val heap = it.next().getValue
-            val arr = new Array[InternalRow](heap.size())
-            var j = arr.length - 1
-            while (j >= 0) { arr(j) = heap.poll(); j -= 1 } // heap pops worst-first
-            buf = arr; i = 0
+          if (heaps.size() >= hashGroupLimit) overflowRow = row.copy()
+          else {
+            heap = new java.util.PriorityQueue[InternalRow](kk, rowOrdering.reversed())
+            heaps.put(key.copy(), heap)
           }
         }
-        override def hasNext: Boolean = { refill(); i < buf.length }
-        override def next(): InternalRow = {
-          refill()
-          val row = buf(i)
-          rnRow.setInt(0, i + 1)
-          i += 1
-          outProj(joined(row, rnRow))
+        if (overflowRow == null) {
+          if (heap.size() < kk) heap.add(row.copy())
+          else if (rowOrdering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+        }
+      }
+      val outProj = UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)
+      val joined = new JoinedRow
+      val rnRow = new GenericInternalRow(1)
+      if (overflowRow == null) {
+        val it = heaps.entrySet().iterator()
+        new Iterator[InternalRow] {
+          private var buf: Array[InternalRow] = Array.empty
+          private var i = 0
+          private def refill(): Unit = {
+            while (i >= buf.length && it.hasNext) {
+              val heap = it.next().getValue
+              val arr = new Array[InternalRow](heap.size())
+              var j = arr.length - 1
+              while (j >= 0) { arr(j) = heap.poll(); j -= 1 } // heap pops worst-first
+              buf = arr; i = 0
+            }
+          }
+          override def hasNext: Boolean = { refill(); i < buf.length }
+          override def next(): InternalRow = {
+            refill()
+            val row = buf(i)
+            rnRow.setInt(0, i + 1)
+            i += 1
+            outProj(joined(row, rnRow))
+          }
+        }
+      } else {
+        // Degraded path: group cardinality exceeded the hash budget, so
+        // O(groups·k) no longer beats a sort. Hand the kept rows plus the
+        // rest of the partition to a task-memory-managed external sort on
+        // (group, order) — GraftSpill registers with the TaskMemoryManager
+        // and spills to disk under pressure — then stream the first k rows
+        // of each group with O(k) live rows.
+        import scala.jdk.CollectionConverters._
+        val kept = heaps.values().iterator().asScala.flatMap { h =>
+          val arr = new Array[InternalRow](h.size())
+          var j = 0
+          while (h.size() > 0) { arr(j) = h.poll(); j += 1 }
+          arr.iterator
+        }
+        val fullOrdering = GenerateOrdering.generate(
+          groupSeq.map(e => SortOrder(e, Ascending)) ++ orderSeq, childOutput)
+        val all = kept ++ Iterator.single(overflowRow) ++ rows.map(_.copy())
+        val sorted = org.apache.spark.util.GraftSpill.sorted(all, fullOrdering)
+        new Iterator[InternalRow] {
+          private var prevKey: UnsafeRow = null
+          private var rank = 0
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = groupProj(row)
+              if (prevKey == null || key != prevKey) { prevKey = key.copy(); rank = 1 }
+              else rank += 1
+              if (rank <= kk) pending = row
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance()
+            val row = pending
+            pending = null
+            rnRow.setInt(0, rank)
+            outProj(joined(row, rnRow))
+          }
         }
       }
     }

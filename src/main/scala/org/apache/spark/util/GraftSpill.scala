@@ -1,0 +1,29 @@
+package org.apache.spark.util
+
+import java.util.Comparator
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.util.collection.ExternalSorter
+
+/** Narrow door into core's `private[spark]` [[ExternalSorter]]: a
+  * spill-capable sort of [[InternalRow]]s under an arbitrary comparator,
+  * registered with the running task's memory manager — when the rows
+  * don't fit the task's share of execution memory, runs spill to disk
+  * and merge back, exactly like SortExec's sorter. The companion of
+  * [[org.apache.spark.sql.GraftBridge]] (same bridge pattern, core side).
+  *
+  * Rows must already be safe to retain (i.e. copies): the sorter buffers
+  * them across the consuming iterator's lifetime.
+  */
+object GraftSpill {
+  def sorted(rows: Iterator[InternalRow],
+      comp: Comparator[InternalRow]): Iterator[InternalRow] = {
+    implicit val ord: Ordering[InternalRow] = Ordering.comparatorToOrdering(comp)
+    val sorter = new ExternalSorter[InternalRow, Null, Null](
+      TaskContext.get(), aggregator = None, partitioner = None, ordering = Some(ord))
+    sorter.insertAll(rows.map(r => (r, null)))
+    CompletionIterator[Product2[InternalRow, Null], Iterator[Product2[InternalRow, Null]]](
+      sorter.iterator, sorter.stop()).map(_._1)
+  }
+}

@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(native == spec && native.nonEmpty)
   }
 
+  test("components converge on a chain with diameter far beyond the round cap") {
+    // A 120-node path graph (diameter 119) needs ~119 rounds under plain
+    // min-label propagation — the old 25-round bound aborted. Pointer
+    // jumping converges in ~log2(119) rounds.
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comps = Dedup.componentClusters(chain).collect().toSeq
+    assert(comps.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 120L)))
+    // two disjoint chains stay separate components
+    val two = ((0L until 59L).map(i => (i, i + 1)) ++
+      (1000L until 1040L).map(i => (i, i + 1))).toDF("src", "dst")
+    val comps2 = Dedup.componentClusters(two).collect().toSeq.sortBy(_.getLong(0))
+    assert(comps2.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 60L), (1000L, 41L)))
+  }
+
   test("connected components partition the pair graph with min-id reps") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -34,6 +34,24 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("TopK.perGroup degraded sort path (hash budget exceeded) matches the heap path") {
+    // A hash budget of 2 forces every partition past the limit almost
+    // immediately: the bulk of each partition runs through the external-
+    // sort fallback, which must produce the identical result set.
+    val key = "spark.graft.topk.hashGroupLimit"
+    spark.conf.set(key, "2")
+    try {
+      val degraded = TopK.perGroup(ordersDf, Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+        .orderBy("o_custkey", "rn").collect().toSeq
+      spark.conf.unset(key)
+      val heap = TopK.perGroup(ordersDf, Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+        .orderBy("o_custkey", "rn").collect().toSeq
+      assert(degraded == heap && degraded.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("TopK.perGroup handles k larger than the group size") {
     val tiny = ordersDf.filter(col("o_custkey") < 5)
     val topk = TopK.perGroup(tiny, Seq("o_custkey"),
