@@ -168,6 +168,38 @@ object RelationalQueries {
       .orderBy("rf", "ls")
   }
 
+  // ---- grouping sets: CUBE over (returnflag, linestatus) — all four
+  // grouping combinations in one pass (rollup covers three); Spark plans
+  // a single Expand + aggregate, the same shape DuckDB's CUBE uses.
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  // ---- navigation window functions: lag/lead/ntile per customer order
+  // history. One shuffle on the partition key; the values are copied, not
+  // computed, so cross-engine determinism needs only the total order
+  // (o_orderdate, o_orderkey).
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   // ---- set operations on customer key sets of two order years
   private def custkeysOfYear(spark: SparkSession, dir: String, y: Int): DataFrame =
     Tables(spark, dir, "orders")
@@ -370,7 +402,9 @@ object RelationalQueries {
     "rel_semi_join" -> (semiJoin _),
     "rel_anti_join" -> (antiJoin _),
     "rel_window_rank" -> (windowRank _),
+    "rel_window_lag" -> (windowLag _),
     "rel_rollup" -> (rollupAgg _),
+    "rel_cube" -> (cubeAgg _),
     "rel_intersect" -> (intersectYears _),
     "rel_except" -> (exceptYears _))
 
@@ -502,6 +536,20 @@ object RelationalQueries {
         |       count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "rel_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "rel_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "rel_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'

@@ -272,7 +272,92 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals per document: duplicate-token ratio,
+    * most-frequent-token share, most-frequent-bigram share, and a 0/1
+    * `repetitive` gate — the looping-text filter a pretraining pipeline
+    * runs next to [[quality]]. All counts come from linear grouped
+    * aggregates over the token/bigram explosion (the per-row
+    * O(len²) HOF spelling is deliberately avoided: document length is
+    * unbounded at 100 TB, shuffle volume is not). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val tok = d.select(col("doc_id"), explode(col("arr")).as("token"))
+    val base = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_types"))
+    val topTok = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_tok"))
+    val topBg = d.filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
+    base.join(topTok, Seq("doc_id")).join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        ((col("n_tokens") - col("n_types")) * lit(1.0) / col("n_tokens")).as("dup_ratio"),
+        (col("top_tok") * lit(1.0) / col("n_tokens")).as("top_token_ratio"),
+        coalesce(col("top_bg") * lit(1.0) / (col("n_tokens") - 1), lit(0.0)).as("top_bigram_ratio"))
+      .withColumn("repetitive",
+        when(col("dup_ratio") > 0.6 || col("top_bigram_ratio") > 0.2, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: count and scrub email addresses and long digit runs.
+    * The fixture corpus is synthetic word-soup with no natural PII, so the
+    * query first APPENDS deterministic pseudo-PII spans (doc_id-derived —
+    * both engines synthesize the identical bytes) and then proves the
+    * redaction removes them. Pure regexp column ops: one scan, no shuffle,
+    * trivially linear at any scale. Patterns avoid lookarounds so Java
+    * regex (Spark) and RE2 (DuckDB) match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunRe = "[0-9]{9,}"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val raw = concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(11)) === 0, lit(" call 5551234567 today"))
+        .otherwise(lit("")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(DigitRunRe)).cast("long").as("n_digit_runs"),
+        regexp_replace(regexp_replace(col("raw"), lit(EmailRe), lit("<EMAIL>")),
+          lit(DigitRunRe), lit("<NUM>")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Rare-token ratio per document: share of a doc's distinct tokens whose
+    * corpus document-frequency is ≤ RareDf — high values flag gibberish /
+    * OOV-heavy documents (the vocabulary-grounded quality signal next to
+    * the intra-doc heuristics). Two linear aggregates + one equi-join on
+    * the token; the df side is vocabulary-sized, so AQE broadcasts it at
+    * small scale and it stays a hash join on the token at 100 TB. */
+  val RareDf = 2
+
+  def rareRatio(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val types = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val df = types.groupBy("token").agg(count(lit(1)).as("df"))
+    types.join(df, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("df") <= RareDf, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_types"), col("n_rare"),
+        (col("n_rare") * lit(1.0) / col("n_types")).as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
+    "text_pii_scrub" -> (piiScrub _),
+    "text_rare_ratio" -> (rareRatio _),
     "text_winnow" -> (winnow _),
     "text_vocab_approx" -> (vocabApprox _),
     "text_quality" -> (quality _),
@@ -284,6 +369,61 @@ object TextAnalysis {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t.token FROM d, UNNEST(arr) AS t(token)),
+        |base AS (
+        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_types
+        |  FROM tok GROUP BY doc_id),
+        |toptok AS (
+        |  SELECT doc_id, max(c) AS top_tok FROM (
+        |    SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+        |  GROUP BY doc_id),
+        |topbg AS (
+        |  SELECT doc_id, max(c) AS top_bg FROM (
+        |    SELECT doc_id, arr[CAST(i AS INTEGER)] || ' ' || arr[CAST(i+1 AS INTEGER)] AS bg,
+        |           count(*) AS c
+        |    FROM d, UNNEST(range(1, len(arr))) t(i)
+        |    WHERE len(arr) >= 2
+        |    GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_types,
+        |  (b.n_tokens - b.n_types) * 1.0 / b.n_tokens AS dup_ratio,
+        |  tt.top_tok * 1.0 / b.n_tokens AS top_token_ratio,
+        |  coalesce(tb.top_bg * 1.0 / (b.n_tokens - 1), 0.0) AS top_bigram_ratio,
+        |  CASE WHEN (b.n_tokens - b.n_types) * 1.0 / b.n_tokens > 0.6
+        |         OR coalesce(tb.top_bg * 1.0 / (b.n_tokens - 1), 0.0) > 0.2
+        |       THEN 1 ELSE 0 END AS repetitive
+        |FROM base b JOIN toptok tt ON b.doc_id = tt.doc_id
+        |LEFT JOIN topbg tb ON b.doc_id = tb.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |         WHEN doc_id % 11 = 0 THEN ' call 5551234567 today'
+         |         ELSE '' END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$DigitRunRe')) AS BIGINT) AS n_digit_runs,
+         |  regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+         |                 '$DigitRunRe', '<NUM>', 'g') AS scrubbed
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_rare_ratio" ->
+      s"""WITH types AS (
+         |  SELECT DISTINCT doc_id, t.token
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''),
+         |df AS (SELECT token, count(*) AS df FROM types GROUP BY token)
+         |SELECT doc_id, count(*) AS n_types,
+         |  CAST(sum(CASE WHEN df.df <= ${RareDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  sum(CASE WHEN df.df <= ${RareDf} THEN 1 ELSE 0 END) * 1.0 / count(*) AS rare_ratio
+         |FROM types JOIN df USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       s"""WITH chars AS (
          |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS cs

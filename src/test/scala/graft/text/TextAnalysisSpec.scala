@@ -70,6 +70,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pieces == Seq("don", "'t", " stop", "...", " 123", " times", "!"))
   }
 
+  test("repetition signals: a looping doc gates repetitive, a diverse one doesn't") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "spam spam spam spam spam ham", "en", "s", 28L),
+      (2L, "one two three four five six seven", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.repetition(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val looping = rows(1L)
+    assert(looping.getAs[Long]("n_tokens") == 6 && looping.getAs[Long]("n_types") == 2)
+    assert(looping.getAs[Double]("top_bigram_ratio") == 4.0 / 5)  // "spam spam" ×4
+    assert(looping.getAs[Int]("repetitive") == 1)
+    val diverse = rows(2L)
+    assert(diverse.getAs[Double]("dup_ratio") == 0.0)
+    assert(diverse.getAs[Int]("repetitive") == 0)
+  }
+
+  test("PII scrub removes every synthesized email and digit run") {
+    val out = TextAnalysis.piiScrub(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    // every doc_id % 7 == 0 got an email appended; scrub must count it once
+    // and the scrubbed text must contain the placeholder and no '@'
+    val scrubbed = out.filter(col("doc_id") % 7 === 0)
+    assert(scrubbed.filter(col("n_emails") =!= 1).count() == 0)
+    assert(scrubbed.filter(!col("scrubbed").contains("<EMAIL>")).count() == 0)
+    assert(out.filter(col("scrubbed").rlike(TextAnalysis.EmailRe)).count() == 0)
+    assert(out.filter(col("scrubbed").rlike(TextAnalysis.DigitRunRe)).count() == 0)
+    // untouched docs pass through verbatim (no emails, no digit runs)
+    assert(out.filter(col("n_emails") === 0 && col("n_digit_runs") === 0)
+      .filter(col("scrubbed").contains("<")).count() == 0)
+  }
+
+  test("rare-token ratio: singleton-vocabulary docs score 1.0") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-rare").toString
+    // "the" appears in all three docs (df=3 > RareDf=2 → common);
+    // every other token is unique to its doc (df=1 → rare)
+    Seq(
+      (1L, "the the common", "en", "s", 14L),
+      (2L, "the words too", "en", "s", 13L),
+      (3L, "the zzyzx qwfp", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.rareRatio(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) == 0.5)          // types {the, common}: 1 of 2 rare
+    assert(rows(2L) == 2.0 / 3)      // {the, words, too}: 2 of 3 rare
+    assert(rows(3L) == 2.0 / 3)
+    assert(rows.size == 3)
+  }
+
   test("language ID guesses are deterministic and cover every doc") {
     val df = TextAnalysis.langId(spark, "/root/testdata/sf0.001")
     val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
