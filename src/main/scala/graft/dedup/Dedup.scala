@@ -209,22 +209,22 @@ object Dedup {
     while (!converged && rounds < MaxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc_n")).agg(min(labels("root")).as("nroot"))
+      // `old` rides along so convergence is a filter on the checkpointed
+      // frame itself — no extra per-round join
       val prop = labels.join(nbrMin, labels("doc") === nbrMin("doc_n"), "left")
-        .select(labels("doc").as("doc"),
+        .select(labels("doc").as("doc"), labels("root").as("old"),
           least(labels("root"), coalesce(col("nroot"), labels("root"))).as("root"))
       // pointer jumping: follow the label one extra hop (root := label of
       // root). Roots are always nodes of the graph, so the self-join is
       // total; `least` keeps the labeling monotone non-increasing.
       val next = prop.as("l")
-        .join(prop.as("r"), col("l.root") === col("r.doc"), "left")
-        .select(col("l.doc").as("doc"),
-          least(col("l.root"), coalesce(col("r.root"), col("l.root"))).as("root"))
+        .join(prop.select(col("doc").as("rdoc"), col("root").as("rroot")),
+          col("l.root") === col("rdoc"), "left")
+        .select(col("l.doc").as("doc"), col("l.old").as("old"),
+          least(col("l.root"), coalesce(col("rroot"), col("l.root"))).as("root"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.root") =!= col("o.root"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("root") =!= col("old")).isEmpty
+      labels = next.select(col("doc"), col("root"))
       rounds += 1
     }
     require(converged,
