@@ -231,6 +231,46 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Watermarked STREAM-STREAM inner join: click→purchase attribution —
+    * each click joined to the same user's purchases within the following
+    * hour, both sides unbounded streams. The equi-key (user) plus the
+    * two-sided event-time range lets Spark bound join state: a click's
+    * state is evicted once the watermark passes click_ts + 1 h, a
+    * purchase's once it passes purchase_ts — the state-cleanup contract
+    * that makes the operator viable on an unbounded stream (an
+    * unconstrained stream-stream join buffers both streams forever).
+    * Runs across ≥3 micro-batches over the time-split feed, so matches
+    * provably span trigger boundaries (click in batch i, purchase in
+    * batch i+1). Time-ordered arrival (ascending slices, 10-min
+    * watermark lag) structurally rules out late drops, so the append
+    * result equals the batch join — the oracle. Inner-join rows emit
+    * eagerly per batch; the per-user rollup happens on the materialized
+    * result (batch aggregate over sink-sized data). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 4)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def feedStream(): DataFrame = Tables.normalizeEvents(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed))
+    val clicks = feedStream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = feedStream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    runToMemory(spark, joined, mode = "append", minDataBatches = 3)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("p_value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
+      .orderBy("user_id")
+  }
+
   /** Streaming deduplication (dropDuplicates over the stream's key column):
     * bounded-input distinct set; ordering applied to the materialized
     * result (a sort inside the stream is illegal in append mode). */
@@ -264,7 +304,8 @@ object StreamingOps {
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_dedup_types" -> (streamDistinctTypes _),
-    "stream_static_join" -> (streamStaticJoin _))
+    "stream_static_join" -> (streamStaticJoin _),
+    "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_complete_counts" ->
@@ -296,5 +337,14 @@ object StreamingOps {
       """SELECT c_mktsegment, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // watermark-correct append output over an ordered feed == batch join
+    "stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_purchase
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)
 }
