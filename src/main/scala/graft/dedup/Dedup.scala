@@ -192,11 +192,33 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
   }
 
+  /** Keep/drop decision table — the artifact a dedup pipeline actually
+    * ships: every clustered doc with its cluster representative and an
+    * `is_keep` flag (1 for the representative, 0 for the duplicates to
+    * drop). Docs in no cluster are implicitly kept and omitted (the
+    * overwhelming majority at scale — emitting them would dwarf the
+    * decision table). */
+  def keepDecision(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val pairs = minhashLsh(spark, dir)
+    componentLabels(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("doc").as("doc_id"), col("root").as("rep"),
+        when(col("doc") === col("root"), 1).otherwise(0).as("is_keep"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label propagation with pointer jumping over an UNDIRECTED edge
     * list given as one direction ([[components]]'s engine; parameterized
     * so the convergence bound is testable on adversarial graph shapes).
     * Returns (rep, n_docs) per component. */
-  private[dedup] def componentClusters(pairsDf: DataFrame): DataFrame = {
+  private[dedup] def componentClusters(pairsDf: DataFrame): DataFrame =
+    componentLabels(pairsDf)
+      .groupBy(col("root").as("rep")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+
+  /** The converged (doc, root) labeling behind [[componentClusters]]. */
+  private[dedup] def componentLabels(pairsDf: DataFrame): DataFrame = {
     val edges = pairsDf.select(col("src"), col("dst"))
       .union(pairsDf.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // the pair pipeline is expensive; compute once
@@ -230,8 +252,7 @@ object Dedup {
     require(converged,
       s"label propagation did not converge in $rounds rounds " +
         s"(diameter > ~2^$MaxRounds with pointer jumping — not a real graph)")
-    labels.groupBy(col("root").as("rep")).agg(count(lit(1)).as("n_docs"))
-      .orderBy("rep")
+    labels
   }
 
   /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.
@@ -288,6 +309,7 @@ object Dedup {
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_components" -> (components _),
+    "dedup_keep" -> (keepDecision _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _))
@@ -356,6 +378,19 @@ object Dedup {
          |SELECT root AS rep, count(*) AS n_docs
          |FROM (SELECT doc, min(root) AS root FROM reach GROUP BY doc)
          |GROUP BY root ORDER BY rep""".stripMargin,
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc)
+         |SELECT doc AS doc_id, min(root) AS rep,
+         |       CASE WHEN doc = min(root) THEN 1 ELSE 0 END AS is_keep
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents

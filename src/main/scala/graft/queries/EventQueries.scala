@@ -73,10 +73,30 @@ object EventQueries {
       .orderBy("user_id", "session_no")
   }
 
+  /** Fixed-width value histogram (profiling op): 20 buckets of width
+    * BucketWidth with the last bucket open-ended — one scan, one grouped
+    * count, the data-profiling pass every curation job starts with.
+    * Bucket arithmetic is exact (floor of double/constant), so the
+    * histogram is engine- and partitioning-independent. */
+  val BucketWidth = 25.0
+  val NumBuckets = 20
+
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "events")
+      .select(least(floor(col("value") / BucketWidth), lit(NumBuckets - 1L))
+        .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"), (col("bucket") * BucketWidth).as("lo"), col("cnt"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _),
+    "ev_histogram" -> (histogram _),
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +117,12 @@ object EventQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "ev_histogram" ->
+      s"""SELECT bucket, bucket * ${BucketWidth} AS lo, count(*) AS cnt
+         |FROM (
+         |  SELECT CAST(least(floor(value / ${BucketWidth}), ${NumBuckets - 1}) AS BIGINT) AS bucket
+         |  FROM events)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // identical lag/running-sum windowing in exact integer micros
     "ev_sessionize" ->
       s"""WITH t AS (

@@ -77,6 +77,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Range search: every corpus vector within cosine >= RangeThreshold of
+    * the query vector — the radius-query dual of top-k (what a
+    * near-duplicate audit or a "find everything about X" retrieval runs).
+    * Same corpus-scan × broadcast-query shape as [[cosineTopK]]; the
+    * threshold filter replaces the global top-k, so the result size is
+    * data-dependent and the plan needs no sort at all until the final
+    * (result-sized) presentation ordering. */
+  val RangeThreshold = 0.2
+
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .filter(col("cos_r") >= RangeThreshold)
+      .orderBy(desc("cos_r"), asc("vec_id"))
+  }
+
   /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
     * set (vec_id < 8), ranked per query by a window function. The shape is
     * the scale path for "embed the eval set, find its neighbors in the
@@ -177,6 +197,7 @@ object Similarity {
     "sim_ann_buckets" -> (annBuckets _),
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
+    "sim_range_search" -> (rangeSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_centroids" -> (centroidComponents _))
 
@@ -222,6 +243,19 @@ object Similarity {
          |  GROUP BY e.vec_id)
          |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
          |FROM s ORDER BY cos_r DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
+         |FROM s WHERE round(dot / (sqrt(n2a) * sqrt(n2b)), 4) >= ${RangeThreshold}
+         |ORDER BY cos_r DESC, vec_id ASC""".stripMargin,
     "sim_knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |s AS (

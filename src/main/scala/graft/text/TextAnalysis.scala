@@ -354,7 +354,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling: per-language target rates (the
+    * language-rebalancing pass of corpus curation — downsample the
+    * overrepresented language, keep the tail). Selection = md5 hash bucket
+    * of a salted doc_id under the per-stratum rate, so the sample is
+    * stable under re-partitioning and re-ingestion (same property as the
+    * train/val/test split) and independent of it (different salt).
+    * One scan, one grouped count — the sample itself never shuffles. */
+  val SampleRates: Map[String, Int] = Map("en" -> 20).withDefaultValue(60)
+
+  private val sampleBucket =
+    expr("conv(substring(md5(concat('smp:', cast(doc_id as string))), 1, 4), 16, 10)")
+      .cast("long") % 100
+
+  /** DuckDB spelling of the same salted bucket. */
+  private val sampleBucketSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100"
+  }
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val rate = when(col("lang") === "en", lit(SampleRates("en")))
+      .otherwise(lit(SampleRates("other")))
+    Tables(spark, dir, "documents")
+      .select(col("lang"), sampleBucket.as("bucket"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < rate, 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_stratified" -> (sampleStratified _),
     "text_repetition" -> (repetition _),
     "text_pii_scrub" -> (piiScrub _),
     "text_rare_ratio" -> (rareRatio _),
@@ -369,6 +402,12 @@ object TextAnalysis {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "text_sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN $sampleBucketSql <
+         |    (CASE WHEN lang = 'en' THEN ${SampleRates("en")} ELSE ${SampleRates("other")} END)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
