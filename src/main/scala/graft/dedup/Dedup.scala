@@ -185,10 +185,19 @@ object Dedup {
     * lineage each round (the standard iterative-algorithm discipline).
     * Cluster id = min doc_id, an algorithm-independent labeling the
     * recursive-CTE oracle reproduces. */
-  def components(spark: SparkSession, dir: String): DataFrame = {
+  def components(spark: SparkSession, dir: String): DataFrame =
+    labelsFor(spark, dir)
+      .groupBy(col("root").as("rep")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+
+  /** Converged labeling for `dir`'s MinHash pair graph — recomputed per
+    * call (no cross-query memoization: the bench must measure the real
+    * pipeline, and a production job would persist the labeling to a table
+    * rather than hold it in session state). */
+  private def labelsFor(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val pairs = minhashLsh(spark, dir)
-    componentClusters(
+    componentLabels(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
   }
 
@@ -198,15 +207,11 @@ object Dedup {
     * drop). Docs in no cluster are implicitly kept and omitted (the
     * overwhelming majority at scale — emitting them would dwarf the
     * decision table). */
-  def keepDecision(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    val pairs = minhashLsh(spark, dir)
-    componentLabels(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  def keepDecision(spark: SparkSession, dir: String): DataFrame =
+    labelsFor(spark, dir)
       .select(col("doc").as("doc_id"), col("root").as("rep"),
         when(col("doc") === col("root"), 1).otherwise(0).as("is_keep"))
       .orderBy("doc_id")
-  }
 
   /** Min-label propagation with pointer jumping over an UNDIRECTED edge
     * list given as one direction ([[components]]'s engine; parameterized

@@ -57,14 +57,17 @@ object StreamingOps {
     * @param maxRows fail loudly if the sink result exceeds this. */
   def runToMemory(spark: SparkSession, streamed: DataFrame,
       mode: String = "complete", minDataBatches: Int = 0,
-      maxRows: Long = MaxSinkRows): DataFrame = {
+      maxRows: Long = MaxSinkRows,
+      stateParts: String = StreamShufflePartitions,
+      rocksDb: Boolean = true): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    spark.conf.set(providerKey,
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    if (rocksDb) spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else spark.conf.unset(providerKey)
     try {
       val q = streamed.writeStream
         .outputMode(mode)
@@ -249,7 +252,11 @@ object StreamingOps {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val feed = timeSplitFeed(spark, dir, n = 4)
+    // 3 slices = the minimum that still proves cross-batch matches; each
+    // extra trigger costs a full state-store open/commit cycle per
+    // partition on BOTH join sides (4 stores each), the dominant cost at
+    // fixture scale
+    val feed = timeSplitFeed(spark, dir, n = 3)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def feedStream(): DataFrame = Tables.normalizeEvents(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed))
@@ -264,7 +271,12 @@ object StreamingOps {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-    runToMemory(spark, joined, mode = "append", minDataBatches = 3)
+    // 2 partitions: a stream-stream join opens FOUR state stores per
+    // partition per trigger (left/right × key-count/key-index); with 150
+    // join keys the per-store fixed cost dominates any parallelism gain.
+    // A production job sizes this to key cardinality / executor count.
+    runToMemory(spark, joined, mode = "append", minDataBatches = 3,
+        stateParts = "2")
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("p_value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
