@@ -40,4 +40,70 @@ class ScanPruningSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"expected 2-column ReadSchema:\n$scan")
   }
+
+  test("dynamic partition pruning injects a runtime partition filter from the dim side") {
+    // fact partitioned on the join key; the selective dim filter is only
+    // knowable at runtime — DPP must turn it into a partition filter on
+    // the fact scan instead of scanning every partition
+    val out = Files.createTempDirectory("graft-dpp").toString
+    graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // the dim side must NOT be constant-foldable (a literal would prune
+    // STATICALLY via constant propagation — also correct, but not DPP)
+    val dim = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("d_type")).distinct()
+      .filter(col("d_type").rlike("^err"))
+    val q = spark.read.parquet(out)
+      .join(dim, col("event_type") === col("d_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n$plan")
+    val expected = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type") === "error").count()
+    assert(q.head().getLong(0) == expected)
+  }
+
+  test("runtime bloom-filter join pruning injects on a selective fact-fact join") {
+    // Spark's runtime row-group filtering: the selective side's join keys
+    // feed a bloom filter applied to the big side BEFORE the shuffle —
+    // the row-level analog of DPP, essential when the big side is not
+    // partitioned on the join key
+    val prev = (
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    // the filter only injects when the app side exceeds the size threshold
+    // (fixtures are tiny: floor it) and when the join would SHUFFLE — a
+    // broadcast join already ships the keys, so disable auto-broadcast to
+    // model the fact-fact case the filter exists for
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_totalprice") > 300000.0)  // selective creation side
+        .select("o_orderkey")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("s"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter"),
+        s"expected a bloom_filter runtime filter on the fact side:\n$optimized")
+      // the filter is a pure pruning optimization: result unchanged
+      val expected = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .join(spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .filter(col("o_totalprice") > 300000.0),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("s")).head().getDouble(0)
+      assert(q.head().getDouble(0) == expected)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev._1)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", prev._2)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._3)
+    }
+  }
 }
