@@ -283,22 +283,28 @@ object TextAnalysis {
     Engine.tune(spark)
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
-    val tok = d.select(col("doc_id"), explode(col("arr")).as("token"))
-    val base = tok.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("token")).as("n_types"))
-    val topTok = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_tok"))
+    // ONE (doc, token) count frame feeds all three token stats: total
+    // occurrences = sum(c), distinct types = count(*), top frequency =
+    // max(c) — one scan + two exchanges instead of separate count /
+    // countDistinct / max pipelines (countDistinct alone would expand to
+    // a two-level aggregate of its own)
+    val base = d.select(col("doc_id"), explode(col("arr")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("top_tok"))
     val topBg = d.filter(size(col("arr")) >= 2)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
-    base.join(topTok, Seq("doc_id")).join(topBg, Seq("doc_id"), "left")
+    base.join(topBg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         ((col("n_tokens") - col("n_types")) * lit(1.0) / col("n_tokens")).as("dup_ratio"),
         (col("top_tok") * lit(1.0) / col("n_tokens")).as("top_token_ratio"),
-        coalesce(col("top_bg") * lit(1.0) / (col("n_tokens") - 1), lit(0.0)).as("top_bigram_ratio"))
+        coalesce(col("top_bg") * lit(1.0) / (col("n_tokens") - 1), lit(0.0))
+          .as("top_bigram_ratio"))
       .withColumn("repetitive",
         when(col("dup_ratio") > 0.6 || col("top_bigram_ratio") > 0.2, 1).otherwise(0))
       .orderBy("doc_id")
@@ -414,11 +420,9 @@ object TextAnalysis {
         |tok AS (
         |  SELECT doc_id, t.token FROM d, UNNEST(arr) AS t(token)),
         |base AS (
-        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_types
-        |  FROM tok GROUP BY doc_id),
-        |toptok AS (
-        |  SELECT doc_id, max(c) AS top_tok FROM (
-        |    SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_types, max(c) AS top_tok
+        |  FROM (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
         |  GROUP BY doc_id),
         |topbg AS (
         |  SELECT doc_id, max(c) AS top_bg FROM (
@@ -430,12 +434,12 @@ object TextAnalysis {
         |  GROUP BY doc_id)
         |SELECT b.doc_id, b.n_tokens, b.n_types,
         |  (b.n_tokens - b.n_types) * 1.0 / b.n_tokens AS dup_ratio,
-        |  tt.top_tok * 1.0 / b.n_tokens AS top_token_ratio,
+        |  b.top_tok * 1.0 / b.n_tokens AS top_token_ratio,
         |  coalesce(tb.top_bg * 1.0 / (b.n_tokens - 1), 0.0) AS top_bigram_ratio,
         |  CASE WHEN (b.n_tokens - b.n_types) * 1.0 / b.n_tokens > 0.6
         |         OR coalesce(tb.top_bg * 1.0 / (b.n_tokens - 1), 0.0) > 0.2
         |       THEN 1 ELSE 0 END AS repetitive
-        |FROM base b JOIN toptok tt ON b.doc_id = tt.doc_id
+        |FROM base b
         |LEFT JOIN topbg tb ON b.doc_id = tb.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "text_pii_scrub" ->
