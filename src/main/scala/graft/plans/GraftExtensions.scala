@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayDotProduct, ArrayNorm2}
+import graft.functions.{ArrayDotProduct, ArrayNorm2, TopKValues}
 
 /** Algebraic rewrite over the native vector expressions: a self dot
   * product IS the squared norm, and [[ArrayNorm2]]'s generated loop does
@@ -55,6 +55,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         checkArity("graft_norm2", 1, args)
         ArrayNorm2(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKValues].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_topk", 2, args)
+        val k = args(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+            messageParameters = Map("functionName" -> "graft_topk"),
+            cause = None)
+        }
+        TopKValues(args(0), k)
       }))
     ext.injectOptimizerRule(_ => DotToNorm)
     ext.injectPlannerStrategy(_ => TopKStrategy)

@@ -168,6 +168,29 @@ object RelationalQueries {
       .orderBy("rf", "ls")
   }
 
+  // ---- top-3 order values per priority through the CUSTOM AGGREGATE
+  // (functions.TopKValues, a TypedImperativeAggregate): a bounded k-heap
+  // that runs as a partial aggregate before the shuffle and merges after,
+  // so the exchange carries one <=k-value buffer per (partition, group) —
+  // what collect_list+slice cannot do (it ships every row). Oracle is the
+  // DuckDB ordered-list aggregate; values are exact copies (no
+  // arithmetic), so doubles match bit-for-bit.
+  def topKAgg(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val aggCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKValues(
+        org.apache.spark.sql.GraftBridge.expression(col("o_totalprice")), 3)
+        .toAggregateExpression())
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(aggCol.as("topv"))
+      .select(col("o_orderpriority"),
+        try_element_at(col("topv"), lit(1)).as("top1"),
+        try_element_at(col("topv"), lit(2)).as("top2"),
+        try_element_at(col("topv"), lit(3)).as("top3"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- grouping sets: CUBE over (returnflag, linestatus) — all four
   // grouping combinations in one pass (rollup covers three); Spark plans
   // a single Expand + aggregate, the same shape DuckDB's CUBE uses.
@@ -391,6 +414,7 @@ object RelationalQueries {
     "rel_salted_join_hot" -> (saltedJoinHot _),
     "rel_asof_join" -> (asofJoin _),
     "rel_topk_per_group" -> (topKPerGroup _),
+    "rel_topk_agg" -> (topKAgg _),
     "rel_range_join_binned" -> (rangeJoinBinned _),
     "rel_window_running" -> (windowRunning _),
     "rel_union" -> (unionYears _),
@@ -530,6 +554,13 @@ object RelationalQueries {
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "rel_topk_agg" ->
+      """SELECT o_orderpriority, l[1] AS top1, l[2] AS top2, l[3] AS top3
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS l
+        |  FROM orders GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "rel_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

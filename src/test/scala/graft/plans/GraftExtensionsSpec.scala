@@ -46,6 +46,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(wrongArity.getMessage.contains("graft_dot"))
       assert(wrongArity.getMessage.contains("2"))
+      // the custom aggregate registers and aggregates through SQL
+      val topk = s.sql(
+        "SELECT graft_topk(CAST(n AS DOUBLE), 2) AS t FROM VALUES (1), (5), (3) v(n)")
+        .head().getSeq[Double](0)
+      assert(topk == Seq(5.0, 3.0))
+      val badK = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_topk(CAST(n AS DOUBLE), n) FROM VALUES (1) v(n)").collect()
+      }
+      assert(badK.getMessage.contains("graft_topk"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
