@@ -234,6 +234,38 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Native session windows (`session_window`): per-user sessions with a
+    * 30-minute inactivity gap as a streaming aggregate — the declarative
+    * dual of the `mapGroupsWithState` summary ([[sessionSummary]]) and of
+    * the batch `ev_sessionize` window pipeline. Runs across ≥3
+    * micro-batches, so OPEN sessions provably merge across trigger
+    * boundaries (an event in batch i+1 extends a session opened in batch
+    * i); append mode emits a session only once the watermark passes its
+    * end, which also EVICTS its state — the bounded-state property.
+    * Boundary semantics pinned against the oracle: an event exactly
+    * `gap` after the previous one starts a NEW session (Spark merges
+    * only strictly-overlapping windows), and a session is emitted when
+    * `end <= watermark` (ms-floored max event time − 10 min). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val agg = Tables.normalizeEvents(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, mode = "append", minDataBatches = 3)
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("first_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "first_us")
+  }
+
   /** Watermarked STREAM-STREAM inner join: click→purchase attribution —
     * each click joined to the same user's purchases within the following
     * hour, both sides unbounded streams. The equi-key (user) plus the
@@ -317,7 +349,8 @@ object StreamingOps {
     "stream_session_summary" -> (sessionSummary _),
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_static_join" -> (streamStaticJoin _),
-    "stream_stream_join" -> (streamStreamJoin _))
+    "stream_stream_join" -> (streamStreamJoin _),
+    "stream_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
     "stream_complete_counts" ->
@@ -350,6 +383,30 @@ object StreamingOps {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // gap-sessionization in exact integer micros; session starts when the
+    // inter-event gap is >= 30 min (Spark merges only strictly-overlapping
+    // session windows), emitted once end <= the final watermark
+    "stream_session_window" ->
+      s"""WITH wm AS (
+         |  SELECT epoch_us(date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE) AS w
+         |  FROM events),
+         |t AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+         |f AS (
+         |  SELECT user_id, t_us,
+         |    CASE WHEN t_us - lag(t_us) OVER w2 >= 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM t WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         |s AS (
+         |  SELECT user_id, t_us,
+         |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sn
+         |  FROM f),
+         |g AS (
+         |  SELECT user_id, sn, min(t_us) AS first_us,
+         |         max(t_us) + 1800000000 AS end_us, count(*) AS n_events
+         |  FROM s GROUP BY user_id, sn)
+         |SELECT user_id, first_us, end_us, n_events
+         |FROM g, wm WHERE end_us <= w
+         |ORDER BY user_id, first_us""".stripMargin,
     // watermark-correct append output over an ordered feed == batch join
     "stream_stream_join" ->
       """SELECT c.user_id, count(*) AS n_pairs,
