@@ -92,7 +92,26 @@ object EventQueries {
       .orderBy("bucket")
   }
 
+  /** Dense hourly timeline: every hour between the corpus min and max
+    * gets a row, count 0 where no events landed — the gap-filling
+    * (resample) step a time-series pipeline needs before rolling
+    * windows or models. The spine is generated from ONE tiny aggregate
+    * row (min/max) + sequence-explode; the join is hour-keyed, so at
+    * scale the spine side broadcasts (it is |hours|, not |events|). */
+  def hourlyDense(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+    spine.join(hourly, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hourly_dense" -> (hourlyDense _),
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _),
@@ -117,6 +136,15 @@ object EventQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "ev_hourly_dense" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b)
+        |SELECT spine.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+        |FROM spine LEFT JOIN h USING (hr)
+        |ORDER BY hr""".stripMargin,
     "ev_histogram" ->
       s"""SELECT bucket, bucket * ${BucketWidth} AS lo, count(*) AS cnt
          |FROM (

@@ -409,6 +409,33 @@ object RelationalQueries {
       .orderBy("l_linestatus")
   }
 
+  // ---- unpivot (melt): the wide pivot result back to long form — the
+  // inverse reshaping op. Plans as a single Expand (one pass, 3 output
+  // rows per input row), no shuffle beyond the pivot's own aggregate.
+  def unpivotFlags(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    pivotFlags(spark, dir)
+      .unpivot(Array(col("l_linestatus")), Array(col("A"), col("N"), col("R")),
+        "flag", "sum_qty")
+      .orderBy("l_linestatus", "flag")
+  }
+
+  // ---- correlated scalar subquery: per-customer order count written as a
+  // correlated subquery — Catalyst MUST decorrelate it into an aggregate +
+  // left outer join (RewriteCorrelatedScalarSubquery); a per-row re-scan
+  // of orders would be quadratic and is not a plan Spark can emit.
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_cust")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_ord")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM graft_ord WHERE o_custkey = c_custkey) AS n_orders
+        |FROM graft_cust
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_join" -> (saltedJoin _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
@@ -419,6 +446,8 @@ object RelationalQueries {
     "rel_window_running" -> (windowRunning _),
     "rel_union" -> (unionYears _),
     "rel_pivot" -> (pivotFlags _),
+    "rel_unpivot" -> (unpivotFlags _),
+    "rel_corr_subquery" -> (corrSubquery _),
     "rel_q1_pricing" -> (q1Pricing _),
     "rel_q3_topk" -> (q3TopK _),
     "rel_q5_region_rev" -> (q5RegionRevenue _),
@@ -453,6 +482,24 @@ object RelationalQueries {
         |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // manual UNION ALL melt (portable across both engines' UNPIVOT quirks)
+    "rel_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_linestatus,
+        |    sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, 'A' AS flag, A AS sum_qty FROM p
+        |UNION ALL SELECT l_linestatus, 'N', N FROM p
+        |UNION ALL SELECT l_linestatus, 'R', R FROM p
+        |ORDER BY l_linestatus, flag""".stripMargin,
+    "rel_corr_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
