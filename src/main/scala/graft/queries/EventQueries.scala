@@ -110,8 +110,30 @@ object EventQueries {
       .orderBy("hr")
   }
 
+  /** Hour-over-hour cohort retention: of the distinct users active in
+    * hour h, how many are also active in hour h+1 — the engagement
+    * metric every product-analytics pipeline computes. One distinct
+    * (hour, user) frame joined to its own hour-shifted self (left-semi,
+    * equi on both keys): the join shuffles on (hr, user), no windows,
+    * no per-user collection. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val act = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hr"), col("user_id"))
+      .distinct()
+    val nxt = act.select((col("hr") - expr("interval 1 hour")).as("hr"), col("user_id"))
+    val retained = act.join(nxt, Seq("hr", "user_id"), "left_semi")
+      .groupBy("hr").agg(count(lit(1)).as("n_retained"))
+    act.groupBy("hr").agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("hr"), "left")
+      .select(col("hr"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_dense" -> (hourlyDense _),
+    "ev_retention" -> (retention _),
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _),
@@ -136,6 +158,20 @@ object EventQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "ev_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events),
+        |ret AS (
+        |  SELECT a.hr, count(*) AS n_retained
+        |  FROM act a
+        |  WHERE EXISTS (SELECT 1 FROM act b
+        |                WHERE b.user_id = a.user_id
+        |                  AND b.hr = a.hr + INTERVAL 1 HOUR)
+        |  GROUP BY a.hr)
+        |SELECT act.hr, count(*) AS n_active,
+        |       CAST(coalesce(any_value(ret.n_retained), 0) AS BIGINT) AS n_retained
+        |FROM act LEFT JOIN ret ON act.hr = ret.hr
+        |GROUP BY act.hr ORDER BY act.hr""".stripMargin,
     "ev_hourly_dense" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt

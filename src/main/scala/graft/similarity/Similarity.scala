@@ -97,6 +97,27 @@ object Similarity {
       .orderBy(desc("cos_r"), asc("vec_id"))
   }
 
+  /** Hybrid retrieval: keyword prefilter on the documents table, then
+    * cosine ranking of the survivors' embeddings against the query
+    * vector — the filter-then-rank shape of every production hybrid
+    * (lexical + vector) search. The keyword filter prunes BEFORE the
+    * embedding join, so the expensive side of the join is |matches|,
+    * not |corpus|; the embedding side joins on its key and the tiny
+    * query vector broadcasts. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("text").contains("shuffle"))
+      .select(col("doc_id"))
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .orderBy(desc("cos_r"), asc("doc_id"))
+      .limit(10)
+  }
+
   /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
     * set (vec_id < 8), ranked per query by a window function. The shape is
     * the scale path for "embed the eval set, find its neighbors in the
@@ -198,6 +219,7 @@ object Similarity {
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
     "sim_range_search" -> (rangeSearch _),
+    "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_centroids" -> (centroidComponents _))
 
@@ -243,6 +265,19 @@ object Similarity {
          |  GROUP BY e.vec_id)
          |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
          |FROM s ORDER BY cos_r DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_hybrid_search" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE contains(text, 'shuffle')),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT d.doc_id,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+        |  FROM d JOIN embeddings e ON d.doc_id = e.vec_id, q,
+        |       UNNEST(range(1, len(e.embedding) + 1)) t(i)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
+        |FROM s ORDER BY cos_r DESC, doc_id ASC LIMIT 10""".stripMargin,
     "sim_range_search" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (

@@ -392,7 +392,24 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Corpus-wide top-20 word bigrams — the n-gram frequency table behind
+    * n-gram LM scoring and benchmark-contamination analysis. One explode
+    * + one grouped count with map-side partial aggregation; top-k plans
+    * as TakeOrderedAndProject (no global sort materialization). */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bg"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_bigrams" -> (topBigrams _),
     "text_sample_stratified" -> (sampleStratified _),
     "text_repetition" -> (repetition _),
     "text_pii_scrub" -> (piiScrub _),
@@ -408,6 +425,15 @@ object TextAnalysis {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "text_top_bigrams" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS arr FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT arr[CAST(i AS INTEGER)] || ' ' || arr[CAST(i+1 AS INTEGER)] AS bg
+        |  FROM d, UNNEST(range(1, len(arr))) t(i))
+        |SELECT bg, count(*) AS cnt FROM bg
+        |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin,
     "text_sample_stratified" ->
       s"""SELECT lang, count(*) AS n_total,
          |  CAST(sum(CASE WHEN $sampleBucketSql <
