@@ -43,6 +43,7 @@ object Formats {
         fmt match {
           case "orc" => writer.orc(out)
           case "csv" => writer.option("header", "true").csv(out)
+          case "json" => writer.json(out)
         }
         marker.createNewFile()
       }
@@ -69,9 +70,21 @@ object Formats {
       .option("header", "true").csv(materialize(spark, dir, "csv")))
   }
 
+  /** NDJSON round-trip: like CSV, the schema is supplied on read (JSON
+    * inference would widen types); doubles survive via shortest-round-trip
+    * literals. NDJSON is splittable, so the scan parallelism matches. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val schema = "l_returnflag STRING, l_linestatus STRING, " +
+      "l_quantity DOUBLE, l_extendedprice DOUBLE"
+    pricingAgg(spark.read.schema(schema)
+      .json(materialize(spark, dir, "json")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_orc_roundtrip" -> (orcRoundtrip _),
-    "src_csv_roundtrip" -> (csvRoundtrip _))
+    "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_json_roundtrip" -> (jsonRoundtrip _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -84,5 +97,6 @@ object Formats {
 
   val oracles: Map[String, String] = Map(
     "src_orc_roundtrip" -> pricingSql,
-    "src_csv_roundtrip" -> pricingSql)
+    "src_csv_roundtrip" -> pricingSql,
+    "src_json_roundtrip" -> pricingSql)
 }
