@@ -81,10 +81,27 @@ object Formats {
       .json(materialize(spark, dir, "json")))
   }
 
+  /** Aggregate over the custom DataSource V2 connector
+    * ([[SyntheticDocsSource]]): the rows are deterministic arithmetic, so
+    * the DuckDB oracle reproduces the identical table from `range()` —
+    * a custom connector under the cross-engine hash gate. `id` is not
+    * referenced, so column pruning must keep the reader from ever
+    * materializing it (asserted in SyntheticDocsSourceSpec). */
+  def dsv2Scan(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "100000").option("parts", "8").load()
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
-    "src_json_roundtrip" -> (jsonRoundtrip _))
+    "src_json_roundtrip" -> (jsonRoundtrip _),
+    "src_dsv2_scan" -> (dsv2Scan _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -98,5 +115,14 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "src_orc_roundtrip" -> pricingSql,
     "src_csv_roundtrip" -> pricingSql,
-    "src_json_roundtrip" -> pricingSql)
+    "src_json_roundtrip" -> pricingSql,
+    // the connector's arithmetic reproduced from range(): same Knuth
+    // multiplicative hash in exact BIGINT, same decimal-summed doubles
+    "src_dsv2_scan" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 100000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSource V2 connector — the SOURCE extension tier next to the
+  * expression/aggregate/operator tiers: `TableProvider` → `ScanBuilder`
+  * (with REQUIRED-COLUMN pushdown) → partitioned `Batch` read. The rows
+  * are a deterministic arithmetic sequence (Knuth multiplicative hash of
+  * the row id in exact BIGINT), so the source needs no storage, scales to
+  * any row count, and — crucially for the oracle gate — DuckDB can
+  * reproduce the exact table from `range()`, making a custom connector
+  * hash-checkable cross-engine.
+  *
+  * Scale shape: `parts` independent `InputPartition`s, each generating a
+  * disjoint id range — reader parallelism is a planning-time knob exactly
+  * like a real connector's split enumeration; column pruning reaches the
+  * reader (unrequested columns are never materialized).
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticDocsSource")
+  * .option("rows", n).option("parts", p).load()`.
+  */
+class SyntheticDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocsSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticTable
+}
+
+object SyntheticDocsSource {
+  val Schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("bucket", IntegerType, nullable = false)
+    .add("score", DoubleType, nullable = false)
+
+  /** Knuth multiplicative hash, exact in BIGINT for id < 2^32. */
+  def h(id: Long): Long = id * 2654435761L % 2147483648L
+}
+
+private class SyntheticTable extends Table with SupportsRead {
+  override def name(): String = "graft_synthetic_docs"
+  override def schema(): StructType = SyntheticDocsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(
+      options.getLong("rows", 100000L),
+      options.getInt("parts", 4))
+}
+
+private class SyntheticScanBuilder(rows: Long, parts: Int)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SyntheticDocsSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SyntheticScan(rows, parts, required)
+}
+
+private class SyntheticScan(rows: Long, parts: Int, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_synthetic_docs rows=$rows parts=$parts cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + parts - 1) / parts
+    (0 until parts).map { i =>
+      SyntheticRange(i * per, math.min((i + 1) * per, rows))
+    }.filter(r => r.end > r.start).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required.fieldNames)
+}
+
+private case class SyntheticRange(start: Long, end: Long) extends InputPartition
+
+private class SyntheticReaderFactory(fields: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SyntheticRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1
+      override def next(): Boolean = { id += 1; id < r.end }
+      override def get(): InternalRow = {
+        val hv = SyntheticDocsSource.h(id)
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          // only REQUESTED columns are materialized (pruned ones never
+          // reach this loop) — the pushdown contract, observable in tests
+          fields(i) match {
+            case "id" => row.setLong(i, id)
+            case "bucket" => row.setInt(i, (hv % 16L).toInt)
+            case "score" => row.setDouble(i, (hv % 1000L).toDouble / 1000.0)
+          }
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

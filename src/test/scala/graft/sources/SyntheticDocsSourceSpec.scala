@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** DataSource V2 contracts of the custom connector: split planning
+  * drives parallelism, and required-column pushdown reaches the scan. */
+class SyntheticDocsSourceSpec extends SparkSpec {
+
+  private def read(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.SyntheticDocsSource")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  test("planInputPartitions drives reader parallelism and covers every id once") {
+    val df = read(1000, 7)
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 1000)
+    assert(df.agg(countDistinct(col("id"))).head().getLong(0) == 1000)
+    // one short partition (1000 = 6*143 + 142): ranges cover exactly [0, 1000)
+    assert(df.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(0L, 999L))
+  }
+
+  test("required-column pushdown prunes the scan to referenced columns") {
+    val q = read(100, 2).select(col("bucket"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=bucket"), s"expected pruned scan description:\n$scan")
+    assert(!scan.contains("cols=id,bucket,score"), s"scan not pruned:\n$scan")
+  }
+
+  test("row arithmetic matches the documented hash") {
+    val r = read(10, 1).orderBy("id").collect()
+    r.foreach { row =>
+      val h = SyntheticDocsSource.h(row.getLong(0))
+      assert(row.getInt(1) == (h % 16L).toInt)
+      assert(row.getDouble(2) == (h % 1000L).toDouble / 1000.0)
+    }
+  }
+}
