@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -51,35 +52,71 @@ private class SyntheticTable extends Table with SupportsRead {
   override def name(): String = "graft_synthetic_docs"
   override def schema(): StructType = SyntheticDocsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticScanBuilder(
       options.getLong("rows", 100000L),
-      options.getInt("parts", 4))
+      options.getInt("parts", 4),
+      options.getLong("rowsPerBatch", 0L))
 }
 
-private class SyntheticScanBuilder(rows: Long, parts: Int)
+private class SyntheticScanBuilder(rows: Long, parts: Int, perBatch: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = SyntheticDocsSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SyntheticScan(rows, parts, required)
+  override def build(): Scan = new SyntheticScan(rows, parts, perBatch, required)
 }
 
-private class SyntheticScan(rows: Long, parts: Int, required: StructType)
+private class SyntheticScan(rows: Long, parts: Int, perBatch: Long, required: StructType)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_synthetic_docs rows=$rows parts=$parts cols=${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + parts - 1) / parts
+  private[sources] def splitRange(start: Long, end: Long): Array[InputPartition] = {
+    val n = end - start
+    val per = (n + parts - 1) / parts
     (0 until parts).map { i =>
-      SyntheticRange(i * per, math.min((i + 1) * per, rows))
+      SyntheticRange(start + i * per, math.min(start + (i + 1) * per, end))
     }.filter(r => r.end > r.start).toArray[InputPartition]
   }
+  override def planInputPartitions(): Array[InputPartition] = splitRange(0L, rows)
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames)
+
+  /** The STREAMING face of the same scan: offsets are row ids; admission
+    * control caps each trigger at `rowsPerBatch` ids (the rate-limited
+    * source shape, here bounded by `rows` so the fixture drains). Offset
+    * bookkeeping is exactly a real source's: the engine advances
+    * start→latestOffset(start, limit) per trigger, ranges replay
+    * deterministically from (start, end] on recovery, commit is a no-op
+    * because the generator is stateless. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl {
+      private val step = if (perBatch > 0) perBatch else rows
+      override def initialOffset(): Offset = SyntheticOffset(0L)
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "admission-controlled source: engine must call latestOffset(start, limit)")
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+        SyntheticOffset(math.min(start.asInstanceOf[SyntheticOffset].v + step, rows))
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step)
+      override def reportLatestOffset(): Offset = SyntheticOffset(rows)
+      override def deserializeOffset(json: String): Offset =
+        SyntheticOffset(json.trim.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        splitRange(start.asInstanceOf[SyntheticOffset].v,
+          end.asInstanceOf[SyntheticOffset].v)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SyntheticReaderFactory(required.fieldNames)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+private case class SyntheticOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
 }
 
 private case class SyntheticRange(start: Long, end: Long) extends InputPartition

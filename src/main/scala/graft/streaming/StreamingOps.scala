@@ -234,6 +234,24 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** The custom DataSource V2 connector's STREAMING face
+    * ([[graft.sources.SyntheticDocsSource]] via MICRO_BATCH_READ +
+    * admission control): offsets are row ids, each trigger admits
+    * `rowsPerBatch`, so 20k rows drain over 4 micro-batches into a
+    * complete-mode aggregate — a custom streaming source with real
+    * offset bookkeeping under the cross-engine hash gate (the oracle
+    * reproduces the deterministic table from `range()`). */
+  def dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val stream = spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "20000").option("parts", "4").option("rowsPerBatch", "5000")
+      .load()
+    val agg = stream.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+    runToMemory(spark, agg, minDataBatches = 3).orderBy("bucket")
+  }
+
   /** Native session windows (`session_window`): per-user sessions with a
     * 30-minute inactivity gap as a streaming aggregate — the declarative
     * dual of the `mapGroupsWithState` summary ([[sessionSummary]]) and of
@@ -350,7 +368,8 @@ object StreamingOps {
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
-    "stream_session_window" -> (sessionWindows _))
+    "stream_session_window" -> (sessionWindows _),
+    "stream_dsv2_source" -> (dsv2Stream _))
 
   val oracles: Map[String, String] = Map(
     "stream_complete_counts" ->
@@ -383,6 +402,15 @@ object StreamingOps {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the connector's deterministic arithmetic reproduced from range();
+    // complete mode over the drained bounded stream == the batch aggregate
+    "stream_dsv2_source" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 20000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
     // gap-sessionization in exact integer micros; session starts when the
     // inter-event gap is >= 30 min (Spark merges only strictly-overlapping
     // session windows), emitted once end <= the final watermark

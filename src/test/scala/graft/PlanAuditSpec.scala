@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
   // intended broadcast 1×N products: a tiny broadcast query side against
   // the corpus scan (crossJoin(broadcast(q)) in Similarity)
   private val broadcastProductIntended =
-    Set("sim_cosine_topk", "sim_knn_batch", "sim_range_search")
+    Set("sim_cosine_topk", "sim_knn_batch", "sim_range_search", "sim_hybrid_search")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
