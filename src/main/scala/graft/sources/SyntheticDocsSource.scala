@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,19 +62,50 @@ private class SyntheticTable extends Table with SupportsRead {
 }
 
 private class SyntheticScanBuilder(rows: Long, parts: Int, perBatch: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = SyntheticDocsSource.Schema
+  private var lo = 0L
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SyntheticScan(rows, parts, perBatch, required)
+  /** Range predicates on `id` narrow the GENERATED split range — the
+    * connector-side analog of parquet row-group pruning: pruned ids are
+    * never produced, not produced-then-filtered. Anything else is
+    * returned as a residual for Spark to evaluate. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new SyntheticScan(rows, parts, perBatch, required, lo, hi)
 }
 
-private class SyntheticScan(rows: Long, parts: Int, perBatch: Long, required: StructType)
+private class SyntheticScan(rows: Long, parts: Int, perBatch: Long,
+    required: StructType, lo: Long, hi: Long)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_synthetic_docs rows=$rows parts=$parts cols=${required.fieldNames.mkString(",")}"
+    s"graft_synthetic_docs rows=$rows parts=$parts " +
+      s"idrange=[${math.max(0L, lo)},${math.min(rows, hi)}) " +
+      s"cols=${required.fieldNames.mkString(",")}"
   private[sources] def splitRange(start: Long, end: Long): Array[InputPartition] = {
     val n = end - start
     val per = (n + parts - 1) / parts
@@ -81,7 +113,11 @@ private class SyntheticScan(rows: Long, parts: Int, perBatch: Long, required: St
       SyntheticRange(start + i * per, math.min(start + (i + 1) * per, end))
     }.filter(r => r.end > r.start).toArray[InputPartition]
   }
-  override def planInputPartitions(): Array[InputPartition] = splitRange(0L, rows)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = math.max(0L, lo)
+    val e = math.min(rows, hi)
+    splitRange(s, math.max(s, e))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames)
 

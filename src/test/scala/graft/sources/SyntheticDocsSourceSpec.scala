@@ -28,6 +28,21 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     assert(!scan.contains("cols=id,bucket,score"), s"scan not pruned:\n$scan")
   }
 
+  test("pushed id-range filters narrow the generated splits (connector-side pruning)") {
+    val q = read(1000000, 4).filter(col("id") >= 500 && col("id") < 700)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("idrange=[500,700)"), s"expected narrowed range:\n$scan")
+    // pruned ids are never produced: partition row counts sum to the range
+    assert(q.count() == 200)
+    assert(q.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(500L, 699L))
+    // a non-range predicate stays residual and still evaluates correctly
+    val mixed = read(1000, 2).filter(col("id") < 100 && col("bucket") === 3)
+    val expected = read(1000, 2).collect()
+      .count(r => r.getLong(0) < 100 && r.getInt(1) == 3)
+    assert(mixed.count() == expected)
+  }
+
   test("row arithmetic matches the documented hash") {
     val r = read(10, 1).orderBy("id").collect()
     r.foreach { row =>
