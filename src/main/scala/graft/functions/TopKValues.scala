@@ -71,9 +71,17 @@ case class TopKValues(
     else if (v > buf.peek()) { buf.poll(); buf.add(v) }
 
   override def eval(buf: java.util.PriorityQueue[java.lang.Double]): Any = {
+    // NON-destructive: eval may run more than once against a live buffer
+    // (e.g. the aggregate evaluated per-frame over a window), so read the
+    // heap's elements without polling it empty
     val arr = new Array[Double](buf.size())
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = buf.poll(); i -= 1 } // heap pops worst-first
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    // ascending → reverse in place for descending output
+    var l = 0; var r = arr.length - 1
+    while (l < r) { val t = arr(l); arr(l) = arr(r); arr(r) = t; l += 1; r -= 1 }
     new GenericArrayData(arr)
   }
 

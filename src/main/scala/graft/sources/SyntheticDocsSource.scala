@@ -141,9 +141,14 @@ private class SyntheticScan(rows: Long, parts: Int, perBatch: Long,
       override def reportLatestOffset(): Offset = SyntheticOffset(rows)
       override def deserializeOffset(json: String): Offset =
         SyntheticOffset(json.trim.toLong)
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        splitRange(start.asInstanceOf[SyntheticOffset].v,
-          end.asInstanceOf[SyntheticOffset].v)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        // intersect the trigger's offset range with the PUSHED id range:
+        // Spark removed accepted filters from the residual, so ignoring
+        // lo/hi here would silently un-filter the stream
+        val s = math.max(start.asInstanceOf[SyntheticOffset].v, math.max(0L, lo))
+        val e = math.min(end.asInstanceOf[SyntheticOffset].v, math.min(rows, hi))
+        splitRange(s, math.max(s, e))
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         new SyntheticReaderFactory(required.fieldNames)
       override def commit(end: Offset): Unit = ()

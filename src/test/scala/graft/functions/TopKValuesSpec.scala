@@ -38,6 +38,21 @@ class TopKValuesSpec extends SparkSpec {
     assert(plan.contains("partial_graft_topk"), s"expected a partial phase:\n$plan")
   }
 
+  test("eval is non-destructive: the aggregate works as a window function") {
+    val df = Seq((1L, 5.0), (1L, 9.0), (1L, 2.0), (2L, 3.0), (2L, 7.0))
+      .toDF("g", "v")
+    val aggCol = org.apache.spark.sql.GraftBridge.column(
+      TopKValues(org.apache.spark.sql.GraftBridge.expression(col("v")), 2)
+        .toAggregateExpression())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    // every row of a group must see the SAME (complete) top-k — a
+    // destructive eval would drain the buffer after the first row
+    val got = df.withColumn("topv", aggCol.over(w))
+      .select("g", "topv").distinct().orderBy("g")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(got == Seq((1L, Seq(9.0, 5.0)), (2L, Seq(7.0, 3.0))))
+  }
+
   test("groups smaller than k emit all their values, sorted descending") {
     val df = Seq((1L, 5.0), (1L, 9.0), (2L, 3.0)).toDF("g", "v")
     val aggCol = org.apache.spark.sql.GraftBridge.column(

@@ -43,6 +43,19 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     assert(mixed.count() == expected)
   }
 
+  test("streaming face honors pushed id-range filters (no silent un-filtering)") {
+    // Spark removes accepted filters from the residual, so the stream
+    // MUST apply the pushed range in its own offset planning
+    val stream = spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "1000").option("parts", "2").option("rowsPerBatch", "250")
+      .load()
+      .filter(col("id") >= 100 && col("id") < 300)
+    val out = graft.streaming.StreamingOps.runToMemory(
+      spark, stream.groupBy().agg(count(lit(1)).as("cnt"),
+        min("id").as("lo"), max("id").as("hi")))
+    assert(out.head() == org.apache.spark.sql.Row(200L, 100L, 299L))
+  }
+
   test("row arithmetic matches the documented hash") {
     val r = read(10, 1).orderBy("id").collect()
     r.foreach { row =>
