@@ -131,9 +131,31 @@ object EventQueries {
       .orderBy("hr")
   }
 
+  /** Ordered funnel: users who signed up, then clicked after signing up,
+    * then purchased after clicking — first-touch ordering per stage. One
+    * conditional-min aggregate per user + one global rollup: no joins,
+    * no window, two shuffles total regardless of stage count (the
+    * per-stage-join spelling pays a shuffle per stage). Null stage
+    * times drop out of the `<` comparisons identically in both engines. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val firsts = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts.agg(
+      sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("t_signup") < col("t_click"), 1L).otherwise(0L)).as("n_signup_click"),
+      sum(when(col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"),
+        1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_dense" -> (hourlyDense _),
     "ev_retention" -> (retention _),
+    "ev_funnel" -> (funnel _),
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _),
@@ -158,6 +180,19 @@ object EventQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "ev_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM f""".stripMargin,
     "ev_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events),

@@ -409,6 +409,42 @@ object RelationalQueries {
       .orderBy("l_linestatus")
   }
 
+  // ---- value-based window frame (RANGE BETWEEN): for each order, how
+  // many of the same customer's orders fall within ±30 days of it — a
+  // sliding event-time neighborhood that ROWS frames cannot express
+  // (the frame width varies with value gaps, not row counts).
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val day = 86400L
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_epoch"))
+      .rangeBetween(-30 * day, 30 * day)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).as("o_epoch"))
+      .withColumn("n_near", count(lit(1)).over(w))
+      .orderBy("o_custkey", "o_epoch", "o_orderkey")
+  }
+
+  // ---- argument extremes (min_by/max_by): the orderkey holding each
+  // priority's cheapest/priciest order. The comparison value is made
+  // UNIQUE (price paired with orderkey in exact integer arithmetic), so
+  // the result is deterministic on both engines — bare min_by on a tied
+  // value is engine-arbitrary and would never hash-match.
+  def argExtremes(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    // o_totalprice has 2 decimals: ×100 is exact in the double's integer
+    // range, so rank = price*100 * 10^10 + orderkey is collision-free
+    val rank = (col("o_totalprice") * 100).cast("long") * 10000000000L + col("o_orderkey")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), rank.as("rk"))
+      .groupBy("o_orderpriority")
+      .agg(min_by(col("o_orderkey"), col("rk")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("rk")).as("priciest_order"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- unpivot (melt): the wide pivot result back to long form — the
   // inverse reshaping op. Plans as a single Expand (one pass, 3 output
   // rows per input row), no shuffle beyond the pivot's own aggregate.
@@ -448,6 +484,8 @@ object RelationalQueries {
     "rel_pivot" -> (pivotFlags _),
     "rel_unpivot" -> (unpivotFlags _),
     "rel_corr_subquery" -> (corrSubquery _),
+    "rel_window_range_frame" -> (windowRangeFrame _),
+    "rel_arg_extremes" -> (argExtremes _),
     "rel_q1_pricing" -> (q1Pricing _),
     "rel_q3_topk" -> (q3TopK _),
     "rel_q5_region_rev" -> (q5RegionRevenue _),
@@ -500,6 +538,21 @@ object RelationalQueries {
         |FROM customer
         |WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin,
+    "rel_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, epoch(o_orderdate) AS o_epoch,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |                 RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) AS n_near
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_epoch, o_orderkey""".stripMargin,
+    "rel_arg_extremes" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice * 100 AS BIGINT) * 10000000000 + o_orderkey AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  min_by(o_orderkey, rk) AS cheapest_order,
+        |  max_by(o_orderkey, rk) AS priciest_order
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
