@@ -237,10 +237,14 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc_n")).agg(min(labels("root")).as("nroot"))
       // `old` rides along so convergence is a filter on the checkpointed
-      // frame itself — no extra per-round join
+      // frame itself — no extra per-round join. `prop` is cached (lazily)
+      // because the pointer-jump self-join below references it on BOTH
+      // sides: without the cache each round would execute the
+      // labels⋈nbrMin pipeline twice.
       val prop = labels.join(nbrMin, labels("doc") === nbrMin("doc_n"), "left")
         .select(labels("doc").as("doc"), labels("root").as("old"),
           least(labels("root"), coalesce(col("nroot"), labels("root"))).as("root"))
+        .cache()
       // pointer jumping: follow the label one extra hop (root := label of
       // root). Roots are always nodes of the graph, so the self-join is
       // total; `least` keeps the labeling monotone non-increasing.
@@ -250,6 +254,7 @@ object Dedup {
         .select(col("l.doc").as("doc"), col("l.old").as("old"),
           least(col("l.root"), coalesce(col("rroot"), col("l.root"))).as("root"))
         .localCheckpoint(true)
+      prop.unpersist()
       converged = next.filter(col("root") =!= col("old")).isEmpty
       labels = next.select(col("doc"), col("root"))
       rounds += 1

@@ -120,6 +120,10 @@ object TweetCorpus {
       }
       FileFeeder.feed(tmp, batches, prefix = "tweets")
       Files.createFile(tmp.resolve("_COMPLETE"))
+      def discardTmp(): Unit = {
+        tmp.toFile.listFiles().foreach(_.delete())
+        Files.deleteIfExists(tmp)
+      }
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileSystemException =>
@@ -132,11 +136,14 @@ object TweetCorpus {
               dir.listFiles().foreach(_.delete())
               dir.delete()
             }
-            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          } else {
-            tmp.toFile.listFiles().foreach(_.delete())
-            Files.deleteIfExists(tmp)
-          }
+            // a second racer can win this replacement too; its corpus is
+            // byte-identical, so a marked target means success either way
+            try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e: java.nio.file.FileSystemException =>
+                if (marker.exists()) discardTmp() else throw e
+            }
+          } else discardTmp()
       }
     }
     ScaledDir

@@ -61,14 +61,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKValues].getName, "graft_topk"),
       (args: Seq[Expression]) => {
         checkArity("graft_topk", 2, args)
+        def badK(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+          messageParameters = Map("functionName" -> "graft_topk"),
+          cause = None)
         val k = args(1) match {
           case e if e.foldable && e.dataType ==
               org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
-            messageParameters = Map("functionName" -> "graft_topk"),
-            cause = None)
+            // a foldable NULL would unbox to 0 and escape as an
+            // IllegalArgumentException from the require — keep it an
+            // analyzer error
+            e.eval() match {
+              case null => badK()
+              case v => v.asInstanceOf[Int]
+            }
+          case _ => badK()
         }
         TopKValues(args(0), k)
       }))

@@ -434,9 +434,13 @@ object RelationalQueries {
   // value is engine-arbitrary and would never hash-match.
   def argExtremes(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    // o_totalprice has 2 decimals: ×100 is exact in the double's integer
-    // range, so rank = price*100 * 10^10 + orderkey is collision-free
-    val rank = (col("o_totalprice") * 100).cast("long") * 10000000000L + col("o_orderkey")
+    // price*100 in doubles is NOT exact (1234.56*100 = 123455.999…), and
+    // Spark's cast-to-long truncates where DuckDB's rounds — so BOTH
+    // sides floor() the identical double product before the cast. Floor
+    // collisions are harmless: +orderkey keeps the rank unique, and the
+    // collision pattern is engine-identical.
+    val rank = floor(col("o_totalprice") * 100).cast("long") * 10000000000L +
+      col("o_orderkey")
     Tables(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"), rank.as("rk"))
       .groupBy("o_orderpriority")
@@ -547,7 +551,7 @@ object RelationalQueries {
     "rel_arg_extremes" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey,
-        |    CAST(o_totalprice * 100 AS BIGINT) * 10000000000 + o_orderkey AS rk
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey AS rk
         |  FROM orders)
         |SELECT o_orderpriority,
         |  min_by(o_orderkey, rk) AS cheapest_order,

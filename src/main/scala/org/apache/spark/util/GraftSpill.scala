@@ -22,6 +22,12 @@ object GraftSpill {
     implicit val ord: Ordering[InternalRow] = Ordering.comparatorToOrdering(comp)
     val sorter = new ExternalSorter[InternalRow, Null, Null](
       TaskContext.get(), aggregator = None, partitioner = None, ordering = Some(ord))
+    // the consumer may abandon the iterator early (limit above the
+    // operator); stop() at task completion releases spill files and
+    // execution memory even then — the CompletionIterator only covers
+    // full exhaustion (stop() is idempotent)
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => sorter.stop()))
     sorter.insertAll(rows.map(r => (r, null)))
     CompletionIterator[Product2[InternalRow, Null], Iterator[Product2[InternalRow, Null]]](
       sorter.iterator, sorter.stop()).map(_._1)
