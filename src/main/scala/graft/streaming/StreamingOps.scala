@@ -333,6 +333,43 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Milestone emission via `flatMapGroupsWithState` (the 0..n-rows-per-
+    * invocation custom-state primitive, vs `mapGroupsWithState`'s exactly-
+    * one): one output row each time a user's cumulative event count
+    * crosses a multiple of [[MilestoneStep]]. Runs across ≥3 micro-
+    * batches over the time-split feed, so counts provably accumulate in
+    * state between triggers and each milestone is emitted EXACTLY ONCE
+    * (append mode accumulates the emissions; a re-emission would break
+    * the hash against the closed-form oracle). */
+  val MilestoneStep = 25L
+
+  def milestones(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val step = MilestoneStep
+    val out = Tables.normalizeEvents(stream)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          ((before / step + 1) to (after / step)).map(m => (user, m * step)).iterator
+      }
+    runToMemory(spark, out.toDF("user_id", "milestone"),
+        mode = "append", minDataBatches = 3)
+      .orderBy("user_id", "milestone")
+  }
+
   /** Streaming deduplication (dropDuplicates over the stream's key column):
     * bounded-input distinct set; ordering applied to the materialized
     * result (a sort inside the stream is illegal in append mode). */
@@ -369,6 +406,7 @@ object StreamingOps {
     "stream_static_join" -> (streamStaticJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
+    "stream_milestones" -> (milestones _),
     "stream_dsv2_source" -> (dsv2Stream _))
 
   val oracles: Map[String, String] = Map(
@@ -402,6 +440,13 @@ object StreamingOps {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // closed form of exactly-once milestone emission: user u emits
+    // m*step for m = 1 .. total(u) div step
+    "stream_milestones" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+         |SELECT user_id, CAST(m * ${MilestoneStep} AS BIGINT) AS milestone
+         |FROM c, UNNEST(range(1, n // ${MilestoneStep} + 1)) t(m)
+         |ORDER BY user_id, milestone""".stripMargin,
     // the connector's deterministic arithmetic reproduced from range();
     // complete mode over the drained bounded stream == the batch aggregate
     "stream_dsv2_source" ->
