@@ -265,6 +265,25 @@ object Dedup {
     labels
   }
 
+  /** MinHash Jaccard ESTIMATOR over the LSH candidate pairs: estimated
+    * similarity = fraction of agreeing signature components — the number
+    * a production pipeline thresholds on before paying for exact
+    * verification (the estimator is unbiased with sd ≈ 1/√seeds). Joins
+    * the pair list back to the 12-component signatures; both joins are
+    * doc-keyed equi-joins on candidate-sized inputs. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sigs = minhashSignaturesSpec(spark, dir)
+    val matches = (0 until 12)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashLsh(spark, dir)
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (matches / lit(12.0)).as("jac_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.
     * 10 hyperplanes (1024 buckets) keep the within-bucket pair count ~2%
     * of the 6-plane variant; per-vector norms are computed once before
@@ -321,6 +340,7 @@ object Dedup {
     "dedup_components" -> (components _),
     "dedup_keep" -> (keepDecision _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_est" -> (minhashEstimate _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _))
 
@@ -401,6 +421,20 @@ object Dedup {
          |SELECT doc AS doc_id, min(root) AS rep,
          |       CASE WHEN doc = min(root) THEN 1 ELSE 0 END AS is_keep
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    // estimator = agreeing components / 12 over the same candidate pairs;
+    // the mh CTE carries (doc_id, i, minh), so agreement is an equi-join
+    // on the seed index
+    "dedup_minhash_est" ->
+      s"""WITH $minhashCtes,
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) / 12.0 AS jac_est
+         |  FROM pr p
+         |  JOIN mh ma ON ma.doc_id = p.doc_a
+         |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT doc_a, doc_b, jac_est FROM est
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents

@@ -409,6 +409,23 @@ object RelationalQueries {
       .orderBy("l_linestatus")
   }
 
+  // ---- distribution window functions: percent_rank / cume_dist place
+  // each order inside its customer's price distribution; nth_value reads
+  // a fixed position of the full frame. One shuffle on the partition key.
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(full))
+      .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+  }
+
   // ---- value-based window frame (RANGE BETWEEN): for each order, how
   // many of the same customer's orders fall within ±30 days of it — a
   // sliding event-time neighborhood that ROWS frames cannot express
@@ -489,6 +506,7 @@ object RelationalQueries {
     "rel_unpivot" -> (unpivotFlags _),
     "rel_corr_subquery" -> (corrSubquery _),
     "rel_window_range_frame" -> (windowRangeFrame _),
+    "rel_window_dist" -> (windowDist _),
     "rel_arg_extremes" -> (argExtremes _),
     "rel_q1_pricing" -> (q1Pricing _),
     "rel_q3_topk" -> (q3TopK _),
@@ -542,6 +560,16 @@ object RelationalQueries {
         |FROM customer
         |WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin,
+    "rel_window_dist" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_totalprice, 3) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
     "rel_window_range_frame" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate) AS o_epoch,
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
