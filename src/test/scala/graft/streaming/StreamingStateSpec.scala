@@ -110,6 +110,40 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch writes each micro-batch idempotently by batchId") {
+    val dir = Files.createTempDirectory("graft-feb")
+    val out = Files.createTempDirectory("graft-feb-out").toString
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:00:00Z", 1),
+      eventLine("2024-01-01T10:01:00Z", 2))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    val q = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id"))
+      .writeStream
+      // the transactional-sink pattern: each batch lands in its own
+      // overwrite-mode directory, so replaying a batch after a failure
+      // REPLACES its output instead of duplicating it
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T10:02:00Z", 3))), prefix = "b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    assert(batchDirs.length >= 2, s"expected >=2 batch dirs, got ${batchDirs.toSeq}")
+    val total = batchDirs.map(d => spark.read.parquet(d.toString).count()).sum
+    assert(total == 3)
+    // idempotent replay: rewriting a batch's directory replaces, not appends
+    val replay = spark.read.parquet(batchDirs.head.toString)
+    replay.write.mode("overwrite").parquet(batchDirs.head.toString + "_re")
+    assert(spark.read.parquet(batchDirs.head.toString + "_re").count() == replay.count())
+  }
+
   test("a restarted query resumes from its checkpoint exactly-once") {
     val dir = Files.createTempDirectory("graft-restart")
     val cp = Files.createTempDirectory("graft-restart-cp").toString
