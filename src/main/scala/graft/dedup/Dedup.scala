@@ -284,6 +284,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL dedup — the production ingest shape, distinct from the
+    * batch self-dedup family: an incoming batch (doc_id % 10 == 0 stands
+    * in for "today's crawl") is checked against the EXISTING corpus
+    * (everything else) for exact and near duplicates. Both probes are
+    * one-directional equi-joins against a pre-buildable index side
+    * (distinct text hashes / distinct band keys): no self-join, no pair
+    * explosion — at 100 TB the index is maintained incrementally and the
+    * per-batch cost is |batch|, not |corpus|. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (pmod(col("doc_id"), lit(10)) === 0).as("incoming"))
+    val existingH = d.filter(!col("incoming")).select(col("h").as("eh")).distinct()
+    val bandsCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), 12, bandWidth = 2))
+    val bands = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(bandsCol))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+    val existingB = bands.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select("band", "sig").distinct()
+    val near = bands.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .join(existingB, Seq("band", "sig"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("near_hit", lit(1))
+    d.filter(col("incoming"))
+      .join(existingH, col("h") === col("eh"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("eh").isNotNull, 1).otherwise(0).as("is_dup_exact"),
+        coalesce(col("near_hit"), lit(0)).as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.
     * 10 hyperplanes (1024 buckets) keep the within-bucket pair count ~2%
     * of the 6-plane variant; per-vector norms are computed once before
@@ -341,6 +376,7 @@ object Dedup {
     "dedup_keep" -> (keepDecision _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_est" -> (minhashEstimate _),
+    "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _))
 
@@ -349,10 +385,9 @@ object Dedup {
       |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
       |WHERE t.token <> ''""".stripMargin
 
-  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
-    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
-    * the connected-components oracle built on top of it. */
-  private def minhashCtes: String =
+  /** tok→signatures→band-keys as a reusable CTE prefix ending in
+    * `bands(doc_id, band, sig)`. */
+  private def bandsCtes: String =
     s"""tok AS ($distinctTokSql),
        |mh AS (
        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
@@ -361,7 +396,13 @@ object Dedup {
        |  SELECT doc_id, i // 2 AS band,
        |    max(CASE WHEN i % 2 = 0 THEN minh END) || '|' ||
        |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
-       |  FROM mh GROUP BY doc_id, i // 2),
+       |  FROM mh GROUP BY doc_id, i // 2)""".stripMargin
+
+  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
+    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
+    * the connected-components oracle built on top of it. */
+  private def minhashCtes: String =
+    s"""$bandsCtes,
        |small AS (
        |  SELECT band, sig FROM bands GROUP BY band, sig
        |  HAVING count(*) BETWEEN 2 AND ${MaxBucket}),
@@ -421,6 +462,21 @@ object Dedup {
          |SELECT doc AS doc_id, min(root) AS rep,
          |       CASE WHEN doc = min(root) THEN 1 ELSE 0 END AS is_keep
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $bandsCtes,
+         |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+         |exh AS (SELECT DISTINCT md5(text) AS eh FROM documents WHERE doc_id % 10 <> 0),
+         |exb AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 10 <> 0),
+         |near AS (
+         |  SELECT DISTINCT b.doc_id FROM bands b JOIN exb USING (band, sig)
+         |  WHERE b.doc_id % 10 = 0)
+         |SELECT i.doc_id,
+         |  CASE WHEN exh.eh IS NOT NULL THEN 1 ELSE 0 END AS is_dup_exact,
+         |  CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near_dup
+         |FROM inc i
+         |LEFT JOIN exh ON i.h = exh.eh
+         |LEFT JOIN near ON near.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
     // estimator = agreeing components / 12 over the same candidate pairs;
     // the mh CTE carries (doc_id, i, minh), so agreement is an equi-join
     // on the seed index
