@@ -571,8 +571,8 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
     "rel_window_range_frame" ->
-      """SELECT o_custkey, o_orderkey, epoch(o_orderdate) AS o_epoch,
-        |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |                 RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) AS n_near
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_custkey, o_epoch, o_orderkey""".stripMargin,
