@@ -45,14 +45,29 @@ object Bench {
         }
         name -> times.min
       }
-    // Millisecond precision keeps the line compact: the driver retains only
-    // a bounded stdout tail, and at 9 decimal digits an 80-query map
-    // overflows it (BENCH_r02/r03 recorded parsed:null for exactly this).
+    // The driver retains only a ~4 KB stdout tail and parses the JSON line
+    // from it. A full per-query map no longer fits (106 queries × ~28 chars
+    // ≈ 4.9 KB — BENCH_r03/r04 recorded parsed:null for exactly this), so
+    // the stdout line carries the total, per-family subtotals, and the
+    // slowest individual queries, with the complete per-query map written
+    // to BENCH_DETAIL.json in the working directory. A hard length guard
+    // sheds entries rather than ever overflowing the tail again.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val families = results.groupBy(_._1.takeWhile(_ != '_'))
+      .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(-_._2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs":$runs}""")
+    def line(k: Int): String = {
+      val slowest = results.sortBy(-_._2).take(k)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},""" +
+        s""""families":${jmap(families)},"n_queries":${results.size},""" +
+        s""""detail":"BENCH_DETAIL.json","sf":"$sfDir","runs":$runs}"""
+    }
+    println(Iterator.range(15, -1, -1).map(line).find(_.length <= 3000).get)
     spark.stop()
   }
 }
