@@ -339,6 +339,44 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, compare pairs
+    * ONLY within a cluster, and drop every vector that has a
+    * lower-id neighbor above the cosine threshold in its cell (the
+    * deterministic stand-in for the paper's keep-one-representative
+    * rule). Emits the full keep/drop decision table.
+    *
+    * Scale shape — this is the published algorithm's own layout: the
+    * quadratic pair comparison is confined to a cell, and at 100 TB the
+    * cluster count k grows with the corpus so the cell size stays
+    * bounded (the paper uses k ≈ √N); cells are an equi-join key, never
+    * an all-pairs product. Cell assignment reuses the IVF coarse
+    * quantizer ([[graft.similarity.Similarity.cellAssignments]] — exact
+    * integer grid, engine- and partitioning-deterministic), and norms are
+    * hoisted before the self-join exactly like [[embeddingPairs]]. */
+  val SemTau = 0.4
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cells = Similarity.cellAssignments(spark, dir)
+    val bv = emb.join(cells, "vec_id")
+      .withColumn("nrm", sqrt(VectorOps.norm2("embedding")))
+    val drops = bv.alias("a")
+      .join(bv.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vid"), col("a.vec_id").as("lower_id"),
+        round(VectorOps.dot("a.embedding", "b.embedding") /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos_r"))
+      .filter(col("cos_r") >= SemTau)
+      .groupBy("vid").agg(min("lower_id").as("dup_min"))
+    cells.join(drops, col("vec_id") === col("vid"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_min").isNull.as("keep"),
+        coalesce(col("dup_min"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
   /** Near-dup candidate pairs by SimHash banding: 4 bands of 12 bits; any
     * shared band makes a candidate, then exact Hamming distance (one
     * `bit_count(xor)`) filters to <= MaxHamming. By pigeonhole, a pair
@@ -378,7 +416,8 @@ object Dedup {
     "dedup_minhash_est" -> (minhashEstimate _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhash _),
-    "dedup_embedding" -> (embeddingPairs _))
+    "dedup_embedding" -> (embeddingPairs _),
+    "dedup_semantic" -> (semanticDedup _))
 
   private val distinctTokSql =
     """SELECT DISTINCT doc_id, t.token
@@ -563,5 +602,27 @@ object Dedup {
          |SELECT va AS vec_a, vb AS vec_b,
          |       round(dot / (nrm_a * nrm_b), 4) AS cos_r
          |FROM p WHERE round(dot / (nrm_a * nrm_b), 4) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""${Similarity.cellAssignSql},
+         |nrm AS (
+         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id),
+         |e AS (SELECT a.vec_id, a.cell, em.embedding, n.nrm
+         |      FROM assign a JOIN embeddings em USING (vec_id) JOIN nrm n USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS va, b2.vec_id AS vb,
+         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)) AS dot,
+         |    any_value(a.nrm) AS nrm_a, any_value(b2.nrm) AS nrm_b
+         |  FROM e a JOIN e b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id,
+         |       UNNEST(range(1, len(a.embedding) + 1)) t(i)
+         |  GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT vb, CAST(min(va) AS BIGINT) AS dup_min
+         |  FROM p WHERE round(dot / (nrm_a * nrm_b), 4) >= ${SemTau}
+         |  GROUP BY vb)
+         |SELECT a.vec_id, a.cell, d.vb IS NULL AS keep,
+         |       COALESCE(d.dup_min, CAST(-1 AS BIGINT)) AS dup_of
+         |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vb
+         |ORDER BY a.vec_id""".stripMargin)
 }

@@ -155,8 +155,12 @@ object Similarity {
     * pattern) and distances are BIGINT sums; ties break by smallest
     * label. The centroid VALUE is the exact-DECIMAL average (identical
     * doubles on both engines, proven by `sim_centroids`), so its
-    * quantization is identical too. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * quantization is identical too.
+    *
+    * [[cellAssignments]] is the coarse quantizer on its own —
+    * `(vec_id, cell)` — shared with the SemDeDup-style semantic dedup
+    * (`graft.dedup.Dedup.semanticDedup`). */
+  def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -177,11 +181,16 @@ object Similarity {
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
     val argmin = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
-    val assign = dists.withColumn("rk", row_number().over(argmin))
+    dists.withColumn("rk", row_number().over(argmin))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
-    val corpus = emb.join(assign, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
     val q = corpus.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -222,6 +231,28 @@ object Similarity {
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_centroids" -> (centroidComponents _))
+
+  /** DuckDB spelling of [[cellAssignments]] as a CTE prefix ending in
+    * `assign(vec_id, cell)` — shared with `graft.dedup.Dedup`'s
+    * `dedup_semantic` oracle. */
+  private[graft] val cellAssignSql: String =
+    """WITH cent AS (
+      |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+      |  GROUP BY label, i),
+      |vdim AS (
+      |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+      |dists AS (
+      |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
+      |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label),
+      |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+      |assign AS (
+      |  SELECT d.vec_id, min(d.c_label) AS cell
+      |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+      |  GROUP BY d.vec_id)""".stripMargin
 
   private val bucketsSql =
     """WITH d AS (
@@ -311,23 +342,7 @@ object Similarity {
     // quantized-integer cell assignment (floor(x*1024) grid, BIGINT
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" ->
-      """WITH cent AS (
-        |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
-        |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
-        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
-        |  GROUP BY label, i),
-        |vdim AS (
-        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
-        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
-        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
-        |dists AS (
-        |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
-        |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label),
-        |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
-        |assign AS (
-        |  SELECT d.vec_id, min(d.c_label) AS cell
-        |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
-        |  GROUP BY d.vec_id),
+      s"""$cellAssignSql,
         |corpus AS (
         |  SELECT e.vec_id, e.embedding, a.cell
         |  FROM embeddings e JOIN assign a USING (vec_id)),
