@@ -339,6 +339,47 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** End-to-end curation funnel: the composed shape a training-data
+    * pipeline runs over a raw corpus, emitted as the per-stage retention
+    * table (the number every curation report leads with) —
+    * raw → quality gate → exact dedup (keep the min doc_id per text
+    * digest) → fuzzy dedup (drop every doc that appears as the higher id
+    * of a MinHash-LSH candidate pair) → train split. Each stage is the
+    * verified operator it composes (`text_quality`, `dedup_exact`,
+    * `dedup_minhash_lsh`, `text_split_assign`), so this query is the
+    * integration gate of the pipeline surface: its oracle chains the
+    * same CTE spellings.
+    *
+    * Scale shape: every stage is a scan + linear aggregate or an
+    * equi-join (the LSH generator is band-bucketed and capped, see
+    * [[minhashLsh]]). A production run materializes each survivor frame
+    * once (checkpoint) rather than recomputing the chain per stage
+    * count; here the five count branches share one logical subtree and
+    * the posture is identical. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+    val q1 = graft.text.TextAnalysis.quality(spark, dir)
+      .filter(col("quality") === 1).select("doc_id")
+    val s2 = docs.join(q1, "doc_id")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val dropB = minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.join(dropB, Seq("doc_id"), "left_anti")
+    val s4 = graft.text.TextAnalysis.withSplit(docs.join(s3, "doc_id"))
+      .filter(col("split") === "train").select("doc_id")
+    def stage(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    stage(0, "raw", docs)
+      .unionAll(stage(1, "quality", q1))
+      .unionAll(stage(2, "exact_dedup", s2))
+      .unionAll(stage(3, "fuzzy_dedup", s3))
+      .unionAll(stage(4, "train_split", s4))
+      .orderBy("stage_no")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with a coarse quantizer, compare pairs
     * ONLY within a cluster, and drop every vector that has a
@@ -417,7 +458,8 @@ object Dedup {
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _),
-    "dedup_semantic" -> (semanticDedup _))
+    "dedup_semantic" -> (semanticDedup _),
+    "pipeline_curation" -> (curationFunnel _))
 
   private val distinctTokSql =
     """SELECT DISTINCT doc_id, t.token
@@ -624,5 +666,31 @@ object Dedup {
          |SELECT a.vec_id, a.cell, d.vb IS NULL AS keep,
          |       COALESCE(d.dup_min, CAST(-1 AS BIGINT)) AS dup_of
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vb
-         |ORDER BY a.vec_id""".stripMargin)
+         |ORDER BY a.vec_id""".stripMargin,
+    "pipeline_curation" ->
+      s"""WITH $minhashCtes,
+         |qt AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN t.token IN ('the','a') THEN 1 ELSE 0 END) AS stop_cnt
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''
+         |  GROUP BY doc_id),
+         |q1 AS (SELECT doc_id FROM qt
+         |       WHERE n_tokens BETWEEN 5 AND 1000
+         |         AND stop_cnt * 1.0 / n_tokens < 0.5),
+         |s2 AS (SELECT min(d.doc_id) AS doc_id
+         |       FROM documents d JOIN q1 USING (doc_id)
+         |       GROUP BY md5(d.text)),
+         |s3 AS (SELECT doc_id FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_b FROM pr)),
+         |s4 AS (SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)
+         |       WHERE ${graft.text.TextAnalysis.splitBucketSql} < 90)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_no, 'raw' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q1)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'train_split', (SELECT count(*) FROM s4))
+         |ORDER BY stage_no""".stripMargin)
 }

@@ -206,6 +206,28 @@ object RelationalQueries {
       .orderBy("rf", "ls")
   }
 
+  // ---- explicit GROUPING SETS: the general multi-grain aggregate that
+  // rollup and cube are fixed shapes of — an arbitrary grain list in ONE
+  // Expand + aggregate pass (no union of per-grain scans). grouping_id()
+  // tags each output row's grain, so a NULL group value is
+  // distinguishable from a real NULL. Money sums go through exact
+  // DECIMAL (order-independent) and surface as DOUBLE.
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("cnt"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+  }
+
   // ---- navigation window functions: lag/lead/ntile per customer order
   // history. One shuffle on the partition key; the values are copied, not
   // computed, so cross-engine determinism needs only the total order
@@ -518,6 +540,7 @@ object RelationalQueries {
     "rel_window_lag" -> (windowLag _),
     "rel_rollup" -> (rollupAgg _),
     "rel_cube" -> (cubeAgg _),
+    "rel_grouping_sets" -> (groupingSetsAgg _),
     "rel_intersect" -> (intersectYears _),
     "rel_except" -> (exceptYears _))
 
@@ -699,6 +722,15 @@ object RelationalQueries {
         |       count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
     "rel_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

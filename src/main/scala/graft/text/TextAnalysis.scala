@@ -133,12 +133,12 @@ object TextAnalysis {
     expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
       .cast("long") % 100
 
-  private def withSplit(df: DataFrame): DataFrame =
+  private[graft] def withSplit(df: DataFrame): DataFrame =
     df.withColumn("split",
       when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
 
   /** DuckDB spelling of the same bucket (no conv(): nibble arithmetic). */
-  private val splitBucketSql = {
+  private[graft] val splitBucketSql = {
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
     s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100"
@@ -148,6 +148,27 @@ object TextAnalysis {
     Engine.tune(spark)
     withSplit(Tables(spark, dir, "documents"))
       .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
+  /** Token-budget mix report: whitespace-token totals by (lang, split)
+    * with each cell's share of the whole budget — the table a
+    * pretraining data-mix decision (and a Chinchilla-style token-count
+    * sanity check) reads. One scan + one two-key aggregate; the share
+    * window runs over the tiny AGGREGATED frame (|langs|·|splits| rows),
+    * not the corpus, so the single-partition window is free at any
+    * scale. Shares are single divisions of exact BIGINT sums —
+    * deterministic doubles on both engines. */
+  def mixReport(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    withSplit(Tables(spark, dir, "documents"))
+      .select(col("lang"), col("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens") * lit(1.0) /
+          sum("n_tokens").over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .orderBy("lang", "split")
   }
 
@@ -422,6 +443,7 @@ object TextAnalysis {
     "text_token_stats" -> (tokenStats _),
     "text_len_quantiles" -> (lengthQuantiles _),
     "text_split_assign" -> (splitAssign _),
+    "text_mix_report" -> (mixReport _),
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +591,20 @@ object TextAnalysis {
          |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs
          |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "text_mix_report" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split,
+         |    len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, split, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY 1, 2)
+         |SELECT lang, split, n_docs, n_tokens,
+         |  n_tokens * 1.0 / CAST(sum(n_tokens) OVER () AS BIGINT) AS token_share
+         |FROM g ORDER BY lang, split""".stripMargin,
     "text_contamination" ->
       s"""WITH d AS (
          |  SELECT doc_id, md5(text) AS h,
