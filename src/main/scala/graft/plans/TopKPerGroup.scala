@@ -28,9 +28,13 @@ import org.apache.spark.sql.types.IntegerType
   * formulation it replaces, so the operator never OOMs where the
   * fallback it competes with would have spilled.
   *
-  * The production refinement (not implemented, same node): a map-side
-  * partial pass emitting each partition's local top-k before the
-  * shuffle, the aggregation-style two-phase layout.
+  * The strategy plans the aggregation-style TWO-PHASE layout: a
+  * map-side [[TopKPerGroupPartialExec]] keeps each group's local top-k
+  * per input partition BEFORE the shuffle, so the exchange carries at
+  * most groups·k rows per partition instead of every row — the same
+  * reason partial aggregation exists. The partial is advisory (its
+  * output is a superset of each group's global top-k contribution);
+  * correctness lives entirely in the final exec.
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -44,6 +48,84 @@ case class TopKPerGroup(
   override def maxRows: Option[Long] = None
 
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+private[plans] object TopKHeaps {
+  /** Fill a group→bounded-k-heap map from `rows` until exhaustion or the
+    * hash budget; returns the map plus the row that tripped the budget
+    * (null when none did). Shared by the partial and final execs. */
+  def fill(
+      rows: Iterator[InternalRow],
+      groupProj: UnsafeProjection,
+      rowOrdering: Ordering[InternalRow],
+      k: Int,
+      hashGroupLimit: Int): (java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]], InternalRow) = {
+    // per group: a max-heap under the sort order, so the worst kept row
+    // is at the head and is evicted when a better row arrives
+    val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+    var overflowRow: InternalRow = null
+    while (overflowRow == null && rows.hasNext) {
+      val row = rows.next()
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        if (heaps.size() >= hashGroupLimit) overflowRow = row.copy()
+        else {
+          heap = new java.util.PriorityQueue[InternalRow](k, rowOrdering.reverse)
+          heaps.put(key.copy(), heap)
+        }
+      }
+      if (overflowRow == null) {
+        if (heap.size() < k) heap.add(row.copy())
+        else if (rowOrdering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+    }
+    (heaps, overflowRow)
+  }
+}
+
+/** Map-side phase: per INPUT partition, keep each group's local top-k —
+  * a superset of that partition's contribution to the group's global
+  * top-k — so the exchange above carries at most groups·k rows per
+  * partition. Purely advisory: past the hash budget the rest of the
+  * partition streams through unfiltered (no sort, no spill — the final
+  * exec re-selects, so correctness never depends on this node). */
+case class TopKPerGroupPartialExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupSeq = groupExprs
+    val orderSeq = order
+    val kk = k
+    val hashGroupLimit = conf.getConfString(
+      "spark.graft.topk.hashGroupLimit", (1 << 20).toString).toInt
+    child.execute().mapPartitions { rows =>
+      val groupProj = UnsafeProjection.create(groupSeq, childOutput)
+      val rowOrdering = GenerateOrdering.generate(orderSeq, childOutput)
+      val (heaps, overflowRow) = TopKHeaps.fill(rows, groupProj, rowOrdering, kk, hashGroupLimit)
+      import scala.jdk.CollectionConverters._
+      val kept = heaps.values().iterator().asScala.flatMap { h =>
+        val arr = new Array[InternalRow](h.size())
+        var j = 0
+        while (h.size() > 0) { arr(j) = h.poll(); j += 1 }
+        arr.iterator
+      }
+      if (overflowRow == null) kept
+      else kept ++ Iterator.single(overflowRow) ++ rows
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupPartialExec =
     copy(child = newChild)
 }
 
@@ -73,31 +155,9 @@ case class TopKPerGroupExec(
     child.execute().mapPartitions { rows =>
       val groupProj = UnsafeProjection.create(groupSeq, childOutput)
       val rowOrdering = GenerateOrdering.generate(orderSeq, childOutput)
-      // per group: a max-heap under the sort order, so the worst kept row
-      // is at the head and is evicted when a better row arrives
-      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      // The row whose (new) group key would push the map past the hash
-      // budget; non-null switches the partition to the sort-based path.
-      var overflowRow: InternalRow = null
-      while (overflowRow == null && rows.hasNext) {
-        val row = rows.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          if (heaps.size() >= hashGroupLimit) overflowRow = row.copy()
-          else {
-            heap = new java.util.PriorityQueue[InternalRow](kk, rowOrdering.reversed())
-            heaps.put(key.copy(), heap)
-          }
-        }
-        if (overflowRow == null) {
-          if (heap.size() < kk) heap.add(row.copy())
-          else if (rowOrdering.compare(row, heap.peek()) < 0) {
-            heap.poll()
-            heap.add(row.copy())
-          }
-        }
-      }
+      // overflowRow: the row whose (new) group key would push the map past
+      // the hash budget; non-null switches the partition to the sort path.
+      val (heaps, overflowRow) = TopKHeaps.fill(rows, groupProj, rowOrdering, kk, hashGroupLimit)
       val outProj = UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)
       val joined = new JoinedRow
       val rnRow = new GenericInternalRow(1)
@@ -177,7 +237,11 @@ case class TopKPerGroupExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, rn, child) =>
-      TopKPerGroupExec(g, o, k, rn, planLater(child)) :: Nil
+      // two-phase: local top-k below the (distribution-required) final —
+      // the exchange the final forces then carries groups·k rows per
+      // input partition, not the whole child
+      TopKPerGroupExec(g, o, k, rn,
+        TopKPerGroupPartialExec(g, o, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -34,6 +34,36 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("two-phase plan: map-side partial sits below the exchange") {
+    val topk = TopK.perGroup(ordersDf, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+    topk.collect()
+    val plan = topk.queryExecution.executedPlan.toString
+    // tree prints parent-first: final exec, then the exchange it forces,
+    // then the pre-shuffle partial, then the scan
+    val iFinal = plan.indexOf("TopKPerGroup")
+    val iExchange = plan.indexOf("Exchange")
+    val iPartial = plan.indexOf("TopKPerGroupPartial")
+    assert(iFinal >= 0 && iExchange > iFinal && iPartial > iExchange, plan)
+  }
+
+  test("partial pass-through past the hash budget still yields exact results") {
+    // budget 2 trips the partial's advisory filter AND the final's sort
+    // fallback on nearly every partition; the result must be identical
+    val key = "spark.graft.topk.hashGroupLimit"
+    spark.conf.set(key, "2")
+    try {
+      val a = TopK.perGroup(ordersDf.coalesce(1), Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+        .orderBy("o_custkey", "rn").collect().toSeq
+      spark.conf.unset(key)
+      val b = TopK.perGroup(ordersDf.coalesce(1), Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+        .orderBy("o_custkey", "rn").collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("TopK.perGroup degraded sort path (hash budget exceeded) matches the heap path") {
     // A hash budget of 2 forces every partition past the limit almost
     // immediately: the bulk of each partition runs through the external-
