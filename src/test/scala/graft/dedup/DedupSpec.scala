@@ -87,6 +87,35 @@ class DedupSpec extends SparkSpec {
     assert(comps2.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 60L), (1000L, 41L)))
   }
 
+  test("semantic dedup: decision table is internally consistent and finds drops") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.semanticDedup(spark, sf).collect().toSeq
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // full corpus covered, keep <=> no dup partner, partner is a lower id
+    // kept in the SAME cell (the SemDeDup representative rule)
+    assert(rows.size == graft.Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val (id, cell, keep, dupOf) = (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3))
+      assert(keep == (dupOf == -1L))
+      if (!keep) {
+        assert(dupOf < id)
+        assert(byId(dupOf).getInt(1) == cell, s"dup_of $dupOf not in cell $cell")
+      }
+    }
+    val dropped = rows.count(!_.getBoolean(2))
+    assert(dropped > 0 && dropped < rows.size)
+  }
+
+  test("curation funnel: stages shrink monotonically from the raw count") {
+    val counts = Dedup.curationFunnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts(0) == 5L) // the fixture corpus
+    (1 to 4).foreach(i => assert(counts(i) <= counts(i - 1), counts.toString))
+    // the exact-dup stage must remove the duplicated text
+    assert(counts(2) < counts(1) || counts(1) < 5L)
+  }
+
   test("connected components partition the pair graph with min-id reps") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

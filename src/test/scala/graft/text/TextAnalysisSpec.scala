@@ -131,4 +131,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.count() == n)
     assert(df.select("lang_guess").distinct().count() >= 1)
   }
+
+  test("mix report: shares sum to 1 and doc counts agree with split_assign") {
+    val sf = "/root/testdata/sf0.001"
+    val mix = TextAnalysis.mixReport(spark, sf).collect()
+    assert(math.abs(mix.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    val mixDocs = mix.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val splitDocs = TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mixDocs == splitDocs)
+    // token totals are positive everywhere (no empty-cell artifacts)
+    assert(mix.forall(_.getLong(3) > 0))
+  }
 }
