@@ -183,10 +183,26 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Content-hash media dedup: the same-bytes-same-asset decision every
+    * multimodal pipeline runs before decode (hashing is cheap; decoding
+    * a duplicate is not). Digest over the OPAQUE binary payload — no
+    * decode needed — one window shuffle on the digest; the canonical
+    * copy is the min doc_id of each content group. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
-    "mm_resize" -> (mediaResize _))
+    "mm_resize" -> (mediaResize _),
+    "mm_dedup" -> (mediaDedup _))
 
   /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
     * (= Spark length over the binary cast), so non-ASCII text matches. */
@@ -197,6 +213,11 @@ object Multimodal {
         |  64 + CAST(strlen(text) AS BIGINT) % 577 AS width,
         |  64 + (CAST(strlen(text) AS BIGINT) * 31) % 417 AS height,
         |  CASE CAST(strlen(text) AS BIGINT) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_dedup" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       s"""SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,

@@ -26,6 +26,35 @@ object EventQueries {
       .orderBy("k")
   }
 
+  /** Hourly-volume anomaly detection: each hour's event count z-scored
+    * against the whole hourly distribution, flagged at |z| > 2 — the
+    * ingest-volume monitoring pass of a data pipeline. Variance comes
+    * from EXACT integer sums (z = (x·n − Σx) / (n·√((n·Σx² − (Σx)²) /
+    * (n·(n−1))))), evaluated in the same order on both engines, so the
+    * doubles are engine-identical — a streaming-moments stddev_samp
+    * would drift with partition/summation order. The stats window runs
+    * over the tiny aggregated hourly frame (|hours| rows), not the
+    * corpus. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val n = count(lit(1)).over(w)
+    val s = sum("n_events").over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    val z = round(
+      (col("n_events") * n - s).cast("double") /
+        (n.cast("double") *
+          sqrt((n * s2 - s * s).cast("double") / (n * (n - lit(1))).cast("double"))),
+      4)
+    hourly
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy("hr")
+  }
+
   /** Tumbling 1-hour event-time buckets — batch twin of
     * graft.streaming.StreamingOps.hourlyCounts. */
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -159,6 +188,7 @@ object EventQueries {
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _),
+    "ev_anomaly" -> (anomaly _),
     "ev_histogram" -> (histogram _),
     "ev_sessionize" -> (sessionize _))
 
@@ -180,6 +210,27 @@ object EventQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    // exact-integer variance, evaluated in the same order as the Spark
+    // side so the doubles agree bit-for-bit
+    "ev_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT hr, n_events,
+        |    count(*) OVER () AS n,
+        |    CAST(sum(n_events) OVER () AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) OVER () AS BIGINT) AS s2
+        |  FROM h),
+        |z AS (
+        |  SELECT hr, n_events,
+        |    round(CAST(n_events * n - s AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) *
+        |           sqrt(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))),
+        |          4) AS z
+        |  FROM st)
+        |SELECT hr, n_events, z, abs(z) > 2.0 AS is_anomaly
+        |FROM z ORDER BY hr""".stripMargin,
     "ev_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
