@@ -167,3 +167,38 @@ case class ArrayNorm2(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ArrayNorm2 =
     copy(child = newChild)
 }
+
+/** 16-bit Morton (z-order) interleave: bit i of `left` lands at output
+  * position 2i, bit i of `right` at 2i+1 — the space-filling-curve
+  * layout key for multi-dimensional clustering. Sorting or
+  * range-partitioning data by this key co-locates 2-D neighborhoods, so
+  * a box predicate over BOTH dimensions touches O(perimeter) layout
+  * tiles instead of full slabs of either dimension (the property behind
+  * Delta/Iceberg Z-ORDER clustering; pinned in ZOrderSpec). Inputs are
+  * truncated to their low 16 bits, so the value fits in 32 bits of a
+  * LONG. The classic public-domain magic-number bit spread, inlined in
+  * codegen; [[ZOrder.zvalueSpec]] keeps the portable shift-sum spelling
+  * (bit-identical, and the shape the DuckDB oracle uses). */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two bigint inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zvalue"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.ZOrder.interleave16($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
+}

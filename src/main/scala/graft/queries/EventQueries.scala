@@ -26,6 +26,28 @@ object EventQueries {
       .orderBy("k")
   }
 
+  /** Z-order layout histogram over the (user_id, value-bucket) plane:
+    * each event keyed by the 16-bit Morton z-value of its coordinates
+    * (graft.functions.ZValue, native codegen kernel), tile = zval >> 8 —
+    * one 16×16 spatial block of the 256×256 grid. The per-tile counts
+    * are the layout table a Z-ORDER clustering write produces:
+    * range-partition/sort by zval and each tile is contiguous on disk,
+    * so a box predicate over BOTH dimensions prunes to the few tiles it
+    * overlaps instead of full slabs of either dimension (the
+    * Delta/Iceberg Z-ORDER property; pinned with file-level evidence in
+    * ZOrderSpec). */
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(256L)).as("x"),
+        pmod(floor(col("value")).cast("long"), lit(256L)).as("y"))
+      .select(graft.functions.ZOrder.zvalue("x", "y").as("zval"))
+      .groupBy(shiftright(col("zval"), 8).as("tile"))
+      .agg(count(lit(1)).as("n_events"),
+        min("zval").as("z_min"), max("zval").as("z_max"))
+      .orderBy("tile")
+  }
+
   /** Hourly-volume anomaly detection: each hour's event count z-scored
     * against the whole hourly distribution, flagged at |z| > 2 — the
     * ingest-volume monitoring pass of a data pipeline. Variance comes
@@ -189,6 +211,7 @@ object EventQueries {
     "ev_json_path" -> (jsonPath _),
     "ev_hourly_agg" -> (hourlyAgg _),
     "ev_anomaly" -> (anomaly _),
+    "ev_zorder" -> (zorder _),
     "ev_histogram" -> (histogram _),
     "ev_sessionize" -> (sessionize _))
 
@@ -210,6 +233,21 @@ object EventQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    // shift-sum Morton interleave: exact BIGINT arithmetic, the portable
+    // spelling of the graft_zvalue kernel
+    "ev_zorder" ->
+      """WITH xy AS (
+        |  SELECT event_id, user_id % 256 AS x,
+        |         CAST(floor(value) AS BIGINT) % 256 AS y
+        |  FROM events),
+        |z AS (
+        |  SELECT event_id,
+        |    CAST(sum((((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))) AS BIGINT) AS zval
+        |  FROM xy, UNNEST(range(0, 16)) t(i)
+        |  GROUP BY event_id)
+        |SELECT zval >> 8 AS tile, count(*) AS n_events,
+        |       min(zval) AS z_min, max(zval) AS z_max
+        |FROM z GROUP BY 1 ORDER BY tile""".stripMargin,
     // exact-integer variance, evaluated in the same order as the Spark
     // side so the doubles agree bit-for-bit
     "ev_anomaly" ->
