@@ -222,6 +222,37 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  /** ANN recall evaluation: IVF top-3 answers joined against the exact
+    * brute-force top-3 for the same query set — recall@3 per query, the
+    * eval loop every production ANN deployment runs before trusting the
+    * index (the coarse quantizer's single-probe recall is exactly what
+    * this measures). Ground truth is a corpus-scan × broadcast-queries
+    * pass (run on a sample at 100 TB — the harness shape is unchanged);
+    * the comparison join is per-(query, candidate), so its cost is
+    * |queries|·k. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ivf = ivfTopK(spark, dir)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    val bf = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    ivf.join(bf.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") / lit(3.0)).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_buckets" -> (annBuckets _),
@@ -230,6 +261,7 @@ object Similarity {
     "sim_range_search" -> (rangeSearch _),
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "sim_recall_eval" -> (recallEval _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of [[cellAssignments]] as a CTE prefix ending in
@@ -253,6 +285,32 @@ object Similarity {
       |  SELECT d.vec_id, min(d.c_label) AS cell
       |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
       |  GROUP BY d.vec_id)""".stripMargin
+
+  /** The complete sim_ivf_topk SELECT — also embedded (as a nested-WITH
+    * CTE body) in the recall-eval oracle, so the two stay identical by
+    * construction. */
+  private val ivfTopKSql: String =
+    s"""$cellAssignSql,
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, a.cell
+       |  FROM embeddings e JOIN assign a USING (vec_id)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+       |      FROM corpus WHERE vec_id < 4),
+       |s AS (
+       |  SELECT q.qid, c.vec_id,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+       |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
+       |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
+       |  GROUP BY q.qid, c.vec_id),
+       |r AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                vec_id ASC) AS rn
+       |  FROM s)
+       |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   private val bucketsSql =
     """WITH d AS (
@@ -341,28 +399,31 @@ object Similarity {
         |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     // quantized-integer cell assignment (floor(x*1024) grid, BIGINT
     // distances, min-label tiebreak) mirrors the Spark side exactly
-    "sim_ivf_topk" ->
-      s"""$cellAssignSql,
-        |corpus AS (
-        |  SELECT e.vec_id, e.embedding, a.cell
-        |  FROM embeddings e JOIN assign a USING (vec_id)),
-        |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
-        |      FROM corpus WHERE vec_id < 4),
-        |s AS (
-        |  SELECT q.qid, c.vec_id,
-        |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
-        |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
-        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
-        |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
-        |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
-        |  GROUP BY q.qid, c.vec_id),
-        |r AS (
-        |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
-        |    row_number() OVER (PARTITION BY qid
-        |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
-        |                                vec_id ASC) AS rn
-        |  FROM s)
-        |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "sim_ivf_topk" -> ivfTopKSql,
+    "sim_recall_eval" ->
+      s"""WITH ivf AS ($ivfTopKSql),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM bs)
+         |  WHERE rn <= 3)
+         |SELECT i.qid,
+         |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 3.0 AS recall_at_3
+         |FROM ivf i LEFT JOIN bf b ON i.qid = b.qid AND i.vec_id = b.vec_id
+         |GROUP BY i.qid ORDER BY i.qid""".stripMargin,
     "sim_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
         |  CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*) AS avg_v
