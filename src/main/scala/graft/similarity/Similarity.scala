@@ -160,7 +160,12 @@ object Similarity {
     * [[cellAssignments]] is the coarse quantizer on its own —
     * `(vec_id, cell)` — shared with the SemDeDup-style semantic dedup
     * (`graft.dedup.Dedup.semanticDedup`). */
-  def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
+  def cellAssignments(spark: SparkSession, dir: String): DataFrame =
+    cellCandidates(spark, dir, 1).select(col("vec_id"), col("cell"))
+
+  /** The n nearest centroid cells per vector, rank-tagged — `n = 1` is
+    * the storage assignment, `n > 1` is the multi-probe query set. */
+  def cellCandidates(spark: SparkSession, dir: String, n: Int): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -182,8 +187,8 @@ object Similarity {
     val argmin = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
     dists.withColumn("rk", row_number().over(argmin))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c_label").as("cell"))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("c_label").as("cell"), col("rk"))
   }
 
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
@@ -220,6 +225,34 @@ object Similarity {
       .agg((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
         count(lit(1))).as("avg_v"))
       .orderBy("label", "dim")
+  }
+
+  /** Multi-probe IVF: each query probes its `probes` nearest cells
+    * instead of one — the standard recall fix for a coarse quantizer
+    * (measured by [[recallEval]]: single-probe recall on this corpus is
+    * low precisely because near neighbors straddle cell boundaries).
+    * Storage is unchanged (every vector lives in its ONE nearest cell);
+    * only the query side fans out, so candidate cost scales with
+    * probes·|cell|, still never a corpus self-join. A corpus vector can
+    * match at most one of a query's (distinct) probe cells, so no
+    * dedupe step is needed. */
+  def ivfMultiprobe(spark: SparkSession, dir: String, probes: Int = 2, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
+    val q = cellCandidates(spark, dir, probes)
+      .filter(col("vec_id") < 4)
+      .join(emb, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    corpus.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
   }
 
   /** ANN recall evaluation: IVF top-3 answers joined against the exact
@@ -261,13 +294,13 @@ object Similarity {
     "sim_range_search" -> (rangeSearch _),
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
     "sim_centroids" -> (centroidComponents _))
 
-  /** DuckDB spelling of [[cellAssignments]] as a CTE prefix ending in
-    * `assign(vec_id, cell)` — shared with `graft.dedup.Dedup`'s
-    * `dedup_semantic` oracle. */
-  private[graft] val cellAssignSql: String =
+  /** DuckDB spelling of the quantized centroid-distance table as a CTE
+    * prefix ending in `dists(vec_id, c_label, dist)`. */
+  private[graft] val cellDistSql: String =
     """WITH cent AS (
       |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
       |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
@@ -279,7 +312,13 @@ object Similarity {
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
       |dists AS (
       |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
-      |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label),
+      |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label)""".stripMargin
+
+  /** DuckDB spelling of [[cellAssignments]] as a CTE prefix ending in
+    * `assign(vec_id, cell)` — shared with `graft.dedup.Dedup`'s
+    * `dedup_semantic` oracle. */
+  private[graft] val cellAssignSql: String =
+    s"""$cellDistSql,
       |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
       |assign AS (
       |  SELECT d.vec_id, min(d.c_label) AS cell
@@ -400,6 +439,38 @@ object Similarity {
     // quantized-integer cell assignment (floor(x*1024) grid, BIGINT
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_ivf_multiprobe" ->
+      s"""$cellDistSql,
+         |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+         |assign AS (
+         |  SELECT d.vec_id, min(d.c_label) AS cell
+         |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+         |  GROUP BY d.vec_id),
+         |probe AS (
+         |  SELECT vec_id, c_label AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c_label ASC) AS rk
+         |  FROM dists),
+         |corpus AS (
+         |  SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN assign a USING (vec_id)),
+         |q AS (SELECT p.vec_id AS qid, e.embedding AS qe, p.cell AS qcell
+         |      FROM probe p JOIN embeddings e USING (vec_id)
+         |      WHERE p.vec_id < 4 AND p.rk <= 2),
+         |s AS (
+         |  SELECT q.qid, c.vec_id,
+         |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+         |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
+         |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
+         |  GROUP BY q.qid, c.vec_id),
+         |r AS (
+         |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                vec_id ASC) AS rn
+         |  FROM s)
+         |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "sim_recall_eval" ->
       s"""WITH ivf AS ($ivfTopKSql),
          |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),

@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ANN quality contracts: multi-probe must dominate single-probe recall
+  * against the exact ground truth (its entire reason to exist), and the
+  * candidate sets must nest the way the cell geometry promises. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def bruteTop3: Map[Long, Set[Long]] = {
+    val emb = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+  }
+
+  private def hits(df: org.apache.spark.sql.DataFrame, truth: Map[Long, Set[Long]]): Map[Long, Int] =
+    df.collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.map(_.getLong(1)).count(truth.getOrElse(k, Set.empty))
+    }
+
+  test("multi-probe IVF recall dominates single-probe against exact ground truth") {
+    val truth = bruteTop3
+    val single = hits(Similarity.ivfTopK(spark, sf), truth)
+    val multi = hits(Similarity.ivfMultiprobe(spark, sf), truth)
+    assert(truth.keySet == Set(0L, 1L, 2L, 3L))
+    truth.keySet.foreach { q =>
+      assert(multi.getOrElse(q, 0) >= single.getOrElse(q, 0), s"query $q regressed")
+    }
+    assert(multi.values.sum > single.values.sum,
+      s"expected a strict total-recall gain: single=$single multi=$multi")
+  }
+
+  test("probe cells nest: rank-1 candidate cell IS the storage assignment") {
+    val one = Similarity.cellAssignments(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = Similarity.cellCandidates(spark, sf, 2)
+    assert(two.filter(col("rk") === 1).collect()
+      .forall(r => one(r.getLong(0)) == r.getInt(1)))
+    // every vector gets exactly 2 distinct probe cells
+    val byVec = two.collect().groupBy(_.getLong(0))
+    assert(byVec.values.forall(rs => rs.length == 2 && rs.map(_.getInt(1)).distinct.length == 2))
+  }
+}
