@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayDotProduct, ArrayNorm2, TopKValues}
+import graft.functions.{ArrayDotProduct, ArrayNorm2, TopKValues, ZValue}
 
 /** Algebraic rewrite over the native vector expressions: a self dot
   * product IS the squared norm, and [[ArrayNorm2]]'s generated loop does
@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => badK()
         }
         TopKValues(args(0), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_zvalue", 2, args)
+        ZValue(args(0), args(1))
       }))
     ext.injectOptimizerRule(_ => DotToNorm)
     ext.injectPlannerStrategy(_ => TopKStrategy)

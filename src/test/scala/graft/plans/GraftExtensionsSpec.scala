@@ -55,6 +55,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_topk(CAST(n AS DOUBLE), n) FROM VALUES (1) v(n)").collect()
       }
       assert(badK.getMessage.contains("graft_topk"))
+      // the z-order layout key registers and interleaves
+      val z = s.sql("SELECT graft_zvalue(5L, 3L) AS z").head().getLong(0)
+      assert(z == 27L)
+      val badZ = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_zvalue(1L) AS z").collect()
+      }
+      assert(badZ.getMessage.contains("graft_zvalue"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
