@@ -19,9 +19,11 @@ class PlanAuditSpec extends SparkSpec {
     name.startsWith("stream_") || name == "tw_q2_stream_top_emoji"
 
   // intended broadcast 1×N products: a tiny broadcast query side against
-  // the corpus scan (crossJoin(broadcast(q)) in Similarity)
+  // the corpus scan (crossJoin(broadcast(q)) in Similarity; recall_eval's
+  // ground-truth pass reuses exactly that shape)
   private val broadcastProductIntended =
-    Set("sim_cosine_topk", "sim_knn_batch", "sim_range_search", "sim_hybrid_search")
+    Set("sim_cosine_topk", "sim_knn_batch", "sim_range_search", "sim_hybrid_search",
+      "sim_recall_eval")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
