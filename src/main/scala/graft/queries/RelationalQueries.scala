@@ -228,6 +228,22 @@ object RelationalQueries {
       .orderBy("gid", "status", "priority")
   }
 
+  // ---- SQL:2016 LISTAGG (new in Spark 4): ordered string aggregation —
+  // the report-building aggregate that is only deterministic WITH the
+  // within-group order (an unordered collect would hash-mismatch by
+  // partitioning). Tiny dims broadcast; the aggregate itself is one
+  // hash-shuffle on the group key like any other agg.
+  def listAgg(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   // ---- navigation window functions: lag/lead/ntile per customer order
   // history. One shuffle on the partition key; the values are copied, not
   // computed, so cross-engine determinism needs only the total order
@@ -541,6 +557,7 @@ object RelationalQueries {
     "rel_rollup" -> (rollupAgg _),
     "rel_cube" -> (cubeAgg _),
     "rel_grouping_sets" -> (groupingSetsAgg _),
+    "rel_listagg" -> (listAgg _),
     "rel_intersect" -> (intersectYears _),
     "rel_except" -> (exceptYears _))
 
@@ -722,6 +739,11 @@ object RelationalQueries {
         |       count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "rel_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
