@@ -99,6 +99,24 @@ object EventQueries {
       .orderBy("k")
   }
 
+  /** Semi-structured ingestion through the VARIANT type (new in Spark
+    * 4): props parses ONCE into the binary variant encoding, then typed
+    * paths extract from it — the schema-flexible lakehouse column that
+    * replaces repeated string re-parsing (get_json_object re-walks the
+    * JSON text per call; variant_get walks the pre-parsed tree).
+    * try_parse_json nulls malformed rows instead of failing the scan —
+    * the PERMISSIVE-mode analog for semi-structured columns. Output is
+    * plain typed columns, so the oracle is engine-neutral. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "events")
+      .select(expr("try_parse_json(props)").as("v"))
+      .select(expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
   /** Gap-based sessionization (the batch classic the streaming
     * `mapGroupsWithState` summary approximates): a new session starts
     * when a user's inter-event gap exceeds SessionGap. Two windows over
@@ -209,6 +227,7 @@ object EventQueries {
     "ev_funnel" -> (funnel _),
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
+    "ev_variant" -> (variantExtract _),
     "ev_hourly_agg" -> (hourlyAgg _),
     "ev_anomaly" -> (anomaly _),
     "ev_zorder" -> (zorder _),
@@ -225,6 +244,12 @@ object EventQueries {
         |WHERE k IS NOT NULL
         |GROUP BY k ORDER BY k""".stripMargin,
     "ev_json_path" ->
+      """SELECT k, count(*) AS cnt FROM (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |WHERE k IS NOT NULL GROUP BY k ORDER BY k""".stripMargin,
+    // the variant path must agree with the string-reparse path — DuckDB
+    // has no VARIANT, so the oracle is the typed-extraction equivalent
+    "ev_variant" ->
       """SELECT k, count(*) AS cnt FROM (
         |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |WHERE k IS NOT NULL GROUP BY k ORDER BY k""".stripMargin,
