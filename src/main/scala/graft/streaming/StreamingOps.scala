@@ -13,6 +13,40 @@ import graft.{Engine, Tables}
 /** Output row of the stateful session summary (update-mode sink schema). */
 case class SessionRow(user_id: Long, n_events: Long, first_us: Long, last_us: Long)
 
+/** The Spark 4 arbitrary-state primitive (`transformWithState` /
+  * `StatefulProcessor`): per-user running (count, min, max event time)
+  * in an explicitly NAMED `ValueState` created in `init` — the successor
+  * API to `mapGroupsWithState` (multiple named state variables, timers,
+  * TTL, initial state), here computing exactly the
+  * [[StreamingOps.sessionSummary]] contract so the two custom-state APIs
+  * are hash-gated against the SAME closed-form oracle. Must not capture
+  * anything non-serializable: keys/rows arrive through the handler
+  * arguments. */
+class SummaryProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), SessionRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("summary",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[SessionRow] = {
+    val (c0, lo0, hi0) =
+      if (st.exists()) st.get() else (0L, Long.MaxValue, Long.MinValue)
+    var c = c0; var lo = lo0; var hi = hi0
+    rows.foreach { case (_, t) =>
+      c += 1
+      if (t < lo) lo = t
+      if (t > hi) hi = t
+    }
+    st.update((c, lo, hi))
+    Iterator.single(SessionRow(user, c, lo, hi))
+  }
+}
+
 /** Structured Streaming equivalents of the reference's streaming surface
   * (SURVEY.md §2.1 S2/S3, §2.5 A6, §2.6 O5, K2): file-stream source with a
   * statically-bootstrapped schema, complete-mode stateful aggregation, and
@@ -234,6 +268,28 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** [[SummaryProcessor]] driven through `transformWithState` — the
+    * Spark 4 successor to `mapGroupsWithState`. Same input, same
+    * closed-form oracle as [[sessionSummary]]: the old and new
+    * custom-state APIs must agree row-for-row. transformWithState
+    * supports only the RocksDB state store provider, which
+    * [[runToMemory]] already scopes in. */
+  def twsSummary(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sessions = eventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SummaryProcessor, TimeMode.None(), OutputMode.Update())
+    runToMemory(spark, sessions.toDF(), mode = "update")
+      .groupBy("user_id")   // last update per key wins (single batch: identity)
+      .agg(max("n_events").as("n_events"),
+        min("first_us").as("first_us"), max("last_us").as("last_us"))
+      .orderBy("user_id")
+  }
+
   /** The custom DataSource V2 connector's STREAMING face
     * ([[graft.sources.SyntheticDocsSource]] via MICRO_BATCH_READ +
     * admission control): offsets are row ids, each trigger admits
@@ -402,6 +458,7 @@ object StreamingOps {
     "stream_hourly_counts" -> (hourlyCounts _),
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
+    "stream_tws_summary" -> (twsSummary _),
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
@@ -430,6 +487,12 @@ object StreamingOps {
         |HAVING hr + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         |ORDER BY hr, event_type""".stripMargin,
     "stream_session_summary" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical closed form: the transformWithState re-expression must
+    // agree with the mapGroupsWithState one row-for-row
+    "stream_tws_summary" ->
       """SELECT user_id, count(*) AS n_events,
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
