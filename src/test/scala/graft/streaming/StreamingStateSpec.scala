@@ -211,4 +211,50 @@ class StreamingStateSpec extends SparkSpec {
       assert(last == Seq((7L, 3L), (8L, 1L)))
     } finally q.stop()
   }
+
+  test("transformWithState carries named ValueState across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tws")
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:00:00Z", 7),
+      eventLine("2024-01-01T10:01:00Z", 7),
+      eventLine("2024-01-01T10:02:00Z", 8))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    // the new API supports only the RocksDB state store provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val summaries = spark.readStream.schema(static.schema).json(dir.toString)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SummaryProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = summaries.toDF().writeStream
+        .outputMode("update").format("memory").queryName("tws_t").start()
+      try {
+        q.processAllAvailable()
+        FileFeeder.feed(dir, Seq(Seq(
+          eventLine("2024-01-01T10:03:00Z", 7))), prefix = "b1")
+        q.processAllAvailable()
+        // batch 2 re-emits only user 7: count 2+1=3 AND the running
+        // min/max span BOTH batches (state, not per-batch recompute)
+        val last = spark.table("tws_t")
+          .groupBy("user_id").agg(max("n_events").as("n"),
+            min("first_us").as("lo"), max("last_us").as("hi"))
+          .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+        def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+        assert(last == Seq(
+          (7L, 3L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:03:00Z")),
+          (8L, 1L, us("2024-01-01T10:02:00Z"), us("2024-01-01T10:02:00Z"))))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
