@@ -383,9 +383,13 @@ object Dedup {
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with a coarse quantizer, compare pairs
     * ONLY within a cluster, and drop every vector that has a
-    * lower-id neighbor above the cosine threshold in its cell (the
-    * deterministic stand-in for the paper's keep-one-representative
-    * rule). Emits the full keep/drop decision table.
+    * lower-id neighbor above the cosine threshold in its cell — the
+    * deterministic pairwise stand-in for the paper's
+    * keep-one-representative rule. Note the rule is lower-id-NEIGHBOR,
+    * not transitive-root: in a similarity chain a<b<c, c's recorded
+    * dup_of may be b even though b itself drops (collapse to cluster
+    * roots is what [[components]]/[[keepDecision]] do for the text
+    * family). Emits the full keep/drop decision table.
     *
     * Scale shape — this is the published algorithm's own layout: the
     * quadratic pair comparison is confined to a cell, and at 100 TB the

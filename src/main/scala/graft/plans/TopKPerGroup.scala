@@ -86,6 +86,21 @@ private[plans] object TopKHeaps {
     }
     (heaps, overflowRow)
   }
+
+  /** Drain every heap worst-first into a flat iterator (pop order — the
+    * per-group array is filled back-to-front so each group comes out
+    * best-first). Shared by the partial exec and the final exec's
+    * degraded path. */
+  def drain(
+      heaps: java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]): Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap { h =>
+      val arr = new Array[InternalRow](h.size())
+      var j = arr.length - 1
+      while (j >= 0) { arr(j) = h.poll(); j -= 1 }
+      arr.iterator
+    }
+  }
 }
 
 /** Map-side phase: per INPUT partition, keep each group's local top-k —
@@ -102,6 +117,13 @@ case class TopKPerGroupPartialExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // rows are filtered in place, never moved: a child already clustered
+  // on the group keys must keep satisfying the final exec's distribution
+  // (without this the interposed partial would report Unknown and force
+  // a redundant exchange)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupSeq = groupExprs
@@ -113,13 +135,7 @@ case class TopKPerGroupPartialExec(
       val groupProj = UnsafeProjection.create(groupSeq, childOutput)
       val rowOrdering = GenerateOrdering.generate(orderSeq, childOutput)
       val (heaps, overflowRow) = TopKHeaps.fill(rows, groupProj, rowOrdering, kk, hashGroupLimit)
-      import scala.jdk.CollectionConverters._
-      val kept = heaps.values().iterator().asScala.flatMap { h =>
-        val arr = new Array[InternalRow](h.size())
-        var j = 0
-        while (h.size() > 0) { arr(j) = h.poll(); j += 1 }
-        arr.iterator
-      }
+      val kept = TopKHeaps.drain(heaps)
       if (overflowRow == null) kept
       else kept ++ Iterator.single(overflowRow) ++ rows
     }
@@ -191,13 +207,7 @@ case class TopKPerGroupExec(
         // (group, order) — GraftSpill registers with the TaskMemoryManager
         // and spills to disk under pressure — then stream the first k rows
         // of each group with O(k) live rows.
-        import scala.jdk.CollectionConverters._
-        val kept = heaps.values().iterator().asScala.flatMap { h =>
-          val arr = new Array[InternalRow](h.size())
-          var j = 0
-          while (h.size() > 0) { arr(j) = h.poll(); j += 1 }
-          arr.iterator
-        }
+        val kept = TopKHeaps.drain(heaps)
         val fullOrdering = GenerateOrdering.generate(
           groupSeq.map(e => SortOrder(e, Ascending)) ++ orderSeq, childOutput)
         val all = kept ++ Iterator.single(overflowRow) ++ rows.map(_.copy())

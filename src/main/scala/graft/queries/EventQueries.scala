@@ -111,7 +111,10 @@ object EventQueries {
     Engine.tune(spark)
     Tables(spark, dir, "events")
       .select(expr("try_parse_json(props)").as("v"))
-      .select(expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      // try_variant_get, not variant_get: a well-formed-JSON string k
+      // ('{"k":"abc"}') must null out like the oracle's TRY_CAST, not
+      // throw a cast error
+      .select(expr("try_variant_get(v, '$.k', 'bigint')").as("k"))
       .filter(col("k").isNotNull)
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .orderBy("k")
@@ -262,8 +265,9 @@ object EventQueries {
     // spelling of the graft_zvalue kernel
     "ev_zorder" ->
       """WITH xy AS (
-        |  SELECT event_id, user_id % 256 AS x,
-        |         CAST(floor(value) AS BIGINT) % 256 AS y
+        |  SELECT event_id,
+        |    ((user_id % 256) + 256) % 256 AS x,
+        |    ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS y
         |  FROM events),
         |z AS (
         |  SELECT event_id,

@@ -277,12 +277,16 @@ object Similarity {
         round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-    ivf.join(bf.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+    val hits = ivf.join(bf.select(col("qid"), col("vec_id"), lit(1).as("hit")),
         Seq("qid", "vec_id"), "left")
       .groupBy("qid")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
-      .select(col("qid"), col("n_hits"),
-        (col("n_hits") / lit(3.0)).as("recall_at_3"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("h"))
+    // anchor on the QUERY set, not the index answers: a query whose IVF
+    // cell yields no candidates must report recall 0, not vanish —
+    // the worst case is exactly what the eval exists to surface
+    q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) / lit(3.0)).as("recall_at_3"))
       .orderBy("qid")
   }
 
@@ -489,12 +493,17 @@ object Similarity {
          |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
          |                                  vec_id ASC) AS rn
          |    FROM bs)
-         |  WHERE rn <= 3)
-         |SELECT i.qid,
-         |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 3.0 AS recall_at_3
-         |FROM ivf i LEFT JOIN bf b ON i.qid = b.qid AND i.vec_id = b.vec_id
-         |GROUP BY i.qid ORDER BY i.qid""".stripMargin,
+         |  WHERE rn <= 3),
+         |h AS (
+         |  SELECT i.qid,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM ivf i LEFT JOIN bf b ON i.qid = b.qid AND i.vec_id = b.vec_id
+         |  GROUP BY i.qid)
+         |SELECT q.qid, COALESCE(h.h, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.h, CAST(0 AS BIGINT)) / 3.0 AS recall_at_3
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
+         |LEFT JOIN h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
     "sim_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
         |  CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*) AS avg_v

@@ -92,7 +92,8 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.semanticDedup(spark, sf).collect().toSeq
     val byId = rows.map(r => r.getLong(0) -> r).toMap
     // full corpus covered, keep <=> no dup partner, partner is a lower id
-    // kept in the SAME cell (the SemDeDup representative rule)
+    // in the SAME cell (the partner may itself be dropped in a similarity
+    // chain a<b<c — the rule is lower-id-neighbor, not transitive-root)
     assert(rows.size == graft.Tables(spark, sf, "embeddings").count())
     rows.foreach { r =>
       val (id, cell, keep, dupOf) = (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3))

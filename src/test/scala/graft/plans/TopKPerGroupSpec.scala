@@ -47,6 +47,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(iFinal >= 0 && iExchange > iFinal && iPartial > iExchange, plan)
   }
 
+  test("a child already clustered on the group key plans with NO extra exchange") {
+    val pre = ordersDf.repartition(col("o_custkey"))
+    val topk = TopK.perGroup(pre, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+    topk.collect()
+    // AQE's toString prints the final AND the initial plan; count only
+    // the final section. Exactly one exchange: the repartition itself;
+    // the partial preserves the child's partitioning so the final exec
+    // adds none on top.
+    val plan = topk.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, plan)
+  }
+
   test("partial pass-through past the hash budget still yields exact results") {
     // budget 2 trips the partial's advisory filter AND the final's sort
     // fallback on nearly every partition; the result must be identical
