@@ -40,6 +40,24 @@ class SimilaritySpec extends SparkSpec {
       s"expected a strict total-recall gain: single=$single multi=$multi")
   }
 
+  test("recall eval reports 0 for a query whose IVF cell is a singleton") {
+    import spark.implicits._
+    // vec 0 sits alone in its own label's cell, far from everything;
+    // single-probe IVF returns NO candidates for it — the report must
+    // still carry the row with recall 0, not drop it
+    val dir = java.nio.file.Files.createTempDirectory("graft-recall0").toString
+    (Seq((0L, Seq(10.0f, 0.0f), 0)) ++
+      (1L to 5L).map(i => (i, Seq(0.0f, 1.0f + i * 0.01f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.recallEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    assert(rows(0L) == ((0L, 0.0)), s"singleton-cell query must report 0: $rows")
+    // queries in the populated cell find their true neighbors
+    assert(rows(1L)._1 > 0L)
+  }
+
   test("probe cells nest: rank-1 candidate cell IS the storage assignment") {
     val one = Similarity.cellAssignments(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
