@@ -32,19 +32,26 @@ object Bench {
     catch { case NonFatal(e) => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A throwing query must never masquerade as a fast success: each run
+    // carries an ok flag, failed queries are listed by name in the detail
+    // file, and the stdout line reports n_failed (0 on a healthy run).
+    val measured = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        var ok = true
         val times = (0 until runs).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case NonFatal(e) =>
+            ok = false
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        (name, times.min, ok)
       }
+    val results = measured.map { case (n, t, _) => (n, t) }
+    val failed = measured.collect { case (n, _, false) => n }
     // The driver retains only a ~4 KB stdout tail and parses the JSON line
     // from it. A full per-query map no longer fits (106 queries × ~28 chars
     // ≈ 4.9 KB — BENCH_r03/r04 recorded parsed:null for exactly this), so
@@ -58,16 +65,23 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val families = results.groupBy(_._1.takeWhile(_ != '_'))
       .map { case (f, qs) => f -> qs.map(_._2).sum }.toSeq.sortBy(-_._2)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs":$runs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},""" +
+        s""""n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","runs":$runs}""")
     def line(k: Int): String = {
       val slowest = results.sortBy(-_._2).take(k)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},""" +
-        s""""families":${jmap(families)},"n_queries":${results.size},""" +
+        s""""families":${jmap(families)},"n_queries":${results.size},"n_failed":${failed.size},""" +
         s""""detail":"BENCH_DETAIL.json","sf":"$sfDir","runs":$runs}"""
     }
-    println(Iterator.range(15, -1, -1).map(line).find(_.length <= 3000).get)
+    // k=0 drops the per-query/family maps entirely; if even that overflows
+    // the driver's 4 KB stdout tail, fall back to a bare total-only line
+    // rather than dying on .get after all the timing work is done.
+    println(Iterator.range(15, -1, -1).map(line).find(_.length <= 3000).getOrElse(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},"sf":"$sfDir","runs":$runs}"""))
     spark.stop()
   }
 }

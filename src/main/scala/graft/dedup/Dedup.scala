@@ -673,15 +673,7 @@ object Dedup {
          |ORDER BY a.vec_id""".stripMargin,
     "pipeline_curation" ->
       s"""WITH $minhashCtes,
-         |qt AS (
-         |  SELECT doc_id, count(*) AS n_tokens,
-         |    sum(CASE WHEN t.token IN ('the','a') THEN 1 ELSE 0 END) AS stop_cnt
-         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
-         |  WHERE t.token <> ''
-         |  GROUP BY doc_id),
-         |q1 AS (SELECT doc_id FROM qt
-         |       WHERE n_tokens BETWEEN 5 AND 1000
-         |         AND stop_cnt * 1.0 / n_tokens < 0.5),
+         |q1 AS (${graft.text.TextAnalysis.qualityPassSql}),
          |s2 AS (SELECT min(d.doc_id) AS doc_id
          |       FROM documents d JOIN q1 USING (doc_id)
          |       GROUP BY md5(d.text)),

@@ -180,14 +180,8 @@ case class ArrayNorm2(child: Expression)
   * codegen; [[ZOrder.zvalueSpec]] keeps the portable shift-sum spelling
   * (bit-identical, and the shape the DuckDB oracle uses). */
 case class ZValue(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.GraftLongLongInputs {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two bigint inputs, got ${l.sql} and ${r.sql}")
-    }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_zvalue"
 

@@ -66,11 +66,15 @@ object EventQueries {
     val n = count(lit(1)).over(w)
     val s = sum("n_events").over(w)
     val s2 = sum(col("n_events") * col("n_events")).over(w)
-    val z = round(
+    // n == 1 makes the sample-variance denominator n·(n−1) zero; both
+    // sides pin that degenerate case to NULL (IEEE 0/0 rendering would
+    // otherwise be engine-specific) — fixture has 720 hours, but the
+    // contract must hold on any input.
+    val z = when(n > 1, round(
       (col("n_events") * n - s).cast("double") /
         (n.cast("double") *
           sqrt((n * s2 - s * s).cast("double") / (n * (n - lit(1))).cast("double"))),
-      4)
+      4))
     hourly
       .withColumn("z", z)
       .withColumn("is_anomaly", abs(col("z")) > 2.0)
@@ -291,10 +295,11 @@ object EventQueries {
         |  FROM h),
         |z AS (
         |  SELECT hr, n_events,
-        |    round(CAST(n_events * n - s AS DOUBLE) /
-        |          (CAST(n AS DOUBLE) *
-        |           sqrt(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))),
-        |          4) AS z
+        |    CASE WHEN n > 1 THEN
+        |      round(CAST(n_events * n - s AS DOUBLE) /
+        |            (CAST(n AS DOUBLE) *
+        |             sqrt(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))),
+        |            4) END AS z
         |  FROM st)
         |SELECT hr, n_events, z, abs(z) > 2.0 AS is_anomaly
         |FROM z ORDER BY hr""".stripMargin,

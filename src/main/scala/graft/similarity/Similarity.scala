@@ -236,7 +236,13 @@ object Similarity {
     * probes·|cell|, still never a corpus self-join. A corpus vector can
     * match at most one of a query's (distinct) probe cells, so no
     * dedupe step is needed. */
-  def ivfMultiprobe(spark: SparkSession, dir: String, probes: Int = 2, k: Int = 3): DataFrame = {
+  /** Probe count single-sourced between the Scala default below and the
+    * DuckDB oracle's `p.rk <= N` (same pattern as SemTau in Dedup):
+    * changing one cannot silently desynchronize the other. */
+  val MultiprobeProbes = 2
+
+  def ivfMultiprobe(spark: SparkSession, dir: String,
+      probes: Int = MultiprobeProbes, k: Int = 3): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
@@ -459,7 +465,7 @@ object Similarity {
          |  FROM embeddings e JOIN assign a USING (vec_id)),
          |q AS (SELECT p.vec_id AS qid, e.embedding AS qe, p.cell AS qcell
          |      FROM probe p JOIN embeddings e USING (vec_id)
-         |      WHERE p.vec_id < 4 AND p.rk <= 2),
+         |      WHERE p.vec_id < 4 AND p.rk <= $MultiprobeProbes),
          |s AS (
          |  SELECT q.qid, c.vec_id,
          |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,

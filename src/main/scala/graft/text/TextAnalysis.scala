@@ -27,6 +27,16 @@ object TextAnalysis {
       |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
       |WHERE t.token <> ''""".stripMargin
 
+  /** Quality-gate thresholds, single-sourced for the Scala plan, the
+    * text_quality oracle, and the pipeline_curation funnel oracle (via
+    * [[qualityPassSql]]) — changing one can't desynchronize the rest. */
+  private[graft] val QualityStops: Seq[String] = Seq("the", "a")
+  private[graft] val QualityMinTokens = 5
+  private[graft] val QualityMaxTokens = 1000
+  private[graft] val QualityStopRatioMax = 0.5
+  private[graft] def qualityStopsSql: String =
+    QualityStops.map(s => s"'$s'").mkString(", ")
+
   /** Per-doc quality: token count, stopword ratio, average token length,
     * and a 0/1 quality gate (the heuristic family used to filter web text
     * before LLM training). */
@@ -35,13 +45,27 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("token"))).as("char_sum"),
-        sum(when(col("token").isin("the", "a"), 1).otherwise(0)).as("stop_cnt"))
+        sum(when(col("token").isin(QualityStops: _*), 1).otherwise(0)).as("stop_cnt"))
       .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
         (col("char_sum") * lit(1.0) / col("n_tokens")).as("avg_token_len"),
         (col("stop_cnt") * lit(1.0) / col("n_tokens")).as("stop_ratio"))
       .withColumn("quality",
-        when(col("n_tokens").between(5, 1000) && col("stop_ratio") < 0.5, 1).otherwise(0))
+        when(col("n_tokens").between(QualityMinTokens, QualityMaxTokens) &&
+          col("stop_ratio") < QualityStopRatioMax, 1).otherwise(0))
       .orderBy("doc_id")
+
+  /** Oracle fragment: the doc_ids passing the quality gate — the same
+    * thresholds as [[quality]], interpolated wherever a downstream oracle
+    * (pipeline_curation) composes the gate. */
+  private[graft] def qualityPassSql: String =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN t.token IN ($qualityStopsSql) THEN 1 ELSE 0 END) AS stop_cnt
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+       |  WHERE t.token <> ''
+       |  GROUP BY doc_id)
+       |WHERE n_tokens BETWEEN $QualityMinTokens AND $QualityMaxTokens
+       |  AND stop_cnt * 1.0 / n_tokens < $QualityStopRatioMax""".stripMargin
 
   /** Marker-token language ID: score each language by hits on its marker
     * set, argmax with a fixed priority tiebreak (n-gram-profile shape;
@@ -191,13 +215,21 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** Exact vocabulary size: `count(distinct token)` over the corpus.
+    * One token shuffle on the distinct key with partial aggregation —
+    * the exact half of the vocabulary-size pair, and the one that is
+    * engine-portable, so it carries the DuckDB hash gate. */
+  def vocabExact(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .agg(countDistinct(col("token")).as("vocab_exact"))
+
   /** Sketch-based vocabulary size: approx_count_distinct (HyperLogLog++)
     * next to the exact count. At 100 TB the exact distinct needs a full
     * shuffle of every token; the sketch is one pass, mergeable, and fixed
     * memory — this is the operator a real corpus-stats job runs.
-    * Deliberately ABSENT from `oracles`: HLL estimates are engine-specific
-    * (driver records the weaker rows-only check); the 2% rsd accuracy
-    * contract is asserted in TextAnalysisSpec instead. */
+    * Test-gated sibling of [[vocabExact]]: HLL estimates are
+    * engine-specific, so this stays out of the oracle registry and the
+    * 2% rsd accuracy contract is asserted in TextAnalysisSpec instead. */
   def vocabApprox(spark: SparkSession, dir: String): DataFrame =
     tokens(spark, dir)
       .agg(
@@ -436,7 +468,7 @@ object TextAnalysis {
     "text_pii_scrub" -> (piiScrub _),
     "text_rare_ratio" -> (rareRatio _),
     "text_winnow" -> (winnow _),
-    "text_vocab_approx" -> (vocabApprox _),
+    "text_vocab_exact" -> (vocabExact _),
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -528,18 +560,21 @@ object TextAnalysis {
          |  FROM kg)
          |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, list_min(fps) AS min_fp
          |FROM win ORDER BY doc_id""".stripMargin,
+    "text_vocab_exact" ->
+      s"""WITH tok AS ($tokSql)
+         |SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_exact FROM tok""".stripMargin,
     "text_quality" ->
       s"""WITH tok AS ($tokSql),
          |g AS (
          |  SELECT doc_id, count(*) AS n_tokens,
          |    sum(length(token)) AS char_sum,
-         |    CAST(sum(CASE WHEN token IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
+         |    CAST(sum(CASE WHEN token IN ($qualityStopsSql) THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt
          |  FROM tok GROUP BY doc_id)
          |SELECT doc_id, n_tokens, stop_cnt,
          |  char_sum * 1.0 / n_tokens AS avg_token_len,
          |  stop_cnt * 1.0 / n_tokens AS stop_ratio,
-         |  CASE WHEN n_tokens BETWEEN 5 AND 1000
-         |        AND stop_cnt * 1.0 / n_tokens < 0.5 THEN 1 ELSE 0 END AS quality
+         |  CASE WHEN n_tokens BETWEEN $QualityMinTokens AND $QualityMaxTokens
+         |        AND stop_cnt * 1.0 / n_tokens < $QualityStopRatioMax THEN 1 ELSE 0 END AS quality
          |FROM g ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH tok AS ($tokSql),

@@ -18,3 +18,17 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 }
+
+/** (BIGINT, BIGINT) input contract with standard implicit coercion, as a
+  * mixin: `AbstractDataType` (the result type of `inputTypes`) is
+  * `private[sql]`, so an expression living in the graft package cannot
+  * override it directly — this trait names the private type from inside
+  * the sql package and graft expressions just mix it in. INT/SMALLINT
+  * arguments widen to LongType at analysis (matching upstream numeric
+  * expressions); non-coercible inputs fail with the standard type-check
+  * error. */
+trait GraftLongLongInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+}

@@ -27,6 +27,7 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.interleave16(1L << 16, 0L) == 0L)
   }
 
+
   test("a 2-D box touches O(perimeter) z-tiles but full slabs of a row-major layout") {
     // ztile = zval >> 8: one 16×16 spatial block. rowtile = the y-slab a
     // row-major (sort by y, then x) layout would store contiguously.

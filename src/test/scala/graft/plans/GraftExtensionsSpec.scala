@@ -62,6 +62,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_zvalue(1L) AS z").collect()
       }
       assert(badZ.getMessage.contains("graft_zvalue"))
+      // ImplicitCastInputTypes: INT/SMALLINT arguments widen to BIGINT
+      val zc = s.sql(
+        "SELECT graft_zvalue(CAST(5 AS INT), CAST(3 AS SMALLINT)) AS z")
+        .head().getLong(0)
+      assert(zc == 27L)
+      // a non-coercible input still fails analysis with the standard error
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_zvalue(array(1L), 1L)").collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

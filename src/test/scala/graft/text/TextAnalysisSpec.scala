@@ -13,6 +13,12 @@ class TextAnalysisSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("vocabExact (oracle-gated) agrees with vocabApprox's exact column") {
+    val exactOnly = TextAnalysis.vocabExact(spark, "/root/testdata/sf0.001").head().getLong(0)
+    val paired = TextAnalysis.vocabApprox(spark, "/root/testdata/sf0.001").head().getLong(1)
+    assert(exactOnly == paired && exactOnly > 0)
+  }
+
   test("winnow: native kernel is row-identical to the column-expression spec") {
     val nat = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
     val spec = TextAnalysis.winnowSpec(spark, "/root/testdata/sf0.001").collect().toSeq
