@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import scala.collection.concurrent.TrieMap
+
+/** Registry of temp directories the library creates (streaming feed
+  * splits, file-sink outputs), deleted recursively on JVM exit —
+  * repeated Verify/Bench sessions must not accumulate orphaned
+  * `graft-*` trees under /tmp. Registration is idempotent and the hook
+  * tolerates races with Spark's own shutdown (best-effort deletes). */
+object TempDirs {
+
+  private val dirs = TrieMap.empty[String, Unit]
+
+  sys.addShutdownHook {
+    dirs.keys.foreach { d =>
+      try {
+        val p = java.nio.file.Paths.get(d)
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => () } })
+        }
+      } catch { case _: Exception => () }
+    }
+  }
+
+  /** Creates a temp directory that will be deleted on JVM exit. */
+  def create(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    dirs.put(p.toString, ())
+    p
+  }
+}

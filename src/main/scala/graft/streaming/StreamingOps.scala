@@ -132,6 +132,54 @@ object StreamingOps {
     }
   }
 
+  /** File-sink escape hatch for results past [[MaxSinkRows]]: each
+    * micro-batch lands in a parquet directory via foreachBatch (complete
+    * mode overwrites with the full re-emitted state, append mode appends
+    * the newly-finalized rows), and the result comes back as an ordinary
+    * distributed scan — no row ever transits the driver, so the contract
+    * is total in the result size. [[runToMemory]] stays the default with
+    * its loud cap error; this is the opt-in path for aggregates with more
+    * groups than the driver should hold. Same conf scoping (state
+    * partitions, RocksDB provider) and multi-trigger proof as
+    * runToMemory. */
+  def runToFiles(spark: SparkSession, streamed: DataFrame,
+      mode: String = "complete", minDataBatches: Int = 0,
+      stateParts: String = StreamShufflePartitions,
+      rocksDb: Boolean = true): DataFrame = {
+    require(mode == "complete" || mode == "append",
+      s"runToFiles supports complete|append, got '$mode'")
+    val out = graft.TempDirs.create("graft-sink").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    if (rocksDb) spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else spark.conf.unset(providerKey)
+    try {
+      val saveMode = if (mode == "append") "append" else "overwrite"
+      val q = streamed.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode(saveMode).parquet(out)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < minDataBatches) throw new IllegalStateException(
+        s"streaming query ran $dataBatches data-carrying micro-batches, " +
+          s"expected >= $minDataBatches (multi-trigger contract)")
+      spark.read.parquet(out)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Static-then-stream schema bootstrap (reference S3, q2:95-97). The
     * nanosecond-timestamp normalization (Tables.normalizeEvents) applies on
     * top of the streaming source exactly as it does on the batch scan. */
@@ -191,7 +239,7 @@ object StreamingOps {
     feedDirs.getOrElseUpdate(s"$dir#$n", {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      val feed = Files.createTempDirectory("graft-feed")
+      val feed = graft.TempDirs.create("graft-feed")
       val tmp = feed.resolve(".tmp")
       raw.repartitionByRange(n, col("ts")).write.parquet(tmp.toString)
       val parts = tmp.toFile.listFiles()

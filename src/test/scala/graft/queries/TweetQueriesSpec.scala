@@ -38,11 +38,23 @@ class TweetQueriesSpec extends SparkSpec {
   }
 
   test("O7: sort column resolution is case-insensitive (reference sorts 'Count')") {
+    import org.apache.spark.sql.functions.{asc, desc}
     import spark.implicits._
-    // the reference's q1 orders by a differently-cased alias; the default
-    // caseSensitive=false analyzer resolution is what makes that legal
+    // the default the reference silently relies on, pinned explicitly:
+    // a changed session conf would flip this to an analysis error
+    assert(spark.conf.get("spark.sql.caseSensitive") == "false")
+    // the exact reference shape (q1/Runner.scala:110-112): groupBy.count()
+    // emits a column named lowercase "count"; the sort names it "Count"
+    // and the caseSensitive=false analyzer resolves it anyway
+    val rows = Seq("x", "y", "y", "y", "x", "z").toDF("Emoji")
+      .groupBy($"Emoji").count()
+      .orderBy(desc("Count"), asc("Emoji"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("y", 3L), ("x", 2L), ("z", 1L)))
+    // generic alias direction too: differently-cased reference to a
+    // lowercase data column
     val sorted = Seq(("b", 2L), ("a", 1L)).toDF("emoji", "cnt")
-      .orderBy(org.apache.spark.sql.functions.desc("CNT"))
+      .orderBy(desc("CNT"))
       .collect().map(_.getString(0)).toSeq
     assert(sorted == Seq("b", "a"))
   }

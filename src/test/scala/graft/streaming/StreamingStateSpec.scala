@@ -73,6 +73,29 @@ class StreamingStateSpec extends SparkSpec {
     assert(e.getMessage.contains("rows > cap"))
   }
 
+  test("runToFiles carries a past-cap result through the file sink, identical rows") {
+    val dir = Files.createTempDirectory("graft-filesink")
+    FileFeeder.feed(dir, Seq((1 to 10).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", i))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    def stream = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id"))
+    // the same stream that blows the memory-sink cap above flows through
+    // the file path in full: no row transits the driver
+    val viaFiles = StreamingOps.runToFiles(spark, stream, mode = "append")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaFiles == (1L to 10L))
+    // complete-mode parity: the overwritten parquet state equals the
+    // memory-sink result for an aggregate
+    def agg = stream.groupBy(col("user_id") % 2 as "par").agg(count(lit(1)).as("cnt"))
+    val m = StreamingOps.runToMemory(spark, agg).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = StreamingOps.runToFiles(spark, agg).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f == m && f.nonEmpty)
+    // update mode stays out of scope, loudly
+    intercept[IllegalArgumentException] {
+      StreamingOps.runToFiles(spark, stream, mode = "update")
+    }
+  }
+
   test("flatMapGroupsWithState emits 0..n rows per group as thresholds cross") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
