@@ -39,4 +39,40 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unintended product joins:\n${offenders.mkString("\n")}")
   }
+
+  /** Pushdown gate: where a rel_* query filters a scanned base column
+    * with a literal predicate, that column must appear inside a
+    * non-empty `PushedFilters: [...]` clause of the physical plan — a
+    * refactor that lifts a predicate off the scan (e.g. by rephrasing it
+    * through a non-pushable expression) fails here instead of silently
+    * re-reading the full table at 100 TB. Enumerated per query: only
+    * literal predicates on base columns push; join-derived or
+    * aggregate-derived filters legitimately cannot. */
+  private val expectedPushdown: Map[String, Seq[String]] = Map(
+    "rel_q1_pricing" -> Seq("l_shipdate"),
+    "rel_q3_topk" -> Seq("c_mktsegment", "o_orderdate", "l_shipdate"),
+    "rel_q5_region_rev" -> Seq("r_name", "o_orderdate"),
+    "rel_q6_rev_filter" -> Seq("l_shipdate", "l_discount", "l_quantity"),
+    "rel_window_lag" -> Seq("o_custkey"),
+    "rel_intersect" -> Seq("o_orderdate"),
+    "rel_except" -> Seq("o_orderdate"),
+    "rel_union" -> Seq("o_orderdate"),
+    "rel_corr_subquery" -> Seq("c_custkey"))
+
+  test("literal predicates on scanned base columns reach PushedFilters") {
+    // the default 100-char metadata truncation would eat long pushed-filter
+    // lists (and their closing bracket) out of the plan string
+    val lenKey = "spark.sql.maxMetadataStringLength"
+    val prevLen = spark.conf.get(lenKey)
+    spark.conf.set(lenKey, "10000")
+    try {
+      val pushedRe = "PushedFilters: \\[[^\\]]+\\]".r
+      val missing = expectedPushdown.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+        val pushed = pushedRe.findAllIn(plan).mkString("\n")
+        cols.filterNot(pushed.contains).map(c => s"$name: $c not in pushed filters")
+      }
+      assert(missing.isEmpty, s"unpushed predicates:\n${missing.mkString("\n")}")
+    } finally spark.conf.set(lenKey, prevLen)
+  }
 }
