@@ -269,9 +269,21 @@ object Similarity {
     * pass (run on a sample at 100 TB — the harness shape is unchanged);
     * the comparison join is per-(query, candidate), so its cost is
     * |queries|·k. */
-  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+  def recallEval(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, ivfTopK(spark, dir))
+
+  /** PQ recall@3: the same eval harness pointed at the asymmetric-
+    * distance index — quantization error (codebook coarseness) is what
+    * this measures, the number a deployment watches when trading the
+    * 64× compression for recall. */
+  def pqRecallEval(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, pqTopK(spark, dir))
+
+  /** Shared recall@3 harness: `answers(qid, vec_id, …)` vs the exact
+    * brute-force top-3 for the standard query set. */
+  private def recallAgainstExact(spark: SparkSession, dir: String,
+      answers: DataFrame): DataFrame = {
     Engine.tune(spark)
-    val ivf = ivfTopK(spark, dir)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -283,11 +295,12 @@ object Similarity {
         round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-    val hits = ivf.join(bf.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+    val hits = answers.select(col("qid"), col("vec_id"))
+      .join(bf.select(col("qid"), col("vec_id"), lit(1).as("hit")),
         Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("h"))
-    // anchor on the QUERY set, not the index answers: a query whose IVF
+    // anchor on the QUERY set, not the index answers: a query whose index
     // cell yields no candidates must report recall 0, not vanish —
     // the worst case is exactly what the eval exists to surface
     q.select(col("qid")).join(hits, Seq("qid"), "left")
@@ -378,6 +391,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "sim_pq_recall" -> (pqRecallEval _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_buckets" -> (annBuckets _),
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
@@ -455,36 +469,70 @@ object Similarity {
       |    CAST(sum(CASE WHEN dotj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM d GROUP BY vec_id)""".stripMargin
 
+  /** The complete sim_pq_topk SELECT — also embedded (as a nested-WITH
+    * CTE body) in the PQ recall oracle, so the two stay identical by
+    * construction (the ivfTopKSql pattern). `//` is DuckDB's integer
+    * division (plain `/` floats); codebook is the same quantized-integer
+    * grid as the IVF oracles. */
+  private val pqTopKSql: String =
+    s"""$cellDistSql,
+       |sl AS (SELECT CAST(len(embedding) // $PqSubspaces AS BIGINT) AS sl
+       |       FROM embeddings LIMIT 1),
+       |sd AS (
+       |  SELECT v.vec_id, CAST(v.dim // s.sl AS BIGINT) AS sub, c.c_label,
+       |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS sdist
+       |  FROM vdim v JOIN cent c USING (dim) CROSS JOIN sl s
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, c_label AS code FROM (
+       |    SELECT vec_id, sub, c_label,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY sdist ASC, c_label ASC) AS rk
+       |    FROM sd) WHERE rk = 1),
+       |lut AS (SELECT vec_id AS qid, sub, c_label, sdist FROM sd WHERE vec_id < 4),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, CAST(sum(l.sdist) AS BIGINT) AS adist
+       |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.c_label
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM adc)
+       |SELECT qid, vec_id, adist, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // same quantized-integer codebook as the IVF oracles; `//` is
-    // DuckDB's integer division (plain `/` floats)
-    "sim_pq_topk" ->
-      s"""$cellDistSql,
-         |sl AS (SELECT CAST(len(embedding) // $PqSubspaces AS BIGINT) AS sl
-         |       FROM embeddings LIMIT 1),
-         |sd AS (
-         |  SELECT v.vec_id, CAST(v.dim // s.sl AS BIGINT) AS sub, c.c_label,
-         |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS sdist
-         |  FROM vdim v JOIN cent c USING (dim) CROSS JOIN sl s
-         |  GROUP BY 1, 2, 3),
-         |codes AS (
-         |  SELECT vec_id, sub, c_label AS code FROM (
-         |    SELECT vec_id, sub, c_label,
-         |      row_number() OVER (PARTITION BY vec_id, sub
-         |                         ORDER BY sdist ASC, c_label ASC) AS rk
-         |    FROM sd) WHERE rk = 1),
-         |lut AS (SELECT vec_id AS qid, sub, c_label, sdist FROM sd WHERE vec_id < 4),
-         |adc AS (
-         |  SELECT l.qid, c.vec_id, CAST(sum(l.sdist) AS BIGINT) AS adist
-         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.c_label
-         |  WHERE c.vec_id <> l.qid
-         |  GROUP BY 1, 2),
-         |r AS (
-         |  SELECT qid, vec_id, adist,
-         |    row_number() OVER (PARTITION BY qid
-         |                       ORDER BY adist ASC, vec_id ASC) AS rn
-         |  FROM adc)
-         |SELECT qid, vec_id, adist, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "sim_pq_topk" -> pqTopKSql,
+    "sim_pq_recall" ->
+      s"""WITH pq AS ($pqTopKSql),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM bs)
+         |  WHERE rn <= 3),
+         |h AS (
+         |  SELECT p.qid,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM pq p LEFT JOIN bf b ON p.qid = b.qid AND p.vec_id = b.vec_id
+         |  GROUP BY p.qid)
+         |SELECT q.qid, COALESCE(h.h, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.h, CAST(0 AS BIGINT)) / 3.0 AS recall_at_3
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
+         |LEFT JOIN h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (

@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
   // ground-truth pass reuses exactly that shape)
   private val broadcastProductIntended =
     Set("sim_cosine_topk", "sim_knn_batch", "sim_range_search", "sim_hybrid_search",
-      "sim_recall_eval")
+      "sim_recall_eval", "sim_pq_recall")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

@@ -58,6 +58,26 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(c => labels.contains(c._3)))
   }
 
+  test("PQ with one subspace degenerates to the IVF coarse quantizer exactly") {
+    // m=1 makes the single codeword-per-vector argmin the same
+    // computation as cellAssignments — the two indexes must agree
+    // bit-for-bit, tying PQ's codebook spec to the IVF one
+    val pq1 = Similarity.pqCodes(spark, sf, m = 1)
+      .select(col("vec_id"), col("code").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ivf = Similarity.cellAssignments(spark, sf)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pq1 == ivf && pq1.nonEmpty)
+  }
+
+  test("PQ recall eval: anchored on the query set with recall in [0,1]") {
+    val r = Similarity.pqRecallEval(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(r.forall(x => x._2 >= 0L && x._2 <= 3L && x._3 >= 0.0 && x._3 <= 1.0))
+  }
+
   test("multi-probe IVF recall dominates single-probe against exact ground truth") {
     val truth = bruteTop3
     val single = hits(Similarity.ivfTopK(spark, sf), truth)
