@@ -319,6 +319,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — the membership-sketch
+    * layer a 100 TB ingest pipeline puts IN FRONT of
+    * [[incrementalDedup]]'s digest join. The corpus digest set folds
+    * into one fixed-size mergeable Bloom filter
+    * (`BloomFilterAggregate`, the engine expression behind Spark's own
+    * runtime join filters — not SQL-registered upstream, constructed
+    * via the bridge); the resulting KB-scale sketch ships to the probe
+    * side as a CONSTANT (the literal plays the broadcast: every
+    * executor probes locally, codegen'd `BloomFilterMightContain`),
+    * and only the `might_contain` survivors pay the exact confirmation
+    * semi-join. No false negatives is the Bloom guarantee, so the
+    * prefilter is a pure performance layer: per-batch join input drops
+    * from |batch| to ~|dups| + ε·|batch| while the result stays
+    * EXACTLY [[incrementalDedup]]'s exact-dup verdict — which is why
+    * the oracle below is plain deterministic SQL with no sketch in it.
+    * The driver touches only the sketch bytes (an aggregate-sized
+    * result, same class as any collected aggregate), never data rows. */
+  def incrementalBloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.GraftBridge
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (pmod(col("doc_id"), lit(10)) === 0).as("incoming"))
+    val corpus = d.filter(!col("incoming"))
+    val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("h"))),
+        GraftBridge.expression(lit(100000L)),
+        GraftBridge.expression(lit(800000L)))
+      .toAggregateExpression()
+    val bfBytes = corpus.select(GraftBridge.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bfBytes, org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(xxhash64(col("h")))))
+    val batch = d.filter(col("incoming"))
+    val confirmed = batch.filter(probe)
+      .join(corpus.select(col("h").as("eh")).distinct(),
+        col("h") === col("eh"), "left_semi")
+      .select(col("doc_id")).withColumn("dup", lit(1))
+    batch.select(col("doc_id"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("is_dup_exact"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within shared LSH buckets.
     * 10 hyperplanes (1024 buckets) keep the within-bucket pair count ~2%
     * of the 6-plane variant; per-vector norms are computed once before
@@ -460,6 +508,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_est" -> (minhashEstimate _),
     "dedup_incremental" -> (incrementalDedup _),
+    "dedup_incremental_bloom" -> (incrementalBloomDedup _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _),
     "dedup_semantic" -> (semanticDedup _),
@@ -562,6 +611,16 @@ object Dedup {
          |LEFT JOIN exh ON i.h = exh.eh
          |LEFT JOIN near ON near.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
+    // the Bloom prefilter is invisible to the result (no false
+    // negatives + exact confirmation join), so the oracle is the plain
+    // exact-dup verdict
+    "dedup_incremental_bloom" ->
+      """WITH inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+        |exh AS (SELECT DISTINCT md5(text) AS eh FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT i.doc_id,
+        |  CASE WHEN exh.eh IS NOT NULL THEN 1 ELSE 0 END AS is_dup_exact
+        |FROM inc i LEFT JOIN exh ON i.h = exh.eh
+        |ORDER BY i.doc_id""".stripMargin,
     // estimator = agreeing components / 12 over the same candidate pairs;
     // the mh CTE carries (doc_id, i, minh), so agreement is an equi-join
     // on the seed index

@@ -25,6 +25,29 @@ class DedupSpec extends SparkSpec {
     d
   }
 
+  test("bloom-prefiltered incremental dedup equals the unfiltered exact verdict") {
+    val sf = "/root/testdata/sf0.001"
+    val plain = Dedup.incrementalDedup(spark, sf)
+      .select("doc_id", "is_dup_exact")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val bloomed = Dedup.incrementalBloomDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // no false negatives (Bloom guarantee) + exact confirmation join ->
+    // the sketch must be invisible in the result
+    assert(bloomed == plain && bloomed.nonEmpty)
+  }
+
+  test("bloom-prefiltered incremental dedup survives an all-incoming (empty-corpus) batch") {
+    // every local-fixture doc_id is a multiple of 10 -> corpus side empty
+    // -> the aggregated sketch is NULL -> might_contain(NULL) is NULL ->
+    // nothing survives the prefilter; the verdict must be all-zeros, not
+    // an NPE or a dropped row set
+    val r = Dedup.incrementalBloomDedup(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(r.map(_._1).toSeq == Seq(0L, 50L, 100L, 150L, 200L))
+    assert(r.forall(_._2 == 0))
+  }
+
   test("exact summary counts the duplicate") {
     val r = Dedup.exactSummary(spark, dir).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 4L, 1L))
