@@ -38,17 +38,25 @@ object Bench {
     val measured = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        var ok = true
-        val times = (0 until runs).map { _ =>
+        val attempts = (0 until runs).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case NonFatal(e) =>
-            ok = false
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
+          val runOk =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, runOk)
         }
-        (name, times.min, ok)
+        // the reported time is the min over SUCCESSFUL runs only — a run
+        // that threw in 50 ms must not undercut a 5 s successful run and
+        // shrink the headline total; only when every run failed does the
+        // (worst) failure time stand in, so breakage still costs, never
+        // pays. ANY failed run marks the query not-ok (flaky is not ok).
+        val anySuccess = attempts.exists(_._2)
+        val t = if (anySuccess) attempts.collect { case (s, true) => s }.min
+                else attempts.map(_._1).max
+        (name, t, attempts.forall(_._2))
       }
     val results = measured.map { case (n, t, _) => (n, t) }
     val failed = measured.collect { case (n, _, false) => n }

@@ -66,11 +66,12 @@ object EventQueries {
     val n = count(lit(1)).over(w)
     val s = sum("n_events").over(w)
     val s2 = sum(col("n_events") * col("n_events")).over(w)
-    // n == 1 makes the sample-variance denominator n·(n−1) zero; both
-    // sides pin that degenerate case to NULL (IEEE 0/0 rendering would
-    // otherwise be engine-specific) — fixture has 720 hours, but the
-    // contract must hold on any input.
-    val z = when(n > 1, round(
+    // Degenerate inputs pin to NULL on BOTH engines (IEEE 0/0 and x/0
+    // renderings are engine-specific): n == 1 zeroes the sample-variance
+    // denominator n·(n−1), and a zero-variance window (all hourly counts
+    // identical, n·Σx² = (Σx)²) zeroes the stddev — fixture has 720
+    // varied hours, but the contract must hold on any input.
+    val z = when(n > 1 && (n * s2 - s * s) > 0, round(
       (col("n_events") * n - s).cast("double") /
         (n.cast("double") *
           sqrt((n * s2 - s * s).cast("double") / (n * (n - lit(1))).cast("double"))),
@@ -295,7 +296,7 @@ object EventQueries {
         |  FROM h),
         |z AS (
         |  SELECT hr, n_events,
-        |    CASE WHEN n > 1 THEN
+        |    CASE WHEN n > 1 AND n * s2 - s * s > 0 THEN
         |      round(CAST(n_events * n - s AS DOUBLE) /
         |            (CAST(n AS DOUBLE) *
         |             sqrt(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))),

@@ -19,16 +19,41 @@ object GraftBridge {
     df.queryExecution.analyzed
 }
 
-/** (BIGINT, BIGINT) input contract with standard implicit coercion, as a
-  * mixin: `AbstractDataType` (the result type of `inputTypes`) is
+/** (BIGINT, BIGINT) input contract with INTEGRAL-ONLY implicit widening,
+  * as a mixin: `AbstractDataType` (the result type of `inputTypes`) is
   * `private[sql]`, so an expression living in the graft package cannot
   * override it directly — this trait names the private type from inside
-  * the sql package and graft expressions just mix it in. INT/SMALLINT
-  * arguments widen to LongType at analysis (matching upstream numeric
-  * expressions); non-coercible inputs fail with the standard type-check
-  * error. */
+  * the sql package and graft expressions just mix it in.
+  *
+  * TINYINT/SMALLINT/INT arguments widen to LongType at analysis
+  * (matching upstream numeric expressions). Plain ImplicitCastInputTypes
+  * would additionally admit DOUBLE→BIGINT and STRING→BIGINT (even under
+  * ANSI coercion) — a silently TRUNCATING cast that would turn raw
+  * un-quantized coordinates into a wrong layout key instead of a loud
+  * type error — so checkInputDataTypes re-asserts that each argument's
+  * pre-coercion type was integral. */
 trait GraftLongLongInputs
     extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
-    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+  this: org.apache.spark.sql.catalyst.expressions.Expression =>
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types._
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val sources = children.map {
+      case c: Cast if c.dataType == LongType => c.child.dataType
+      case e => e.dataType
+    }
+    val bad = sources.filterNot {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (bad.nonEmpty) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects integral (bigint-widenable) inputs, got " +
+        bad.map(_.sql).mkString(", "))
+    else super.checkInputDataTypes()
+  }
 }

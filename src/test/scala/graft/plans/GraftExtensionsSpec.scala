@@ -71,6 +71,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException] {
         s.sql("SELECT graft_zvalue(array(1L), 1L)").collect()
       }
+      // lossy coercions are rejected loudly, not silently truncated:
+      // a DOUBLE or STRING coordinate would floor into a wrong layout key
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_zvalue(CAST(5.9 AS DOUBLE), 3L)").collect()
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_zvalue('5', 3L)").collect()
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
