@@ -185,12 +185,17 @@ case class ZValue(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_zvalue"
 
+  // narrower integrals arrive un-cast (see GraftLongLongInputs):
+  // interpreted path widens via Number.longValue, generated code via
+  // Java's implicit primitive widening at the call site
   override def nullSafeEval(a: Any, b: Any): Any =
-    ZOrder.interleave16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    ZOrder.interleave16(
+      a.asInstanceOf[java.lang.Number].longValue,
+      b.asInstanceOf[java.lang.Number].longValue)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"${ev.value} = graft.functions.ZOrder.interleave16($x, $y);")
+      s"${ev.value} = graft.functions.ZOrder.interleave16((long) $x, (long) $y);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZValue =

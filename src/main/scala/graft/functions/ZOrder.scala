@@ -27,11 +27,18 @@ object ZOrder {
   def interleave16(x: Long, y: Long): Long =
     spread16(x) | (spread16(y) << 1)
 
-  /** Native-expression column: `zvalue(x, y)`. */
+  /** Native-expression column: `zvalue(x, y)`. Integral inputs only;
+    * pass an explicit `.cast("long")` column to [[zvalue2]] to opt in
+    * to a truncating conversion (raw DOUBLE/STRING fail analysis — see
+    * GraftLongLongInputs). */
   def zvalue(xCol: String, yCol: String): Column =
+    zvalue2(col(xCol), col(yCol))
+
+  /** Column-typed spelling of [[zvalue]], for derived coordinates. */
+  def zvalue2(x: Column, y: Column): Column =
     org.apache.spark.sql.GraftBridge.column(ZValue(
-      org.apache.spark.sql.GraftBridge.expression(col(xCol)),
-      org.apache.spark.sql.GraftBridge.expression(col(yCol))))
+      org.apache.spark.sql.GraftBridge.expression(x),
+      org.apache.spark.sql.GraftBridge.expression(y)))
 
   /** Portable shift-sum spelling of the same value (the shape the DuckDB
     * oracle uses); pinned bit-identical to [[zvalue]] in ZOrderSpec. */

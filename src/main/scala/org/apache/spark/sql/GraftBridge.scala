@@ -19,41 +19,44 @@ object GraftBridge {
     df.queryExecution.analyzed
 }
 
-/** (BIGINT, BIGINT) input contract with INTEGRAL-ONLY implicit widening,
-  * as a mixin: `AbstractDataType` (the result type of `inputTypes`) is
-  * `private[sql]`, so an expression living in the graft package cannot
-  * override it directly — this trait names the private type from inside
-  * the sql package and graft expressions just mix it in.
+/** INTEGRAL-ONLY binary input contract, as a mixin: `AbstractDataType`
+  * (the result type of `inputTypes`) is `private[sql]`, so an expression
+  * living in the graft package cannot override it directly — this trait
+  * names the private type from inside the sql package and graft
+  * expressions just mix it in.
   *
-  * TINYINT/SMALLINT/INT arguments widen to LongType at analysis
-  * (matching upstream numeric expressions). Plain ImplicitCastInputTypes
-  * would additionally admit DOUBLE→BIGINT and STRING→BIGINT (even under
-  * ANSI coercion) — a silently TRUNCATING cast that would turn raw
-  * un-quantized coordinates into a wrong layout key instead of a loud
-  * type error — so checkInputDataTypes re-asserts that each argument's
-  * pre-coercion type was integral. */
+  * Deliberately NOT ImplicitCastInputTypes: implicit coercion would
+  * admit DOUBLE→BIGINT and STRING→BIGINT — a silently TRUNCATING cast
+  * that would turn raw un-quantized coordinates into a wrong layout key
+  * instead of a loud type error. Instead, TINYINT/SMALLINT/INT/BIGINT
+  * arguments are accepted as-is (the kernel widens via
+  * Number.longValue / Java primitive widening) and every other type is
+  * a clean analysis failure. An EXPLICIT `CAST(x AS BIGINT)` written by
+  * the user is the documented opt-in: its dataType is BIGINT, so it
+  * passes — consistently, whether single or chained, because the check
+  * reads only each child's dataType. dataTypes are invariant under
+  * optimizer rewrites, so `resolved` can never regress mid-optimization
+  * (the round-6 Cast-unwrapping variant of this check was structural
+  * and crashed CollapseProject when a project inlined an explicit cast;
+  * pinned in ZOrderSpec "explicit cast-derived bigint"). */
 trait GraftLongLongInputs
-    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   this: org.apache.spark.sql.catalyst.expressions.Expression =>
 
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-  import org.apache.spark.sql.catalyst.expressions.Cast
   import org.apache.spark.sql.types._
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegralType, IntegralType)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val sources = children.map {
-      case c: Cast if c.dataType == LongType => c.child.dataType
-      case e => e.dataType
-    }
-    val bad = sources.filterNot {
+    val bad = children.map(_.dataType).filterNot {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     if (bad.nonEmpty) TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects integral (bigint-widenable) inputs, got " +
-        bad.map(_.sql).mkString(", "))
-    else super.checkInputDataTypes()
+        bad.map(_.sql).mkString(", ") +
+        "; write an explicit CAST(x AS BIGINT) to opt in to truncation")
+    else TypeCheckResult.TypeCheckSuccess
   }
 }

@@ -28,6 +28,22 @@ class ZOrderSpec extends SparkSpec {
   }
 
 
+  test("explicit cast-derived bigint survives project collapse and predicate pushdown") {
+    // regression for the round-6 optimizer crash: y = CAST(double AS
+    // BIGINT) in a Project, zvalue over it in the next, then a filter —
+    // CollapseProject inlines the Cast into zvalue's child and
+    // PushDownPredicates re-checks the expression mid-optimization. The
+    // type contract must be stable under that rewrite (it reads
+    // dataTypes, never Cast structure), so this plans and runs.
+    val q = spark.range(0, 1024)
+      .select((col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+      .select(ZOrder.zvalue("x", "y").as("z"))
+      .filter(col("z") > 100L)
+    assert(q.count() > 0)
+    // (the same shape through SQL + the injected function builder is
+    // pinned in GraftExtensionsSpec, which owns an extensions session)
+  }
+
   test("a 2-D box touches O(perimeter) z-tiles but full slabs of a row-major layout") {
     // ztile = zval >> 8: one 16×16 spatial block. rowtile = the y-slab a
     // row-major (sort by y, then x) layout would store contiguously.

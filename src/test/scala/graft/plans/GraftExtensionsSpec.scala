@@ -62,7 +62,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_zvalue(1L) AS z").collect()
       }
       assert(badZ.getMessage.contains("graft_zvalue"))
-      // ImplicitCastInputTypes: INT/SMALLINT arguments widen to BIGINT
+      // narrower integrals are accepted un-cast (the kernel widens) and
+      // agree with the BIGINT spelling
       val zc = s.sql(
         "SELECT graft_zvalue(CAST(5 AS INT), CAST(3 AS SMALLINT)) AS z")
         .head().getLong(0)
@@ -73,12 +74,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       // lossy coercions are rejected loudly, not silently truncated:
       // a DOUBLE or STRING coordinate would floor into a wrong layout key
-      intercept[org.apache.spark.sql.AnalysisException] {
+      val badDouble = intercept[org.apache.spark.sql.AnalysisException] {
         s.sql("SELECT graft_zvalue(CAST(5.9 AS DOUBLE), 3L)").collect()
       }
+      assert(badDouble.getMessage.contains("integral"))
       intercept[org.apache.spark.sql.AnalysisException] {
         s.sql("SELECT graft_zvalue('5', 3L)").collect()
       }
+      // ...through the Column API too, not just SQL
+      import org.apache.spark.sql.functions.col
+      val dblDf = s.range(4).selectExpr("CAST(id AS DOUBLE) AS d", "id AS y")
+      val badCol = intercept[org.apache.spark.sql.AnalysisException] {
+        dblDf.select(graft.functions.ZOrder.zvalue("d", "y")).collect()
+      }
+      assert(badCol.getMessage.contains("integral"))
+      // an EXPLICIT CAST(double AS BIGINT) is the documented opt-in —
+      // accepted, evaluates, and stays accepted when chained (the check
+      // reads dataTypes only, so single vs nested casts are consistent)
+      assert(s.sql("SELECT graft_zvalue(CAST(5.9 AS BIGINT), 3L) AS z")
+        .head().getLong(0) == 27L)
+      assert(s.sql(
+        "SELECT graft_zvalue(CAST(CAST('5' AS BIGINT) AS BIGINT), 3L) AS z")
+        .head().getLong(0) == 27L)
+      assert(dblDf.select(graft.functions.ZOrder.zvalue2(
+        col("d").cast("long"), col("y")).as("z"))
+        .filter(col("z") >= 0).count() == 4L)
+      // the round-6 crash shape through SQL: cast-derived bigint in a
+      // subquery, zvalue over it, filter on top — CollapseProject +
+      // PushDownPredicates must not flip the expression to unresolved
+      s.range(0, 1024).createOrReplaceTempView("zorder_cast_v")
+      assert(s.sql(
+        """SELECT z FROM (
+          |  SELECT graft_zvalue(x, y) AS z FROM (
+          |    SELECT id % 32 AS x, CAST(id / 32 AS BIGINT) AS y
+          |    FROM zorder_cast_v))
+          |WHERE z > 100""".stripMargin).count() > 0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
