@@ -292,12 +292,34 @@ object Dedup {
     * (distinct text hashes / distinct band keys): no self-join, no pair
     * explosion — at 100 TB the index is maintained incrementally and the
     * per-batch cost is |batch|, not |corpus|. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    val d = Tables(spark, dir, "documents")
+  /** Shared plumbing of the incremental family: the batch/corpus split
+    * frame `(doc_id, h = md5(text), incoming)` — doc_id % 10 == 0 stands
+    * in for "today's crawl", everything else is the existing corpus. */
+  private def incrementalSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("h"),
         (pmod(col("doc_id"), lit(10)) === 0).as("incoming"))
-    val existingH = d.filter(!col("incoming")).select(col("h").as("eh")).distinct()
+
+  /** Shared exact-dup verdict of the incremental family: batch rows
+    * (optionally prefiltered — the Bloom hook) confirm against the
+    * distinct corpus digests by one left-semi equi-join, then every
+    * batch row gets its 0/1 verdict. [[incrementalBloomDedup]] is
+    * LITERALLY this query with a sketch prefilter; any prefilter with
+    * no false negatives leaves the result identical by construction. */
+  private def exactDupVerdict(batch: DataFrame, corpus: DataFrame,
+      prefilter: Column): DataFrame = {
+    val confirmed = batch.filter(prefilter)
+      .join(corpus.select(col("h").as("eh")).distinct(),
+        col("h") === col("eh"), "left_semi")
+      .select(col("doc_id")).withColumn("dup", lit(1))
+    batch.select(col("doc_id"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("is_dup_exact"))
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = incrementalSplit(spark, dir)
     val bandsCol = org.apache.spark.sql.GraftBridge.column(
       graft.functions.MinHashSignature(
         org.apache.spark.sql.GraftBridge.expression(col("text")), 12, bandWidth = 2))
@@ -310,11 +332,9 @@ object Dedup {
       .join(existingB, Seq("band", "sig"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("near_hit", lit(1))
-    d.filter(col("incoming"))
-      .join(existingH, col("h") === col("eh"), "left")
+    exactDupVerdict(d.filter(col("incoming")), d.filter(!col("incoming")), lit(true))
       .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("eh").isNotNull, 1).otherwise(0).as("is_dup_exact"),
+      .select(col("doc_id"), col("is_dup_exact"),
         coalesce(col("near_hit"), lit(0)).as("is_near_dup"))
       .orderBy("doc_id")
   }
@@ -332,16 +352,23 @@ object Dedup {
     * semi-join. No false negatives is the Bloom guarantee, so the
     * prefilter is a pure performance layer: per-batch join input drops
     * from |batch| to ~|dups| + ε·|batch| while the result stays
-    * EXACTLY [[incrementalDedup]]'s exact-dup verdict — which is why
+    * EXACTLY [[incrementalDedup]]'s exact-dup verdict — structurally
+    * so: the body is [[exactDupVerdict]] (the same query the plain
+    * variant runs) with the sketch as its prefilter hook — which is why
     * the oracle below is plain deterministic SQL with no sketch in it.
     * The driver touches only the sketch bytes (an aggregate-sized
-    * result, same class as any collected aggregate), never data rows. */
+    * result, same class as any collected aggregate), never data rows.
+    *
+    * NOTE: construction is EAGER — folding the corpus into the sketch
+    * runs a Spark job (the `.head()` on the aggregate) at
+    * DataFrame-build time, before any action on the returned frame.
+    * Callers that only want the plan (explain, audits, lazy
+    * composition) still pay that aggregation; acceptable for the
+    * bench/verify harness, by design here. */
   def incrementalBloomDedup(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     import org.apache.spark.sql.GraftBridge
-    val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        (pmod(col("doc_id"), lit(10)) === 0).as("incoming"))
+    val d = incrementalSplit(spark, dir)
     val corpus = d.filter(!col("incoming"))
     val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(
@@ -356,14 +383,7 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal(
           bfBytes, org.apache.spark.sql.types.BinaryType),
         GraftBridge.expression(xxhash64(col("h")))))
-    val batch = d.filter(col("incoming"))
-    val confirmed = batch.filter(probe)
-      .join(corpus.select(col("h").as("eh")).distinct(),
-        col("h") === col("eh"), "left_semi")
-      .select(col("doc_id")).withColumn("dup", lit(1))
-    batch.select(col("doc_id"))
-      .join(confirmed, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("is_dup_exact"))
+    exactDupVerdict(d.filter(col("incoming")), corpus, probe)
       .orderBy("doc_id")
   }
 
@@ -474,8 +494,18 @@ object Dedup {
     * shared band makes a candidate, then exact Hamming distance (one
     * `bit_count(xor)`) filters to <= MaxHamming. By pigeonhole, a pair
     * within Hamming 3 of a 48-bit signature must agree on at least one of
-    * the 4 bands, so recall at the threshold is total — the standard
-    * simhash dedup layout (band join, never all-pairs). */
+    * the 4 bands — the standard simhash dedup layout (band join, never
+    * all-pairs).
+    *
+    * Band buckets are size-capped (2..MaxBucket) before the self-join,
+    * exactly like [[minhashLsh]]: each band key takes only 4096 values,
+    * so at n docs an UNCAPPED bucket holds ~n/4096 random collisions and
+    * the join output grows as n²/2048 — quadratic at scale (the round-6
+    * soak measured 3.69× time at 100× data). The cap bounds it at
+    * n·MaxBucket. Recall trade, documented like MinHash's: pairs whose
+    * ONLY agreeing band lands in a mega-bucket are dropped — at scale a
+    * real pipeline collapses mega-buckets to a representative instead of
+    * comparing pairwise. */
   val MaxHamming = 3
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -488,8 +518,13 @@ object Dedup {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.alias("a")
-      .join(banded.alias("b"),
+    val small = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, MaxBucket))
+      .select("band", "key")
+    val capped = banded.join(small, Seq("band", "key"))
+    capped.alias("a")
+      .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -683,10 +718,14 @@ object Dedup {
          |banded AS (
          |  SELECT doc_id, simhash, b AS band,
          |    (simhash // CAST(pow(2, 12 * b) AS BIGINT)) % 4096 AS key
-         |  FROM sh, UNNEST(range(0, 4)) t(b))
+         |  FROM sh, UNNEST(range(0, 4)) t(b)),
+         |shsmall AS (
+         |  SELECT band, key FROM banded GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND ${MaxBucket}),
+         |shcapped AS (SELECT b.* FROM banded b JOIN shsmall USING (band, key))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM banded a JOIN banded b
+         |FROM shcapped a JOIN shcapped b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${MaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin,

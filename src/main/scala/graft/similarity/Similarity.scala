@@ -119,10 +119,16 @@ object Similarity {
   }
 
   /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
-    * set (vec_id < 8), ranked per query by a window function. The shape is
-    * the scale path for "embed the eval set, find its neighbors in the
-    * corpus": corpus scan × broadcast queries, per-query top-k via
-    * row_number — no corpus self-join, no global sort. */
+    * set (vec_id < 8). The shape is the scale path for "embed the eval
+    * set, find its neighbors in the corpus": corpus scan × broadcast
+    * queries, then per-query top-k via the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator — NOT a window row_number,
+    * whose physical plan sorts each query partition's ~|corpus| scored
+    * rows before discarding all but k. The operator's two-phase layout
+    * (map-side partial heap before the exchange) ships at most
+    * queries·k rows per input partition; with few queries and a huge
+    * corpus that is the difference between a fixed-size heap and a
+    * full sort of the scored frame. */
   def knnBatch(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -132,10 +138,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), 3)
       .orderBy("qid", "rn")
   }
 

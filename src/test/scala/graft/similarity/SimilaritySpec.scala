@@ -36,12 +36,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._1).distinct.size == 4)
     assert(r.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1, 2, 3)))
     assert(r.forall(_._3 >= 0L))
-    // exact integer arithmetic end to end: a different partitioning must
-    // reproduce the identical ranking (a float ADC would 1-ulp-drift)
-    val emb = graft.Tables(spark, sf, "embeddings")
-    val again = Similarity.pqTopK(spark, sf)
-      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    // exact integer arithmetic end to end: a different shuffle layout must
+    // reproduce the identical ranking (a float ADC would 1-ulp-drift).
+    // Actually change the partitioning for the second pass — a re-run
+    // under the same conf proves nothing.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val again = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      Similarity.pqTopK(spark, sf)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(r == again)
+  }
+
+  test("knnBatch plans the bounded-heap TopKPerGroup operator, not a window sort") {
+    val q = Similarity.knnBatch(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // two-phase: map-side partial heap + distribution-requiring final —
+    // and NO window (whose physical plan sorts each query partition's
+    // ~|corpus| scored rows before discarding all but k)
+    assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["),
+      s"expected two-phase TopKPerGroup in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window sort leaked back into knnBatch:\n$plan")
+    // and it selects the same neighbors as the window spelling
+    val truth = bruteTop3
+    val got = q.filter(col("qid") < 4).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert(got == truth, s"got=$got truth=$truth")
   }
 
   test("PQ encoding: every corpus vector carries exactly m codes, all valid labels") {
