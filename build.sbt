@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to this process's stdout/stderr
+// instead of through sbt's logger: the bench driver json-parses the final
+// stdout line, and the logger's "[info] " prefix defeats that parse
+// (BENCH_r06 recorded parsed:null with the line present but prefixed).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

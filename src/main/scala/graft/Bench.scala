@@ -25,7 +25,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: shutdown-time WARN spam (e.g. DAGScheduler "Failed
+    // to cancel job group") lands in the driver's 4 KB stdout tail right
+    // around the JSON line and crowds it out
+    spark.sparkContext.setLogLevel("ERROR")
     // Session warmup outside the timed region: first-scan/first-shuffle/
     // codegen JIT costs land here instead of on whichever query sorts first.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -90,6 +93,7 @@ object Bench {
     println(Iterator.range(15, -1, -1).map(line).find(_.length <= 3000).getOrElse(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"sf":"$sfDir","runs":$runs}"""))
+    System.out.flush()
     spark.stop()
   }
 }
