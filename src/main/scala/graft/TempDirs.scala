@@ -14,14 +14,23 @@ object TempDirs {
 
   private val dirs = TrieMap.empty[String, Unit]
 
-  sys.addShutdownHook {
+  sys.addShutdownHook { sweep() }
+
+  /** Delete every registered dir now (also the shutdown hook's body —
+    * callable from tests to prove the sweep works without killing the
+    * JVM). The walk stream is closed explicitly: each open stream holds
+    * a directory handle, and the sweep may visit many dirs. */
+  def sweep(): Unit = {
     dirs.keys.foreach { d =>
       try {
         val p = java.nio.file.Paths.get(d)
         if (Files.exists(p)) {
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]())
             .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => () } })
+          finally walk.close()
         }
+        dirs.remove(d)
       } catch { case _: Exception => () }
     }
   }

@@ -170,7 +170,15 @@ object StreamingOps {
       if (dataBatches < minDataBatches) throw new IllegalStateException(
         s"streaming query ran $dataBatches data-carrying micro-batches, " +
           s"expected >= $minDataBatches (multi-trigger contract)")
-      spark.read.parquet(out)
+      // an empty stream (append mode, no finalized rows) writes no file;
+      // reading the bare dir would die with an unrelated schema-inference
+      // error, so return a typed empty frame with the streamed schema
+      val wroteAny = Files.list(java.nio.file.Paths.get(out))
+      val hasData = try wroteAny.anyMatch(p => p.toString.endsWith(".parquet"))
+        finally wroteAny.close()
+      if (hasData) spark.read.parquet(out)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProvider match {
