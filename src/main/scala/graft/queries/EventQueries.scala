@@ -229,7 +229,29 @@ object EventQueries {
         1L).otherwise(0L)).as("n_full_funnel"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's time-ordered stream, count (event_type → next event_type)
+    * pairs — the behavioral-analytics dual of [[sessionize]] and the input
+    * to any path/funnel mining. One shuffle on user_id for the lead()
+    * window, then a |types|²-bounded grouped count with map-side partials.
+    * Order within a user is total (exact integer micros, event_id
+    * tiebreak), so lead() is deterministic on both engines. */
+  def paths(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_trans"))
+      .orderBy(desc("n_trans"), asc("event_type"), asc("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_paths" -> (paths _),
     "ev_hourly_dense" -> (hourlyDense _),
     "ev_retention" -> (retention _),
     "ev_funnel" -> (funnel _),
@@ -243,6 +265,18 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY t_us, event_id) AS next_type
+        |  FROM t)
+        |SELECT event_type, next_type, count(*) AS n_trans
+        |FROM p WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_trans DESC, event_type, next_type""".stripMargin,
     "ev_json_extract" ->
       """SELECT k, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val

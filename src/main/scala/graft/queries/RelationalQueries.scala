@@ -531,7 +531,39 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // ---- SCD2 run collapse: the change-data-capture build step — collapse
+  // each customer's order history into runs of constant o_orderpriority
+  // with [eff_from, eff_to) validity ranges (type-2 slowly-changing
+  // dimension). Two windows over the SAME (o_custkey) partitioning —
+  // change detection (lag) + run numbering (running sum), then the
+  // collapsed frame's lead() for eff_to — so the whole query pays ONE
+  // shuffle on the dimension key; run rows ≤ input rows by construction.
+  // The key is the customer (no skew: order history per customer is
+  // bounded); at 100 TB this is the standard one-shuffle SCD2 shape.
+  def scd2Runs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val prev = lag(col("o_orderpriority"), 1).over(w)
+    val runs = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("o_orderpriority"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("o_custkey", "run_id")
+      .agg(min("o_orderpriority").as("priority"),
+        min("o_orderdate").as("eff_from"),
+        count(lit(1)).as("n_orders"))
+    val wRun = Window.partitionBy("o_custkey").orderBy("run_id")
+    runs.withColumn("eff_to", lead(col("eff_from"), 1).over(wRun))
+      .select(col("o_custkey"), col("run_id"), col("priority"),
+        col("eff_from"), col("eff_to"), col("n_orders"))
+      .orderBy("o_custkey", "run_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scd2_runs" -> (scd2Runs _),
     "rel_salted_join" -> (saltedJoin _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
     "rel_asof_join" -> (asofJoin _),
@@ -562,6 +594,28 @@ object RelationalQueries {
     "rel_except" -> (exceptYears _))
 
   val oracles: Map[String, String] = Map(
+    "rel_scd2_runs" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |r0 AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority,
+        |    CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |                        ORDER BY o_orderdate, o_orderkey
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM m),
+        |runs AS (
+        |  SELECT o_custkey, run_id, min(o_orderpriority) AS priority,
+        |    min(o_orderdate) AS eff_from, count(*) AS n_orders
+        |  FROM r0 GROUP BY 1, 2)
+        |SELECT o_custkey, run_id, priority, eff_from,
+        |  lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS eff_to,
+        |  n_orders
+        |FROM runs ORDER BY o_custkey, run_id""".stripMargin,
     "rel_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  count(*) OVER (PARTITION BY o_custkey

@@ -393,7 +393,75 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Query-set size and level count for the scalar quantizer, single-
+    * sourced between the Scala plan and the oracle. */
+  val SqQueries = 4
+  val SqLevels = 255
+
+  /** Per-component (vec_id, dim, x) frame + per-dim (min, max) stats —
+    * the two inputs every scalar-quantization step shares. */
+  private def sqDims(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    Engine.tune(spark)
+    val dims = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    (dims, dims.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx")))
+  }
+
+  /** The int8 code per component: x affinely mapped to 0..[[SqLevels]]
+    * by its dimension's global (min, max). */
+  private def sqCode = when(col("mx") > col("mn"),
+    floor((col("x") - col("mn")) / (col("mx") - col("mn")) * SqLevels)
+      .cast("long")).otherwise(0L)
+
+  /** int8 scalar quantization: each dimension is affinely mapped to
+    * 0..[[SqLevels]] by its global (min, max) — the simplest compressed
+    * index (4× smaller than float32) and the usual first rung below PQ.
+    * Unlike the PQ/IVF grids there is NO libm call anywhere: min/max are
+    * exact selections, and the map is one IEEE subtract/divide/multiply/
+    * floor per component, bit-identical across engines by construction.
+    * Two passes over the corpus: a dim-sized stats aggregate (broadcast
+    * back), then the encode — at 100 TB the stats frame is |dims| rows. */
+  def sqQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, stats) = sqDims(spark, dir)
+    dims.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"), sqCode.as("xq"))
+  }
+
+  /** SQ ANN top-k — MAXIMUM-INNER-PRODUCT search (MIPS): deliberately
+    * unnormalized ranking (the retrieval mode recommender systems use;
+    * the cosine family above is the normalized alternative). Scoring
+    * uses integer RECONSTRUCTIONS, not raw codes: a code alone drops the
+    * per-dim offset mn_d, which varies by dimension, so code·code is NOT
+    * monotone in the true dot product (the classic SQ-for-MIPS trap —
+    * caught by this operator's recall spec). Instead each component
+    * dequantizes to `vq = floor(mn·1024)·255 + floor((mx−mn)·1024)·xq`
+    * (the value in 1/(1024·255) units — a stored SQ index is exactly
+    * this: int8 codes + per-dim scale/offset constants), and vq·vq sums
+    * are exact BIGINTs: order-independent, engine-identical, no libm.
+    * Corpus scanned once in encoded form, the [[SqQueries]]-vector query
+    * block broadcast, per-query top-k through the bounded-heap
+    * TopKPerGroup operator (same rationale as [[knnBatch]]). */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val (dims, stats) = sqDims(spark, dir)
+    val rec = dims.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        (floor(col("mn") * 1024).cast("long") * SqLevels +
+          floor((col("mx") - col("mn")) * 1024).cast("long") * sqCode).as("vq"))
+    val q = rec.filter(col("vec_id") < SqQueries)
+      .select(col("vec_id").as("qid"), col("dim").as("qdim"), col("vq").as("qvq"))
+    val dot = rec.join(broadcast(q), col("dim") === col("qdim"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("vq") * col("qvq")).as("dot"))
+    graft.plans.TopK.perGroup(dot, Seq("qid"),
+      Seq(("dot", false), ("vec_id", true)), k)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq_topk" -> ((s: SparkSession, d: String) => sqTopK(s, d)),
     "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "sim_pq_recall" -> (pqRecallEval _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -507,6 +575,30 @@ object Similarity {
        |SELECT qid, vec_id, adist, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_sq_topk" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |         CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+         |rec AS (
+         |  SELECT d.vec_id, d.dim,
+         |    CAST(floor(s.mn * 1024) AS BIGINT) * $SqLevels +
+         |    CAST(floor((s.mx - s.mn) * 1024) AS BIGINT) *
+         |      (CASE WHEN s.mx > s.mn
+         |        THEN CAST(floor((d.x - s.mn) / (s.mx - s.mn) * $SqLevels) AS BIGINT)
+         |        ELSE CAST(0 AS BIGINT) END) AS vq
+         |  FROM dims d JOIN st s USING (dim)),
+         |adc AS (
+         |  SELECT q.vec_id AS qid, c.vec_id, CAST(sum(c.vq * q.vq) AS BIGINT) AS dot
+         |  FROM rec c JOIN rec q ON c.dim = q.dim
+         |  WHERE q.vec_id < $SqQueries AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT qid, vec_id, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rn
+         |  FROM adc)
+         |SELECT qid, vec_id, dot, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_recall" ->
       s"""WITH pq AS ($pqTopKSql),

@@ -97,7 +97,40 @@ object Formats {
       .orderBy("bucket")
   }
 
+  /** Writes documents hive-partitioned by `lang` once per dir (marker
+    * guarded, like [[materialize]]) — the layout a curation pipeline
+    * lands its output in so downstream jobs prune whole partitions. */
+  private def materializePartitioned(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#part", {
+      val out = s"/tmp/graft-src-part-${sfTag(dir)}"
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        Tables(spark, dir, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(out)
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** Partitioned-layout round-trip: write documents partitioned by lang,
+    * read back with a partition-key filter, aggregate. The filter must
+    * resolve at PLANNING time against the directory structure — the scan
+    * lists and reads ONLY `lang=en/` (PartitionFilters in the plan; files
+    * asserted in PartitionPruningSpec), which at 100 TB is the difference
+    * between reading one language's slice and the whole corpus. The
+    * oracle aggregates the unpartitioned original, so partition-column
+    * extraction fidelity is under the hash too. */
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.read.parquet(materializePartitioned(spark, dir))
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_partitioned_scan" -> (partitionedScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
@@ -113,6 +146,11 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "src_partitioned_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "src_orc_roundtrip" -> pricingSql,
     "src_csv_roundtrip" -> pricingSql,
     "src_json_roundtrip" -> pricingSql,

@@ -461,7 +461,81 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Keyword count per doc and the integer IDF grid, single-sourced with
+    * the oracle. The only libm call is one ln per DISTINCT token (the IDF
+    * table), floor-quantized to an integer BEFORE it ever multiplies or
+    * ranks — per-doc scores and the ranking are exact integers, so there
+    * is no float-summation-order contract at all. */
+  val TfidfK = 3
+  val IdfScale = 10000
+
+  /** Top-[[TfidfK]] TF-IDF keywords per document — the classic relevance
+    * extractor behind corpus tagging and topic sampling. Plan: one token
+    * explode feeds BOTH the per-doc tf aggregate and the corpus df
+    * aggregate (map-side partials each); the vocab-sized (token, idf_q)
+    * table joins tf on its key; N is a 1-row broadcast. Per-doc top-k via
+    * the bounded-heap TopKPerGroup operator, not a window sort. At 100 TB
+    * nothing here materializes more than the vocab and doc-term frames. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir).select("doc_id", "token")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dft = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          * IdfScale).cast("long")).as("tfidf_q"))
+    graft.plans.TopK.perGroup(scored, Seq("doc_id"),
+      Seq(("tfidf_q", false), ("token", true)), TfidfK)
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Surprisal quantization grid, single-sourced with the oracle. */
+  val PplScale = 10000
+
+  /** Per-document bigram-LM scoring (the CCNet/Gopher "LM quality" family):
+    * an add-one-smoothed bigram model is fitted on the corpus itself and
+    * each document is scored by its average per-bigram surprisal
+    * -ln((c12+1)/(c1+V)). Unigram counts c1 are over ALL token positions
+    * (not histories), V counts distinct tokens, and bigrams come from the
+    * raw split arrays ([[topBigrams]]' convention — consecutive-space
+    * empties included), so both engines see the identical model. Each
+    * bigram's surprisal is floor-quantized to an integer before the
+    * per-doc sum, so aggregation order cannot move the result; the final
+    * average is a single division. Plan: the doc-bigram frame joins the
+    * bigram- and unigram-count tables on their keys (shuffle joins — the
+    * count tables are vocab²-bounded, not broadcastable at scale), V is a
+    * 1-row broadcast. Docs with fewer than 2 tokens have no bigrams and
+    * are absent by construction. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val bg = docs.filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(col("arr")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = docs.select(explode(col("arr")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(-log((col("c12") + 1).cast("double") / (col("c1") + col("v")))
+          * PplScale).cast("long").as("s_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_q").as("surprisal_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("surprisal_q").cast("double") / col("n_bigrams") / PplScale)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf _),
+    "text_perplexity" -> (perplexity _),
     "text_top_bigrams" -> (topBigrams _),
     "text_sample_stratified" -> (sampleStratified _),
     "text_repetition" -> (repetition _),
@@ -479,6 +553,43 @@ object TextAnalysis {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH tok AS ($tokSql),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf * CAST(floor(ln((n.n_docs + 1) * 1.0 / (dft.df + 1))
+         |      * $IdfScale) AS BIGINT) AS BIGINT) AS tfidf_q
+         |  FROM tf JOIN dft USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, token, tfidf_q,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY tfidf_q DESC, token ASC) AS rn
+         |  FROM sc)
+         |SELECT doc_id, token, tfidf_q, rn FROM r
+         |WHERE rn <= $TfidfK ORDER BY doc_id, rn""".stripMargin,
+    "text_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         |bg AS (
+         |  SELECT doc_id, arr[CAST(i AS INTEGER)] AS w1,
+         |         arr[CAST(i + 1 AS INTEGER)] AS w2
+         |  FROM d, UNNEST(range(1, len(arr))) t(i)
+         |  WHERE len(arr) >= 2),
+         |uni AS (
+         |  SELECT t.w AS w1, count(*) AS c1
+         |  FROM d, UNNEST(arr) AS t(w) GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT t.w) AS v FROM d, UNNEST(arr) AS t(w)),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |    CAST(floor(-ln((big.c12 + 1) * 1.0 / (uni.c1 + v.v))
+         |      * $PplScale) AS BIGINT) AS s_q
+         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(s_q) AS BIGINT) * 1.0 / count(*) / $PplScale AS avg_surprisal
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_top_bigrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS arr FROM documents

@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic pins for the round-7 behavioral operators on crafted tables
+  * with known structure: SCD2 run collapse (change-data-capture build)
+  * and the event-type transition matrix. */
+class Scd2PathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2Runs collapses priority runs into chained validity ranges") {
+    val d = Files.createTempDirectory("graft-scd2").toString
+    // customer 7: A,A,B,A by date -> 3 runs; customer 9: constant -> 1 run.
+    // orders 2+3 share a date: the o_orderkey tiebreak keeps A before B.
+    Seq(
+      (7L, 1L, ts("1995-01-01 00:00:00"), "A"),
+      (7L, 2L, ts("1995-02-01 00:00:00"), "A"),
+      (7L, 3L, ts("1995-02-01 00:00:00"), "B"),
+      (7L, 4L, ts("1995-04-01 00:00:00"), "A"),
+      (9L, 5L, ts("1995-01-15 00:00:00"), "C"),
+      (9L, 6L, ts("1995-03-15 00:00:00"), "C"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = RelationalQueries.scd2Runs(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getTimestamp(3), x.getTimestamp(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      (7L, 1L, "A", ts("1995-01-01 00:00:00"), ts("1995-02-01 00:00:00"), 2L),
+      (7L, 2L, "B", ts("1995-02-01 00:00:00"), ts("1995-04-01 00:00:00"), 1L),
+      (7L, 3L, "A", ts("1995-04-01 00:00:00"), null, 1L),
+      (9L, 1L, "C", ts("1995-01-15 00:00:00"), null, 2L)))
+    // SCD2 invariant: within a customer, eff_to chains to the next run's
+    // eff_from and only the LAST run is open-ended
+    r.groupBy(_._1).values.foreach { runs =>
+      val sorted = runs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4)
+        case _ =>
+      }
+      assert(sorted.init.forall(_._5 != null) && sorted.last._5 == null)
+    }
+  }
+
+  test("paths counts time-ordered event-type transitions per user") {
+    val d = Files.createTempDirectory("graft-paths").toString
+    // user 1: a->b->a (transitions ab, ba); user 2: b->a (ba).
+    // events 10+11 share a timestamp: event_id breaks the tie (a first).
+    Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (11L, ts("2024-01-01 00:00:00"), 1L, "b"),
+      (12L, ts("2024-01-01 00:02:00"), 1L, "a"),
+      (13L, ts("2024-01-01 00:00:00"), 2L, "b"),
+      (14L, ts("2024-01-01 00:01:00"), 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = EventQueries.paths(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(("b", "a", 2L), ("a", "b", 1L)))
+  }
+}

@@ -65,6 +65,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got == truth, s"got=$got truth=$truth")
   }
 
+  test("SQ: codes bounded to the level grid, per-dim extremes hit both ends") {
+    val codes = Similarity.sqQuantized(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(codes.nonEmpty)
+    // affine map contract: every code in [0, SqLevels]; each dimension's
+    // min maps to 0 and max to SqLevels exactly (floor((mx-mn)/(mx-mn)*L))
+    assert(codes.forall(c => c._2 >= 0L && c._2 <= Similarity.SqLevels))
+    val byDim = codes.groupBy(_._1).values
+    assert(byDim.forall(_.exists(_._2 == 0L)))
+    assert(byDim.forall(_.exists(_._2 == Similarity.SqLevels)))
+  }
+
+  test("SQ top-k: bounded-heap plan, dense ranks, and sane recall vs exact MIPS") {
+    val q = Similarity.sqTopK(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["),
+      s"expected two-phase TopKPerGroup in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window sort leaked into sqTopK:\n$plan")
+    val r = q.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    assert(r.map(_._1).distinct.size == Similarity.SqQueries)
+    assert(r.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1, 2, 3)))
+    // SQ is a MAX-INNER-PRODUCT search (quantized dot, unnormalized) —
+    // its ground truth is the exact double dot product, NOT the cosine
+    // family's normalized ranking. Across the query set the int8 grid
+    // must recover most of the exact MIPS top-3; the bound is slack
+    // against reshuffles, not a quality claim.
+    val emb = graft.Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < Similarity.SqQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
+    val mipsTruth = emb.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorOps.dot("embedding", "qe").as("dot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val h = hits(q.select(col("qid"), col("vec_id")), mipsTruth)
+    assert(h.values.sum >= 2 * Similarity.SqQueries, s"SQ recall collapsed: $h")
+  }
+
   test("PQ encoding: every corpus vector carries exactly m codes, all valid labels") {
     import spark.implicits._
     val m = Similarity.PqSubspaces
