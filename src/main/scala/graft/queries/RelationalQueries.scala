@@ -562,7 +562,46 @@ object RelationalQueries {
       .orderBy("o_custkey", "run_id")
   }
 
+  // ---- MERGE-style upsert (SCD1 apply): a change batch — each customer's
+  // LATEST order priority — applied to a target dimension slice via ONE
+  // full outer join on the key, classifying every key as update (both
+  // sides), insert (batch only), or keep (target only). This is the batch
+  // spelling of MERGE INTO: at 100 TB the target is huge and the batch
+  // small, so the join broadcasts the batch (here AQE decides) and the
+  // touched-partition rewrite is the storage layer's job; classification
+  // and new-value resolution are exactly this plan. Batch keys < 300 vs
+  // target keys < 200 guarantee all three actions appear at sf>=0.01.
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val wLatest = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val batch = Tables(spark, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("rk", row_number().over(wLatest))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("new_priority"))
+    val target = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey").as("tkey"), col("c_mktsegment"))
+    // classification is by KEY presence on each side (never by value
+    // nullability — a legitimately-null attribute must not flip an
+    // update into an insert)
+    target.join(batch.withColumnRenamed("custkey", "bkey"),
+        col("tkey") === col("bkey"), "full_outer")
+      .select(coalesce(col("tkey"), col("bkey")).as("custkey"),
+        when(col("tkey").isNull, "insert")
+          .when(col("bkey").isNull, "keep")
+          .otherwise("update").as("action"),
+        when(col("bkey").isNull, col("c_mktsegment"))
+          .otherwise(concat(lit("PRIO:"), col("new_priority"))).as("merged_val"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
     "rel_salted_join" -> (saltedJoin _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
@@ -594,6 +633,26 @@ object RelationalQueries {
     "rel_except" -> (exceptYears _))
 
   val oracles: Map[String, String] = Map(
+    "rel_merge_upsert" ->
+      """WITH b0 AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |  FROM orders WHERE o_custkey < 300),
+        |batch AS (
+        |  SELECT o_custkey AS custkey, o_orderpriority AS new_priority
+        |  FROM b0 WHERE rk = 1),
+        |target AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT COALESCE(t.custkey, b.custkey) AS custkey,
+        |  CASE WHEN t.custkey IS NULL THEN 'insert'
+        |       WHEN b.custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action,
+        |  CASE WHEN b.custkey IS NULL THEN t.c_mktsegment
+        |       ELSE 'PRIO:' || b.new_priority END AS merged_val
+        |FROM target t FULL OUTER JOIN batch b ON t.custkey = b.custkey
+        |ORDER BY custkey""".stripMargin,
     "rel_scd2_runs" ->
       """WITH m AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,

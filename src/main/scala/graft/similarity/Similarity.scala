@@ -288,29 +288,55 @@ object Similarity {
   private def recallAgainstExact(spark: SparkSession, dir: String,
       answers: DataFrame): DataFrame = {
     Engine.tune(spark)
+    val (q, bf) = exactTruth(spark, dir, 4,
+      (e, qe) => round(VectorOps.cosine(e, qe), 4))
+    recallVsTruth(q, bf, answers)
+  }
+
+  /** Exact ground-truth top-3 under `score` for the first `nQueries`
+    * vectors: the corpus-scan × broadcast-queries pass every recall eval
+    * anchors on (sampled at 100 TB — the harness shape is unchanged). */
+  private def exactTruth(spark: SparkSession, dir: String, nQueries: Int,
+      score: (String, String) => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val q = emb.filter(col("vec_id") < 4)
+    val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+      .partitionBy("qid").orderBy(desc("s"), asc("vec_id"))
     val bf = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .select(col("qid"), col("vec_id"), score("embedding", "qe").as("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
+    (q, bf)
+  }
+
+  /** answers(qid, vec_id, …) scored against truth(qid, vec_id), anchored
+    * on the QUERY set, not the index answers: a query whose index cell
+    * yields no candidates must report recall 0, not vanish — the worst
+    * case is exactly what the eval exists to surface. */
+  private def recallVsTruth(q: DataFrame, truth: DataFrame,
+      answers: DataFrame): DataFrame = {
     val hits = answers.select(col("qid"), col("vec_id"))
-      .join(bf.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+      .join(truth.select(col("qid"), col("vec_id"), lit(1).as("hit")),
         Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("h"))
-    // anchor on the QUERY set, not the index answers: a query whose index
-    // cell yields no candidates must report recall 0, not vanish —
-    // the worst case is exactly what the eval exists to surface
     q.select(col("qid")).join(hits, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
         (coalesce(col("h"), lit(0L)) / lit(3.0)).as("recall_at_3"))
       .orderBy("qid")
+  }
+
+  /** SQ recall@3 — against exact MAX-INNER-PRODUCT ground truth (the
+    * metric [[sqTopK]] ranks in), not the cosine truth the normalized
+    * indexes use: mixing the two would "measure" the metric gap, not the
+    * int8 quantization error this eval exists to watch. */
+  def sqRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val (q, bf) = exactTruth(spark, dir, SqQueries,
+      (e, qe) => round(VectorOps.dot(e, qe), 4))
+    recallVsTruth(q, bf, sqTopK(spark, dir))
   }
 
   /** Subspace count for product quantization, single-sourced between the
@@ -462,6 +488,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_sq_topk" -> ((s: SparkSession, d: String) => sqTopK(s, d)),
+    "sim_sq_recall" -> (sqRecallEval _),
     "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "sim_pq_recall" -> (pqRecallEval _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -574,9 +601,11 @@ object Similarity {
        |  FROM adc)
        |SELECT qid, vec_id, adist, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "sim_sq_topk" ->
-      s"""WITH dims AS (
+  /** The complete sim_sq_topk SELECT — also embedded (as a nested-WITH
+    * CTE body) in the SQ recall oracle, so the two stay identical by
+    * construction (the ivfTopKSql/pqTopKSql pattern). */
+  private val sqTopKSql: String =
+    s"""WITH dims AS (
          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
          |         CAST(embedding[i] AS DOUBLE) AS x
          |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
@@ -598,7 +627,37 @@ object Similarity {
          |  SELECT qid, vec_id, dot,
          |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rn
          |  FROM adc)
-         |SELECT qid, vec_id, dot, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+         |SELECT qid, vec_id, dot, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_sq_topk" -> sqTopKSql,
+    "sim_sq_recall" ->
+      s"""WITH sq AS ($sqTopKSql),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < $SqQueries),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)), 4) AS dot_r
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY dot_r DESC, vec_id ASC) AS rn
+         |    FROM bs)
+         |  WHERE rn <= 3),
+         |h AS (
+         |  SELECT s.qid,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM sq s LEFT JOIN bf b ON s.qid = b.qid AND s.vec_id = b.vec_id
+         |  GROUP BY s.qid)
+         |SELECT q.qid, COALESCE(h.h, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.h, CAST(0 AS BIGINT)) / 3.0 AS recall_at_3
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $SqQueries) q
+         |LEFT JOIN h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_recall" ->
       s"""WITH pq AS ($pqTopKSql),

@@ -48,6 +48,27 @@ class Scd2PathsSpec extends SparkSpec {
     }
   }
 
+  test("mergeUpsert classifies keys into update/insert/keep with latest-wins values") {
+    val d = Files.createTempDirectory("graft-merge").toString
+    // batch keys from orders: 5 (two orders -> latest wins), 250 (insert:
+    // no target row); target keys: 5 (update), 7 (keep: no batch row)
+    Seq(
+      (5L, 1L, ts("1995-01-01 00:00:00"), "OLD"),
+      (5L, 2L, ts("1995-06-01 00:00:00"), "NEW"),
+      (250L, 3L, ts("1995-03-01 00:00:00"), "X"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((5L, "SEG_A"), (7L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val r = RelationalQueries.mergeUpsert(spark, d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSeq
+    assert(r == Seq(
+      (5L, "update", "PRIO:NEW"), // latest order (June) wins over January
+      (7L, "keep", "SEG_B"),
+      (250L, "insert", "PRIO:X")))
+  }
+
   test("paths counts time-ordered event-type transitions per user") {
     val d = Files.createTempDirectory("graft-paths").toString
     // user 1: a->b->a (transitions ab, ba); user 2: b->a (ba).

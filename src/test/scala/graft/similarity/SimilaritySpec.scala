@@ -105,6 +105,16 @@ class SimilaritySpec extends SparkSpec {
     assert(h.values.sum >= 2 * Similarity.SqQueries, s"SQ recall collapsed: $h")
   }
 
+  test("SQ recall eval: anchored on the query set with recall in [0,1]") {
+    val r = Similarity.sqRecallEval(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    // every query vector reports, even one with zero recalled neighbors
+    assert(r.map(_._1) == (0L until Similarity.SqQueries.toLong).toSeq)
+    assert(r.forall(x => x._2 >= 0L && x._2 <= 3L && x._3 >= 0.0 && x._3 <= 1.0))
+    // the int8 grid against its own metric's exact truth: mostly recalled
+    assert(r.map(_._2).sum >= 2 * Similarity.SqQueries, s"SQ recall collapsed: $r")
+  }
+
   test("PQ encoding: every corpus vector carries exactly m codes, all valid labels") {
     import spark.implicits._
     val m = Similarity.PqSubspaces
