@@ -482,6 +482,49 @@ object StreamingOps {
       .orderBy("user_id", "milestone")
   }
 
+  /** Streaming event-type transition counting — the streaming dual of
+    * the batch `ev_paths` Markov matrix, and the custom-state shape that
+    * needs ORDER inside a group: each user's state carries the
+    * chronologically LAST event seen so far (one tiny tuple per user),
+    * each trigger's group rows are sorted in memory (bounded by batch
+    * size), and the fold emits one (type → next_type) pair per arriving
+    * event, bridging the trigger boundary through the carried state. The
+    * time-split feed delivers slices in event-time order, so cross-batch
+    * transitions (last event of batch i → first of batch i+1) are
+    * provably exercised across ≥3 triggers. The oracle IS the batch
+    * query's oracle (shared constant — streaming/batch duality by
+    * construction). */
+  def streamPaths(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val pairs = Tables.normalizeEvents(stream)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          // same total order as the batch lead() window: (t_us, event_id)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val types = state.getOption.map(_._3).toSeq ++ sorted.map(_._4)
+          sorted.lastOption.foreach(l => state.update((l._2, l._3, l._4)))
+          types.sliding(2).collect { case Seq(a, b) => (a, b) }.iterator
+      }
+    runToMemory(spark, pairs.toDF("event_type", "next_type"),
+        mode = "append", minDataBatches = 3)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_trans"))
+      .orderBy(desc("n_trans"), asc("event_type"), asc("next_type"))
+  }
+
   /** Streaming deduplication (dropDuplicates over the stream's key column):
     * bounded-input distinct set; ordering applied to the materialized
     * result (a sort inside the stream is illegal in append mode). */
@@ -552,9 +595,14 @@ object StreamingOps {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
     "stream_milestones" -> (milestones _),
+    "stream_paths" -> (streamPaths _),
     "stream_dsv2_source" -> (dsv2Stream _))
 
   val oracles: Map[String, String] = Map(
+    // streaming/batch duality BY CONSTRUCTION: the oracle is literally
+    // the batch ev_paths oracle — the carried-state fold must reproduce
+    // the lead() window's transition matrix exactly
+    "stream_paths" -> graft.queries.EventQueries.oracles("ev_paths"),
     "stream_complete_counts" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

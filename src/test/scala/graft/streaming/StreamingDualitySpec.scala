@@ -44,4 +44,15 @@ class StreamingDualitySpec extends SparkSpec {
     // 😀: 4 occurrences across files (incl. inside the glued run)
     assert(streamed.map(r => r.getString(0) -> r.getLong(1)).toMap.apply("😀") == 4L)
   }
+
+  test("carried-state streaming transition matrix equals the batch lead() window") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.queries.EventQueries.paths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // the fold's cross-trigger carry must reproduce the batch window
+    // exactly — any dropped or doubled boundary transition shifts a count
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
