@@ -533,7 +533,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language document-length moments through the custom typed
+    * Aggregator ([[graft.functions.MomentsAgg]]): exact-BIGINT
+    * (n, Σx, Σx²) buffers merge map-side; mean/variance are single
+    * fixed-association divisions in finish, bit-identical across
+    * engines and partitionings. The profiling dual of
+    * [[lengthQuantiles]] (moments vs order statistics). */
+  def charMoments(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(graft.functions.MomentsUdaf(col("n_chars")).as("m"))
+      .select(col("lang"), col("m.n_vals").as("n_docs"),
+        col("m.mean").as("mean_chars"), col("m.variance").as("var_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_moments" -> (charMoments _),
     "text_tfidf" -> (tfidf _),
     "text_perplexity" -> (perplexity _),
     "text_top_bigrams" -> (topBigrams _),
@@ -553,6 +570,17 @@ object TextAnalysis {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    // the Aggregator's finish() expressions verbatim: mean = s/n,
+    // var = (sq - (s*s)/n) / (n-1) — association must match exactly
+    "text_char_moments" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+        |  CASE WHEN count(*) < 2 THEN 0.0
+        |       ELSE (CAST(sum(n_chars * n_chars) AS DOUBLE)
+        |             - ((CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
+        |                / count(*)))
+        |            / (count(*) - 1) END AS var_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tfidf" ->
       s"""WITH tok AS ($tokSql),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
