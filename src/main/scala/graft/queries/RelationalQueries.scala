@@ -566,8 +566,11 @@ object RelationalQueries {
   // LATEST order priority — applied to a target dimension slice via ONE
   // full outer join on the key, classifying every key as update (both
   // sides), insert (batch only), or keep (target only). This is the batch
-  // spelling of MERGE INTO: at 100 TB the target is huge and the batch
-  // small, so the join broadcasts the batch (here AQE decides) and the
+  // spelling of MERGE INTO. Full outer CANNOT broadcast-hash in Spark, so
+  // the join sort-merges on the key — the honest 100 TB shape when the
+  // result must carry unmatched rows from BOTH sides; the latest-wins
+  // dedup runs BEFORE the join behind a map-side WindowGroupLimit (rank
+  // pushdown), so the join's batch side is |keys|, not |orders|. The
   // touched-partition rewrite is the storage layer's job; classification
   // and new-value resolution are exactly this plan. Batch keys < 300 vs
   // target keys < 200 guarantee all three actions appear at sf>=0.01.
@@ -600,7 +603,35 @@ object RelationalQueries {
       .orderBy("custkey")
   }
 
+  /** Qualifying-quantity threshold for the Q18 shape, single-sourced
+    * with the oracle (25 / 204 qualifying orders at sf0.001 / sf0.01). */
+  val Q18Threshold = 250.0
+
+  // ---- TPC-H Q18 shape (large-volume customers): join against a
+  // HAVING-filtered aggregate of the fact table itself — the "find the
+  // heavy hitters, then enrich them" layout. The qualifying set is an
+  // aggregate (map-side partials) that shrinks the fact table to the few
+  // keys over threshold BEFORE any join; AQE then broadcasts it against
+  // orders, and the customer dimension broadcasts too, so nothing
+  // |lineitem|-sized ever reaches a join. l_quantity is integer-valued,
+  // so the double sums are exact on both engines.
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > Q18Threshold)
+    Tables(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
     "rel_salted_join" -> (saltedJoin _),
@@ -633,6 +664,17 @@ object RelationalQueries {
     "rel_except" -> (exceptYears _))
 
   val oracles: Map[String, String] = Map(
+    "rel_q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(l_quantity) > $Q18Threshold)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "rel_merge_upsert" ->
       """WITH b0 AS (
         |  SELECT o_custkey, o_orderpriority,
