@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "rel_intersect" -> Seq("o_orderdate"),
     "rel_except" -> Seq("o_orderdate"),
     "rel_union" -> Seq("o_orderdate"),
-    "rel_corr_subquery" -> Seq("c_custkey"))
+    "rel_corr_subquery" -> Seq("c_custkey"),
+    "rel_merge_upsert" -> Seq("o_custkey", "c_custkey"))
 
   test("literal predicates on scanned base columns reach PushedFilters") {
     // the default 100-char metadata truncation would eat long pushed-filter

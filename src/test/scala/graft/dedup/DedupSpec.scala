@@ -13,7 +13,7 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val dir: String = {
-    val d = Files.createTempDirectory("graft-dedup").toString
+    val d = graft.TempDirs.create("graft-dedup").toString
     Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight", "en", "s0", 51L),
       (50L, "the quick brown fox jumps over the lazy dog tonight", "en", "s0", 51L),   // exact dup of 0

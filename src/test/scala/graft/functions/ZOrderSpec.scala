@@ -61,7 +61,7 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("partitioned-by-ztile write prunes a box query at file-listing time") {
-    val out = Files.createTempDirectory("graft-zorder").toString
+    val out = graft.TempDirs.create("graft-zorder").toString
     grid.withColumn("ztile", shiftright(ZOrder.zvalue("x", "y"), 8))
       .write.mode("overwrite").partitionBy("ztile").parquet(out)
     // the box's tile set is computable from its corners (any z-curve

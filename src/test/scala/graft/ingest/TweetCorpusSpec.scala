@@ -31,7 +31,7 @@ class TweetCorpusSpec extends SparkSpec {
   }
 
   test("tweetsDir honors a tweets/ subdir under the sf dir, else falls back") {
-    val tmp = Files.createTempDirectory("graft-twdir")
+    val tmp = graft.TempDirs.create("graft-twdir")
     assert(TweetQueries.tweetsDir(tmp.toString) == TweetQueries.FixtureDir)
     val sub = tmp.resolve("tweets")
     Files.createDirectories(sub)

@@ -11,7 +11,7 @@ import graft.SparkSpec
 class ScanPruningSpec extends SparkSpec {
 
   test("partition-layout write + filter prunes to one partition at plan time") {
-    val out = Files.createTempDirectory("graft-part").toString
+    val out = graft.TempDirs.create("graft-part").toString
     graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
 
@@ -45,7 +45,7 @@ class ScanPruningSpec extends SparkSpec {
     // fact partitioned on the join key; the selective dim filter is only
     // knowable at runtime — DPP must turn it into a partition filter on
     // the fact scan instead of scanning every partition
-    val out = Files.createTempDirectory("graft-dpp").toString
+    val out = graft.TempDirs.create("graft-dpp").toString
     graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
     // the dim side must NOT be constant-foldable (a literal would prune

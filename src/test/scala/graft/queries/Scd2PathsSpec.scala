@@ -16,7 +16,7 @@ class Scd2PathsSpec extends SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("scd2Runs collapses priority runs into chained validity ranges") {
-    val d = Files.createTempDirectory("graft-scd2").toString
+    val d = graft.TempDirs.create("graft-scd2").toString
     // customer 7: A,A,B,A by date -> 3 runs; customer 9: constant -> 1 run.
     // orders 2+3 share a date: the o_orderkey tiebreak keeps A before B.
     Seq(
@@ -49,7 +49,7 @@ class Scd2PathsSpec extends SparkSpec {
   }
 
   test("mergeUpsert classifies keys into update/insert/keep with latest-wins values") {
-    val d = Files.createTempDirectory("graft-merge").toString
+    val d = graft.TempDirs.create("graft-merge").toString
     // batch keys from orders: 5 (two orders -> latest wins), 250 (insert:
     // no target row); target keys: 5 (update), 7 (keep: no batch row)
     Seq(
@@ -70,7 +70,7 @@ class Scd2PathsSpec extends SparkSpec {
   }
 
   test("paths counts time-ordered event-type transitions per user") {
-    val d = Files.createTempDirectory("graft-paths").toString
+    val d = graft.TempDirs.create("graft-paths").toString
     // user 1: a->b->a (transitions ab, ba); user 2: b->a (ba).
     // events 10+11 share a timestamp: event_id breaks the tie (a first).
     Seq(

@@ -13,7 +13,7 @@ import graft.ingest.FileFeeder
 class TweetQueriesSpec extends SparkSpec {
 
   test("double explode yields |mentions| x |emojis| rows per tweet") {
-    val dir = Files.createTempDirectory("graft-mult")
+    val dir = graft.TempDirs.create("graft-mult")
     FileFeeder.feed(dir, Seq(Seq(
       """{"data": {"text": "a 😀 b 🔥😀", "entities": {"mentions": [{"username": "u1"}, {"username": "u2"}]}}, "includes": {"places": [{"country": "X"}]}}""")))
     val rows = spark.read.json(dir.toString)

@@ -166,7 +166,7 @@ class SimilaritySpec extends SparkSpec {
     // vec 0 sits alone in its own label's cell, far from everything;
     // single-probe IVF returns NO candidates for it — the report must
     // still carry the row with recall 0, not drop it
-    val dir = java.nio.file.Files.createTempDirectory("graft-recall0").toString
+    val dir = graft.TempDirs.create("graft-recall0").toString
     (Seq((0L, Seq(10.0f, 0.0f), 0)) ++
       (1L to 5L).map(i => (i, Seq(0.0f, 1.0f + i * 0.01f), 1)))
       .toDF("vec_id", "embedding", "label")

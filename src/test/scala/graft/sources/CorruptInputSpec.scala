@@ -14,7 +14,7 @@ import graft.SparkSpec
 class CorruptInputSpec extends SparkSpec {
 
   private lazy val dir: String = {
-    val d = Files.createTempDirectory("graft-corrupt")
+    val d = graft.TempDirs.create("graft-corrupt")
     Files.write(d.resolve("mixed.json"), java.util.Arrays.asList(
       """{"doc_id": 1, "text": "good row"}""",
       """{"doc_id": 2, "text": "unterminated""",

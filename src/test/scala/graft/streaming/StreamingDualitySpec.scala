@@ -15,7 +15,7 @@ import graft.ingest.FileFeeder
 class StreamingDualitySpec extends SparkSpec {
 
   test("complete-mode streaming aggregate equals batch recomputation over the same files") {
-    val dir = Files.createTempDirectory("graft-duality")
+    val dir = graft.TempDirs.create("graft-duality")
     val lines = Seq(
       Seq("""{"text": "hello 😀 world"}""",
           """{"text": "😀😀 glued 🔥"}"""),

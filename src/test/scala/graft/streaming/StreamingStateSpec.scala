@@ -16,7 +16,7 @@ class StreamingStateSpec extends SparkSpec {
     s"""{"ts": "$ts", "user_id": $user}"""
 
   test("append-mode watermarked window emits only after the watermark passes its end") {
-    val dir = Files.createTempDirectory("graft-append")
+    val dir = graft.TempDirs.create("graft-append")
     FileFeeder.feed(dir, Seq(Seq(
       eventLine("2024-01-01T10:05:00Z", 1),
       eventLine("2024-01-01T10:40:00Z", 2))), prefix = "b0")
@@ -62,7 +62,7 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   test("runToMemory fails loudly when the sink exceeds the row cap") {
-    val dir = Files.createTempDirectory("graft-cap")
+    val dir = graft.TempDirs.create("graft-cap")
     FileFeeder.feed(dir, Seq((1 to 10).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", i))), prefix = "b0")
     val static = spark.read.json(dir.toString)
     val stream = spark.readStream.schema(static.schema).json(dir.toString)
@@ -74,7 +74,7 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   test("dropDuplicatesWithinWatermark re-emits a key after its state expires") {
-    val dir = Files.createTempDirectory("graft-ddww")
+    val dir = graft.TempDirs.create("graft-ddww")
     // b0: user 1 twice within the 5-minute horizon -> one emission
     FileFeeder.feed(dir, Seq(Seq(
       eventLine("2024-01-01T10:00:00Z", 1),
@@ -105,7 +105,7 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   test("runToFiles carries a past-cap result through the file sink, identical rows") {
-    val dir = Files.createTempDirectory("graft-filesink")
+    val dir = graft.TempDirs.create("graft-filesink")
     FileFeeder.feed(dir, Seq((1 to 10).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", i))), prefix = "b0")
     val static = spark.read.json(dir.toString)
     def stream = spark.readStream.schema(static.schema).json(dir.toString)
@@ -130,7 +130,7 @@ class StreamingStateSpec extends SparkSpec {
   test("flatMapGroupsWithState emits 0..n rows per group as thresholds cross") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    val dir = Files.createTempDirectory("graft-fmgws")
+    val dir = graft.TempDirs.create("graft-fmgws")
     FileFeeder.feed(dir, Seq(
       (1 to 3).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", 7))), prefix = "b0")
 
@@ -165,8 +165,8 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   test("foreachBatch writes each micro-batch idempotently by batchId") {
-    val dir = Files.createTempDirectory("graft-feb")
-    val out = Files.createTempDirectory("graft-feb-out").toString
+    val dir = graft.TempDirs.create("graft-feb")
+    val out = graft.TempDirs.create("graft-feb-out").toString
     FileFeeder.feed(dir, Seq(Seq(
       eventLine("2024-01-01T10:00:00Z", 1),
       eventLine("2024-01-01T10:01:00Z", 2))), prefix = "b0")
@@ -199,8 +199,8 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   test("a restarted query resumes from its checkpoint exactly-once") {
-    val dir = Files.createTempDirectory("graft-restart")
-    val cp = Files.createTempDirectory("graft-restart-cp").toString
+    val dir = graft.TempDirs.create("graft-restart")
+    val cp = graft.TempDirs.create("graft-restart-cp").toString
     FileFeeder.feed(dir, Seq(Seq(
       eventLine("2024-01-01T10:00:00Z", 1),
       eventLine("2024-01-01T10:01:00Z", 2))), prefix = "b0")
@@ -234,7 +234,7 @@ class StreamingStateSpec extends SparkSpec {
 
   test("mapGroupsWithState carries per-key state across micro-batches") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-mgws")
+    val dir = graft.TempDirs.create("graft-mgws")
     FileFeeder.feed(dir, Seq(Seq(
       eventLine("2024-01-01T10:00:00Z", 7),
       eventLine("2024-01-01T10:01:00Z", 7),
@@ -268,7 +268,7 @@ class StreamingStateSpec extends SparkSpec {
 
   test("transformWithState carries named ValueState across micro-batches") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-tws")
+    val dir = graft.TempDirs.create("graft-tws")
     FileFeeder.feed(dir, Seq(Seq(
       eventLine("2024-01-01T10:00:00Z", 7),
       eventLine("2024-01-01T10:01:00Z", 7),
