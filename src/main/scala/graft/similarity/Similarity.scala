@@ -486,7 +486,48 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF-PQ: the production ANN composition — the IVF coarse quantizer
+    * bounds WHERE to look (each query probes its [[MultiprobeProbes]]
+    * nearest cells; candidates are the vectors STORED in those cells),
+    * and PQ bounds WHAT each candidate costs (m LUT additions over its
+    * codes — asymmetric distance, raw corpus vectors never touched).
+    * This is the layout a billion-vector deployment actually runs
+    * (Jégou et al. 2011, §IV): candidate count ≈ probes·|cell| instead
+    * of |corpus|, candidate cost ≈ m adds instead of d multiplies, and
+    * both index tables (assignments, codes) are materializable-once.
+    * All-BIGINT scoring, top-k via the bounded-heap operator. With
+    * probes ≥ |cells| the candidate set is the whole corpus and the
+    * ranking degenerates to [[pqTopK]] exactly (spec-pinned — ties the
+    * composition to its two verified halves). */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      probes: Int = MultiprobeProbes, m: Int = PqSubspaces, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val assign = cellAssignments(spark, dir)
+    val codes = pqCodes(spark, dir, m)
+      .select(col("vec_id"), col("sub").as("c_sub"), col("code"))
+    val lut = pqSubDists(spark, dir, m).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("l_qid"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("sdist"))
+    val qprobe = cellCandidates(spark, dir, probes).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"))
+    // a vector is stored in exactly ONE cell and a query's probe cells
+    // are distinct, so the candidate join cannot duplicate a pair
+    val cand = assign.join(broadcast(qprobe), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("qid") === col("l_qid") && col("c_sub") === col("q_sub") &&
+          col("code") === col("q_code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("sdist")).as("adist"))
+    graft.plans.TopK.perGroup(adc, Seq("qid"),
+      Seq(("adist", true), ("vec_id", true)), k)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_pq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "sim_sq_topk" -> ((s: SparkSession, d: String) => sqTopK(s, d)),
     "sim_sq_recall" -> (sqRecallEval _),
     "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
@@ -630,6 +671,44 @@ object Similarity {
          |SELECT qid, vec_id, dot, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_pq" ->
+      s"""$cellAssignSql,
+         |probe AS (
+         |  SELECT vec_id, c_label AS cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY dist ASC, c_label ASC) AS rk
+         |  FROM dists),
+         |sl AS (SELECT CAST(len(embedding) // $PqSubspaces AS BIGINT) AS sl
+         |       FROM embeddings LIMIT 1),
+         |sd AS (
+         |  SELECT v.vec_id, CAST(v.dim // s.sl AS BIGINT) AS sub, c.c_label,
+         |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS sdist
+         |  FROM vdim v JOIN cent c USING (dim) CROSS JOIN sl s
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, c_label AS code FROM (
+         |    SELECT vec_id, sub, c_label,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY sdist ASC, c_label ASC) AS rk
+         |    FROM sd) WHERE rk = 1),
+         |lut AS (SELECT vec_id AS qid, sub, c_label, sdist FROM sd WHERE vec_id < 4),
+         |cand AS (
+         |  SELECT p.vec_id AS qid, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cell = p.cell
+         |  WHERE p.vec_id < 4 AND p.rk <= $MultiprobeProbes
+         |    AND a.vec_id <> p.vec_id),
+         |adc AS (
+         |  SELECT n.qid, n.vec_id, CAST(sum(l.sdist) AS BIGINT) AS adist
+         |  FROM cand n
+         |  JOIN codes c ON c.vec_id = n.vec_id
+         |  JOIN lut l ON l.qid = n.qid AND l.sub = c.sub AND l.c_label = c.code
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT qid, vec_id, adist,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM adc)
+         |SELECT qid, vec_id, adist, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "sim_sq_topk" -> sqTopKSql,
     "sim_sq_recall" ->
       s"""WITH sq AS ($sqTopKSql),

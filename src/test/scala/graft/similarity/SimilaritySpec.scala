@@ -115,6 +115,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._2).sum >= 2 * Similarity.SqQueries, s"SQ recall collapsed: $r")
   }
 
+  test("IVF-PQ: probing all cells degenerates to plain PQ exactly") {
+    // with probes >= |cells| the candidate set is the whole corpus, so
+    // the composed index must reproduce pqTopK row-for-row — tying the
+    // composition to its two independently-verified halves
+    val nCells = graft.Tables(spark, sf, "embeddings")
+      .select(col("label")).distinct().count().toInt
+    val composed = Similarity.ivfPqTopK(spark, sf, probes = nCells)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    val plain = Similarity.pqTopK(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    assert(composed == plain && composed.nonEmpty)
+  }
+
+  test("IVF-PQ: default probes yield dense per-query ranks from probed cells only") {
+    val r = Similarity.ivfPqTopK(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    assert(r.nonEmpty && r.forall(_._3 >= 0L))
+    // ranks dense from 1 per query (a query with < k candidates keeps
+    // what its probed cells hold — that is the recall trade, not a bug)
+    assert(r.groupBy(_._1).values.forall { rows =>
+      rows.map(_._4).sorted.toSeq == (1 to rows.size).toSeq
+    })
+    // every returned candidate is STORED in one of its query's probe cells
+    val probes = Similarity.cellCandidates(spark, sf, Similarity.MultiprobeProbes)
+      .filter(col("vec_id") < 4)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getAs[Number](1).longValue).toSet }
+    val stored = Similarity.cellAssignments(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getAs[Number](1).longValue).toMap
+    assert(r.forall { case (qid, vid, _, _) => probes(qid).contains(stored(vid)) })
+  }
+
   test("PQ encoding: every corpus vector carries exactly m codes, all valid labels") {
     import spark.implicits._
     val m = Similarity.PqSubspaces
