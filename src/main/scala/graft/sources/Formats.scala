@@ -129,7 +129,53 @@ object Formats {
       .orderBy("source")
   }
 
+  /** Two document batches with DRIFTED schemas, written once per dir:
+    * the early batch (even doc_ids) predates the `source` column, the
+    * later batch (odd doc_ids) carries it — the schema-evolution shape
+    * every long-lived ingest dataset develops. */
+  private def materializeEvolved(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#evolve", {
+      val out = s"/tmp/graft-src-evolve-${sfTag(dir)}"
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        val docs = Tables(spark, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/b1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .write.mode("overwrite").parquet(s"$out/b2")
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** Schema-evolution read: `mergeSchema=true` unions the two batches'
+    * footers into one schema, with the pre-drift batch's missing
+    * `source` read as NULL — no rewrite of old data. The oracle derives
+    * the same view from the unpartitioned original (even doc_ids have
+    * no source), so both the merge and the null-fill are under the
+    * hash. Scale note: footer-merge costs one footer read per file at
+    * planning; a 100 TB deployment pins the merged schema in a
+    * metastore instead and this plan is unchanged — the capability
+    * under test is reading heterogeneous-schema data without a
+    * backfill. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val out = materializeEvolved(spark, dir)
+    // both batch roots listed explicitly (they are sibling datasets, not
+    // key=value partitions, so directory recursion would not find them)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/b1", s"$out/b2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (schemaEvolution _),
     "src_partitioned_scan" -> (partitionedScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
@@ -146,6 +192,13 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // even doc_ids predate the source column -> NULL after the merge
+    "src_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_source,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "src_partitioned_scan" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -24,6 +24,20 @@ class PartitionPruningSpec extends SparkSpec {
       s"lang landed in data filters instead of partition pruning:\n$plan")
   }
 
+  test("schema evolution: merged read carries the late column as nullable nulls") {
+    // trigger materialization first (idempotent), then inspect
+    Formats.schemaEvolution(spark, sf).collect()
+    val root = "/tmp/graft-src-evolve-_root_testdata_sf0.001"
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/b1", s"$root/b2")
+    assert(df.schema.fieldNames.contains("source"))
+    assert(df.schema("source").nullable)
+    // pre-drift rows (even ids) read NULL source; post-drift rows keep it
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("doc_id") % 2 === 0 && col("source").isNotNull).count() == 0)
+    assert(df.filter(col("doc_id") % 2 === 1 && col("source").isNull).count() == 0)
+  }
+
   test("partitioned scan equals the unpartitioned aggregate") {
     val part = Formats.partitionedScan(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
