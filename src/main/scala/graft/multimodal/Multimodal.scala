@@ -198,7 +198,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Sample count for the average hash; 48 bits keeps every shifted bit
+    * and the bit-sum comfortably inside BIGINT. */
+  val AhashBits = 48
+
+  /** Perceptual-hash (aHash) fingerprint over the media payload: sample
+    * [[AhashBits]] evenly-spaced values, threshold each against the
+    * sample mean, pack the bits — near-identical assets land on equal or
+    * Hamming-close hashes, unlike [[mediaDedup]]'s exact digest. With a
+    * real decoder the samples would be downscaled pixel luma; here they
+    * are code points of the text-as-payload fixture (clearly-marked stub
+    * input, real fingerprint arithmetic — swapping the sampler for a
+    * codec changes nothing downstream). All-integer: positions are exact
+    * integer division, the mean test is `v·N >= Σv` (no division), the
+    * pack is shifted-bit sums — engine-identical by construction. One
+    * scan + one hash-partitioned window for the collision count. */
+  def mediaAhash(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    val n = AhashBits
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${n - 1}), j -> " +
+          s"ascii(substring(text, CAST(1 + ((length(text) - 1) * j) DIV ${n - 1} AS INT), 1)))")
+          .as("v"))
+      .select(col("doc_id"), col("v"),
+        expr("aggregate(v, 0L, (a, x) -> a + CAST(x AS BIGINT))").as("sv"))
+      .select(col("doc_id"),
+        expr(s"aggregate(transform(sequence(0, ${n - 1}), j -> " +
+          s"IF(CAST(v[j] AS BIGINT) * $n >= sv, shiftleft(1L, j), 0L)), " +
+          "0L, (a, x) -> a + x)").as("ahash"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ahash" -> (mediaAhash _),
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
     "mm_resize" -> (mediaResize _),
@@ -207,6 +243,24 @@ object Multimodal {
   /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
     * (= Spark length over the binary cast), so non-ASCII text matches. */
   val oracles: Map[String, String] = Map(
+    // length() counts CHARACTERS in both engines and ascii() returns the
+    // code point of the first character in both — non-ASCII safe
+    "mm_ahash" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, j,
+         |    ascii(substr(text,
+         |      CAST(1 + ((length(text) - 1) * j) // ${AhashBits - 1} AS INTEGER), 1)) AS v
+         |  FROM documents, UNNEST(range(0, $AhashBits)) t(j)
+         |  WHERE length(text) > 0),
+         |m AS (SELECT doc_id, j, v, sum(v) OVER (PARTITION BY doc_id) AS sv FROM s),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v * $AhashBits >= sv
+         |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM m GROUP BY doc_id)
+         |SELECT doc_id, ahash,
+         |       count(*) OVER (PARTITION BY ahash) AS n_same
+         |FROM h ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,

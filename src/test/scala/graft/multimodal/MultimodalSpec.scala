@@ -93,4 +93,22 @@ class MultimodalSpec extends SparkSpec {
       .head()
     assert(r.getLong(0) == 4L)  // U+1F600 is 4 UTF-8 bytes
   }
+
+  test("aHash: uniform payload saturates, duplicates collide and count") {
+    val d = graft.TempDirs.create("graft-ahash").toString
+    Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en", "s", 50L),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "en", "s", 51L),
+      (3L, "the quick brown fox jumps over the lazy dog tonight", "en", "s", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Multimodal.mediaAhash(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val byDoc = r.map(x => x._1 -> x).toMap
+    // uniform samples: every v equals the mean, so every bit sets
+    assert(byDoc(1L)._2 == (1L << Multimodal.AhashBits) - 1)
+    // identical payloads are perceptual-equal and counted together
+    assert(byDoc(2L)._2 == byDoc(3L)._2 && byDoc(2L)._3 == 2L)
+    assert(byDoc(1L)._2 != byDoc(2L)._2)
+  }
 }
