@@ -116,6 +116,33 @@ object TextHashes {
   /** 48-bit SimHash: bit j (MSB-first) is the sign of the per-token
     * majority vote on hex-nibble bit j of md5(token). Null when the
     * document has no tokens. */
+  /** Perceptual average-hash over `bits` evenly-spaced CODE-POINT samples
+    * (mirrors the HOF spelling bit-for-bit: Spark `length`/`substring`/
+    * `ascii` are all code-point-based, so the kernel walks code points,
+    * not UTF-16 units): position_j = ((len-1)·j) / (bits-1), threshold
+    * each sample against the sample mean via `v·bits >= Σv` (no
+    * division), pack bit j ascending. Null for the empty string. */
+  def ahash(s: UTF8String, bits: Int): java.lang.Long = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    if (len == 0) return null
+    val v = new Array[Long](bits)
+    var sum = 0L
+    var j = 0
+    while (j < bits) {
+      v(j) = cps((((len - 1).toLong * j) / (bits - 1)).toInt).toLong
+      sum += v(j)
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < bits) {
+      if (v(j) * bits >= sum) hash |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   def simhash48(s: UTF8String): java.lang.Long = {
     val toks = distinctTokens(s.toString)
     if (toks.isEmpty) return null
@@ -170,6 +197,41 @@ case class MinHashSignature(child: Expression, seeds: Int, bandWidth: Int = 0)
      """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Perceptual average-hash column ([[TextHashes.ahash]]); null for the
+  * empty string. `bits` must stay below 63 so the shifted bits and the
+  * `v·bits` mean test cannot overflow. */
+case class AHash(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if bits >= 1 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName bits must be in [1, 62], got $bits")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ahash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = TextHashes.ahash(input.asInstanceOf[UTF8String], bits)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_r = graft.functions.TextHashes.ahash($c, $bits);
+       |if (${ev.value}_r == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = ${ev.value}_r.longValue();
+       |}
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): AHash =
     copy(child = newChild)
 }
 

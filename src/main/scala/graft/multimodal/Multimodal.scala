@@ -216,6 +216,22 @@ object Multimodal {
   def mediaAhash(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    val hashCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.AHash(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), AhashBits))
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), hashCol.as("ahash"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** HOF spelling of [[mediaAhash]]'s kernel — the portable spec, pinned
+    * bit-identical to the native expression in MultimodalSpec (winnow
+    * precedent: one codegen'd per-row kernel call vs a 48-lambda
+    * transform/aggregate chain). */
+  def mediaAhashSpec(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
     val n = AhashBits
     Tables(spark, dir, "documents")
       .filter(length(col("text")) > 0)
@@ -229,7 +245,6 @@ object Multimodal {
         expr(s"aggregate(transform(sequence(0, ${n - 1}), j -> " +
           s"IF(CAST(v[j] AS BIGINT) * $n >= sv, shiftleft(1L, j), 0L)), " +
           "0L, (a, x) -> a + x)").as("ahash"))
-      .withColumn("n_same", count(lit(1)).over(w))
       .orderBy("doc_id")
   }
 

@@ -42,6 +42,22 @@ class MomentsSpec extends SparkSpec {
       s"expected a partial aggregation phase:\n$plan")
   }
 
+  test("buffer algebra: any chunking merges to the single-pass result") {
+    // the mergeability contract partial aggregation relies on: reduce a
+    // value stream in arbitrary chunk splits, merge the chunk buffers in
+    // arbitrary order, finish — identical result to one sequential pass
+    val xs = Seq(3L, -7L, 11L, 0L, 42L, -1L, 8L, 5L, 19L, -12L)
+    val sequential = MomentsAgg.finish(xs.foldLeft(MomentsAgg.zero)(MomentsAgg.reduce))
+    for (cut1 <- 1 until xs.size - 1; cut2 <- (cut1 + 1) until xs.size) {
+      val chunks = Seq(xs.slice(0, cut1), xs.slice(cut1, cut2), xs.slice(cut2, xs.size))
+        .map(_.foldLeft(MomentsAgg.zero)(MomentsAgg.reduce))
+      val forward = MomentsAgg.finish(chunks.reduce(MomentsAgg.merge))
+      val reversed = MomentsAgg.finish(chunks.reverse.reduce(MomentsAgg.merge))
+      assert(forward == sequential && reversed == sequential,
+        s"chunking ($cut1, $cut2) diverged")
+    }
+  }
+
   test("SQL registration path: graft_moments usable from spark.sql") {
     spark.udf.register("graft_moments", MomentsUdaf.fn)
     (1L to 9L).toDF("x").createOrReplaceTempView("graft_moments_in")

@@ -94,6 +94,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) == 4L)  // U+1F600 is 4 UTF-8 bytes
   }
 
+  test("aHash native kernel is row-identical to the HOF spelling (incl. non-ASCII)") {
+    val sf = "/root/testdata/sf0.001"
+    val nat = Multimodal.mediaAhash(spark, sf).select("doc_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val spec = Multimodal.mediaAhashSpec(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nat == spec && nat.nonEmpty)
+    // supplementary code points: the kernel must sample CODE POINTS like
+    // Spark's length/substring/ascii, not UTF-16 units
+    val d = graft.TempDirs.create("graft-ahash-nn").toString
+    Seq((1L, "😀a😀b😀c😀d", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val nn = Multimodal.mediaAhash(spark, d).select("doc_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nnSpec = Multimodal.mediaAhashSpec(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nn == nnSpec)
+  }
+
   test("aHash: uniform payload saturates, duplicates collide and count") {
     val d = graft.TempDirs.create("graft-ahash").toString
     Seq(
