@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayDotProduct, ArrayNorm2, TopKValues, ZValue}
+import graft.functions.{AHash, ArrayDotProduct, ArrayNorm2, MinHashSignature, SimHash48, TopKValues, ZValue}
 
 /** Algebraic rewrite over the native vector expressions: a self dot
   * product IS the squared norm, and [[ArrayNorm2]]'s generated loop does
@@ -85,6 +85,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         checkArity("graft_zvalue", 2, args)
         ZValue(args(0), args(1))
+      }))
+    // the per-row signature kernels, for pure-SQL sessions: integer
+    // parameters must be foldable ints at ANALYSIS time (they size
+    // arrays inside the kernels), enforced with the same analyzer-error
+    // discipline as graft_topk's k
+    def litInt(fn: String, e: Expression): Int = {
+      def bad(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+        messageParameters = Map("functionName" -> fn),
+        cause = None)
+      e match {
+        case x if x.foldable && x.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+          x.eval() match {
+            case null => bad()
+            case v => v.asInstanceOf[Int]
+          }
+        case _ => bad()
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_simhash48", 1, args)
+        SimHash48(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ahash"),
+      new ExpressionInfo(classOf[AHash].getName, "graft_ahash"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_ahash", 2, args)
+        AHash(args(0), litInt("graft_ahash", args(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        // graft_minhash(text, seeds) -> hex signature array;
+        // graft_minhash(text, seeds, bandWidth) -> banded keys
+        if (args.length < 2 || args.length > 3)
+          checkArity("graft_minhash", 3, args)
+        val bw = if (args.length == 3) litInt("graft_minhash", args(2)) else 0
+        MinHashSignature(args(0), litInt("graft_minhash", args(1)), bw)
       }))
     ext.injectOptimizerRule(_ => DotToNorm)
     ext.injectPlannerStrategy(_ => TopKStrategy)

@@ -114,4 +114,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("signature kernels are SQL-callable and agree with the Column spellings") {
+    val base = graft.TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions.col
+      s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .createOrReplaceTempView("graft_ext_docs")
+      def viaCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.GraftBridge.column(e)
+      val textExpr = org.apache.spark.sql.GraftBridge.expression(col("text"))
+      val docs = s.table("graft_ext_docs")
+      // each SQL spelling row-identical to the Column-API spelling
+      val sqlRows = s.sql(
+        """SELECT doc_id, graft_simhash48(text) AS sh, graft_ahash(text, 48) AS ah,
+          |       graft_minhash(text, 12) AS mh, graft_minhash(text, 12, 3) AS mb
+          |FROM graft_ext_docs ORDER BY doc_id""".stripMargin).collect().toSeq
+      val colRows = docs.select(col("doc_id"),
+          viaCol(graft.functions.SimHash48(textExpr)).as("sh"),
+          viaCol(graft.functions.AHash(textExpr, 48)).as("ah"),
+          viaCol(graft.functions.MinHashSignature(textExpr, 12)).as("mh"),
+          viaCol(graft.functions.MinHashSignature(textExpr, 12, 3)).as("mb"))
+        .orderBy("doc_id").collect().toSeq
+      assert(sqlRows == colRows && sqlRows.nonEmpty)
+      // parameter discipline: non-literal / non-int sizes are analyzer errors
+      val badBits = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_ahash(text, doc_id) FROM graft_ext_docs").collect()
+      }
+      assert(badBits.getMessage.contains("graft_ahash"))
+      val badRange = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_ahash(text, 63) FROM graft_ext_docs").collect()
+      }
+      assert(badRange.getMessage.toLowerCase.contains("bits"))
+      val badArity = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_minhash(text) FROM graft_ext_docs").collect()
+      }
+      assert(badArity.getMessage.contains("graft_minhash"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
