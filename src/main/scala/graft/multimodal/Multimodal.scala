@@ -213,17 +213,58 @@ object Multimodal {
     * integer division, the mean test is `v·N >= Σv` (no division), the
     * pack is shifted-bit sums — engine-identical by construction. One
     * scan + one hash-partitioned window for the collision count. */
-  def mediaAhash(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+  /** (doc_id, ahash) via the native kernel — shared by the fingerprint
+    * table and the banded pair emitter. */
+  private def ahashFrame(spark: SparkSession, dir: String): DataFrame = {
     val hashCol = org.apache.spark.sql.GraftBridge.column(
       graft.functions.AHash(
         org.apache.spark.sql.GraftBridge.expression(col("text")), AhashBits))
     Tables(spark, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), hashCol.as("ahash"))
+  }
+
+  def mediaAhash(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    ahashFrame(spark, dir)
       .withColumn("n_same", count(lit(1)).over(w))
       .orderBy("doc_id")
+  }
+
+  /** Perceptual near-dup candidate PAIRS: 4×12-bit banding of the aHash —
+    * pigeonhole-complete for Hamming ≤ 3 (any two hashes within 3 bits
+    * agree on at least one of 4 bands) — with the dedup family's
+    * 2..MaxBucket size cap applied BEFORE the self-join, so candidate
+    * generation is an equi-join over bounded buckets, never a corpus
+    * self-product (same asymptotics remedy as `dedup_simhash_pairs`,
+    * same documented recall trade on mega-buckets). This is the
+    * image-near-dup sweep of a multimodal curation pipeline, runnable
+    * before any decode. */
+  def mediaAhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ah = ahashFrame(spark, dir)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"(ahash div ${1L << (12 * b)}) % 4096").as("key")))
+    val banded = ah.select(col("doc_id"), col("ahash"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val small = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, graft.dedup.Dedup.MaxBucket))
+      .select("band", "key")
+    val capped = banded.join(small, Seq("band", "key"))
+    capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .filter(col("hamming") <= graft.dedup.Dedup.MaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   /** HOF spelling of [[mediaAhash]]'s kernel — the portable spec, pinned
@@ -250,6 +291,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash" -> (mediaAhash _),
+    "mm_ahash_pairs" -> (mediaAhashPairs _),
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
     "mm_resize" -> (mediaResize _),
@@ -257,25 +299,46 @@ object Multimodal {
 
   /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
     * (= Spark length over the binary cast), so non-ASCII text matches. */
+  /** aHash oracle prefix ending in `h(doc_id, ahash)` — length() counts
+    * CHARACTERS in both engines and ascii() returns the code point of
+    * the first character in both, so the spelling is non-ASCII safe.
+    * Shared by the fingerprint and pair oracles. */
+  private val ahashCtes: String =
+    s"""s AS (
+       |  SELECT doc_id, j,
+       |    ascii(substr(text,
+       |      CAST(1 + ((length(text) - 1) * j) // ${AhashBits - 1} AS INTEGER), 1)) AS v
+       |  FROM documents, UNNEST(range(0, $AhashBits)) t(j)
+       |  WHERE length(text) > 0),
+       |m AS (SELECT doc_id, j, v, sum(v) OVER (PARTITION BY doc_id) AS sv FROM s),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v * $AhashBits >= sv
+       |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM m GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // length() counts CHARACTERS in both engines and ascii() returns the
-    // code point of the first character in both — non-ASCII safe
     "mm_ahash" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, j,
-         |    ascii(substr(text,
-         |      CAST(1 + ((length(text) - 1) * j) // ${AhashBits - 1} AS INTEGER), 1)) AS v
-         |  FROM documents, UNNEST(range(0, $AhashBits)) t(j)
-         |  WHERE length(text) > 0),
-         |m AS (SELECT doc_id, j, v, sum(v) OVER (PARTITION BY doc_id) AS sv FROM s),
-         |h AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN v * $AhashBits >= sv
-         |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash
-         |  FROM m GROUP BY doc_id)
+      s"""WITH $ahashCtes
          |SELECT doc_id, ahash,
          |       count(*) OVER (PARTITION BY ahash) AS n_same
          |FROM h ORDER BY doc_id""".stripMargin,
+    "mm_ahash_pairs" ->
+      s"""WITH $ahashCtes,
+         |banded AS (
+         |  SELECT doc_id, ahash, b AS band,
+         |    (ahash // CAST(pow(2, 12 * b) AS BIGINT)) % 4096 AS key
+         |  FROM h, UNNEST(range(0, 4)) t(b)),
+         |small AS (
+         |  SELECT band, key FROM banded GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+         |capped AS (SELECT b.* FROM banded b JOIN small USING (band, key))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= ${graft.dedup.Dedup.MaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
