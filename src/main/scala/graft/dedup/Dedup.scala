@@ -356,15 +356,15 @@ object Dedup {
     * so: the body is [[exactDupVerdict]] (the same query the plain
     * variant runs) with the sketch as its prefilter hook — which is why
     * the oracle below is plain deterministic SQL with no sketch in it.
-    * The driver touches only the sketch bytes (an aggregate-sized
-    * result, same class as any collected aggregate), never data rows.
     *
-    * NOTE: construction is EAGER — folding the corpus into the sketch
-    * runs a Spark job (the `.head()` on the aggregate) at
-    * DataFrame-build time, before any action on the returned frame.
-    * Callers that only want the plan (explain, audits, lazy
-    * composition) still pay that aggregation; acceptable for the
-    * bench/verify harness, by design here. */
+    * Construction is LAZY: the corpus sketch is an uncorrelated SCALAR
+    * SUBQUERY feeding `BloomFilterMightContain` — exactly the plan shape
+    * Spark's own `InjectRuntimeFilter` emits — so building this frame
+    * runs zero jobs (pinned in DedupSpec); the sketch aggregation
+    * executes as a one-row subquery stage at first action, its bytes
+    * broadcast to every probe task as the subquery result. The driver
+    * touches only the sketch bytes (an aggregate-sized result, same
+    * class as any collected aggregate), never data rows. */
   def incrementalBloomDedup(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     import org.apache.spark.sql.GraftBridge
@@ -376,12 +376,11 @@ object Dedup {
         GraftBridge.expression(lit(100000L)),
         GraftBridge.expression(lit(800000L)))
       .toAggregateExpression()
-    val bfBytes = corpus.select(GraftBridge.column(bloomAgg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val sketch = corpus.select(GraftBridge.column(bloomAgg).as("bf"))
     val probe = GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          bfBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          GraftBridge.analyzed(sketch)),
         GraftBridge.expression(xxhash64(col("h")))))
     exactDupVerdict(d.filter(col("incoming")), corpus, probe)
       .orderBy("doc_id")

@@ -23,10 +23,14 @@ case class Moments(n_vals: Long, mean: Double, variance: Double)
 
 object MomentsAgg extends Aggregator[Long, (Long, Long, Long), Moments] {
   override def zero: (Long, Long, Long) = (0L, 0L, 0L)
+  // exact-arithmetic contract enforced, not assumed: x*x overflows Long
+  // for |x| above ~3.04e9, so the squares (and the sums, which overflow
+  // only after the squares already would) go through the checked ops —
+  // an out-of-range input fails loudly instead of corrupting the moments
   override def reduce(b: (Long, Long, Long), x: Long): (Long, Long, Long) =
-    (b._1 + 1, b._2 + x, b._3 + x * x)
+    (b._1 + 1, Math.addExact(b._2, x), Math.addExact(b._3, Math.multiplyExact(x, x)))
   override def merge(a: (Long, Long, Long), b: (Long, Long, Long)): (Long, Long, Long) =
-    (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+    (a._1 + b._1, Math.addExact(a._2, b._2), Math.addExact(a._3, b._3))
   override def finish(r: (Long, Long, Long)): Moments = {
     val (n, s, sq) = r
     if (n == 0) Moments(0L, 0.0, 0.0)

@@ -202,13 +202,15 @@ case class MinHashSignature(child: Expression, seeds: Int, bandWidth: Int = 0)
 
 /** Perceptual average-hash column ([[TextHashes.ahash]]); null for the
   * empty string. `bits` must stay below 63 so the shifted bits and the
-  * `v·bits` mean test cannot overflow. */
+  * `v·bits` mean test cannot overflow, and at least 2 because sample
+  * positions interpolate over `bits - 1` intervals (a 1-bit hash has no
+  * second endpoint to interpolate toward). */
 case class AHash(child: Expression, bits: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if bits >= 1 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
+    case StringType if bits >= 2 && bits <= 62 => TypeCheckResult.TypeCheckSuccess
     case StringType => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName bits must be in [1, 62], got $bits")
+      s"$prettyName bits must be in [2, 62], got $bits")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string input, got ${t.sql}")
   }

@@ -143,6 +143,61 @@ object Multimodal {
     }
   }
 
+  /** Deterministic image-header synthesis for [[mediaHeaders]]: doc_id
+    * mod 3 picks the container — 0 → a structurally valid PNG signature +
+    * IHDR chunk (plus variable trailing padding, proving the parser reads
+    * the header, not the tail), 1 → a JPEG whose SOF0 sits BEHIND an APP0
+    * and a variable-length COM segment (proving the marker walk actually
+    * skips segments), 2 → an opaque non-image payload (proving the stub
+    * fallback). Dimensions and lengths are pure doc_id arithmetic, so the
+    * DuckDB oracle reproduces the expected parse without any bytes. */
+  def synthesizeHeader(id: Long): Array[Byte] = {
+    val w = (1L + id % 1000L).toInt
+    val h = (1L + (id * 7L) % 800L).toInt
+    (id % 3L) match {
+      case 0L =>
+        val pad = (id % 17L).toInt
+        val b = java.nio.ByteBuffer.allocate(33 + pad)     // big-endian
+        b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        b.putInt(w).putInt(h)
+        b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        b.putInt(0xdeadbeef)                               // CRC, unchecked
+        b.array()                                          // + pad zero bytes
+      case 1L =>
+        val pad = (id % 13L).toInt
+        val b = java.nio.ByteBuffer.allocate(37 + pad)
+        b.put(0xff.toByte).put(0xd8.toByte)                // SOI
+        b.put(0xff.toByte).put(0xe0.toByte).putShort(16)   // APP0, len 16
+        b.put("JFIF ".getBytes("US-ASCII")).position(b.position() + 9)
+        b.put(0xff.toByte).put(0xfe.toByte)                // COM, variable len
+        b.putShort((2 + pad).toShort).position(b.position() + pad)
+        b.put(0xff.toByte).put(0xc0.toByte).putShort(11)   // SOF0
+        b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+        b.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
+        b.array()
+      case _ =>
+        Array.fill((10L + id % 29L).toInt)('A'.toByte)     // matches no magic
+    }
+  }
+
+  /** The REAL header decode on the registered (oracle-gated) surface:
+    * payloads synthesized per doc by [[synthesizeHeader]], parsed back by
+    * [[decodeHeaders]] (PNG-IHDR / JPEG-SOF byte walk, stub fallback for
+    * the opaque third). The oracle recomputes every field from doc_id
+    * arithmetic, so a parser that misreads an offset, forgets a segment
+    * skip, or drops the fallback hash-mismatches. Scale shape: one
+    * mapPartitions over the scan — the codec boundary, where imperative
+    * per-record work belongs. */
+  def mediaHeaders(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, synthesizeHeader(id)))
+    decodeHeaders(media).toDF().orderBy("doc_id")
+  }
+
   /** Frame-sampling plumbing: each payload yields one row per fixed-stride
     * "frame" (stub boundaries every FrameStep bytes — a real video decoder
     * would emit keyframe offsets here). The generator shape (posexplode of
@@ -290,6 +345,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_headers" -> (mediaHeaders _),
     "mm_ahash" -> (mediaAhash _),
     "mm_ahash_pairs" -> (mediaAhashPairs _),
     "mm_meta" -> (mediaMeta _),
@@ -318,6 +374,26 @@ object Multimodal {
        |  FROM m GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every field re-derived from the synthesis arithmetic: PNG ids parse
+    // IHDR w/h, JPEG ids parse SOF0 behind the segment walk, opaque ids
+    // fall back to the stub formulas over their synthetic length
+    "mm_headers" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 33 + doc_id % 17
+        |    WHEN 1 THEN 37 + doc_id % 13
+        |    ELSE 10 + doc_id % 29 END AS BIGINT) AS byte_len,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 2 THEN 64 + (10 + doc_id % 29) % 577
+        |    ELSE 1 + doc_id % 1000 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 2 THEN 64 + ((10 + doc_id % 29) * 31) % 417
+        |    ELSE 1 + (doc_id * 7) % 800 END AS BIGINT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+        |    ELSE CASE (10 + doc_id % 29) % 3
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END
+        |  END AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_ahash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, ahash,

@@ -89,11 +89,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the per-row signature kernels, for pure-SQL sessions: integer
     // parameters must be foldable ints at ANALYSIS time (they size
     // arrays inside the kernels), enforced with the same analyzer-error
-    // discipline as graft_topk's k
-    def litInt(fn: String, e: Expression): Int = {
+    // discipline as graft_topk's k. The error names the actual
+    // parameter, so graft_minhash's THIRD argument (bandWidth) doesn't
+    // get reported as "second argument".
+    def litInt(fn: String, param: String, e: Expression): Int = {
       def bad(): Nothing = throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
-        messageParameters = Map("functionName" -> fn),
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""),
         cause = None)
       e match {
         case x if x.foldable && x.dataType ==
@@ -117,7 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AHash].getName, "graft_ahash"),
       (args: Seq[Expression]) => {
         checkArity("graft_ahash", 2, args)
-        AHash(args(0), litInt("graft_ahash", args(1)))
+        AHash(args(0), litInt("graft_ahash", "bits", args(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
@@ -126,9 +131,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // graft_minhash(text, seeds) -> hex signature array;
         // graft_minhash(text, seeds, bandWidth) -> banded keys
         if (args.length < 2 || args.length > 3)
-          checkArity("graft_minhash", 3, args)
-        val bw = if (args.length == 3) litInt("graft_minhash", args(2)) else 0
-        MinHashSignature(args(0), litInt("graft_minhash", args(1)), bw)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_minhash`",
+              "expectedNum" -> "[2, 3]",
+              "actualNum" -> args.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        val bw =
+          if (args.length == 3) litInt("graft_minhash", "bandWidth", args(2)) else 0
+        MinHashSignature(args(0), litInt("graft_minhash", "seeds", args(1)), bw)
       }))
     ext.injectOptimizerRule(_ => DotToNorm)
     ext.injectPlannerStrategy(_ => TopKStrategy)

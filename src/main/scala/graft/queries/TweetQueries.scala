@@ -238,7 +238,29 @@ object TweetQueries {
       .orderBy(desc("cnt"), asc("emoji"))
   }
 
+  /** The reference's LIVE path runs the QUIRK pipeline (q2:103-113 — the
+    * same delete/split chain as q1), not the strict extractor; this is
+    * [[streamTopEmoji]] with [[EmojiOps.referenceTokenize]] swapped in,
+    * hash-gated against the identical oracle as `tw_q1_top_emoji_quirk`
+    * (streaming/batch duality of the quirk census). */
+  def streamTopEmojiQuirk(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val corpus = tweetsDir(dir)
+    val static = spark.read.json(corpus)                     // S3 schema bootstrap
+    val stream = spark.readStream.schema(static.schema).json(corpus)
+    val agg = stream
+      .select(col("data.text").as("text"))
+      .filter(col("text").isNotNull)
+      .select(explode(EmojiOps.referenceTokenize(col("text"))).as("token"))
+      .filter(EmojiOps.isEmojiToken(col("token")))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))                    // O5: legal in complete mode
+    graft.streaming.StreamingOps.runToMemory(spark, agg)
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tw_q2_stream_top_emoji_quirk" -> (streamTopEmojiQuirk _),
     "tw_q1_top_emoji" -> (topEmoji _),
     "tw_q1_least_emoji" -> (leastEmoji _),
     "tw_q1_top_emoji_quirk" -> (topEmojiQuirk _),
@@ -274,6 +296,17 @@ object TweetQueries {
     // the quirk census: T1 delete (RE2 spelling), T2 omitted as the no-op
     // the JVM pipeline exhibits, T3 split, F2/F4 filters — glued runs
     "tw_q1_top_emoji_quirk" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(
+         |    regexp_replace(data.text, '[^\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F900}-\\x{1F9FF}()|]', '', 'g'),
+         |    ' ')) AS token
+         |  FROM $tweetsSql WHERE data.text IS NOT NULL)
+         |SELECT token, count(*) AS cnt FROM tok
+         |WHERE regexp_matches(token, '[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F900}-\\x{1F9FF}()|]')
+         |  AND NOT contains(token, '(') AND NOT contains(token, ')') AND NOT contains(token, '|')
+         |GROUP BY token ORDER BY cnt DESC, token""".stripMargin,
+    // identical census through the streaming engine — same oracle text
+    "tw_q2_stream_top_emoji_quirk" ->
       s"""WITH tok AS (
          |  SELECT unnest(string_split(
          |    regexp_replace(data.text, '[^\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F900}-\\x{1F9FF}()|]', '', 'g'),

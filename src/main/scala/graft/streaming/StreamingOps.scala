@@ -65,8 +65,21 @@ object StreamingOps {
     * at local[32] with 32 shuffle partitions that overhead dominated the
     * actual aggregation (~100× the batch twin). 8 partitions still
     * exercises distributed state; a production job sizes this to
-    * cluster width × keys-per-partition, not to the session default. */
-  private val StreamShufflePartitions = "8"
+    * cluster width × keys-per-partition, not to the session default.
+    * Env-overridable for measurement sweeps (never set by the driver). */
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
+  /** Default state store provider for the family. The fixture-scale state
+    * is tiny (hundreds of keys), where provider fixed costs — native DB
+    * open + changelog upload per partition per trigger for RocksDB vs an
+    * in-memory map + one delta file for the HDFS provider — dominate; the
+    * default is the measured winner (BENCH_NOTES round 8). Queries that
+    * REQUIRE RocksDB (`transformWithState`) pin it explicitly, and a
+    * production job with state past executor memory picks RocksDB via
+    * the same parameter. */
+  private val DefaultRocksDb =
+    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").contains("rocksdb")
 
   /** Hard cap on rows a memory sink may hand the driver. The memory sink
     * is inherently driver-side (fine for aggregate-sized results, which is
@@ -81,9 +94,10 @@ object StreamingOps {
     * accumulate orphaned in-memory tables.
     *
     * State tuning is scoped to the query: shuffle partitions are lowered
-    * for the stateful exchange (restored after), and state lives in the
-    * RocksDB provider — changelog-style commits instead of the HDFS
-    * provider's full per-batch delta-file rewrite.
+    * for the stateful exchange (restored after), and the state store
+    * provider is per-query selectable with the measured family default
+    * ([[DefaultRocksDb]]); `transformWithState` pins RocksDB, which is
+    * the only provider it supports.
     *
     * @param minDataBatches fail unless at least this many micro-batches
     *        carried input rows — lets a registered query *prove* its
@@ -93,7 +107,7 @@ object StreamingOps {
       mode: String = "complete", minDataBatches: Int = 0,
       maxRows: Long = MaxSinkRows,
       stateParts: String = StreamShufflePartitions,
-      rocksDb: Boolean = true): DataFrame = {
+      rocksDb: Boolean = DefaultRocksDb): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -145,7 +159,7 @@ object StreamingOps {
   def runToFiles(spark: SparkSession, streamed: DataFrame,
       mode: String = "complete", minDataBatches: Int = 0,
       stateParts: String = StreamShufflePartitions,
-      rocksDb: Boolean = true): DataFrame = {
+      rocksDb: Boolean = DefaultRocksDb): DataFrame = {
     require(mode == "complete" || mode == "append",
       s"runToFiles supports complete|append, got '$mode'")
     val out = graft.TempDirs.create("graft-sink").toString
@@ -193,7 +207,7 @@ object StreamingOps {
     * top of the streaming source exactly as it does on the batch scan. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     // the file-stream source tails a *directory* (reference S2 semantics);
     // the glob filter selects the events table out of the fixture dir
     val stream = spark.readStream.schema(schema)
@@ -230,6 +244,19 @@ object StreamingOps {
     * Verify and Bench call each query several times per session; the
     * split is deterministic so one prep per (dir, n) is sound. */
   private val feedDirs = TrieMap.empty[String, String]
+
+  /** Events-table schema per source dir. Every streaming query bootstraps
+    * its stream schema from the static file (reference S3); the footer
+    * read is a driver-side file-listing + parse that costs ~0.1–0.3 s —
+    * a pure fixed cost per query that the family pays 10× per bench run
+    * without this cache. The fixture file is immutable per dir. */
+  private val schemaCache = TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def eventsSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate(dir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet").schema
+    })
 
   /** Splits the events table into `n` files covering disjoint, ascending
     * time ranges, with strictly increasing modification times so the
@@ -275,7 +302,7 @@ object StreamingOps {
     Engine.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val feed = timeSplitFeed(spark, dir, n = 4)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -339,7 +366,9 @@ object StreamingOps {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new SummaryProcessor, TimeMode.None(), OutputMode.Update())
-    runToMemory(spark, sessions.toDF(), mode = "update")
+    // transformWithState supports ONLY the RocksDB provider — pinned
+    // regardless of the family default
+    runToMemory(spark, sessions.toDF(), mode = "update", rocksDb = true)
       .groupBy("user_id")   // last update per key wins (single batch: identity)
       .agg(max("n_events").as("n_events"),
         min("first_us").as("first_us"), max("last_us").as("last_us"))
@@ -380,7 +409,7 @@ object StreamingOps {
     Engine.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val feed = timeSplitFeed(spark, dir, n = 3)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -419,7 +448,7 @@ object StreamingOps {
     // partition on BOTH join sides (4 stores each), the dominant cost at
     // fixture scale
     val feed = timeSplitFeed(spark, dir, n = 3)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     def feedStream(): DataFrame = Tables.normalizeEvents(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(feed))
     val clicks = feedStream().filter(col("event_type") === "click")
@@ -461,7 +490,7 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val feed = timeSplitFeed(spark, dir, n = 3)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -500,7 +529,7 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val feed = timeSplitFeed(spark, dir, n = 3)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -553,7 +582,7 @@ object StreamingOps {
     Engine.tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val feed = timeSplitFeed(spark, dir, n = 4)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchema(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)

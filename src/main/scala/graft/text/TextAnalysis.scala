@@ -481,10 +481,12 @@ object TextAnalysis {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dft = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
     val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dft, Seq("token")).crossJoin(broadcast(n))
-      .select(col("doc_id"), col("token"),
-        (col("tf") * floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1))
-          * IdfScale).cast("long")).as("tfidf_q"))
+    val idf = dft.crossJoin(broadcast(n))
+      .select(col("token"),
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          * IdfScale).cast("long").as("idf_q"))
+    val scored = tf.join(idf, Seq("token"))
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf_q")).as("tfidf_q"))
     graft.plans.TopK.perGroup(scored, Seq("doc_id"),
       Seq(("tfidf_q", false), ("token", true)), TfidfK)
       .orderBy("doc_id", "rn")

@@ -37,6 +37,36 @@ class DedupSpec extends SparkSpec {
     assert(bloomed == plain && bloomed.nonEmpty)
   }
 
+  test("bloom-prefiltered incremental dedup is lazy: construction runs zero jobs") {
+    // the corpus sketch is a scalar subquery inside the plan, not an
+    // eager .head() — building the frame must not run any SQL execution.
+    // (Raw job count is the wrong probe: the parquet footer/schema read
+    // at scan construction is a 1-task NON-SQL job every
+    // spark.read.parquet pays, plain variant included. The old eager
+    // .head() was a full SQLExecutionStart; that event is the exact
+    // class being banned.)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            jobs.add(s.description)
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val frame = Dedup.incrementalBloomDedup(spark, "/root/testdata/sf0.001")
+      // listener delivery is async; construction-time jobs (the old eager
+      // .head()) run synchronously, so a short drain window suffices
+      Thread.sleep(1000)
+      assert(jobs.isEmpty,
+        s"plan construction ran SQL execution(s): ${String.join(", ", jobs)}")
+      // and the plan still executes correctly after the lazy build
+      assert(frame.limit(1).collect().nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bloom-prefiltered incremental dedup survives an all-incoming (empty-corpus) batch") {
     // every local-fixture doc_id is a multiple of 10 -> corpus side empty
     // -> the aggregated sketch is NULL -> might_contain(NULL) is NULL ->

@@ -153,6 +153,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_ahash(text, 63) FROM graft_ext_docs").collect()
       }
       assert(badRange.getMessage.toLowerCase.contains("bits"))
+      // bits=1 would divide by (bits - 1) = 0 in the sampling formula —
+      // must die at analysis, not as a runtime ArithmeticException
+      val badOne = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_ahash(text, 1) FROM graft_ext_docs").collect()
+      }
+      assert(badOne.getMessage.toLowerCase.contains("bits"))
+      // graft_minhash's THIRD argument failing must name bandWidth, not
+      // claim a "second argument" problem
+      val badThird = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_minhash(text, 12, doc_id) FROM graft_ext_docs").collect()
+      }
+      assert(badThird.getMessage.contains("bandWidth"))
       val badArity = intercept[org.apache.spark.sql.AnalysisException] {
         s.sql("SELECT graft_minhash(text) FROM graft_ext_docs").collect()
       }
