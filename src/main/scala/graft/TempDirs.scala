@@ -41,4 +41,12 @@ object TempDirs {
     dirs.put(p.toString, ())
     p
   }
+
+  /** Creates a registered temp directory under an explicit base (e.g.
+    * tmpfs for streaming checkpoints); same exit-time sweep. */
+  def createIn(base: Path, prefix: String): Path = {
+    val p = Files.createTempDirectory(base, prefix)
+    dirs.put(p.toString, ())
+    p
+  }
 }

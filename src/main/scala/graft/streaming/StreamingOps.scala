@@ -81,6 +81,28 @@ object StreamingOps {
   private val DefaultRocksDb =
     sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").contains("rocksdb")
 
+  /** Streaming checkpoint root on tmpfs when the platform has one. Every
+    * trigger fsyncs the offset/commit logs and uploads per-partition
+    * state checkpoints; on the default /tmp (spinning ext4 here) those
+    * little synchronous writes are a fixed per-trigger tax across the
+    * whole family. Checkpoint placement is a deployment knob — a
+    * production job points it at the cluster DFS; the local harness
+    * points it at the fastest durable-enough store it has. Registered
+    * with [[graft.TempDirs]], so the exit sweep removes it. */
+  private lazy val ckptRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Some(graft.TempDirs.createIn(shm, "graft-ckpt"))
+    else None
+  }
+
+  /** Per-query-start checkpoint dir option (unique — checkpoints are
+    * owned by one query for its lifetime); empty map → Spark's default
+    * temp checkpoint behavior. */
+  private def ckptOption: Map[String, String] =
+    ckptRoot.map(r => "checkpointLocation" ->
+      Files.createTempDirectory(r, "q").toString).toMap
+
   /** Hard cap on rows a memory sink may hand the driver. The memory sink
     * is inherently driver-side (fine for aggregate-sized results, which is
     * all the verified surface emits); this guard turns a future
@@ -121,6 +143,7 @@ object StreamingOps {
         .outputMode(mode)
         .format("memory")
         .queryName(name)
+        .options(ckptOption)
         .start()
       try q.processAllAvailable()
       finally q.stop()
@@ -177,6 +200,7 @@ object StreamingOps {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           batch.write.mode(saveMode).parquet(out)
         }
+        .options(ckptOption)
         .start()
       try q.processAllAvailable()
       finally q.stop()
