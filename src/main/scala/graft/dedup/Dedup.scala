@@ -227,8 +227,13 @@ object Dedup {
     val edges = pairsDf.select(col("src"), col("dst"))
       .union(pairsDf.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // the pair pipeline is expensive; compute once
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("root", col("doc"))
+    // round-0 labels fold the first nbrMin in for free: min(self, min
+    // neighbor) is a join-free aggregate over the edge list (labels would
+    // be the identity, making round 1's edges⋈labels join a no-op pass
+    // that still pays a full round of machinery)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc"), least(col("src"), col("m")).as("root"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -246,18 +251,28 @@ object Dedup {
           least(labels("root"), coalesce(col("nroot"), labels("root"))).as("root"))
         .cache()
       // pointer jumping: follow the label one extra hop (root := label of
-      // root). Roots are always nodes of the graph, so the self-join is
-      // total; `least` keeps the labeling monotone non-increasing.
-      val next = prop.as("l")
-        .join(prop.select(col("doc").as("rdoc"), col("root").as("rroot")),
-          col("l.root") === col("rdoc"), "left")
-        .select(col("l.doc").as("doc"), col("l.old").as("old"),
-          least(col("l.root"), coalesce(col("rroot"), col("l.root"))).as("root"))
-        .localCheckpoint(true)
+      // root; the self-join is total because roots are always nodes, and
+      // `least` keeps the labeling monotone non-increasing). Exactly ONE
+      // hop per materialized round, deliberately: chaining k hops in-plan
+      // embeds the round's plan 2^k times (each hop references its input
+      // on both join sides), so analysis cost grows exponentially — and a
+      // measured 3-hop variant cut zero rounds on the sf0.1 graph (round
+      // count there is bound by nbrMin steps past already-self-rooted
+      // local minima, where root(root(x)) = root(x) and jumping is idle;
+      // only id-monotone chains compress faster). BENCH_NOTES round 8.
+      val next = {
+        val right = prop.select(col("doc").as("rdoc"), col("root").as("rroot"))
+        prop.join(right, col("root") === col("rdoc"), "left")
+          .select(col("doc"), col("old"),
+            least(col("root"), coalesce(col("rroot"), col("root"))).as("root"))
+          .localCheckpoint(true)
+      }
       prop.unpersist()
       converged = next.filter(col("root") =!= col("old")).isEmpty
       labels = next.select(col("doc"), col("root"))
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_PROF"))
+        System.err.println(s"[cc] round $rounds done converged=$converged")
     }
     require(converged,
       s"label propagation did not converge in $rounds rounds " +
