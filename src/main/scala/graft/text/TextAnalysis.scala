@@ -113,6 +113,45 @@ object TextAnalysis {
   val BpePretokenRegex: String =
     """'(s|t|ll|ve|re|d|m)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"""
 
+  /** Fixed token budget of one packed training sequence (context
+    * window), and the max docs per packing shard. Packing runs within
+    * (source, block) shards: `block = doc_id div PackBlock` bounds every
+    * window partition regardless of how skewed the per-source document
+    * counts get, which is what lets the layout run at 100 TB — the
+    * prefix sum is per-shard, never global (a global ORDER BY window
+    * would serialize the whole corpus through one task). */
+  val PackBudget = 512L
+  val PackBlock = 100000L
+
+  /** GPT-style sequence-packing layout: documents are concatenated in
+    * doc_id order within a (source, block) shard and the token stream is
+    * cut into fixed-[[PackBudget]] chunks, crossing document boundaries —
+    * the standard packed-pretraining layout (no padding, documents split
+    * at chunk edges). Emitted per document: its exclusive-prefix token
+    * offset in the shard stream and the first/last chunk ids it lands
+    * in. One shuffle (the window exchange on the shard key) + an
+    * in-partition sort; chunk ids are integer arithmetic on the prefix
+    * sum, so the whole layout is a deterministic closed form the oracle
+    * reproduces with the same window. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("source"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div $PackBlock").as("block"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $PackBudget").as("first_chunk"),
+        expr(s"(start_off + n_tokens - 1) div $PackBudget").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens, bare word tokens, and BPE-ish
     * pre-tokenizer pieces per document. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -566,6 +605,7 @@ object TextAnalysis {
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_token_stats" -> (tokenStats _),
+    "text_pack_sequences" -> (packSequences _),
     "text_len_quantiles" -> (lengthQuantiles _),
     "text_split_assign" -> (splitAssign _),
     "text_mix_report" -> (mixReport _),
@@ -745,6 +785,23 @@ object TextAnalysis {
         |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |      FROM documents)
         |GROUP BY fp ORDER BY n_docs DESC, fp ASC""".stripMargin,
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, doc_id // $PackBlock AS block,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source, block
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, start_off,
+         |  start_off // $PackBudget AS first_chunk,
+         |  (start_off + n_tokens - 1) // $PackBudget AS last_chunk,
+         |  (start_off + n_tokens - 1) // $PackBudget
+         |    - start_off // $PackBudget + 1 AS n_chunks
+         |FROM s ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

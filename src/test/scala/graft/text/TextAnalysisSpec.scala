@@ -19,6 +19,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exactOnly == paired && exactOnly > 0)
   }
 
+  test("packSequences: per-shard exclusive prefix offsets and chunk invariants") {
+    val rows = TextAnalysis.packSequences(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(rows.nonEmpty)
+    val B = TextAnalysis.PackBudget
+    rows.foreach { case (doc, _, nTok, off, first, last, nChunks) =>
+      assert(nTok >= 1 && off >= 0, s"doc $doc")
+      assert(first == off / B && last == (off + nTok - 1) / B, s"doc $doc")
+      assert(nChunks == last - first + 1, s"doc $doc")
+      // a doc no longer than the budget can straddle at most one cut
+      if (nTok <= B) assert(nChunks <= 2, s"doc $doc")
+    }
+    // within each (source, block) shard: offsets are the exact exclusive
+    // prefix sum of token counts in doc_id order, starting at 0
+    rows.groupBy { case (doc, src, _, _, _, _, _) =>
+      (src, doc / TextAnalysis.PackBlock)
+    }.foreach { case (shard, docs) =>
+      val sorted = docs.sortBy(_._1)
+      assert(sorted.head._4 == 0L, s"shard $shard")
+      sorted.sliding(2).foreach {
+        case Seq((_, _, nTok, off, _, _, _), (d2, _, _, off2, _, _, _)) =>
+          assert(off2 == off + nTok, s"shard $shard doc $d2")
+        case _ =>
+      }
+    }
+  }
+
+  test("packSequences: one window exchange on the shard key, no global sort before it") {
+    val plan = TextAnalysis.packSequences(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the window partitions by (source, block) — a global-ORDER-BY window
+    // would show a SinglePartition exchange feeding the Window node
+    assert(plan.contains("Window"), plan.take(500))
+    assert(!plan.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      "window must not serialize onto one partition:\n" + plan.take(2000))
+  }
+
   test("winnow: native kernel is row-identical to the column-expression spec") {
     val nat = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
     val spec = TextAnalysis.winnowSpec(spark, "/root/testdata/sf0.001").collect().toSeq
