@@ -152,6 +152,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Seed + shard count of the deterministic corpus shuffle. 16 shards
+    * at fixture scale; a production run sizes shards to reader
+    * parallelism — the layout below is shard-count-agnostic. */
+  val ShuffleSeed = "graft-shuffle"
+  val ShuffleShards = 16
+
+  /** Deterministic global shuffle + output sharding: the last layout
+    * step of a curation pipeline, fixing the order training readers
+    * consume. Each doc gets a pseudo-random but REPRODUCIBLE key
+    * (md5 of seed:doc_id — portable across engines, so the oracle
+    * reproduces the exact permutation), its shard is the key's first
+    * hex nibble mod [[ShuffleShards]], and its position is the key rank
+    * within the shard. One exchange on the shard key + an in-partition
+    * sort; no global ORDER BY anywhere — shards are independent, which
+    * is what makes the shuffle writable by N tasks at 100 TB. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(ShuffleSeed), col("doc_id"))).as("skey"))
+      .withColumn("shard",
+        expr(s"CAST((instr('0123456789abcdef', substring(skey, 1, 1)) - 1) % $ShuffleShards AS BIGINT)"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("skey"))
+      .orderBy("shard", "pos")
+  }
+
   /** Token counting: whitespace tokens, bare word tokens, and BPE-ish
     * pre-tokenizer pieces per document. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -606,6 +635,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_token_stats" -> (tokenStats _),
     "text_pack_sequences" -> (packSequences _),
+    "text_shuffle_shards" -> (shuffleShards _),
     "text_len_quantiles" -> (lengthQuantiles _),
     "text_split_assign" -> (splitAssign _),
     "text_mix_report" -> (mixReport _),
@@ -785,6 +815,21 @@ object TextAnalysis {
         |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |      FROM documents)
         |GROUP BY fp ORDER BY n_docs DESC, fp ASC""".stripMargin,
+    "text_shuffle_shards" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, skey,
+         |    CAST((instr('0123456789abcdef', substring(skey, 1, 1)) - 1)
+         |      % $ShuffleShards AS BIGINT) AS shard
+         |  FROM k)
+         |SELECT shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+         |    AS BIGINT) AS pos,
+         |  doc_id, skey
+         |FROM s ORDER BY shard, pos""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, doc_id // $PackBlock AS block,

@@ -57,6 +57,28 @@ class TextAnalysisSpec extends SparkSpec {
       "window must not serialize onto one partition:\n" + plan.take(2000))
   }
 
+  test("shuffleShards: a reproducible permutation with dense per-shard positions") {
+    val rows = TextAnalysis.shuffleShards(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(rows.nonEmpty)
+    // a permutation: every doc exactly once
+    assert(rows.map(_._3).distinct.size == rows.size)
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      assert(shard >= 0 && shard < TextAnalysis.ShuffleShards)
+      // positions are dense 1..n and follow key order
+      val sorted = docs.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to docs.size).toSeq, s"shard $shard")
+      assert(sorted.map(d => (d._4, d._3)) == docs.map(d => (d._4, d._3)).sorted,
+        s"shard $shard not in key order")
+    }
+    // deterministic: a second construction yields the identical layout
+    val again = TextAnalysis.shuffleShards(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(again == rows)
+  }
+
   test("winnow: native kernel is row-identical to the column-expression spec") {
     val nat = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
     val spec = TextAnalysis.winnowSpec(spark, "/root/testdata/sf0.001").collect().toSeq
