@@ -160,6 +160,12 @@ object TweetQueries {
       .select(explode(col("mentions")).as("username"), col("text"))
       .select(col("username"), explode(EmojiOps.extractEmojis(col("text"))).as("emoji"))
       .groupBy("username", "emoji").agg(count(lit(1)).as("cnt"))
+      // O4: the reference's DEAD `.sort` immediately overridden by the
+      // `.orderBy` on the next line (q4:122-123), replicated at
+      // call-sequence fidelity. It is a semantic no-op — Catalyst's
+      // EliminateSorts deletes it, and TweetQueriesSpec pins exactly one
+      // Sort in the optimized plan — so the oracle is unchanged.
+      .sort(asc("username"), asc("emoji"))
       .orderBy(asc("username"), desc("cnt"), asc("emoji"))
 
   // ---- q5: emoji per context-annotation category (q5:99-112)

@@ -37,6 +37,21 @@ class TweetQueriesSpec extends SparkSpec {
     assert(h2015.count() > 0)
   }
 
+  test("O4: the dead pre-orderBy sort is deleted by EliminateSorts") {
+    // mentionEmoji replicates the reference's `.sort(...)` immediately
+    // overridden by `.orderBy(...)` (q4/Runner.scala:122-123). The
+    // analyzed plan must carry BOTH Sort nodes (call-sequence fidelity);
+    // the optimized plan exactly ONE (the no-op is provably deleted, so
+    // the dead sort costs nothing at any scale).
+    val df = TweetQueries.mentionEmoji(spark, "/root/testdata/sf0.001")
+    def countSorts(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }.size
+    assert(countSorts(df.queryExecution.analyzed) == 2,
+      df.queryExecution.analyzed.toString.take(1500))
+    assert(countSorts(df.queryExecution.optimizedPlan) == 1,
+      df.queryExecution.optimizedPlan.toString.take(1500))
+  }
+
   test("O7: sort column resolution is case-insensitive (reference sorts 'Count')") {
     import org.apache.spark.sql.functions.{asc, desc}
     import spark.implicits._
