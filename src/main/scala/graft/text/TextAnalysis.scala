@@ -181,6 +181,42 @@ object TextAnalysis {
       .orderBy("shard", "pos")
   }
 
+  /** Cap on stored posting-list prefixes. The index keeps exact df for
+    * every token but materializes only the first [[PostingsCap]] doc ids
+    * per posting list — the bounded artifact a retrieval tier pages by;
+    * an uncapped list for a stopword-frequency token would put O(|docs|)
+    * bytes in one row. */
+  val PostingsCap = 20
+
+  /** Inverted-index build: token → exact document frequency + the
+    * smallest [[PostingsCap]] doc ids of its distinct posting list
+    * (ascending) — the construction step behind the keyword leg of
+    * retrieval. The posting prefix runs through the bounded k-heap
+    * aggregate ([[graft.functions.TopKValues]] over negated ids), so the
+    * exchange carries one ≤k-value buffer per (partition, token) — a
+    * `collect_list` + slice spelling would ship EVERY posting of every
+    * stopword through the shuffle and hold it in one aggregation buffer,
+    * exactly the unbounded row a 100 TB corpus cannot afford. df is the
+    * exact distinct count (the explode is pre-distincted on
+    * (doc_id, token), so both aggregates reuse that one exchange). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.GraftBridge
+    val aggCol = GraftBridge.column(
+      graft.functions.TopKValues(
+        GraftBridge.expression((-col("doc_id")).cast("double")), PostingsCap)
+        .toAggregateExpression())
+    tokens(spark, dir)
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), aggCol.as("negids"))
+      // top-k LARGEST negated ids, emitted descending → negating restores
+      // the SMALLEST doc ids in ascending order, exactly
+      .select(col("token"), col("df"),
+        expr("transform(negids, x -> CAST(-x AS BIGINT))").as("postings"))
+      .orderBy(desc("df"), asc("token"))
+  }
+
   /** Token counting: whitespace tokens, bare word tokens, and BPE-ish
     * pre-tokenizer pieces per document. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -636,6 +672,7 @@ object TextAnalysis {
     "text_token_stats" -> (tokenStats _),
     "text_pack_sequences" -> (packSequences _),
     "text_shuffle_shards" -> (shuffleShards _),
+    "text_inverted_index" -> (invertedIndex _),
     "text_len_quantiles" -> (lengthQuantiles _),
     "text_split_assign" -> (splitAssign _),
     "text_mix_report" -> (mixReport _),
@@ -815,6 +852,14 @@ object TextAnalysis {
         |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |      FROM documents)
         |GROUP BY fp ORDER BY n_docs DESC, fp ASC""".stripMargin,
+    "text_inverted_index" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, t.token
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> '')
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |  (list(doc_id ORDER BY doc_id))[1:$PostingsCap] AS postings
+         |FROM dt GROUP BY token ORDER BY df DESC, token ASC""".stripMargin,
     "text_shuffle_shards" ->
       s"""WITH k AS (
          |  SELECT doc_id,

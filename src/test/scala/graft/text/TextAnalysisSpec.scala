@@ -79,6 +79,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("invertedIndex: capped ascending postings, exact df, bounded-heap plan") {
+    val df = TextAnalysis.invertedIndex(spark, "/root/testdata/sf0.001")
+    // the posting prefix must aggregate through the bounded heap, not
+    // collect_list (whose buffer is unbounded per group)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), plan.take(1200))
+    assert(!plan.contains("collect_list"), plan.take(1200))
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, dfreq, postings) =>
+      assert(postings.size == math.min(dfreq, TextAnalysis.PostingsCap.toLong),
+        s"token $tok")
+      assert(postings == postings.sorted, s"token $tok not ascending")
+      assert(postings.distinct.size == postings.size, s"token $tok dups")
+    }
+    // cross-check one token against a direct computation
+    val (tok, dfreq, postings) = rows.maxBy(_._2)
+    import spark.implicits._
+    val direct = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === tok).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(dfreq == direct.size)
+    assert(postings == direct.take(TextAnalysis.PostingsCap))
+  }
+
   test("winnow: native kernel is row-identical to the column-expression spec") {
     val nat = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
     val spec = TextAnalysis.winnowSpec(spark, "/root/testdata/sf0.001").collect().toSeq
