@@ -319,6 +319,47 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** Shingle width of the n-gram decontamination check — 13 word-grams,
+    * the canonical width of the GPT-3 paper's train/eval overlap filter
+    * (exact-dup checks miss near-copies that share long spans). */
+  val ContamNgram = 13
+
+  /** N-gram overlap decontamination: flag every val/test document that
+    * shares at least one [[ContamNgram]]-word shingle with ANY train
+    * document — the span-level contamination the md5 exact-dup check
+    * ([[contamination]]) cannot see. The train side is the DISTINCT
+    * shingle-hash set, so the eval⋈train equi-join has multiplicity ≤1
+    * per eval shingle — no hot-shingle blow-up no matter how often a
+    * span repeats in train — and both sides are linear scans + one
+    * shuffle on the hash. Docs shorter than the shingle width carry no
+    * shingles and count as clean, from the base doc set (not the
+    * shingle frame), so the per-split totals match [[contamination]]'s. */
+  def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = withSplit(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
+    val shingles = d
+      .filter(size(col("w")) >= ContamNgram)
+      .select(col("doc_id"), col("split"),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - $ContamNgram + 1),
+             |  i -> md5(concat_ws(' ', slice(w, i, $ContamNgram))))""".stripMargin))
+          .as("g"))
+      .distinct()
+    val trainG = shingles.filter(col("split") === "train")
+      .select(col("g")).distinct()
+    val hits = shingles.filter(col("split") =!= "train")
+      .join(trainG, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+    d.filter(col("split") =!= "train").select(col("doc_id"), col("split"))
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nh").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+        coalesce(sum(col("nh")), lit(0L)).as("n_hit_shingles"))
+      .orderBy("split")
+  }
+
   /** Exact vocabulary size: `count(distinct token)` over the corpus.
     * One token shuffle on the distinct key with partial aggregation —
     * the exact half of the vocabulary-size pair, and the one that is
@@ -673,6 +714,7 @@ object TextAnalysis {
     "text_pack_sequences" -> (packSequences _),
     "text_shuffle_shards" -> (shuffleShards _),
     "text_inverted_index" -> (invertedIndex _),
+    "text_contamination_ngram" -> (contaminationNgram _),
     "text_len_quantiles" -> (lengthQuantiles _),
     "text_split_assign" -> (splitAssign _),
     "text_mix_report" -> (mixReport _),
@@ -928,6 +970,29 @@ object TextAnalysis {
          |SELECT lang, split, n_docs, n_tokens,
          |  n_tokens * 1.0 / CAST(sum(n_tokens) OVER () AS BIGINT) AS token_share
          |FROM g ORDER BY lang, split""".stripMargin,
+    "text_contamination_ngram" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |s AS (
+         |  SELECT DISTINCT doc_id, split,
+         |    md5(array_to_string(w[i.i : i.i + $ContamNgram - 1], ' ')) AS g
+         |  FROM d, UNNEST(generate_series(1, len(w) - $ContamNgram + 1)) AS i(i)
+         |  WHERE len(w) >= $ContamNgram),
+         |tr AS (SELECT DISTINCT g FROM s WHERE split = 'train'),
+         |h AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS nh
+         |  FROM s JOIN tr ON s.g = tr.g
+         |  WHERE s.split <> 'train' GROUP BY s.doc_id)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h.nh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(COALESCE(sum(h.nh), 0) AS BIGINT) AS n_hit_shingles
+         |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+         |WHERE split <> 'train'
+         |GROUP BY split ORDER BY split""".stripMargin,
     "text_contamination" ->
       s"""WITH d AS (
          |  SELECT doc_id, md5(text) AS h,

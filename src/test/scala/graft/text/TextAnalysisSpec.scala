@@ -106,6 +106,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(postings == direct.take(TextAnalysis.PostingsCap))
   }
 
+  test("contaminationNgram: totals anchor to the exact-dup check's population") {
+    val ng = TextAnalysis.contaminationNgram(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ex = TextAnalysis.contamination(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ng.nonEmpty && ex.nonEmpty)
+    ex.foreach { case (split, nDocs, _) =>
+      val (nDocsNg, nFlagged, nHits) = ng(split)
+      // same base doc population as the exact-dup check (short docs
+      // carry no shingles but still count in n_docs)
+      assert(nDocsNg == nDocs, split)
+      assert(nFlagged >= 0 && nFlagged <= nDocs, split)
+      // every flagged doc contributes >= 1 hit shingle
+      assert(nHits >= nFlagged, split)
+    }
+    // an exact duplicate of a long-enough train doc shares every shingle:
+    // construct one and check the span-level flag directly
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val probe = Seq((1L, words), (2L, words), (3L, "too short"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= TextAnalysis.ContamNgram)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${TextAnalysis.ContamNgram} + 1),
+           |  i -> md5(concat_ws(' ', slice(w, i, ${TextAnalysis.ContamNgram}))))""".stripMargin))
+        .as("g"))
+    val byDoc = probe.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.keySet == Set(1L, 2L))          // the 2-token doc has no shingles
+    assert(byDoc(1L) == byDoc(2L) && byDoc(1L).size == 8)  // 20 - 13 + 1
+  }
+
   test("winnow: native kernel is row-identical to the column-expression spec") {
     val nat = TextAnalysis.winnow(spark, "/root/testdata/sf0.001").collect().toSeq
     val spec = TextAnalysis.winnowSpec(spark, "/root/testdata/sf0.001").collect().toSeq
