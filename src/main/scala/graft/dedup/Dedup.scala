@@ -548,7 +548,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication profile: for each source, how many of its
+    * documents are permutation-duplicates (share the normalized
+    * fingerprint — md5 of the sorted distinct token set, the
+    * text_fingerprint key — with ANY other document) and how many cross
+    * source boundaries (fingerprint also present in a different source)
+    * — the per-provenance overlap report a multi-corpus ingest reads
+    * before mixing. Plan: one scan to fingerprints, one fingerprint-key
+    * aggregate (count + distinct-source count), one equi-join back on
+    * the fingerprint, one per-source aggregate — all hash-partitioned on
+    * the fingerprint/source keys, linear at any corpus size. */
+  def crossSourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val f = Tables(spark, dir, "documents")
+      .select(col("source"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+    val m = f.groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), countDistinct("source").as("n_sources"))
+    f.join(m, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_fps"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> (crossSourceProfile _),
     "dedup_exact" -> (exactSummary _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -612,6 +640,19 @@ object Dedup {
     "dedup_exact" ->
       """SELECT n_docs, n_distinct, n_docs - n_distinct AS n_dups
         |FROM (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents)""".stripMargin,
+    "dedup_cross_source" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |m AS (
+        |  SELECT fp, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+        |  FROM f GROUP BY fp)
+        |SELECT f.source, count(*) AS n_docs, count(DISTINCT f.fp) AS n_fps,
+        |  CAST(sum(CASE WHEN m.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN m.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
+        |FROM f JOIN m USING (fp)
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b FROM pr

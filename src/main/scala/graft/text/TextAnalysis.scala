@@ -654,31 +654,12 @@ object TextAnalysis {
     * count tables are vocab²-bounded, not broadcastable at scale), V is a
     * 1-row broadcast. Docs with fewer than 2 tokens have no bigrams and
     * are absent by construction. */
-  def perplexity(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
-    val bg = docs.filter(size(col("arr")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val uni = docs.select(explode(col("arr")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val vocab = docs.select(explode(col("arr")).as("w"))
-      .agg(countDistinct("w").as("v"))
-    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
-        floor(-log((col("c12") + 1).cast("double") / (col("c1") + col("v")))
-          * PplScale).cast("long").as("s_q"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("s_q").as("surprisal_q"))
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    docSurprisal(spark, dir)
       .select(col("doc_id"), col("n_bigrams"),
         (col("surprisal_q").cast("double") / col("n_bigrams") / PplScale)
           .as("avg_surprisal"))
       .orderBy("doc_id")
-  }
 
   /** Per-language document-length moments through the custom typed
     * Aggregator ([[graft.functions.MomentsAgg]]): exact-BIGINT
@@ -694,6 +675,191 @@ object TextAnalysis {
       .select(col("lang"), col("m.n_vals").as("n_docs"),
         col("m.mean").as("mean_chars"), col("m.variance").as("var_chars"))
       .orderBy("lang")
+  }
+
+  /** Gopher-style quality rule panel thresholds (Rae et al. 2021 §A1.1,
+    * adapted to the fixture's scale — the canonical web-scale bounds like
+    * "50..100k words" would pass/fail everything here). Every rule is
+    * pure integer arithmetic (ratio thresholds become cross-
+    * multiplications), so the panel carries zero float risk. */
+  val GopherMinTokens = 30L
+  val GopherMaxTokens = 90L
+  val GopherMwlMinTenths = 40L // mean word length >= 4.0
+  val GopherMwlMaxTenths = 50L // mean word length <= 5.0
+  val GopherStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  val GopherMinStops = 2L
+  val GopherTtrMinTenths = 4L // distinct/total tokens >= 0.4
+  val GopherMinTypes = 20L
+  private[graft] def gopherStopsSql: String =
+    GopherStops.map(s => s"'$s'").mkString(", ")
+
+  /** Gopher rule panel: per-language counts of documents passing each of
+    * five quality rules (token-count bounds, mean-word-length band,
+    * stop-word floor, type-token-ratio floor, distinct-type floor) and
+    * all five at once — the rule-based filtering report a pretraining
+    * curation job reads next to [[quality]]'s single gate. One token
+    * scan + one per-doc aggregate + one per-lang aggregate; ratio rules
+    * compare integers cross-multiplied (char_sum·10 ≥ n_tokens·40), so
+    * both engines decide every rule on exact BIGINTs. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = tokens(spark, dir)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("token"))).as("char_sum"),
+        sum(when(col("token").isin(GopherStops: _*), 1L).otherwise(0L)).as("stop_cnt"),
+        countDistinct(col("token")).as("n_types"))
+      .select(col("lang"),
+        col("n_tokens").between(GopherMinTokens, GopherMaxTokens).as("r1"),
+        (col("char_sum") * 10 >= col("n_tokens") * GopherMwlMinTenths &&
+          col("char_sum") * 10 <= col("n_tokens") * GopherMwlMaxTenths).as("r2"),
+        (col("stop_cnt") >= GopherMinStops).as("r3"),
+        (col("n_types") * 10 >= col("n_tokens") * GopherTtrMinTenths).as("r4"),
+        (col("n_types") >= GopherMinTypes).as("r5"))
+    perDoc
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("pass_len"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("pass_mwl"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("pass_stop"),
+        sum(when(col("r4"), 1L).otherwise(0L)).as("pass_ttr"),
+        sum(when(col("r5"), 1L).otherwise(0L)).as("pass_types"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"),
+          1L).otherwise(0L)).as("pass_all"))
+      .orderBy("lang")
+  }
+
+  /** Quantization grid for the mixture weights. */
+  val MixScale = 10000L
+
+  /** Temperature-sampled data-mixture weights per source: weight ∝
+    * n_tokens^α with α = 1/2 — the square-root temperature flattening
+    * used to up-sample small sources in multilingual/multi-corpus
+    * pretraining mixes. α = 1/2 is chosen deliberately: IEEE sqrt is
+    * exactly rounded in both engines (unlike pow/exp/ln), so the weight
+    * doubles are bit-identical with no libm dependence; the share is
+    * then one exact-BIGINT division. The share window runs over the
+    * 20-row aggregated frame, not the corpus. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_tokens").cast("double")) * MixScale).cast("long"))
+      .withColumn("weight_share",
+        col("w_q") * lit(1.0) /
+          sum("w_q").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .orderBy("source")
+  }
+
+  /** Per-document bigram surprisal with the language carried — the
+    * shared core of [[perplexity]] (which drops lang) and
+    * [[pplBuckets]] (which buckets within it). Model and quantization
+    * exactly as documented on [[perplexity]]. */
+  private def docSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("arr"))
+    val bg = docs.filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(col("arr")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = docs.select(explode(col("arr")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        floor(-log((col("c12") + 1).cast("double") / (col("c1") + col("v")))
+          * PplScale).cast("long").as("s_q"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_q").as("surprisal_q"))
+  }
+
+  /** CCNet-style perplexity bucketing: within each language, documents
+    * are ranked by average bigram surprisal (ascending — fluent first)
+    * and cut into head / middle / tail thirds, reporting each bucket's
+    * document and bigram totals. The rank key `surprisal_q/n_bigrams`
+    * is one exact-BIGINT IEEE division (bit-identical cross-engine, the
+    * same guarantee [[perplexity]]'s output column carries) with doc_id
+    * as the total-order tiebreak; the bucket index is pure integer
+    * arithmetic ((rn−1)·3 div n). The per-lang rank is a range-
+    * partitioned sort at scale — the same shape CCNet runs (it sorts
+    * each language shard by LM score to cut the corpus into thirds). */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docSurprisal(spark, dir)
+      .withColumn("avg_s", col("surprisal_q") * lit(1.0) / col("n_bigrams"))
+    val w = Window.partitionBy("lang").orderBy(col("avg_s").asc, col("doc_id").asc)
+    perDoc
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(expr("((rn - 1) * 3) div n_lang") === 0, "head")
+          .when(expr("((rn - 1) * 3) div n_lang") === 1, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams_tot"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** DSIR hashed-unigram model: bucket count and quantization grid. */
+  val DsirBuckets = 64
+  val DsirScale = 10000L
+
+  /** Spark-side token→bucket hash: first two hex nibbles of md5 mod B. */
+  private val dsirBucket =
+    expr("conv(substring(md5(token), 1, 2), 16, 10)").cast("long") % DsirBuckets
+
+  /** DuckDB spelling of the same bucket (nibble arithmetic, no conv()). */
+  private[graft] val dsirBucketSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(t.token), $i, 1)) - 1)"
+    s"((${nib(1)} * 16 + ${nib(2)}) % $DsirBuckets)"
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023): each document is
+    * scored by the log-likelihood ratio of a hashed-unigram model fitted
+    * on the target domain (the deterministic 'val' split stands in for
+    * the curated target) against one fitted on the raw corpus —
+    * importance resampling then keeps the highest-scoring raw docs.
+    * Both models are add-one-smoothed over [[DsirBuckets]] hash buckets;
+    * each bucket's log-ratio is floor-quantized once on the B-row weight
+    * table (per-distinct-bucket ln, the [[tfidf]] idf_q pattern), and a
+    * document's score is the exact-BIGINT sum of its tokens' quantized
+    * weights. Plan: token scan → bucket counts (B rows, window totals
+    * over the tiny frame) → broadcast weight table joined back to the
+    * token stream → per-doc sum. The only non-broadcast exchange is the
+    * per-doc aggregate — linear at any corpus size. */
+  def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.tune(spark)
+    val tok = withSplit(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("split"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("b", dsirBucket)
+    val counts = tok
+      .groupBy("b")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_tgt"))
+    val weights = counts
+      .withColumn("tot_raw", sum("c_raw").over(Window.partitionBy()))
+      .withColumn("tot_tgt", sum("c_tgt").over(Window.partitionBy()))
+      .select(col("b"),
+        floor(log(
+          ((col("c_tgt") + 1) * lit(1.0) / (col("tot_tgt") + DsirBuckets)) /
+            ((col("c_raw") + 1) * lit(1.0) / (col("tot_raw") + DsirBuckets)))
+          * DsirScale).cast("long").as("w_q"))
+    tok.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_q").as("dsir_q"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -715,6 +881,10 @@ object TextAnalysis {
     "text_shuffle_shards" -> (shuffleShards _),
     "text_inverted_index" -> (invertedIndex _),
     "text_contamination_ngram" -> (contaminationNgram _),
+    "text_gopher_rules" -> (gopherRules _),
+    "text_mix_weights" -> (mixWeights _),
+    "text_ppl_buckets" -> (pplBuckets _),
+    "text_dsir" -> (dsirScores _),
     "text_len_quantiles" -> (lengthQuantiles _),
     "text_split_assign" -> (splitAssign _),
     "text_mix_report" -> (mixReport _),
@@ -993,6 +1163,100 @@ object TextAnalysis {
          |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
          |WHERE split <> 'train'
          |GROUP BY split ORDER BY split""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH tok AS ($tokSql),
+         |pd AS (
+         |  SELECT doc_id, lang, count(*) AS n_tokens,
+         |    CAST(sum(length(t.token)) AS BIGINT) AS char_sum,
+         |    CAST(sum(CASE WHEN t.token IN ($gopherStopsSql) THEN 1 ELSE 0 END) AS BIGINT) AS stop_cnt,
+         |    count(DISTINCT t.token) AS n_types
+         |  FROM tok AS t GROUP BY doc_id, lang),
+         |r AS (
+         |  SELECT lang,
+         |    (n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens) AS r1,
+         |    (char_sum * 10 >= n_tokens * $GopherMwlMinTenths
+         |     AND char_sum * 10 <= n_tokens * $GopherMwlMaxTenths) AS r2,
+         |    (stop_cnt >= $GopherMinStops) AS r3,
+         |    (n_types * 10 >= n_tokens * $GopherTtrMinTenths) AS r4,
+         |    (n_types >= $GopherMinTypes) AS r5
+         |  FROM pd)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+         |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_mwl,
+         |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+         |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr,
+         |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_types,
+         |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_mix_weights" ->
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $MixScale) AS BIGINT) AS w_q
+         |  FROM s)
+         |SELECT source, n_docs, n_tokens, w_q,
+         |  w_q * 1.0 / CAST(sum(w_q) OVER () AS BIGINT) AS weight_share
+         |FROM w ORDER BY source""".stripMargin,
+    "text_ppl_buckets" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, arr[CAST(i AS INTEGER)] AS w1,
+         |         arr[CAST(i + 1 AS INTEGER)] AS w2
+         |  FROM d, UNNEST(range(1, len(arr))) t(i)
+         |  WHERE len(arr) >= 2),
+         |uni AS (
+         |  SELECT t.w AS w1, count(*) AS c1
+         |  FROM d, UNNEST(arr) AS t(w) GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT t.w) AS v FROM d, UNNEST(arr) AS t(w)),
+         |sc AS (
+         |  SELECT bg.doc_id, bg.lang,
+         |    CAST(floor(-ln((big.c12 + 1) * 1.0 / (uni.c1 + v.v))
+         |      * $PplScale) AS BIGINT) AS s_q
+         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+         |pd AS (
+         |  SELECT doc_id, lang, count(*) AS n_bigrams,
+         |    CAST(sum(s_q) AS BIGINT) AS surprisal_q
+         |  FROM sc GROUP BY doc_id, lang),
+         |rk AS (
+         |  SELECT lang, n_bigrams,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY surprisal_q * 1.0 / n_bigrams ASC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM pd),
+         |bk AS (
+         |  SELECT lang, n_bigrams,
+         |    CASE (rn - 1) * 3 // n_lang WHEN 0 THEN 'head'
+         |         WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM rk)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams_tot
+         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "text_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.token, $dsirBucketSql AS b,
+         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''),
+         |c AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM tok GROUP BY b),
+         |w AS (
+         |  SELECT b,
+         |    CAST(floor(ln(
+         |      ((c_tgt + 1) * 1.0 / (CAST(sum(c_tgt) OVER () AS BIGINT) + $DsirBuckets)) /
+         |      ((c_raw + 1) * 1.0 / (CAST(sum(c_raw) OVER () AS BIGINT) + $DsirBuckets)))
+         |      * $DsirScale) AS BIGINT) AS w_q
+         |  FROM c)
+         |SELECT tok.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(w.w_q) AS BIGINT) AS dsir_q
+         |FROM tok JOIN w USING (b)
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "text_contamination" ->
       s"""WITH d AS (
          |  SELECT doc_id, md5(text) AS h,

@@ -332,4 +332,96 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected two-phase TopKPerGroup in plan:\n$plan")
     assert(!plan.contains("Window"), s"window sort leaked into tfidf:\n$plan")
   }
+
+  test("gopherRules: pass counts are bounded, conjunctive, and non-trivial") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    var (tot, totAll) = (0L, 0L)
+    val totRule = Array.fill(5)(0L)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val passes = (2 to 6).map(r.getLong)
+      val all = r.getLong(7)
+      passes.foreach(p => assert(p >= 0 && p <= n))
+      // the conjunction can't beat its weakest conjunct
+      assert(all <= passes.min)
+      tot += n; totAll += all
+      (0 until 5).foreach(i => totRule(i) += passes(i))
+    }
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(tot == nDocs)
+    // every rule rejects something and accepts something at corpus level
+    totRule.foreach(t => assert(t > 0 && t < tot, s"trivial rule: $t of $tot"))
+    assert(totAll > 0 && totAll < tot)
+  }
+
+  test("mixWeights: shares sum to 1 and sqrt-temperature flattens the mix") {
+    val rows = TextAnalysis.mixWeights(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 20)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+    // w_q is the floor-quantized exact sqrt
+    rows.foreach { case (_, _, nTok, wq, _) =>
+      assert(wq == math.floor(math.sqrt(nTok.toDouble) * TextAnalysis.MixScale).toLong)
+    }
+    // flattening: the token-richest source's weight share sits below its
+    // token share, the poorest source's above (what α=1/2 is FOR)
+    val totTok = rows.map(_._3).sum.toDouble
+    val rich = rows.maxBy(_._3)
+    val poor = rows.minBy(_._3)
+    assert(rich._5 < rich._3 / totTok)
+    assert(poor._5 > poor._3 / totTok)
+  }
+
+  test("pplBuckets: per-lang tertiles partition the scored docs evenly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.pplBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val scored = TextAnalysis.perplexity(spark, sf).count()
+    assert(rows.map(_._3).sum == scored)
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq("head", "middle", "tail"), s"lang $lang")
+      val n = bs.map(_._3).sum
+      // (rn-1)*3 div n cuts exact tertiles: every bucket within 1 of n/3
+      bs.foreach { case (_, _, nd, _) =>
+        assert(nd >= n / 3 && nd <= n / 3 + 1, s"lang $lang bucket size $nd of $n")
+      }
+    }
+  }
+
+  test("dsirScores: covers every doc and ranks the target split above raw") {
+    val sf = "/root/testdata/sf0.001"
+    val d = TextAnalysis.dsirScores(spark, sf)
+    val docs = graft.Tables(spark, sf, "documents")
+    assert(d.count() == docs.count())
+    // per-token mean LLR of the val (target) split must exceed train's:
+    // the model was fitted to prefer exactly those docs
+    val byId = d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val splits = TextAnalysis.withSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def mean(s: String) = {
+      val xs = byId.collect { case (id, (n, q)) if splits(id) == s => q.toDouble / n }
+      xs.sum / xs.size
+    }
+    assert(mean("val") > mean("train"))
+  }
+
+  test("crossSourceProfile: per-source counts nest and totals anchor to fingerprint") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.dedup.Dedup.crossSourceProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20)
+    rows.foreach { case (src, n, nfp, dup, cross) =>
+      assert(nfp <= n, src)
+      // a cross-source copy is in particular a copy
+      assert(cross <= dup && dup <= n, src)
+    }
+    // global dup population = docs minus one per distinct fingerprint is a
+    // lower bound; exact anchor: docs whose fingerprint has >1 copy equals
+    // n_docs - n_singleton_fps, derived from the text_fingerprint frame
+    val fps = TextAnalysis.fingerprint(spark, sf).collect().map(_.getLong(1))
+    val expectedDup = fps.filter(_ > 1).sum
+    assert(rows.map(_._4).sum == expectedDup)
+  }
 }
