@@ -213,6 +213,41 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** One Lloyd (k-means) refinement iteration — the training step of the
+    * IVF coarse quantizer the ANN family currently seeds from labels:
+    * assignment reuses [[cellAssignments]]'s exact-integer nearest-
+    * centroid argmin (broadcast centroids, one scan, no float-boundary
+    * flips), and the update recomputes each cell's centroid as the
+    * exact-DECIMAL mean of its members' components ([[centroidComponents]]'s
+    * determinism contract). Emitted per (cell, dim): member count and the
+    * refined component — the centroid table the NEXT iteration would
+    * broadcast; a full k-means run is a driver loop over exactly this
+    * plan. At scale: centroids tiny+broadcast, assignment linear,
+    * update one (cell, dim)-key aggregate — the canonical distributed
+    * k-means round. Cells that lose every member simply vanish (standard
+    * empty-cluster drop).
+    *
+    * The refined component is emitted on the same `floor(mean·1024)`
+    * integer grid the assignment step consumes (the cent table of
+    * [[cellCandidates]]) — that IS the next round's broadcast input, and
+    * it is the codebase's proven cross-engine form: a raw mean double
+    * can drift 1 ulp at a decimal→double boundary between engines
+    * (observed at sf0.01), while the established quantized spelling
+    * hash-matches everywhere it is used. */
+  def kmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val vd = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        col("col").cast("string").cast("decimal(38,30)").as("v"))
+    cellAssignments(spark, dir).join(vd, Seq("vec_id"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        floor((sum("v").cast("double") / count(lit(1))) * 1024)
+          .cast("long").as("cq"))
+      .orderBy("cell", "dim")
+  }
+
   /** Per-label centroid components: the class-centroid computation of a
     * training pipeline, emitted as (label, dim, value) rows. Sums go
     * through exact DECIMAL so the result is independent of partitioning
@@ -541,6 +576,7 @@ object Similarity {
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
+    "sim_kmeans_iter" -> (kmeansIter _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -906,5 +942,15 @@ object Similarity {
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
         |  CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*) AS avg_v
         |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
-        |GROUP BY label, i ORDER BY label, dim""".stripMargin)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "sim_kmeans_iter" ->
+      s"""$cellAssignSql,
+         |vd AS (
+         |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))
+         |SELECT a.cell, vd.dim, count(*) AS n_members,
+         |  CAST(floor((CAST(sum(vd.v) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+         |FROM assign a JOIN vd USING (vec_id)
+         |GROUP BY a.cell, vd.dim ORDER BY a.cell, vd.dim""".stripMargin)
 }

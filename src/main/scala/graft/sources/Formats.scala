@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Engine, Tables}
+import graft.{Engine, Tables, TempDirs}
 
 /** Source-format coverage beyond parquet/JSON: ORC and CSV ingestion,
   * verified by ROUND-TRIP parity — each query materializes a lineitem
@@ -174,7 +174,58 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** Bucket count of the co-located join layout — small at fixture scale;
+    * at 100 TB the same layout runs with O(cluster cores) buckets. */
+  val JoinBuckets = 8
+
+  private val bucketedTables = TrieMap.empty[String, (String, String)]
+
+  /** Writes orders and lineitem bucketed AND per-bucket-sorted by the
+    * join key, once per (session, dir) — the layout cost a warehouse
+    * pays at ingest so every subsequent join on that key is
+    * exchange-free. saveAsTable is required (bucket metadata lives in
+    * the catalog, not the files); the data lands in a TempDirs-managed
+    * external location, never the repo's default warehouse. */
+  private def materializeBucketed(spark: SparkSession, dir: String): (String, String) =
+    bucketedTables.getOrElseUpdate(dir, {
+      val tag = sfTag(dir).replace('.', '_')
+      val base = TempDirs.create("graft-src-bucketed").toString
+      val ot = s"graft_orders_b_$tag"
+      val lt = s"graft_lineitem_b_$tag"
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").option("path", s"$base/lineitem")
+        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+      (ot, lt)
+    })
+
+  /** Co-located bucketed join: both sides pre-bucketed on the join key,
+    * so the sort-merge join plans ZERO exchanges — the join reads each
+    * bucket pair directly (asserted in FormatsSpec; an unbucketed run of
+    * the same join shuffles both sides). The merge hint pins the
+    * sort-merge strategy at every SF so the demonstrated plan shape is
+    * the fact-fact one (at 100 TB neither side broadcasts anyway);
+    * results are hint-independent. sum(l_quantity) is exact — the
+    * fixture quantities are integral doubles, closed under addition. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val (ot, lt) = materializeBucketed(spark, dir)
+    spark.table(ot).hint("merge")
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_bucketed_join" -> (bucketedJoin _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_partitioned_scan" -> (partitionedScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -192,6 +243,11 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "src_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // even doc_ids predate the source column -> NULL after the merge
     "src_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,

@@ -221,4 +221,27 @@ class SimilaritySpec extends SparkSpec {
     val byVec = two.collect().groupBy(_.getLong(0))
     assert(byVec.values.forall(rs => rs.length == 2 && rs.map(_.getInt(1)).distinct.length == 2))
   }
+
+  test("kmeansIter: refined cells partition the corpus on the storage assignment") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.kmeansIter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val assign = Similarity.cellAssignments(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // member counts are per-cell constants across dims and reproduce the
+    // assignment's cell histogram exactly
+    val byCell = rows.groupBy(_._1)
+    val hist = assign.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(byCell.keySet == hist.keySet)
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.map(_._3).distinct.toSeq == Seq(hist(cell)), s"cell $cell")
+    }
+    // every cell refines the full dimension grid
+    val nDims = rows.map(_._2).max + 1
+    byCell.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == (0 until nDims)))
+    // the refined quantized components live on the same grid the
+    // assignment broadcasts: |cq| bounded by 1024·max|component| (unit-ish
+    // embeddings -> well inside ±4096)
+    assert(rows.forall { case (_, _, _, cq) => math.abs(cq) <= 4096 })
+  }
 }
