@@ -129,6 +129,45 @@ object Formats {
       .orderBy("source")
   }
 
+  /** Tiny lang→tier dimension, written to parquet once per dir: dynamic
+    * partition pruning only fires against a FILE relation (a local
+    * in-memory dim folds to a static filter at optimization time, which
+    * would demonstrate nothing). */
+  private def materializeLangDim(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#langdim", {
+      val out = s"/tmp/graft-src-langdim-${sfTag(dir)}"
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        Tables(spark, dir, "documents").select(col("lang")).distinct()
+          .withColumn("tier",
+            when(col("lang").isin("en", "zh"), "major").otherwise("minor"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** Dynamic partition pruning: the lang-partitioned fact joined to a
+    * filtered tiny dimension ON THE PARTITION COLUMN. The dim filter
+    * (`tier = 'major'`) is not a literal predicate on the fact, so static
+    * pruning can't help — instead Catalyst injects a dynamicpruning#
+    * subquery into the fact scan's PartitionFilters (reusing the dim's
+    * broadcast), and the scan lists only the partitions the dim survives
+    * with. At 100 TB this is THE mechanism that keeps star-schema joins
+    * from reading every fact partition when the selective predicate
+    * lives on the dimension side ([[partitionedScan]] covers the static
+    * half). Plan-asserted in PartitionPruningSpec. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val fact = spark.read.parquet(materializePartitioned(spark, dir))
+    val dim = spark.read.parquet(materializeLangDim(spark, dir))
+      .filter(col("tier") === "major")
+    fact.join(dim, Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Two document batches with DRIFTED schemas, written once per dir:
     * the early batch (even doc_ids) predates the `source` column, the
     * later batch (odd doc_ids) carries it — the schema-evolution shape
@@ -226,6 +265,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_bucketed_join" -> (bucketedJoin _),
+    "src_dpp_join" -> (dppJoin _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_partitioned_scan" -> (partitionedScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -243,6 +283,13 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the dim assigns exactly {en, zh} to the surviving tier, so the
+    // join degenerates to a partition-column IN — what DPP prunes to
+    "src_dpp_join" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty

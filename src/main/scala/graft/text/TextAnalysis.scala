@@ -808,6 +808,30 @@ object TextAnalysis {
       .orderBy("lang", "bucket")
   }
 
+  /** Merge candidates reported per BPE training round. */
+  val BpeTopK = 10
+
+  /** The pair-statistics step of one BPE training round: adjacent
+    * character pairs inside whitespace tokens, counted across every
+    * token OCCURRENCE (BPE weights by word frequency), ranked by count
+    * with a lexicographic tiebreak. Row 1 is the merge a BPE trainer
+    * would apply this round; the rest are the runners-up whose counts
+    * the merge perturbs. A full vocabulary build is a driver loop over
+    * exactly this plan after applying each merge — the same
+    * one-training-iteration shape as `Similarity.kmeansIter`. Plan:
+    * token scan → pair explode → one grouped count → global top-k
+    * (TakeOrderedAndProject — k rows per partition cross the exchange,
+    * never the pair table). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(BpeTopK)
+
   /** DSIR hashed-unigram model: bucket count and quantization grid. */
   val DsirBuckets = 64
   val DsirScale = 10000L
@@ -882,6 +906,7 @@ object TextAnalysis {
     "text_inverted_index" -> (invertedIndex _),
     "text_contamination_ngram" -> (contaminationNgram _),
     "text_gopher_rules" -> (gopherRules _),
+    "text_bpe_pairs" -> (bpePairs _),
     "text_mix_weights" -> (mixWeights _),
     "text_ppl_buckets" -> (pplBuckets _),
     "text_dsir" -> (dsirScores _),
@@ -1188,6 +1213,14 @@ object TextAnalysis {
          |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_types,
          |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_bpe_pairs" ->
+      s"""WITH tok AS ($tokSql),
+         |p AS (
+         |  SELECT substr(t.token, CAST(s.i AS INTEGER), 2) AS pair
+         |  FROM tok AS t, UNNEST(generate_series(1, length(t.token) - 1)) s(i)
+         |  WHERE length(t.token) >= 2)
+         |SELECT pair, count(*) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
     "text_mix_weights" ->
       s"""WITH s AS (
          |  SELECT source, count(*) AS n_docs,

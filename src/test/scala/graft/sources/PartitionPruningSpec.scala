@@ -24,6 +24,24 @@ class PartitionPruningSpec extends SparkSpec {
       s"lang landed in data filters instead of partition pruning:\n$plan")
   }
 
+  test("dpp join injects a dynamic-pruning subquery into the fact scan") {
+    val df = Formats.dppJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the dim-side filter is invisible to static pruning; the scan must
+    // carry a runtime dynamicpruning expression in its PartitionFilters
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+    // and the results equal the degenerate static IN over the original
+    val viaJoin = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val static = Tables(spark, sf, "documents")
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaJoin == static)
+  }
+
   test("schema evolution: merged read carries the late column as nullable nulls") {
     // trigger materialization first (idempotent), then inspect
     Formats.schemaEvolution(spark, sf).collect()

@@ -407,6 +407,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mean("val") > mean("train"))
   }
 
+  test("bpePairs: top merge candidate matches a brute-force recount") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.length == TextAnalysis.BpeTopK)
+    // ranked: counts non-increasing, pair ascending within equal counts
+    rows.sliding(2).foreach { case Seq((p1, c1), (p2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && p1 < p2))
+    }
+    // brute-force the pair counts driver-side from the same token stream
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    toks.filter(_.length >= 2).foreach { t =>
+      (0 until t.length - 1).foreach { i =>
+        val p = t.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(TextAnalysis.BpeTopK)
+    assert(rows == expected)
+  }
+
   test("crossSourceProfile: per-source counts nest and totals anchor to fingerprint") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.dedup.Dedup.crossSourceProfile(spark, sf).collect()
