@@ -832,6 +832,50 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(BpeTopK)
 
+  /** Count-Min Sketch geometry: depth (independent hash rows) × width
+    * (buckets per row), and the heavy-hitter report size. */
+  val CmsDepth = 4
+  val CmsWidth = 256L
+  val CmsTopK = 10
+
+  /** Count-Min Sketch heavy-hitter estimation: a d×w integer sketch of
+    * the token frequency stream (bucket = md5(row ":" token) nibbles
+    * mod w — deterministic in both engines, unlike a real CMS's seeded
+    * murmur, so the whole sketch sits under the oracle hash), read back
+    * as point estimates `min over rows of sketch(row, bucket(token))`
+    * for the exact top-[[CmsTopK]] tokens next to their true counts.
+    * The estimate provably never undercounts (spec-pinned); collisions
+    * only inflate. THE fixed-memory frequency structure at 100 TB: the
+    * sketch is d·w counters regardless of vocabulary size, partial
+    * aggregates merge by cell-wise addition (a (row, bucket) grouped
+    * count is exactly that), and the exact-top-k side exists here only
+    * to gate the estimates against ground truth. */
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (expr("conv(substring(md5(concat(i, ':', token)), 1, 4), 16, 10)")
+      .cast("long") % CmsWidth).as("b")
+    val tok = tokens(spark, dir).select("token")
+    val sketch = tok
+      .select(col("token"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("i"))
+      .select(col("i"), bucket)
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("token")).limit(CmsTopK)
+    top
+      .select(col("token"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("i"))
+      .select(col("token"), col("exact_cnt"), col("i"), bucket)
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy("token", "exact_cnt").agg(min("c").as("cms_est"))
+      .orderBy(desc("exact_cnt"), asc("token"))
+  }
+
+  /** DuckDB nibble spelling of `conv(substring(md5(e), 1, 4), 16, 10)`
+    * for an arbitrary SQL expression `e`. */
+  private def nib4Sql(e: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+  }
+
   /** DSIR hashed-unigram model: bucket count and quantization grid. */
   val DsirBuckets = 64
   val DsirScale = 10000L
@@ -907,6 +951,7 @@ object TextAnalysis {
     "text_contamination_ngram" -> (contaminationNgram _),
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_pairs" -> (bpePairs _),
+    "text_cms_heavy" -> (cmsHeavy _),
     "text_mix_weights" -> (mixWeights _),
     "text_ppl_buckets" -> (pplBuckets _),
     "text_dsir" -> (dsirScores _),
@@ -1221,6 +1266,25 @@ object TextAnalysis {
          |  WHERE length(t.token) >= 2)
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
+    "text_cms_heavy" -> {
+      val b = s"(${nib4Sql("CAST(i AS VARCHAR) || ':' || token")} % $CmsWidth)"
+      s"""WITH tok AS ($tokSql),
+         |r AS (
+         |  SELECT t.token, s.i
+         |  FROM tok AS t, UNNEST(generate_series(0, ${CmsDepth - 1})) s(i)),
+         |rb AS (SELECT token, i, $b AS b FROM r),
+         |sk AS (SELECT i, b, count(*) AS c FROM rb GROUP BY i, b),
+         |ex AS (
+         |  SELECT t.token, count(*) AS exact_cnt FROM tok AS t
+         |  GROUP BY t.token ORDER BY exact_cnt DESC, token ASC LIMIT $CmsTopK),
+         |eb AS (
+         |  SELECT token, exact_cnt, s.i, $b AS b
+         |  FROM ex, UNNEST(generate_series(0, ${CmsDepth - 1})) s(i))
+         |SELECT eb.token, eb.exact_cnt, CAST(min(sk.c) AS BIGINT) AS cms_est
+         |FROM eb JOIN sk USING (i, b)
+         |GROUP BY eb.token, eb.exact_cnt
+         |ORDER BY exact_cnt DESC, token ASC""".stripMargin
+    },
     "text_mix_weights" ->
       s"""WITH s AS (
          |  SELECT source, count(*) AS n_docs,

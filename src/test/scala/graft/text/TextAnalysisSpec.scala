@@ -431,6 +431,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("cmsHeavy: estimates never undercount and equal exact counts sans collision") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.cmsHeavy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == TextAnalysis.CmsTopK)
+    // the CMS one-sided error guarantee: min-of-rows >= true count
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS undercounted $tok: $est < $exact")
+    }
+    // report is ranked by true frequency
+    assert(rows.map(-_._2).toSeq == rows.map(-_._2).toSeq.sorted)
+    // d=4 independent rows over w=256 buckets: at this corpus size at
+    // least one heavy hitter should see a collision-free row (est == exact)
+    assert(rows.exists { case (_, exact, est) => est == exact })
+  }
+
   test("crossSourceProfile: per-source counts nest and totals anchor to fingerprint") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.dedup.Dedup.crossSourceProfile(spark, sf).collect()
