@@ -263,7 +263,42 @@ object Formats {
       .orderBy("o_orderpriority")
   }
 
+  /** Runtime bloom-filter join pruning — the ROW-level sibling of
+    * [[dppJoin]]'s partition-level pruning, completing the pruning
+    * quartet (static partition filter → bucketed co-location → dynamic
+    * partition pruning → runtime row filter). A selective dimension
+    * predicate (`o_orderpriority IN ('1-URGENT','2-HIGH')`) joins the
+    * fact on a non-partition key, so neither static nor dynamic
+    * PARTITION pruning can help; instead Catalyst's InjectRuntimeFilter
+    * builds a bloom filter of the dim's surviving join keys and plants
+    * `might_contain(xxhash64(l_orderkey))` into the FACT scan's
+    * post-scan filter, dropping non-matching rows BEFORE the join
+    * exchange instead of after it. The rule only fires for joins it
+    * cannot plan as broadcast (a broadcast join already prunes at the
+    * hash table), so at fixture scale — where every dim broadcasts —
+    * the registered run executes the plain broadcast plan (hash-gated
+    * for correctness), and RuntimeFilterSpec re-plans this exact
+    * DataFrame under the cluster posture (broadcast off, zero
+    * application-side floor — the sizes a 100 TB fact forces) and
+    * asserts both the injected filter and result parity. The merge hint
+    * pins the shuffle-join execution shape the mechanism exists for. */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val dim = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .hint("merge")
+    val fact = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_runtime_filter" -> (runtimeFilterJoin _),
     "src_bucketed_join" -> (bucketedJoin _),
     "src_dpp_join" -> (dppJoin _),
     "src_schema_evolution" -> (schemaEvolution _),
@@ -290,6 +325,12 @@ object Formats {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_runtime_filter" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty

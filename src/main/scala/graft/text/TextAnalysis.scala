@@ -876,6 +876,41 @@ object TextAnalysis {
     s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
   }
 
+  /** RAG chunking geometry: window size and stride in characters;
+    * size − stride = 64 chars of overlap between consecutive chunks. */
+  val ChunkSize = 256
+  val ChunkStride = 192
+
+  /** Overlapping chunk-window layout (RAG / retrieval indexing): each
+    * document cut into [[ChunkSize]]-char windows advancing
+    * [[ChunkStride]] chars, so consecutive chunks share a 64-char overlap
+    * and any span no longer than the overlap lies wholly inside at least
+    * one chunk. The window count comes from length(text) alone — exact
+    * integer arithmetic with the negative range clamped BEFORE the
+    * division (Spark `div` truncates, DuckDB `//` floors; they agree only
+    * on non-negatives). One substring per (doc, window), no joins: at
+    * 100 TB this is an embarrassingly parallel map whose output feeds the
+    * chunk embedder. Chunks are emitted as md5 + length so content sits
+    * under the oracle hash without duplicating the text. The fixture is
+    * BMP-only, so both engines' character indexing agrees (probed; a
+    * surrogate-pair corpus would need byte-domain slicing instead). */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val minExtra = ChunkSize - ChunkStride + 1 // shortest len needing a 2nd window
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0, greatest(0, length(text) - $minExtra) div $ChunkStride)"))
+          .as("w"))
+      .select(col("doc_id"), col("text"), col("w").cast("int").as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride + 1).as("chunk_start"),
+        expr(s"substring(text, chunk_idx * $ChunkStride + 1, $ChunkSize)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** DSIR hashed-unigram model: bucket count and quantization grid. */
   val DsirBuckets = 64
   val DsirScale = 10000L
@@ -952,6 +987,7 @@ object TextAnalysis {
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_cms_heavy" -> (cmsHeavy _),
+    "text_chunk_windows" -> (chunkWindows _),
     "text_mix_weights" -> (mixWeights _),
     "text_ppl_buckets" -> (pplBuckets _),
     "text_dsir" -> (dsirScores _),
@@ -1284,6 +1320,19 @@ object TextAnalysis {
          |FROM eb JOIN sk USING (i, b)
          |GROUP BY eb.token, eb.exact_cnt
          |ORDER BY exact_cnt DESC, token ASC""".stripMargin
+    },
+    "text_chunk_windows" -> {
+      val minExtra = ChunkSize - ChunkStride + 1
+      s"""WITH w AS (
+         |  SELECT doc_id, text, CAST(s.i AS INTEGER) AS chunk_idx
+         |  FROM documents, UNNEST(generate_series(
+         |    0, greatest(0, length(text) - $minExtra) // $ChunkStride)) s(i))
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * $ChunkStride + 1 AS INTEGER) AS chunk_start,
+         |  CAST(length(substr(text, chunk_idx * $ChunkStride + 1, $ChunkSize))
+         |    AS INTEGER) AS chunk_len,
+         |  md5(substr(text, chunk_idx * $ChunkStride + 1, $ChunkSize)) AS chunk_md5
+         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
     },
     "text_mix_weights" ->
       s"""WITH s AS (

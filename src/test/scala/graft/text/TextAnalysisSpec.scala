@@ -447,6 +447,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists { case (_, exact, est) => est == exact })
   }
 
+  test("chunkWindows: brute-forced stride/overlap layout matches and tiles every doc") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = TextAnalysis.chunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val size = TextAnalysis.ChunkSize
+    val stride = TextAnalysis.ChunkStride
+    val expected = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      val n = 1 + math.max(0, text.length - (size - stride + 1)) / stride
+      (0 until n).map { i =>
+        val chunk = text.substring(i * stride, math.min(text.length, i * stride + size))
+        (id, i, i * stride + 1, chunk.length, md5hex(chunk))
+      }
+    }
+    assert(rows.toSeq == expected)
+    // the final chunk of every doc reaches exactly the end of its text
+    assert(expected.groupBy(_._1).forall { case (id, cs) =>
+      cs.last._3 - 1 + cs.last._4 == docs(id).length
+    })
+    // multi-chunk docs exist at this SF (max len 558 -> up to 3 windows)
+    assert(expected.exists(_._2 > 0))
+  }
+
   test("crossSourceProfile: per-source counts nest and totals anchor to fingerprint") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.dedup.Dedup.crossSourceProfile(spark, sf).collect()
