@@ -630,7 +630,40 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** PageRank fixed-point scale: ranks live on a 10^6 integer grid. */
+  val PrScale = 1000000L
+
+  /** One PageRank iteration over the part→supplier bipartite graph
+    * (distinct (l_partkey, l_suppkey) edges): every part starts at
+    * [[PrScale]], splits its rank evenly over its suppliers (exact
+    * integer division — remainders dropped identically in both engines
+    * since every operand is non-negative), and each supplier's new rank
+    * is the damped sum `0.15·scale + 0.85·Σ contrib`, cross-multiplied
+    * into pure BIGINT arithmetic. Float PageRank diverges across
+    * summation orders; the quantized grid makes the iteration
+    * bit-deterministic, and — like `sim_kmeans_iter` / `text_bpe_pairs`
+    * — the output IS the next round's input, so a full power iteration
+    * is a driver loop over this plan. Cost per round: one node-sized
+    * degree aggregate, one edge×degree equi-join, one grouped sum —
+    * the standard Pregel-style round, all shuffles on graph keys;
+    * nothing edge-squared anywhere. */
+  def pagerankIter(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val edges = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = edges.groupBy("part").agg(count(lit(1)).as("deg"))
+    edges.join(deg, Seq("part"))
+      .select(col("supp"), expr(s"$PrScale div deg").as("c"))
+      .groupBy("supp")
+      .agg(count(lit(1)).as("in_deg"), sum("c").as("c_sum"))
+      .select(col("supp").as("suppkey"), col("in_deg"),
+        (lit(15L * PrScale / 100) + expr("(85 * c_sum) div 100")).as("rank_new"))
+      .orderBy("suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pagerank_iter" -> (pagerankIter _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
@@ -664,6 +697,14 @@ object RelationalQueries {
     "rel_except" -> (exceptYears _))
 
   val oracles: Map[String, String] = Map(
+    "rel_pagerank_iter" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem),
+         |d AS (SELECT part, count(*) AS deg FROM e GROUP BY part),
+         |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))
+         |SELECT supp AS suppkey, count(*) AS in_deg,
+         |  CAST(${15L * PrScale / 100} + (85 * sum(c)) // 100 AS BIGINT) AS rank_new
+         |FROM c GROUP BY supp ORDER BY suppkey""".stripMargin,
     "rel_q18_large_orders" ->
       s"""WITH big AS (
          |  SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -248,6 +248,43 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** Power-iteration grid: embeddings and the emitted next vector both
+    * live on a 2^10 integer grid (the codebase's kmeans convention). */
+  val PowerScale = 1024L
+
+  /** One PCA power-iteration step over the (uncentered) embedding
+    * second-moment matrix: with v0 = all-ones, computes
+    * `acc = Σ_x x·(x·v0)` — i.e. one multiply of X'X against v0 without
+    * ever materializing the d×d matrix — entirely in exact BIGINT on
+    * quantized components (`floor(e·1024)`; float→double and ×2^10 are
+    * both exact, so the quantization itself is engine-identical). The
+    * emitted `v_next` renormalizes `acc` onto the ±[[PowerScale]] grid
+    * via sign-split magnitude division (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — they agree only on non-negatives, so the
+    * division runs on |acc| with the sign re-applied): output IS the
+    * next round's input, the same one-training-iteration shape as
+    * `sim_kmeans_iter` / `text_bpe_pairs` / `rel_pagerank_iter`. Cost:
+    * one per-vector dot (map-side), one (dim)-keyed aggregate of
+    * |corpus|·d rows, one 1-row broadcast for the renorm — at 100 TB
+    * the d-sized accumulator is the only state that crosses the wire. */
+  def pcaPowerIter(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val xq = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * PowerScale).cast("long").as("q"))
+    val dots = xq.groupBy("vec_id").agg(sum("q").as("dv"))
+    val acc = xq.join(dots, Seq("vec_id"))
+      .groupBy("dim")
+      .agg(sum(col("q") * col("dv")).as("acc"))
+    val gmax = acc.agg(max(abs(col("acc"))).as("gmax"))
+    acc.crossJoin(broadcast(gmax))
+      .select(col("dim"), col("acc"),
+        (when(col("acc") < 0, -1L).otherwise(1L) *
+          expr(s"(abs(acc) * $PowerScale) div gmax")).as("v_next"))
+      .orderBy("dim")
+  }
+
   /** Per-label centroid components: the class-centroid computation of a
     * training pipeline, emitted as (label, dim, value) rows. Sums go
     * through exact DECIMAL so the result is independent of partitioning
@@ -577,6 +614,7 @@ object Similarity {
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
     "sim_kmeans_iter" -> (kmeansIter _),
+    "sim_pca_power" -> (pcaPowerIter _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -952,5 +990,19 @@ object Similarity {
          |SELECT a.cell, vd.dim, count(*) AS n_members,
          |  CAST(floor((CAST(sum(vd.v) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
          |FROM assign a JOIN vd USING (vec_id)
-         |GROUP BY a.cell, vd.dim ORDER BY a.cell, vd.dim""".stripMargin)
+         |GROUP BY a.cell, vd.dim ORDER BY a.cell, vd.dim""".stripMargin,
+    "sim_pca_power" ->
+      s"""WITH xq AS (
+         |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $PowerScale) AS BIGINT) AS q
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         |dots AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS dv FROM xq GROUP BY vec_id),
+         |acc AS (
+         |  SELECT dim, CAST(sum(q * dv) AS BIGINT) AS acc
+         |  FROM xq JOIN dots USING (vec_id) GROUP BY dim),
+         |g AS (SELECT max(abs(acc)) AS gmax FROM acc)
+         |SELECT dim, acc,
+         |  CAST((CASE WHEN acc < 0 THEN -1 ELSE 1 END) *
+         |    ((abs(acc) * $PowerScale) // gmax) AS BIGINT) AS v_next
+         |FROM acc, g ORDER BY dim""".stripMargin)
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_recall_eval", "sim_pq_recall", "sim_sq_recall",
       // 1-row broadcast scalar joins (corpus-level N / vocab-size V
       // folded to a single row, then crossJoin(broadcast(...)))
-      "text_tfidf", "text_perplexity", "text_ppl_buckets")
+      "text_tfidf", "text_perplexity", "text_ppl_buckets",
+      "sim_pca_power")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

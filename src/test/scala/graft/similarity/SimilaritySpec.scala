@@ -244,4 +244,30 @@ class SimilaritySpec extends SparkSpec {
     // embeddings -> well inside ±4096)
     assert(rows.forall { case (_, _, _, cq) => math.abs(cq) <= 4096 })
   }
+
+  test("pcaPowerIter: brute-forced X'X·v0 matches and v_next lands on the ±1024 grid") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.pcaPowerIter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val d = emb.head.length
+    assert(rows.map(_._1).toSeq == (0 until d))
+    // brute-force the accumulator in exact Long arithmetic
+    val expAcc = Array.fill(d)(0L)
+    emb.foreach { e =>
+      val q = e.map(x => math.floor(x.toDouble * 1024).toLong)
+      val dv = q.sum
+      (0 until d).foreach(j => expAcc(j) += q(j) * dv)
+    }
+    assert(rows.map(_._2).toSeq == expAcc.toSeq)
+    // renorm: the max-|acc| dim hits exactly ±1024; all magnitudes bounded;
+    // signs survive the sign-split division
+    val gmax = expAcc.map(math.abs).max
+    rows.foreach { case (j, acc, vn) =>
+      assert(vn == math.signum(acc) * (math.abs(acc) * 1024L / gmax), s"dim $j")
+    }
+    assert(rows.map(t => math.abs(t._3)).max == 1024L)
+  }
 }
