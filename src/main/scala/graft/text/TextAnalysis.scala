@@ -965,7 +965,94 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Histogram-sketch geometry: 64 buckets of 16 chars each, and the
+    * percentiles the estimate table reports. */
+  val LenHistBuckets = 64
+  val LenHistWidth = 16L
+  val LenHistPs = Seq(50, 90, 99)
+
+  /** Mergeable histogram quantiles — the fixed-memory sibling of the
+    * exact `text_len_quantiles`: a [[LenHistBuckets]]-cell equi-width
+    * histogram of document lengths (a (bucket)-keyed count, so partial
+    * aggregates merge by cell-wise addition exactly like the CMS sketch —
+    * 64 counters regardless of corpus size), read back as estimated
+    * p50/p90/p99 via integer in-bucket interpolation. Every step is
+    * non-negative integer arithmetic (rank `(p·tot+99) div 100`,
+    * interpolation `((r − cum_prev − 1)·width) div cnt`), so both engines
+    * agree bit-for-bit; the estimate error is bounded by the bucket width
+    * by construction (spec-pinned against the exact quantiles). At 100 TB
+    * this replaces a full sort with one fixed-size aggregate. */
+  def lenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    Engine.tune(spark)
+    val hist = Tables(spark, dir, "documents")
+      .select(least(lit(LenHistBuckets - 1L),
+        expr(s"length(text) div $LenHistWidth")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy()))
+      .withColumn("k", lit(1))
+    val ps = LenHistPs.toDF("p").withColumn("k", lit(1))
+    val w1 = Window.partitionBy("p").orderBy("b")
+    h.join(broadcast(ps), Seq("k"))
+      .withColumn("r", expr("(p * tot + 99) div 100"))
+      .filter(col("cum") >= col("r"))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("p"), col("b"), (col("b") * LenHistWidth).as("lo"),
+        (col("b") * LenHistWidth +
+          expr(s"((r - (cum - cnt) - 1) * $LenHistWidth) div cnt")).as("est_len"))
+      .orderBy("p")
+  }
+
+  /** Resample keep-fraction (top 1/4 of train docs per source) and the
+    * per-token score grid. */
+  val DsirKeepDen = 4
+  val DsirRankScale = 1000L
+
+  /** The DSIR resampling step — composes [[dsirScores]]: train-split docs
+    * ranked per source by quantized per-token importance (sign-split
+    * magnitude division again: `div` truncates, `//` floors, they agree
+    * only on non-negatives), top quarter kept (`rn ≤ (n+3) div 4`), and
+    * the kept set reported per source as counts + token mass + total
+    * importance. Ranking is PARTITIONED by source, so no global sort
+    * exists at any scale — each window partition is one source's docs;
+    * a 100 TB deployment with a giant single source would swap the exact
+    * rank for a sampled score threshold, leaving this plan's shape
+    * unchanged. Spec pins that every source's kept quarter outscores its
+    * dropped rest on mean quantized importance. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.tune(spark)
+    val meta = withSplit(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("split"))
+    val scored = dsirScores(spark, dir).join(meta, Seq("doc_id"))
+      .filter(col("split") === "train")
+      .withColumn("spt",
+        when(col("dsir_q") < 0, -1L).otherwise(1L) *
+          expr(s"(abs(dsir_q) * $DsirRankScale) div n_tokens"))
+    val w = Window.partitionBy("source").orderBy(desc("spt"), asc("doc_id"))
+    val cw = Window.partitionBy("source")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(cw))
+      .withColumn("keep",
+        col("rn") <= expr(s"(n_src + ${DsirKeepDen - 1}) div $DsirKeepDen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("keep"), col("dsir_q")).otherwise(0L)).as("kept_score_q"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_len_histogram" -> (lenHistogram _),
+    "text_dsir_resample" -> (dsirResample _),
     "text_char_moments" -> (charMoments _),
     "text_tfidf" -> (tfidf _),
     "text_perplexity" -> (perplexity _),
@@ -1321,6 +1408,71 @@ object TextAnalysis {
          |GROUP BY eb.token, eb.exact_cnt
          |ORDER BY exact_cnt DESC, token ASC""".stripMargin
     },
+    "text_len_histogram" ->
+      s"""WITH hist AS (
+         |  SELECT least(${LenHistBuckets - 1}, length(text) // $LenHistWidth) AS b,
+         |    count(*) AS cnt
+         |  FROM documents GROUP BY 1),
+         |h AS (
+         |  SELECT b, cnt,
+         |    sum(cnt) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS tot
+         |  FROM hist),
+         |j AS (
+         |  SELECT q.p, h.b, h.cnt, h.cum, (q.p * h.tot + 99) // 100 AS r
+         |  FROM h, UNNEST([${LenHistPs.mkString(", ")}]) q(p)),
+         |f AS (
+         |  SELECT p, b, cnt, cum, r,
+         |    row_number() OVER (PARTITION BY p ORDER BY b) AS rn
+         |  FROM j WHERE cum >= r)
+         |SELECT CAST(p AS INTEGER) AS p, CAST(b AS BIGINT) AS b,
+         |  CAST(b * $LenHistWidth AS BIGINT) AS lo,
+         |  CAST(b * $LenHistWidth +
+         |    ((r - (cum - cnt) - 1) * $LenHistWidth) // cnt AS BIGINT) AS est_len
+         |FROM f WHERE rn = 1 ORDER BY p""".stripMargin,
+    "text_dsir_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.token, $dsirBucketSql AS b,
+         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''),
+         |c AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM tok GROUP BY b),
+         |w AS (
+         |  SELECT b,
+         |    CAST(floor(ln(
+         |      ((c_tgt + 1) * 1.0 / (CAST(sum(c_tgt) OVER () AS BIGINT) + $DsirBuckets)) /
+         |      ((c_raw + 1) * 1.0 / (CAST(sum(c_raw) OVER () AS BIGINT) + $DsirBuckets)))
+         |      * $DsirScale) AS BIGINT) AS w_q
+         |  FROM c),
+         |ds AS (
+         |  SELECT tok.doc_id, count(*) AS n_tokens,
+         |    CAST(sum(w.w_q) AS BIGINT) AS dsir_q
+         |  FROM tok JOIN w USING (b) GROUP BY tok.doc_id),
+         |tr AS (
+         |  SELECT ds.doc_id, m.source, ds.n_tokens, ds.dsir_q,
+         |    (CASE WHEN ds.dsir_q < 0 THEN -1 ELSE 1 END) *
+         |      ((abs(ds.dsir_q) * $DsirRankScale) // ds.n_tokens) AS spt
+         |  FROM (SELECT doc_id, source FROM documents
+         |        WHERE $splitBucketSql < 90) m
+         |  JOIN ds ON m.doc_id = ds.doc_id),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY source ORDER BY spt DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM tr)
+         |SELECT source, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN rn <= (n_src + ${DsirKeepDen - 1}) // $DsirKeepDen
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rn <= (n_src + ${DsirKeepDen - 1}) // $DsirKeepDen
+         |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(CASE WHEN rn <= (n_src + ${DsirKeepDen - 1}) // $DsirKeepDen
+         |    THEN dsir_q ELSE 0 END) AS BIGINT) AS kept_score_q
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "text_chunk_windows" -> {
       val minExtra = ChunkSize - ChunkStride + 1
       s"""WITH w AS (

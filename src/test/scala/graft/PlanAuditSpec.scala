@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row broadcast scalar joins (corpus-level N / vocab-size V
       // folded to a single row, then crossJoin(broadcast(...)))
       "text_tfidf", "text_perplexity", "text_ppl_buckets",
-      "sim_pca_power")
+      // sketch-sized broadcast products (64-row histogram × 3-row
+      // percentile list; 64-row accumulator × 1-row gmax)
+      "sim_pca_power", "text_len_histogram")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

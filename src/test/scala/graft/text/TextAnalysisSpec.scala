@@ -473,6 +473,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(expected.exists(_._2 > 0))
   }
 
+  test("lenHistogram: estimates within one bucket width of the exact quantiles") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.lenHistogram(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == TextAnalysis.LenHistPs)
+    // exact reference quantiles (ceil-rank convention, matching the sketch)
+    val lens = graft.Tables(spark, sf, "documents")
+      .selectExpr("length(text) AS l").collect().map(_.getInt(0)).sorted
+    rows.foreach { case (p, b, lo, est) =>
+      val exact = lens((p * lens.length + 99) / 100 - 1)
+      assert(lo == b * TextAnalysis.LenHistWidth)
+      assert(est >= lo && est < lo + TextAnalysis.LenHistWidth)
+      assert(math.abs(est - exact) <= TextAnalysis.LenHistWidth,
+        s"p$p: est $est vs exact $exact")
+    }
+    // estimates are monotone in p
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+  }
+
+  test("dsirResample: kept quarter outscores the dropped rest in every source") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.dsirResample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // keep fraction is the ceil quarter per source
+    rows.foreach { case (src, n, k, _, _) =>
+      assert(k == (n + TextAnalysis.DsirKeepDen - 1) / TextAnalysis.DsirKeepDen, src)
+    }
+    // the kept set must outscore the source's overall mean per token:
+    // mean(kept dsir_q / kept tokens) > mean(all dsir_q / all tokens)
+    val all = TextAnalysis.dsirScores(spark, sf)
+      .join(TextAnalysis.withSplit(graft.Tables(spark, sf, "documents"))
+        .select("doc_id", "source", "split"), Seq("doc_id"))
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("dsir_q").as("sq"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("st"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (src, _, _, keptTok, keptScore) =>
+      val (allScore, allTok) = all(src)
+      // cross-multiplied: keptScore/keptTok > allScore/allTok
+      assert(keptScore * allTok > allScore * keptTok, s"source $src")
+    }
+  }
+
   test("crossSourceProfile: per-source counts nest and totals anchor to fingerprint") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.dedup.Dedup.crossSourceProfile(spark, sf).collect()
