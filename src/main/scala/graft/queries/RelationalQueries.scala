@@ -640,10 +640,12 @@ object RelationalQueries {
     * since every operand is non-negative), and each supplier's new rank
     * is the damped sum `0.15·scale + 0.85·Σ contrib`, cross-multiplied
     * into pure BIGINT arithmetic. Float PageRank diverges across
-    * summation orders; the quantized grid makes the iteration
-    * bit-deterministic, and — like `sim_kmeans_iter` / `text_bpe_pairs`
-    * — the output IS the next round's input, so a full power iteration
-    * is a driver loop over this plan. Cost per round: one node-sized
+    * summation orders; the quantized grid makes the round
+    * bit-deterministic. This plan is ROUND ONE from the uniform start
+    * (the part ranks are the [[PrScale]] constant); a full power
+    * iteration generalizes it by joining a (part, rank) table in place
+    * of that constant — same shape, one extra node-sized equi-join —
+    * rather than looping this exact plan. Cost per round: one node-sized
     * degree aggregate, one edge×degree equi-join, one grouped sum —
     * the standard Pregel-style round, all shuffles on graph keys;
     * nothing edge-squared anywhere. */

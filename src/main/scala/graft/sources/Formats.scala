@@ -273,15 +273,16 @@ object Formats {
     * builds a bloom filter of the dim's surviving join keys and plants
     * `might_contain(xxhash64(l_orderkey))` into the FACT scan's
     * post-scan filter, dropping non-matching rows BEFORE the join
-    * exchange instead of after it. The rule only fires for joins it
-    * cannot plan as broadcast (a broadcast join already prunes at the
-    * hash table), so at fixture scale — where every dim broadcasts —
-    * the registered run executes the plain broadcast plan (hash-gated
-    * for correctness), and RuntimeFilterSpec re-plans this exact
-    * DataFrame under the cluster posture (broadcast off, zero
-    * application-side floor — the sizes a 100 TB fact forces) and
-    * asserts both the injected filter and result parity. The merge hint
-    * pins the shuffle-join execution shape the mechanism exists for. */
+    * exchange instead of after it. The rule declines joins whose dim is
+    * broadcastable BY SIZE (a broadcast join already prunes at the hash
+    * table; the merge hint changes the executed strategy but not that
+    * size judgement), so at fixture scale the registered run executes a
+    * hinted sort-merge join with NO injection (hash-gated for
+    * correctness), and RuntimeFilterSpec re-plans this exact DataFrame
+    * under the cluster posture (broadcast off, zero application-side
+    * floor — the sizes a 100 TB fact forces) and asserts both the
+    * injected filter and result parity. The merge hint pins the
+    * shuffle-join execution shape the mechanism exists for. */
   def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val dim = Tables(spark, dir, "orders")

@@ -257,6 +257,15 @@ object TextAnalysis {
     * re-ingestion order, and corpus growth — the property a training
     * pipeline needs so yesterday's eval doc never drifts into today's
     * train set. Pure column arithmetic, identical in both engines. */
+  /** DuckDB spelling of the first `n` hex nibbles of md5(`e`) as an
+    * integer (Horner chain; DuckDB has no conv()) — THE single source
+    * for every md5-bucket oracle in this file (split, DSIR, CMS), so a
+    * fix to the nibble arithmetic cannot desynchronize their buckets. */
+  private[graft] def nibSql(e: String, n: Int): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    (2 to n).foldLeft(nib(1))((acc, i) => s"($acc * 16 + ${nib(i)})")
+  }
+
   private val splitBucket =
     expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
       .cast("long") % 100
@@ -265,12 +274,9 @@ object TextAnalysis {
     df.withColumn("split",
       when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
 
-  /** DuckDB spelling of the same bucket (no conv(): nibble arithmetic). */
-  private[graft] val splitBucketSql = {
-    def nib(i: Int) =
-      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
-    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) % 100"
-  }
+  /** DuckDB spelling of the same bucket (via [[nibSql]]). */
+  private[graft] val splitBucketSql =
+    s"${nibSql("CAST(doc_id AS VARCHAR)", 4)} % 100"
 
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
@@ -869,13 +875,6 @@ object TextAnalysis {
       .orderBy(desc("exact_cnt"), asc("token"))
   }
 
-  /** DuckDB nibble spelling of `conv(substring(md5(e), 1, 4), 16, 10)`
-    * for an arbitrary SQL expression `e`. */
-  private def nib4Sql(e: String): String = {
-    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
-    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
-  }
-
   /** RAG chunking geometry: window size and stride in characters;
     * size − stride = 64 chars of overlap between consecutive chunks. */
   val ChunkSize = 256
@@ -919,12 +918,9 @@ object TextAnalysis {
   private val dsirBucket =
     expr("conv(substring(md5(token), 1, 2), 16, 10)").cast("long") % DsirBuckets
 
-  /** DuckDB spelling of the same bucket (nibble arithmetic, no conv()). */
-  private[graft] val dsirBucketSql = {
-    def nib(i: Int) =
-      s"(strpos('0123456789abcdef', substr(md5(t.token), $i, 1)) - 1)"
-    s"((${nib(1)} * 16 + ${nib(2)}) % $DsirBuckets)"
-  }
+  /** DuckDB spelling of the same bucket (via [[nibSql]]). */
+  private[graft] val dsirBucketSql =
+    s"(${nibSql("t.token", 2)} % $DsirBuckets)"
 
   /** DSIR-style importance scores (Xie et al. 2023): each document is
     * scored by the log-likelihood ratio of a hashed-unigram model fitted
@@ -995,10 +991,9 @@ object TextAnalysis {
     val h = hist
       .withColumn("cum", sum("cnt").over(wcum))
       .withColumn("tot", sum("cnt").over(Window.partitionBy()))
-      .withColumn("k", lit(1))
-    val ps = LenHistPs.toDF("p").withColumn("k", lit(1))
+    val ps = LenHistPs.toDF("p")
     val w1 = Window.partitionBy("p").orderBy("b")
-    h.join(broadcast(ps), Seq("k"))
+    h.crossJoin(broadcast(ps))
       .withColumn("r", expr("(p * tot + 99) div 100"))
       .filter(col("cum") >= col("r"))
       .withColumn("rn", row_number().over(w1))
@@ -1082,6 +1077,33 @@ object TextAnalysis {
     "text_split_assign" -> (splitAssign _),
     "text_mix_report" -> (mixReport _),
     "text_contamination" -> (contamination _))
+
+  /** DuckDB spelling of the per-doc DSIR score table as a CTE prefix
+    * ending in `ds(doc_id, n_tokens, dsir_q)` — single-sourced between
+    * the `text_dsir` and `text_dsir_resample` oracles (the same model
+    * cannot silently fork between them). */
+  private def dsirDocScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t.token, $dsirBucketSql AS b,
+       |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+       |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+       |  WHERE t.token <> ''),
+       |c AS (
+       |  SELECT b, count(*) AS c_raw,
+       |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+       |  FROM tok GROUP BY b),
+       |w AS (
+       |  SELECT b,
+       |    CAST(floor(ln(
+       |      ((c_tgt + 1) * 1.0 / (CAST(sum(c_tgt) OVER () AS BIGINT) + $DsirBuckets)) /
+       |      ((c_raw + 1) * 1.0 / (CAST(sum(c_raw) OVER () AS BIGINT) + $DsirBuckets)))
+       |      * $DsirScale) AS BIGINT) AS w_q
+       |  FROM c),
+       |ds AS (
+       |  SELECT tok.doc_id, count(*) AS n_tokens,
+       |    CAST(sum(w.w_q) AS BIGINT) AS dsir_q
+       |  FROM tok JOIN w USING (b) GROUP BY tok.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the Aggregator's finish() expressions verbatim: mean = s/n,
@@ -1390,7 +1412,7 @@ object TextAnalysis {
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
     "text_cms_heavy" -> {
-      val b = s"(${nib4Sql("CAST(i AS VARCHAR) || ':' || token")} % $CmsWidth)"
+      val b = s"(${nibSql("CAST(i AS VARCHAR) || ':' || token", 4)} % $CmsWidth)"
       s"""WITH tok AS ($tokSql),
          |r AS (
          |  SELECT t.token, s.i
@@ -1432,27 +1454,7 @@ object TextAnalysis {
          |    ((r - (cum - cnt) - 1) * $LenHistWidth) // cnt AS BIGINT) AS est_len
          |FROM f WHERE rn = 1 ORDER BY p""".stripMargin,
     "text_dsir_resample" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, t.token, $dsirBucketSql AS b,
-         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
-         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
-         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
-         |  WHERE t.token <> ''),
-         |c AS (
-         |  SELECT b, count(*) AS c_raw,
-         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
-         |  FROM tok GROUP BY b),
-         |w AS (
-         |  SELECT b,
-         |    CAST(floor(ln(
-         |      ((c_tgt + 1) * 1.0 / (CAST(sum(c_tgt) OVER () AS BIGINT) + $DsirBuckets)) /
-         |      ((c_raw + 1) * 1.0 / (CAST(sum(c_raw) OVER () AS BIGINT) + $DsirBuckets)))
-         |      * $DsirScale) AS BIGINT) AS w_q
-         |  FROM c),
-         |ds AS (
-         |  SELECT tok.doc_id, count(*) AS n_tokens,
-         |    CAST(sum(w.w_q) AS BIGINT) AS dsir_q
-         |  FROM tok JOIN w USING (b) GROUP BY tok.doc_id),
+      s"""$dsirDocScoreSql,
          |tr AS (
          |  SELECT ds.doc_id, m.source, ds.n_tokens, ds.dsir_q,
          |    (CASE WHEN ds.dsir_q < 0 THEN -1 ELSE 1 END) *
@@ -1534,27 +1536,8 @@ object TextAnalysis {
          |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams_tot
          |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "text_dsir" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, t.token, $dsirBucketSql AS b,
-         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
-         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split
-         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
-         |  WHERE t.token <> ''),
-         |c AS (
-         |  SELECT b, count(*) AS c_raw,
-         |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
-         |  FROM tok GROUP BY b),
-         |w AS (
-         |  SELECT b,
-         |    CAST(floor(ln(
-         |      ((c_tgt + 1) * 1.0 / (CAST(sum(c_tgt) OVER () AS BIGINT) + $DsirBuckets)) /
-         |      ((c_raw + 1) * 1.0 / (CAST(sum(c_raw) OVER () AS BIGINT) + $DsirBuckets)))
-         |      * $DsirScale) AS BIGINT) AS w_q
-         |  FROM c)
-         |SELECT tok.doc_id, count(*) AS n_tokens,
-         |  CAST(sum(w.w_q) AS BIGINT) AS dsir_q
-         |FROM tok JOIN w USING (b)
-         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+      s"""$dsirDocScoreSql
+         |SELECT doc_id, n_tokens, dsir_q FROM ds ORDER BY doc_id""".stripMargin,
     "text_contamination" ->
       s"""WITH d AS (
          |  SELECT doc_id, md5(text) AS h,

@@ -18,8 +18,12 @@ class RuntimeFilterSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("cluster posture injects might_contain into the fact side and preserves results") {
-    // default posture first (broadcast join, no injection expected)
-    val defaultRows = Formats.runtimeFilterJoin(spark, sf).collect()
+    // default posture first: the rule declines because the dim is
+    // broadcastable by size (the merge hint changes the executed
+    // strategy, not that size judgement) — so no injection
+    val defaultDf = Formats.runtimeFilterJoin(spark, sf)
+    assert(!defaultDf.queryExecution.executedPlan.toString.contains("might_contain"))
+    val defaultRows = defaultDf.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(defaultRows.map(_._1) == Seq("1-URGENT", "2-HIGH"))
 
@@ -29,6 +33,7 @@ class RuntimeFilterSpec extends SparkSpec {
     val df = Formats.runtimeFilterJoin(spark, sf)
     val conf = spark.conf
     val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBloom = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -43,6 +48,7 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(clusterRows == defaultRows)
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevBloom)
       conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     }
   }
