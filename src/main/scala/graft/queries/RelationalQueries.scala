@@ -664,7 +664,32 @@ object RelationalQueries {
       .orderBy("suppkey")
   }
 
+  /** The back-propagation round that makes the PageRank loop real:
+    * round two pushes the supplier ranks [[pagerankIter]] emitted back
+    * across the same edges in the supplier→part direction (bipartite
+    * power iteration alternates sides), so round one's output IS this
+    * round's rank input — composed directly, the way a driver loop
+    * would. Same exact-integer split (rank div out-degree, all operands
+    * non-negative) and damped BIGINT sum; same Pregel-round cost. */
+  def pagerankRound2(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val edges = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .distinct()
+    val sdeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
+    val r1 = pagerankIter(spark, dir)
+      .select(col("suppkey").as("supp"), col("rank_new").as("rank1"))
+    edges.join(sdeg, Seq("supp")).join(r1, Seq("supp"))
+      .select(col("part"), expr("rank1 div sdeg").as("c"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("in_deg"), sum("c").as("c_sum"))
+      .select(col("part").as("partkey"), col("in_deg"),
+        (lit(15L * PrScale / 100) + expr("(85 * c_sum) div 100")).as("rank_new"))
+      .orderBy("partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pagerank_round2" -> (pagerankRound2 _),
     "rel_pagerank_iter" -> (pagerankIter _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
@@ -698,15 +723,33 @@ object RelationalQueries {
     "rel_intersect" -> (intersectYears _),
     "rel_except" -> (exceptYears _))
 
+  /** Round-one contribution table as a CTE prefix ending in
+    * `c(supp, c)` — single-sourced between the two PageRank oracles. */
+  private def prContribSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem),
+       |d AS (SELECT part, count(*) AS deg FROM e GROUP BY part),
+       |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "rel_pagerank_iter" ->
-      s"""WITH e AS (
-         |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem),
-         |d AS (SELECT part, count(*) AS deg FROM e GROUP BY part),
-         |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))
+      s"""$prContribSql
          |SELECT supp AS suppkey, count(*) AS in_deg,
          |  CAST(${15L * PrScale / 100} + (85 * sum(c)) // 100 AS BIGINT) AS rank_new
          |FROM c GROUP BY supp ORDER BY suppkey""".stripMargin,
+    "rel_pagerank_round2" ->
+      s"""$prContribSql,
+         |r1 AS (
+         |  SELECT supp,
+         |    CAST(${15L * PrScale / 100} + (85 * sum(c)) // 100 AS BIGINT) AS rank1
+         |  FROM c GROUP BY supp),
+         |sd AS (SELECT supp, count(*) AS sdeg FROM e GROUP BY supp),
+         |c2 AS (
+         |  SELECT e.part, r1.rank1 // sd.sdeg AS c
+         |  FROM e JOIN sd USING (supp) JOIN r1 USING (supp))
+         |SELECT part AS partkey, count(*) AS in_deg,
+         |  CAST(${15L * PrScale / 100} + (85 * sum(c)) // 100 AS BIGINT) AS rank_new
+         |FROM c2 GROUP BY part ORDER BY partkey""".stripMargin,
     "rel_q18_large_orders" ->
       s"""WITH big AS (
          |  SELECT l_orderkey, sum(l_quantity) AS total_qty

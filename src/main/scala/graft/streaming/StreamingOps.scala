@@ -641,7 +641,32 @@ object StreamingOps {
     runToMemory(spark, agg).orderBy("c_mktsegment")
   }
 
+  /** Count-Min sketch maintained ONLINE: a complete-mode (row, bucket)
+    * grouped count of the event-type stream IS the d×w CMS — each
+    * trigger's partial counts fold into state by cell-wise addition,
+    * which is exactly the CMS merge operation, so the final table equals
+    * the batch sketch over the same data (the oracle computes it
+    * statically). State is ≤ d·w cells REGARDLESS of stream cardinality
+    * — the only aggregation in the family whose state cannot grow, the
+    * online half of `text_cms_heavy`'s fixed-memory frequency story.
+    * Geometry shared with the batch sketch (same md5 bucketing, so the
+    * two sketches are mergeable with each other, not just with
+    * themselves). */
+  def cmsSketch(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val d = graft.text.TextAnalysis.CmsDepth
+    val w = graft.text.TextAnalysis.CmsWidth
+    val agg = eventStream(spark, dir)
+      .select(col("event_type"), explode(expr(s"sequence(0, ${d - 1})")).as("i"))
+      .select(col("i"),
+        (expr("conv(substring(md5(concat(i, ':', event_type)), 1, 4), 16, 10)")
+          .cast("long") % w).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    runToMemory(spark, agg).orderBy("i", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms" -> (cmsSketch _),
     "stream_complete_counts" -> (completeCounts _),
     "stream_hourly_counts" -> (hourlyCounts _),
     "stream_hourly_append" -> (hourlyAppend _),
@@ -664,6 +689,15 @@ object StreamingOps {
     "stream_complete_counts" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_cms" -> {
+      import graft.text.TextAnalysis.{CmsDepth, CmsWidth, nibSql}
+      val b = s"(${nibSql("CAST(i AS VARCHAR) || ':' || event_type", 4)} % $CmsWidth)"
+      s"""WITH r AS (
+         |  SELECT event_type, CAST(s.i AS INTEGER) AS i
+         |  FROM events, UNNEST(generate_series(0, ${CmsDepth - 1})) s(i))
+         |SELECT i, CAST($b AS BIGINT) AS b, count(*) AS c
+         |FROM r GROUP BY i, b ORDER BY i, b""".stripMargin
+    },
     "stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val

@@ -35,4 +35,23 @@ class PagerankSpec extends SparkSpec {
     assert(redistributed <= source)
     assert(source - redistributed < edges.length.toLong)
   }
+
+  test("pagerankRound2: back-propagation composes round one's output as its rank input") {
+    val r2 = RelationalQueries.pagerankRound2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r1 = RelationalQueries.pagerankIter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val edges = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val scale = RelationalQueries.PrScale
+    val sdeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = edges.map { case (p, s) => (p, r1(s) / sdeg(s)) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (p, cs) =>
+        (p, cs.length.toLong, 15L * scale / 100 + 85L * cs.map(_._2).sum / 100)
+      }
+    assert(r2.toSeq == expected)
+    // every part with an edge gets a round-2 rank (bipartite closure)
+    assert(r2.map(_._1).toSet == edges.map(_._1).toSet)
+  }
 }

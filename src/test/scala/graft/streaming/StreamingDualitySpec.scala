@@ -45,6 +45,32 @@ class StreamingDualitySpec extends SparkSpec {
     assert(streamed.map(r => r.getString(0) -> r.getLong(1)).toMap.apply("😀") == 4L)
   }
 
+  test("online CMS sketch equals the batch sketch and its cells sum to d x corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.cmsSketch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch recomputation of the identical sketch over the static table
+    val d = graft.text.TextAnalysis.CmsDepth
+    val w = graft.text.TextAnalysis.CmsWidth
+    val events = graft.Tables(spark, sf, "events")
+    val batch = events
+      .select(col("event_type"), explode(expr(s"sequence(0, ${d - 1})")).as("i"))
+      .select(col("i"),
+        (expr("conv(substring(md5(concat(i, ':', event_type)), 1, 4), 16, 10)")
+          .cast("long") % w).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      .orderBy("i", "b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // every row of the sketch sees the whole stream: per-row cell sums
+    // all equal the corpus size (the CMS invariant that makes the
+    // min-over-rows estimate one-sided)
+    val n = events.count()
+    streamed.groupBy(_._1).values.foreach(cells => assert(cells.map(_._3).sum == n))
+    // fixed-memory bound: at most d*w cells ever exist
+    assert(streamed.size <= d * w)
+  }
+
   test("carried-state streaming transition matrix equals the batch lead() window") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamingOps.streamPaths(spark, sf).collect()
