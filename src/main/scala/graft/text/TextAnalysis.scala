@@ -880,6 +880,20 @@ object TextAnalysis {
   val ChunkSize = 256
   val ChunkStride = 192
 
+  /** DuckDB spelling of the chunk-window table over source relation
+    * `src(doc_id, text)` — single-sourced between the text_chunk_windows
+    * and pipeline_rag oracles. Column order matches [[chunkWindowsOf]]. */
+  private def chunkCoreSql(src: String): String = {
+    val minExtra = ChunkSize - ChunkStride + 1
+    s"""SELECT doc_id, CAST(s.i AS INTEGER) AS chunk_idx,
+       |  CAST(s.i * $ChunkStride + 1 AS INTEGER) AS chunk_start,
+       |  CAST(length(substr(text, CAST(s.i AS INTEGER) * $ChunkStride + 1, $ChunkSize))
+       |    AS INTEGER) AS chunk_len,
+       |  md5(substr(text, CAST(s.i AS INTEGER) * $ChunkStride + 1, $ChunkSize)) AS chunk_md5
+       |FROM $src, UNNEST(generate_series(
+       |  0, greatest(0, length(text) - $minExtra) // $ChunkStride)) s(i)""".stripMargin
+  }
+
   /** Overlapping chunk-window layout (RAG / retrieval indexing): each
     * document cut into [[ChunkSize]]-char windows advancing
     * [[ChunkStride]] chars, so consecutive chunks share a 64-char overlap
@@ -895,8 +909,15 @@ object TextAnalysis {
     * surrogate-pair corpus would need byte-domain slicing instead). */
   def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    chunkWindowsOf(Tables(spark, dir, "documents"))
+  }
+
+  /** [[chunkWindows]] over an arbitrary (doc_id, text) frame — shared
+    * with the pipeline_rag funnel so the composed chunking cannot drift
+    * from the standalone operator. */
+  private[graft] def chunkWindowsOf(docs: DataFrame): DataFrame = {
     val minExtra = ChunkSize - ChunkStride + 1 // shortest len needing a 2nd window
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("text"),
         explode(expr(
           s"sequence(0, greatest(0, length(text) - $minExtra) div $ChunkStride)"))
@@ -908,6 +929,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** RAG ingest funnel — the index-build composition: quality gate →
+    * exact-dedup representatives → [[chunkWindowsOf]] over the kept docs
+    * → chunk count and character mass (the latter exposes the overlap
+    * inflation the 64-char stride overlap costs the index). Each stage
+    * is one aggregate over the previous frame; the result unions five
+    * 1-row frames — pipeline_curation's shape with the chunking tail
+    * swapped in. */
+  def ragFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+    val q = quality(spark, dir).filter(col("quality") === 1).select("doc_id")
+    // dedup key = the normalized fingerprint (sorted distinct tokens, the
+    // text_fingerprint key): collapses permutation duplicates, which the
+    // fixture carries at every SF where raw-text hashes collide only at
+    // the largest — the funnel shrinks non-trivially everywhere
+    val u = docs.join(q, "doc_id")
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val ch = chunkWindowsOf(docs.join(u, "doc_id"))
+    def cnt(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n"))
+    cnt(0, "raw_docs", docs)
+      .unionAll(cnt(1, "quality_docs", q))
+      .unionAll(cnt(2, "unique_docs", u))
+      .unionAll(cnt(3, "chunks", ch))
+      .unionAll(ch.agg(sum("chunk_len").cast("long").as("n"))
+        .select(lit(4).as("stage_no"), lit("chunk_chars").as("stage"), col("n")))
+      .orderBy("stage_no")
   }
 
   /** DSIR hashed-unigram model: bucket count and quantization grid. */
@@ -1070,6 +1124,7 @@ object TextAnalysis {
     "text_bpe_pairs" -> (bpePairs _),
     "text_cms_heavy" -> (cmsHeavy _),
     "text_chunk_windows" -> (chunkWindows _),
+    "pipeline_rag" -> (ragFunnel _),
     "text_mix_weights" -> (mixWeights _),
     "text_ppl_buckets" -> (pplBuckets _),
     "text_dsir" -> (dsirScores _),
@@ -1475,19 +1530,26 @@ object TextAnalysis {
          |  CAST(sum(CASE WHEN rn <= (n_src + ${DsirKeepDen - 1}) // $DsirKeepDen
          |    THEN dsir_q ELSE 0 END) AS BIGINT) AS kept_score_q
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
-    "text_chunk_windows" -> {
-      val minExtra = ChunkSize - ChunkStride + 1
-      s"""WITH w AS (
-         |  SELECT doc_id, text, CAST(s.i AS INTEGER) AS chunk_idx
-         |  FROM documents, UNNEST(generate_series(
-         |    0, greatest(0, length(text) - $minExtra) // $ChunkStride)) s(i))
-         |SELECT doc_id, chunk_idx,
-         |  CAST(chunk_idx * $ChunkStride + 1 AS INTEGER) AS chunk_start,
-         |  CAST(length(substr(text, chunk_idx * $ChunkStride + 1, $ChunkSize))
-         |    AS INTEGER) AS chunk_len,
-         |  md5(substr(text, chunk_idx * $ChunkStride + 1, $ChunkSize)) AS chunk_md5
-         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+    "text_chunk_windows" ->
+      s"""WITH w AS (${chunkCoreSql("documents")})
+         |SELECT * FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipeline_rag" ->
+      s"""WITH q AS ($qualityPassSql),
+         |u AS (
+         |  SELECT min(d.doc_id) AS doc_id
+         |  FROM documents d JOIN q USING (doc_id)
+         |  GROUP BY md5(array_to_string(
+         |    list_sort(list_distinct(string_split(d.text, ' '))), ' '))),
+         |src AS (SELECT d.doc_id, d.text FROM documents d JOIN u USING (doc_id)),
+         |ch AS (${chunkCoreSql("src")})
+         |SELECT 0 AS stage_no, 'raw_docs' AS stage,
+         |  (SELECT count(*) FROM documents) AS n
+         |UNION ALL SELECT 1, 'quality_docs', (SELECT count(*) FROM q)
+         |UNION ALL SELECT 2, 'unique_docs', (SELECT count(*) FROM u)
+         |UNION ALL SELECT 3, 'chunks', (SELECT count(*) FROM ch)
+         |UNION ALL SELECT 4, 'chunk_chars',
+         |  (SELECT CAST(sum(chunk_len) AS BIGINT) FROM ch)
+         |ORDER BY stage_no""".stripMargin,
     "text_mix_weights" ->
       s"""WITH s AS (
          |  SELECT source, count(*) AS n_docs,

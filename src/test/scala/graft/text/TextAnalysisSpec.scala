@@ -518,6 +518,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ragFunnel: stages nest and the chunk tail anchors to the standalone operator") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.ragFunnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((0, "raw_docs"), (1, "quality_docs"), (2, "unique_docs"),
+        (3, "chunks"), (4, "chunk_chars")))
+    val n = rows.map(_._3)
+    // funnel nests: quality <= raw, unique <= quality (and strictly fewer
+    // here: the fixture carries permutation duplicates at every SF)
+    assert(n(1) <= n(0) && n(2) < n(1))
+    // chunking expands: at least one chunk per kept doc, and total chunk
+    // chars at least the kept docs' char mass (overlap only adds)
+    assert(n(3) >= n(2) && n(4) >= n(3))
+    // the chunk tail equals the standalone operator restricted to the
+    // same kept set (recomputed independently here)
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf, "documents")
+    val q = TextAnalysis.quality(spark, sf)
+      .filter(col("quality") === 1).select("doc_id")
+    val u = docs.join(q, "doc_id")
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    assert(u.count() == n(2))
+    assert(TextAnalysis.chunkWindows(spark, sf).join(u, "doc_id").count() == n(3))
+  }
+
   test("crossSourceProfile: per-source counts nest and totals anchor to fingerprint") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.dedup.Dedup.crossSourceProfile(spark, sf).collect()
