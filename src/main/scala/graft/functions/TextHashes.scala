@@ -113,6 +113,55 @@ object TextHashes {
     }
   }
 
+  /** [[PHash64]]'s kernel: sample [[PHashConsts.Samples]] code points at
+    * positions `((len−1)·k)/(Samples−1)`, 2-D DCT with the shared
+    * integer basis, threshold the 63 AC coefficients (row-major, DC
+    * skipped) strictly above their median, pack ascending. */
+  def phash(s: UTF8String): java.lang.Long = {
+    import PHashConsts._
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    if (len == 0) return null
+    val p = new Array[Long](Samples)
+    var k = 0
+    while (k < Samples) {
+      p(k) = cps((((len - 1).toLong * k) / (Samples - 1)).toInt).toLong
+      k += 1
+    }
+    // F(u,v) = sum_{x,y} C(u)(x) * C(v)(y) * p(x*8+y), exact BIGINT
+    val f = new Array[Long](Samples)
+    var u = 0
+    while (u < Grid) {
+      var v = 0
+      while (v < Grid) {
+        var acc = 0L
+        var x = 0
+        while (x < Grid) {
+          var y = 0
+          while (y < Grid) {
+            acc += Dct(u)(x) * Dct(v)(y) * p(x * Grid + y)
+            y += 1
+          }
+          x += 1
+        }
+        f(u * Grid + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, Samples)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val median = sorted((Samples - 1) / 2) // index 31: the 32nd smallest of 63
+    var hash = 0L
+    k = 0
+    while (k < Samples - 1) {
+      if (ac(k) > median) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
   /** 48-bit SimHash: bit j (MSB-first) is the sign of the per-token
     * majority vote on hex-nibble bit j of md5(token). Null when the
     * document has no tokens. */
@@ -238,6 +287,62 @@ case class AHash(child: Expression, bits: Int) extends UnaryExpression {
 }
 
 /** 48-bit SimHash column; null for token-free documents. */
+/** pHash geometry: an 8×8 sample grid DCT'd with a fixed-point cosine
+  * table; 63 AC coefficients thresholded against their median. */
+object PHashConsts {
+  val Grid = 8
+  val Samples: Int = Grid * Grid
+  val DctScale = 1024L
+
+  /** DCT-II basis on the [[DctScale]] integer grid:
+    * `C(u)(x) = round(1024 · cos((2x+1)uπ/16))`. Rounded ONCE here and
+    * used verbatim by both the kernel and (interpolated as literals) the
+    * DuckDB oracle — the two engines share the identical integer basis,
+    * so the whole transform is exact BIGINT arithmetic with no libm call
+    * on either side at query time. */
+  val Dct: Array[Array[Long]] = Array.tabulate(Grid, Grid) { (u, x) =>
+    math.round(DctScale * math.cos((2 * x + 1) * u * math.Pi / (2 * Grid)))
+  }
+}
+
+/** DCT perceptual hash (pHash) over `PHashConsts.Samples` evenly-spaced
+  * code-point samples arranged as an 8×8 grid: 2-D integer DCT with the
+  * shared fixed-point basis, then bit k−1 set iff AC coefficient k
+  * (row-major, skipping DC) exceeds the median of all 63 AC
+  * coefficients. Unlike the average hash, pHash thresholds in the
+  * FREQUENCY domain, so uniform brightness/contrast shifts (affine
+  * sample changes) barely move it. Null for the empty string.
+  * Magnitudes: |F| ≤ 64·1024²·0x10FFFF < 2^57 — exact in BIGINT. */
+case class PHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_phash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = TextHashes.phash(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_r = graft.functions.TextHashes.phash($c);
+       |if (${ev.value}_r == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = ${ev.value}_r.longValue();
+       |}
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
 case class SimHash48(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

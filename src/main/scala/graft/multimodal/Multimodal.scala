@@ -287,6 +287,31 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** DCT perceptual hash (pHash) over the media payload — the
+    * frequency-domain sibling of [[mediaAhash]]: 64 samples arranged as
+    * an 8×8 grid, 2-D DCT on the fixed-point integer basis
+    * ([[graft.functions.PHashConsts.Dct]] — rounded once in Scala and
+    * interpolated verbatim into the oracle, so both engines transform
+    * with the identical basis and the whole pipeline is exact BIGINT),
+    * 63 AC coefficients thresholded strictly above their median. pHash
+    * survives uniform brightness/contrast shifts that move every aHash
+    * sample; with a real decoder the grid would be the 8×8 downscale of
+    * luma — same stub-sampler posture as [[mediaAhash]], same native
+    * codegen'd kernel shape: one scan, |docs| rows, NO exchange before
+    * the collision window. */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val hashCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PHash64(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), hashCol.as("phash"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual near-dup candidate PAIRS: 4×12-bit banding of the aHash —
     * pigeonhole-complete for Hamming ≤ 3 (any two hashes within 3 bits
     * agree on at least one of 4 bands) — with the dedup family's
@@ -347,6 +372,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_headers" -> (mediaHeaders _),
     "mm_ahash" -> (mediaAhash _),
+    "mm_phash" -> (mediaPhash _),
     "mm_ahash_pairs" -> (mediaAhashPairs _),
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
@@ -399,6 +425,42 @@ object Multimodal {
          |SELECT doc_id, ahash,
          |       count(*) OVER (PARTITION BY ahash) AS n_same
          |FROM h ORDER BY doc_id""".stripMargin,
+    "mm_phash" -> {
+      import graft.functions.PHashConsts.{Dct, Grid, Samples}
+      val basisRows = (for (u <- 0 until Grid; x <- 0 until Grid)
+        yield s"($u, $x, ${Dct(u)(x)})").mkString(",\n|    ")
+      s"""WITH basis(u, x, cv) AS (VALUES
+         |    $basisRows),
+         |px AS (
+         |  SELECT doc_id, k,
+         |    ascii(substr(text,
+         |      CAST(1 + ((length(text) - 1) * k) // ${Samples - 1} AS INTEGER), 1)) AS p
+         |  FROM documents, UNNEST(range(0, $Samples)) t(k)
+         |  WHERE length(text) > 0),
+         |f AS (
+         |  SELECT doc_id, cu.u AS u, cv.u AS v,
+         |    CAST(sum(cu.cv * cv.cv * px.p) AS BIGINT) AS fval
+         |  FROM px
+         |  JOIN basis cu ON cu.x = px.k // $Grid
+         |  JOIN basis cv ON cv.x = px.k % $Grid
+         |  GROUP BY doc_id, cu.u, cv.u),
+         |ac AS (
+         |  SELECT doc_id, u * $Grid + v AS k, fval FROM f
+         |  WHERE NOT (u = 0 AND v = 0)),
+         |med AS (
+         |  SELECT doc_id, fval AS m FROM (
+         |    SELECT doc_id, fval,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY fval) AS rn
+         |    FROM ac) WHERE rn = ${(Samples - 1) / 2 + 1}),
+         |ph AS (
+         |  SELECT ac.doc_id,
+         |    CAST(sum(CASE WHEN ac.fval > med.m
+         |      THEN CAST(pow(2, ac.k - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM ac JOIN med USING (doc_id) GROUP BY ac.doc_id)
+         |SELECT doc_id, phash,
+         |       count(*) OVER (PARTITION BY phash) AS n_same
+         |FROM ph ORDER BY doc_id""".stripMargin
+    },
     "mm_ahash_pairs" ->
       s"""WITH $ahashCtes,
          |banded AS (

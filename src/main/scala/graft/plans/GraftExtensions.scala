@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{AHash, ArrayDotProduct, ArrayNorm2, MinHashSignature, SimHash48, TopKValues, ZValue}
+import graft.functions.{AHash, ArrayDotProduct, ArrayNorm2, MinHashSignature, PHash64, SimHash48, TopKValues, ZValue}
 
 /** Algebraic rewrite over the native vector expressions: a self dot
   * product IS the squared norm, and [[ArrayNorm2]]'s generated loop does
@@ -110,6 +110,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => bad()
       }
     }
+    ext.injectFunction((
+      FunctionIdentifier("graft_phash"),
+      new ExpressionInfo(classOf[PHash64].getName, "graft_phash"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_phash", 1, args)
+        PHash64(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),

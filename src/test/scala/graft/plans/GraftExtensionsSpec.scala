@@ -135,11 +135,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // each SQL spelling row-identical to the Column-API spelling
       val sqlRows = s.sql(
         """SELECT doc_id, graft_simhash48(text) AS sh, graft_ahash(text, 48) AS ah,
+          |       graft_phash(text) AS ph,
           |       graft_minhash(text, 12) AS mh, graft_minhash(text, 12, 3) AS mb
           |FROM graft_ext_docs ORDER BY doc_id""".stripMargin).collect().toSeq
       val colRows = docs.select(col("doc_id"),
           viaCol(graft.functions.SimHash48(textExpr)).as("sh"),
           viaCol(graft.functions.AHash(textExpr, 48)).as("ah"),
+          viaCol(graft.functions.PHash64(textExpr)).as("ph"),
           viaCol(graft.functions.MinHashSignature(textExpr, 12)).as("mh"),
           viaCol(graft.functions.MinHashSignature(textExpr, 12, 3)).as("mb"))
         .orderBy("doc_id").collect().toSeq
