@@ -299,17 +299,33 @@ object Multimodal {
     * luma — same stub-sampler posture as [[mediaAhash]], same native
     * codegen'd kernel shape: one scan, |docs| rows, NO exchange before
     * the collision window. */
-  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
+  /** (doc_id, phash) via the native kernel — shared by the fingerprint
+    * table and the banded pair emitter. */
+  private def phashFrame(spark: SparkSession, dir: String): DataFrame = {
     val hashCol = org.apache.spark.sql.GraftBridge.column(
       graft.functions.PHash64(
         org.apache.spark.sql.GraftBridge.expression(col("text"))))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
     Tables(spark, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), hashCol.as("phash"))
+  }
+
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    phashFrame(spark, dir)
       .withColumn("n_same", count(lit(1)).over(w))
       .orderBy("doc_id")
+  }
+
+  /** [[mediaAhashPairs]] over the DCT hash: 4×16-bit banding of the
+    * 63-bit pHash (the top band carries 15 meaningful bits) — the same
+    * pigeonhole guarantee for Hamming ≤ 3 and the same bounded-bucket
+    * candidate generation, over the brightness/contrast-robust
+    * fingerprint instead of the sample-domain one. */
+  def mediaPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    bandedHashPairs(phashFrame(spark, dir), "phash", 4, 16)
   }
 
   /** Perceptual near-dup candidate PAIRS: 4×12-bit banding of the aHash —
@@ -323,13 +339,22 @@ object Multimodal {
     * before any decode. */
   def mediaAhashPairs(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val ah = ahashFrame(spark, dir)
-    val bandStructs = (0 until 4).map(b =>
+    bandedHashPairs(ahashFrame(spark, dir), "ahash", 4, 12)
+  }
+
+  /** Banded Hamming-candidate sweep shared by [[mediaAhashPairs]] and
+    * [[mediaPhashPairs]]: explode `bands` keys of `bandBits` bits each
+    * from `hcol`, cap buckets to 2..MaxBucket BEFORE the self-join
+    * (bounded-bucket equi-join candidates, never a corpus self-product),
+    * confirm by exact Hamming distance. */
+  private def bandedHashPairs(frame: DataFrame, hcol: String,
+      bands: Int, bandBits: Int): DataFrame = {
+    val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        expr(s"(ahash div ${1L << (12 * b)}) % 4096").as("key")))
-    val banded = ah.select(col("doc_id"), col("ahash"),
+        expr(s"($hcol div ${1L << (bandBits * b)}) % ${1L << bandBits}").as("key")))
+    val banded = frame.select(col("doc_id"), col(hcol),
       explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"),
+      .select(col("doc_id"), col(hcol),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val small = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("bsz"))
@@ -341,7 +366,7 @@ object Multimodal {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+        expr(s"bit_count(a.$hcol ^ b.$hcol)").as("hamming"))
       .filter(col("hamming") <= graft.dedup.Dedup.MaxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
@@ -373,6 +398,7 @@ object Multimodal {
     "mm_headers" -> (mediaHeaders _),
     "mm_ahash" -> (mediaAhash _),
     "mm_phash" -> (mediaPhash _),
+    "mm_phash_pairs" -> (mediaPhashPairs _),
     "mm_ahash_pairs" -> (mediaAhashPairs _),
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
@@ -398,6 +424,44 @@ object Multimodal {
        |    CAST(sum(CASE WHEN v * $AhashBits >= sv
        |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash
        |  FROM m GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB spelling of the pHash table as a CTE prefix ending in
+    * `ph(doc_id, phash)` — the integer DCT basis interpolated verbatim
+    * from [[graft.functions.PHashConsts.Dct]]; shared by the mm_phash
+    * and mm_phash_pairs oracles. */
+  private val phashCtes: String = {
+    import graft.functions.PHashConsts.{Dct, Grid, Samples}
+    val basisRows = (for (u <- 0 until Grid; x <- 0 until Grid)
+      yield s"($u, $x, ${Dct(u)(x)})").mkString(",\n|    ")
+    s"""basis(u, x, cv) AS (VALUES
+       |    $basisRows),
+       |px AS (
+       |  SELECT doc_id, k,
+       |    ascii(substr(text,
+       |      CAST(1 + ((length(text) - 1) * k) // ${Samples - 1} AS INTEGER), 1)) AS p
+       |  FROM documents, UNNEST(range(0, $Samples)) t(k)
+       |  WHERE length(text) > 0),
+       |f AS (
+       |  SELECT doc_id, cu.u AS u, cv.u AS v,
+       |    CAST(sum(cu.cv * cv.cv * px.p) AS BIGINT) AS fval
+       |  FROM px
+       |  JOIN basis cu ON cu.x = px.k // $Grid
+       |  JOIN basis cv ON cv.x = px.k % $Grid
+       |  GROUP BY doc_id, cu.u, cv.u),
+       |ac AS (
+       |  SELECT doc_id, u * $Grid + v AS k, fval FROM f
+       |  WHERE NOT (u = 0 AND v = 0)),
+       |med AS (
+       |  SELECT doc_id, fval AS m FROM (
+       |    SELECT doc_id, fval,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY fval) AS rn
+       |    FROM ac) WHERE rn = ${(Samples - 1) / 2 + 1}),
+       |ph AS (
+       |  SELECT ac.doc_id,
+       |    CAST(sum(CASE WHEN ac.fval > med.m
+       |      THEN CAST(pow(2, ac.k - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM ac JOIN med USING (doc_id) GROUP BY ac.doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // every field re-derived from the synthesis arithmetic: PNG ids parse
@@ -425,42 +489,27 @@ object Multimodal {
          |SELECT doc_id, ahash,
          |       count(*) OVER (PARTITION BY ahash) AS n_same
          |FROM h ORDER BY doc_id""".stripMargin,
-    "mm_phash" -> {
-      import graft.functions.PHashConsts.{Dct, Grid, Samples}
-      val basisRows = (for (u <- 0 until Grid; x <- 0 until Grid)
-        yield s"($u, $x, ${Dct(u)(x)})").mkString(",\n|    ")
-      s"""WITH basis(u, x, cv) AS (VALUES
-         |    $basisRows),
-         |px AS (
-         |  SELECT doc_id, k,
-         |    ascii(substr(text,
-         |      CAST(1 + ((length(text) - 1) * k) // ${Samples - 1} AS INTEGER), 1)) AS p
-         |  FROM documents, UNNEST(range(0, $Samples)) t(k)
-         |  WHERE length(text) > 0),
-         |f AS (
-         |  SELECT doc_id, cu.u AS u, cv.u AS v,
-         |    CAST(sum(cu.cv * cv.cv * px.p) AS BIGINT) AS fval
-         |  FROM px
-         |  JOIN basis cu ON cu.x = px.k // $Grid
-         |  JOIN basis cv ON cv.x = px.k % $Grid
-         |  GROUP BY doc_id, cu.u, cv.u),
-         |ac AS (
-         |  SELECT doc_id, u * $Grid + v AS k, fval FROM f
-         |  WHERE NOT (u = 0 AND v = 0)),
-         |med AS (
-         |  SELECT doc_id, fval AS m FROM (
-         |    SELECT doc_id, fval,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY fval) AS rn
-         |    FROM ac) WHERE rn = ${(Samples - 1) / 2 + 1}),
-         |ph AS (
-         |  SELECT ac.doc_id,
-         |    CAST(sum(CASE WHEN ac.fval > med.m
-         |      THEN CAST(pow(2, ac.k - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
-         |  FROM ac JOIN med USING (doc_id) GROUP BY ac.doc_id)
+    "mm_phash" ->
+      s"""WITH $phashCtes
          |SELECT doc_id, phash,
          |       count(*) OVER (PARTITION BY phash) AS n_same
-         |FROM ph ORDER BY doc_id""".stripMargin
-    },
+         |FROM ph ORDER BY doc_id""".stripMargin,
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtes,
+         |banded AS (
+         |  SELECT doc_id, phash, b AS band,
+         |    (phash // CAST(pow(2, 16 * b) AS BIGINT)) % 65536 AS key
+         |  FROM ph, UNNEST(range(0, 4)) t(b)),
+         |small AS (
+         |  SELECT band, key FROM banded GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+         |capped AS (SELECT b.* FROM banded b JOIN small USING (band, key))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= ${graft.dedup.Dedup.MaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_ahash_pairs" ->
       s"""WITH $ahashCtes,
          |banded AS (

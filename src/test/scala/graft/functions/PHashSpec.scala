@@ -58,4 +58,17 @@ class PHashSpec extends AnyFunSuite {
     assert(TextHashes.phash(UTF8String.fromString(base)) !=
       TextHashes.phash(UTF8String.fromString(reversed)))
   }
+
+  test("4x16 banding is pigeonhole-complete for Hamming <= 3") {
+    // any two 63-bit hashes within Hamming 3 share at least one of the
+    // four 16-bit bands (3 flipped bits cannot touch 4 disjoint bands)
+    def bands(h: Long): Seq[Long] = (0 until 4).map(b => (h >>> (16 * b)) & 0xffffL)
+    val h = TextHashes.phash(UTF8String.fromString(
+      (0 until 90).map(i => (35 + (i * 11) % 80).toChar).mkString)).longValue()
+    val flips = for (a <- 0 until 63; b <- a until 63; c <- b until 63)
+      yield h ^ (1L << a) ^ (1L << b) ^ (1L << c)
+    flips.foreach { h2 =>
+      assert(bands(h).zip(bands(h2)).exists { case (x, y) => x == y })
+    }
+  }
 }
