@@ -122,6 +122,27 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** LSH recall evaluation — the eval a dedup deployment runs before
+    * trusting its candidate generator (the text-family sibling of
+    * `sim_recall_eval`): the exact bigram-Jaccard ≥ 0.5 pairs on the
+    * 1-in-50 sample ([[ngramJaccard]], ground truth) probed against
+    * [[minhashLsh]]'s banded candidate set, each truth pair emitted with
+    * its caught flag. Recall is the consumer's one aggregate away;
+    * misses are exactly the pairs whose Jaccard clears the threshold
+    * but whose 12-hash/2-row banding never collides — the measured
+    * trade the MaxBucket cap and band geometry buy. Cost: the two
+    * composed plans plus one candidate-sized left join. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val truth = ngramJaccard(spark, dir)
+    val cand = minhashLsh(spark, dir)
+    truth.join(cand,
+        truth("da") === cand("doc_a") && truth("db") === cand("doc_b"), "left")
+      .select(truth("da"), truth("db"), truth("jac"),
+        when(cand("doc_a").isNotNull, 1).otherwise(0).as("caught"))
+      .orderBy("da", "db")
+  }
+
   /** 48-bit SimHash per document: bit j is the sign of the per-token
     * majority vote on bit j of md5(token). Runs as the per-row kernel
     * (functions.SimHash48): no generate, no 48-vote-column aggregate,
@@ -583,6 +604,7 @@ object Dedup {
     "dedup_components" -> (components _),
     "dedup_keep" -> (keepDecision _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_recall_eval" -> (recallEval _),
     "dedup_minhash_est" -> (minhashEstimate _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_incremental_bloom" -> (incrementalBloomDedup _),
@@ -612,6 +634,28 @@ object Dedup {
   /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
     * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
     * the connected-components oracle built on top of it. */
+  /** Exact bigram-Jaccard truth pairs as a CTE chain ending in
+    * `jacp(da, db, jac)` — shared by the dedup_ngram_jaccard and
+    * dedup_recall_eval oracles. */
+  private def ngramJacCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+       |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 2),
+       |sh_all AS (
+       |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS s
+       |  FROM d, UNNEST(range(1, len(arr))) t(i)),
+       |rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= ${MaxShingleDf}),
+       |sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (s)),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jacp AS (
+       |  SELECT da, db, common * 1.0 / (na.n + nb.n - common) AS jac
+       |  FROM pairs JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
+       |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5)""".stripMargin
+
   private def minhashCtes: String =
     s"""$bandsCtes,
        |small AS (
@@ -726,23 +770,15 @@ object Dedup {
          |SELECT doc_a, doc_b, jac_est FROM est
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 2),
-        |sh_all AS (
-        |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS s
-        |  FROM d, UNNEST(range(1, len(arr))) t(i)),
-        |rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= ${MaxShingleDf}),
-        |sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (s)),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
-        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT da, db, common * 1.0 / (na.n + nb.n - common) AS jac
-        |FROM pairs JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
-        |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
-        |ORDER BY da, db""".stripMargin,
+      s"""WITH $ngramJacCtes
+         |SELECT da, db, jac FROM jacp ORDER BY da, db""".stripMargin,
+    "dedup_recall_eval" ->
+      s"""WITH $minhashCtes,
+         |$ngramJacCtes
+         |SELECT j.da, j.db, j.jac,
+         |  CASE WHEN pr.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |FROM jacp j LEFT JOIN pr ON j.da = pr.doc_a AND j.db = pr.doc_b
+         |ORDER BY j.da, j.db""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS ($distinctTokSql),
          |bits AS (

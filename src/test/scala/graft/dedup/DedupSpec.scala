@@ -186,4 +186,19 @@ class DedupSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(comps.forall(r => nodeSet.contains(r.getLong(0))))
   }
+
+  test("recall eval rows are the truth pairs with flags consistent with the candidates") {
+    val sf = "/root/testdata/sf0.001"
+    val eval = Dedup.recallEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val truth = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the eval is exactly the truth table plus the flag column
+    assert(eval.map(t => (t._1, t._2, t._3)) == truth && eval.nonEmpty)
+    val cand = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    eval.foreach { case (da, db, _, caught) =>
+      assert((caught == 1) == cand.contains((da, db)), s"($da, $db)")
+    }
+  }
 }
