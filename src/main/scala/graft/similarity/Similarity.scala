@@ -248,6 +248,32 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** K-means convergence metric — the driver loop's stop condition:
+    * exact-integer squared L2 shift between the label-seeded round-0
+    * centroids (the grid [[cellAssignments]] broadcasts) and the
+    * Lloyd-round output ([[kmeansIter]]'s cq), summed per surviving
+    * cell. Both operands live on the same floor(·1024) grid, so the
+    * shift is a BIGINT sum of squared grid deltas — bit-deterministic,
+    * zero iff the round moved nothing, and the single number a driver
+    * loop compares against its tolerance to decide another round.
+    * Cells that lose every member vanish with the iteration output
+    * (standard empty-cluster drop). */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val init = Tables(spark, dir, "embeddings")
+      .select(col("label").as("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos").as("dim"))
+      .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))) * 1024).cast("long").as("cq0"))
+    val next = kmeansIter(spark, dir)
+      .select(col("cell"), col("dim"), col("cq").as("cq1"))
+    init.join(next, Seq("cell", "dim"))
+      .groupBy("cell")
+      .agg(sum((col("cq1") - col("cq0")) * (col("cq1") - col("cq0"))).as("shift_sq"),
+        count(lit(1)).as("n_dims"))
+      .orderBy("cell")
+  }
+
   /** Power-iteration grid: embeddings and the emitted next vector both
     * live on a 2^10 integer grid (the codebase's kmeans convention). */
   val PowerScale = 1024L
@@ -614,6 +640,7 @@ object Similarity {
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
     "sim_kmeans_iter" -> (kmeansIter _),
+    "sim_centroid_shift" -> (centroidShift _),
     "sim_pca_power" -> (pcaPowerIter _),
     "sim_centroids" -> (centroidComponents _))
 
@@ -632,6 +659,23 @@ object Similarity {
       |dists AS (
       |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
       |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label)""".stripMargin
+
+  /** DuckDB spelling of the Lloyd-round refined centroids as a CTE
+    * prefix ending in `knext(cell, dim, n_members, cq)` — single-sourced
+    * between the sim_kmeans_iter and sim_centroid_shift oracles (the
+    * `cent` table of the embedded [[cellAssignSql]] doubles as the
+    * round-0 side of the shift). */
+  private[graft] def kmeansNextCtes: String =
+    s"""$cellAssignSql,
+       |vd AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |knext AS (
+       |  SELECT a.cell, vd.dim, count(*) AS n_members,
+       |    CAST(floor((CAST(sum(vd.v) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+       |  FROM assign a JOIN vd USING (vec_id)
+       |  GROUP BY a.cell, vd.dim)""".stripMargin
 
   /** DuckDB spelling of [[cellAssignments]] as a CTE prefix ending in
     * `assign(vec_id, cell)` — shared with `graft.dedup.Dedup`'s
@@ -982,15 +1026,16 @@ object Similarity {
         |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "sim_kmeans_iter" ->
-      s"""$cellAssignSql,
-         |vd AS (
-         |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-         |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
-         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))
-         |SELECT a.cell, vd.dim, count(*) AS n_members,
-         |  CAST(floor((CAST(sum(vd.v) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
-         |FROM assign a JOIN vd USING (vec_id)
-         |GROUP BY a.cell, vd.dim ORDER BY a.cell, vd.dim""".stripMargin,
+      s"""$kmeansNextCtes
+         |SELECT cell, dim, n_members, cq FROM knext
+         |ORDER BY cell, dim""".stripMargin,
+    "sim_centroid_shift" ->
+      s"""$kmeansNextCtes
+         |SELECT knext.cell,
+         |  CAST(sum((knext.cq - cent.cq) * (knext.cq - cent.cq)) AS BIGINT) AS shift_sq,
+         |  count(*) AS n_dims
+         |FROM knext JOIN cent ON cent.c_label = knext.cell AND cent.dim = knext.dim
+         |GROUP BY knext.cell ORDER BY knext.cell""".stripMargin,
     "sim_pca_power" ->
       s"""WITH xq AS (
          |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,

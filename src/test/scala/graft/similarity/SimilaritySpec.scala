@@ -245,6 +245,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (_, _, _, cq) => math.abs(cq) <= 4096 })
   }
 
+  test("centroidShift: shift equals the recomputed per-cell grid delta and finds movement") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.centroidShift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // recompute from the two composed outputs
+    val next = Similarity.kmeansIter(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(3))).toMap
+    val init = graft.Tables(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("embedding")))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getFloat(2)))
+      .groupBy(_._1).view.mapValues { vs =>
+        // mirror the engine arithmetic: exact-decimal sum (from the
+        // float's shortest string form), ONE double division, floor·1024
+        val ds = vs.map(v => BigDecimal(v._2.toString))
+        math.floor(ds.sum.toDouble / ds.length * 1024).toLong
+      }.toMap
+    val expected = next.keys.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (cell, ks) =>
+      // ks must be a Seq: mapping over a key SET would collapse equal
+      // squared deltas before the sum
+      val s = ks.map(k => { val d = next(k) - init(k); d * d }).sum
+      (cell, s, ks.size.toLong)
+    }
+    assert(rows.toSeq == expected && rows.nonEmpty)
+    // at least one cell moved in round one (the seed labels are not the
+    // converged clustering), and every shift is non-negative by form
+    assert(rows.exists(_._2 > 0))
+  }
+
   test("pcaPowerIter: brute-forced X'X·v0 matches and v_next lands on the ±1024 grid") {
     val sf = "/root/testdata/sf0.001"
     val rows = Similarity.pcaPowerIter(spark, sf).collect()
