@@ -298,7 +298,58 @@ object Formats {
       .orderBy("o_orderpriority")
   }
 
+  /** Malformed-ingest fixture geometry: every [[MalformedEvery]]-th of
+    * [[MalformedRows]] CSV lines carries unparseable numerics. */
+  val MalformedRows = 1000
+  val MalformedEvery = 7
+
+  /** Writes the deterministic good/bad CSV once per dir (the content is
+    * dir-independent arithmetic, like [[dsv2Scan]]'s connector rows). */
+  private def materializeMalformed(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#malformed", {
+      val out = s"/tmp/graft-src-malformed-${sfTag(dir)}"
+      new File(out).mkdirs()
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        val lines = (0 until MalformedRows).map { i =>
+          if (i % MalformedEvery == 0) s"x$i,t$i,notanumber"
+          else s"$i,t$i,${i * 3L}"
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "data.csv"),
+          scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** PERMISSIVE-mode malformed-record accounting — the ingest posture a
+    * crawler-fed pipeline needs: rows whose numerics fail to parse are
+    * QUARANTINED into `_corrupt_record` (the job survives; the damage is
+    * exactly countable) instead of killing the read (FAILFAST's job,
+    * exercised in CorruptInputSpec) or vanishing silently (DROPMALFORMED,
+    * the one mode a lineage-audited pipeline cannot use). The oracle
+    * re-derives every count arithmetically from the synthesis rule, so
+    * the quarantine boundary itself is under the cross-engine hash. The
+    * cache respects Spark's single-pass corrupt-record semantics
+    * (referencing `_corrupt_record` requires the parsed rows to be
+    * materialized, not re-read per subexpression). */
+  def csvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val schema = "id LONG, tag STRING, val LONG, _corrupt_record STRING"
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(materializeMalformed(spark, dir))
+      .cache()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("val")).otherwise(0L)).as("sum_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_malformed" -> (csvMalformed _),
     "src_runtime_filter" -> (runtimeFilterJoin _),
     "src_bucketed_join" -> (bucketedJoin _),
     "src_dpp_join" -> (dppJoin _),
@@ -319,6 +370,16 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the quarantine boundary re-derived from the synthesis arithmetic
+    "src_csv_malformed" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_good,
+         |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bad,
+         |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 0 ELSE i * 3 END)
+         |    AS BIGINT) AS sum_val
+         |FROM range(0, $MalformedRows) t(i)""".stripMargin,
     // the dim assigns exactly {en, zh} to the surviving tier, so the
     // join degenerates to a partition-column IN — what DPP prunes to
     "src_dpp_join" ->
