@@ -688,7 +688,140 @@ object RelationalQueries {
       .orderBy("partkey")
   }
 
+  // ---- TPC-H Q4 analog (fixture has no l_commitdate, so "late" =
+  // shipped >60 days after the order date): priority counts of orders
+  // with at least one late line. The cross-table predicate rides the
+  // LEFT SEMI join condition — Spark plans one shuffle-semi-join (or
+  // broadcast under AQE when the filtered orders side is small) and
+  // probes each order key at most once; no EXISTS-per-row re-scan, and
+  // the lineitem side carries only (l_orderkey, l_shipdate).
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---- TPC-H Q7 analog: cross-border volume per directed nation pair
+  // and ship year, for a nation band (the fixture's trade graph is too
+  // sparse for one literal pair at sf0.001). Both nation legs are
+  // band-filtered BEFORE their broadcast, so the dim joins already
+  // prune; the supp≠cust inequality runs after — and the fact joins
+  // shuffle on their natural keys only.
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val n1 = Tables(spark, dir, "nation").filter(col("n_nationkey") < 4)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation").filter(col("n_nationkey") < 4)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val sup = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(col("s_nkey") =!= col("c_nkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_extendedprice") * disc).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // ---- TPC-H Q10 analog: returned-item revenue per customer, top 20.
+  // The quarter-filtered orders side shrinks first; nation broadcasts;
+  // top-k is TakeOrderedAndProject (no global sort materialization).
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Tables(spark, dir, "nation")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(dec("l_extendedprice") * disc).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  // ---- TPC-H Q14 analog: promo revenue share for one ship month.
+  // part is broadcast (tiny dim); both sums run in exact DECIMAL and
+  // surface as DOUBLE, and the percentage divides the two already-cast
+  // doubles so both engines perform the identical final flop.
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_type")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    val rev = dec("l_extendedprice") * disc
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+  }
+
+  // ---- TPC-H Q19 analog (fixture has no p_container/l_shipmode; the
+  // clauses pair brand with a size band and a quantity band): an
+  // OR-of-ANDs predicate spanning both join sides. Catalyst keeps the
+  // partkey equi-join hashable and extracts the common single-side
+  // conjuncts (p_brand IN (...), p_size/l_quantity bounds) to push
+  // toward each scan, so the disjunction filters pairs after a normal
+  // broadcast-hash probe — never a nested-loop fallback.
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    val clause1 = col("p_brand") === "Brand#11" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val clause2 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+    val clause3 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(20, 45)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(clause1 || clause2 || clause3)
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_extendedprice") * disc).cast("double").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q4_late_orders" -> (q4LateOrders _),
+    "rel_q7_volume" -> (q7Volume _),
+    "rel_q10_returned" -> (q10Returned _),
+    "rel_q14_promo" -> (q14Promo _),
+    "rel_q19_disjunctive" -> (q19Disjunctive _),
     "rel_pagerank_round2" -> (pagerankRound2 _),
     "rel_pagerank_iter" -> (pagerankIter _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
@@ -732,6 +865,66 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, count(*) AS cnt,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND n1.n_nationkey < 4 AND n2.n_nationkey < 4
+        |    AND n1.n_nationkey <> n2.n_nationkey)
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "rel_q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "rel_q14_promo" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+        |FROM s""".stripMargin,
+    "rel_q19_disjunctive" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)""".stripMargin,
     "rel_pagerank_iter" ->
       s"""$prContribSql
          |SELECT supp AS suppkey, count(*) AS in_deg,
