@@ -211,9 +211,11 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("df"), aggCol.as("negids"))
       // top-k LARGEST negated ids, emitted descending → negating restores
-      // the SMALLEST doc ids in ascending order, exactly
+      // the SMALLEST doc ids in ascending order, exactly. Serialized to a
+      // comma-joined string: the driver's pandas compare can't sort/hash an
+      // array cell, and the string form is byte-identical across engines.
       .select(col("token"), col("df"),
-        expr("transform(negids, x -> CAST(-x AS BIGINT))").as("postings"))
+        expr("array_join(transform(negids, x -> CAST(-x AS BIGINT)), ',')").as("postings"))
       .orderBy(desc("df"), asc("token"))
   }
 
@@ -1340,7 +1342,7 @@ object TextAnalysis {
          |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
          |  WHERE t.token <> '')
          |SELECT token, CAST(count(*) AS BIGINT) AS df,
-         |  (list(doc_id ORDER BY doc_id))[1:$PostingsCap] AS postings
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:$PostingsCap], ',') AS postings
          |FROM dt GROUP BY token ORDER BY df DESC, token ASC""".stripMargin,
     "text_shuffle_shards" ->
       s"""WITH k AS (

@@ -86,8 +86,10 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial_graft_topk"), plan.take(1200))
     assert(!plan.contains("collect_list"), plan.take(1200))
+    // postings is a comma-joined string (driver-harness-sortable); split back
     val rows = df.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(',').filter(_.nonEmpty).map(_.toLong).toSeq)).toSeq
     assert(rows.nonEmpty)
     rows.foreach { case (tok, dfreq, postings) =>
       assert(postings.size == math.min(dfreq, TextAnalysis.PostingsCap.toLong),
