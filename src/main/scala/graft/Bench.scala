@@ -46,24 +46,65 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case NonFatal(_) => -1.0 }
 
-  /** Per-query priors from the last BENCH_DETAIL.json in the working
-    * directory (committed each round): the `queries` map only, and only
-    * when that record was taken at the SAME scale factor — an sf0.001
-    * detail file must not make every sf0.1 time look like a 3× stall.
-    * Absent or unparsable priors disable the retry trigger, never the
-    * run. */
-  private def loadPriors(sfDir: String): Map[String, Double] =
+  /** Per-query priors from the last BENCH_DETAIL.json (committed each
+    * round): the `queries` map only, and only when that record was taken
+    * at the SAME scale factor — an sf0.001 detail file must not make every
+    * sf0.1 time look like a 3× stall. Parsed as real JSON (Jackson rides
+    * Spark's classpath) — round 8's string/regex match silently loaded
+    * nothing against a pretty-printed detail file, so the retry layer
+    * never engaged on the one run that needed it. Paths are normalized
+    * before comparing so `/root/testdata/sf0.1` and `/root/testdata/sf0.1/`
+    * are the same scale factor. Absent or unparsable priors disable the
+    * retry trigger, never the run. */
+  private[graft] def loadPriors(sfDir: String,
+      detailPath: String = "BENCH_DETAIL.json"): Map[String, Double] =
     try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"))
-      val start = txt.indexOf("\"queries\":{")
-      if (start < 0 || !txt.contains(s""""sf":"$sfDir"""")) Map.empty
-      else {
-        val body = txt.substring(start + 11, txt.indexOf('}', start))
-        """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      import scala.jdk.CollectionConverters._
+      def norm(p: String): String =
+        java.nio.file.Paths.get(p).normalize().toString
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(detailPath)))
+      val recordedSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      val queries = root.get("queries")
+      if (norm(recordedSf) != norm(sfDir) || queries == null || !queries.isObject)
+        Map.empty
+      else queries.fields().asScala
+        .filter(_.getValue.isNumber)
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
     } catch { case NonFatal(_) => Map.empty }
+
+  /** Measure one query: `runs` timed attempts, then the anti-stall retry
+    * loop — a warm min more than 3× the committed same-SF prior is a
+    * machine-state artifact until it survives up to [[MaxRetries]]
+    * re-measurements. Returns (minOkTime, maxOkTime, allOk, nRetries).
+    * Extracted from main so a spec can drive it with a fake attempt and
+    * prove the retry actually fires (round 8's never did). */
+  private[graft] def measureOne(name: String, runs: Int,
+      prior: Option[Double], attempt: () => (Double, Boolean))
+      : (Double, Double, Boolean, Int) = {
+    var attempts = (0 until runs).map(_ => attempt())
+    // the reported time is the min over SUCCESSFUL runs only — a run
+    // that threw in 50 ms must not undercut a 5 s successful run and
+    // shrink the headline total; only when every run failed does the
+    // (worst) failure time stand in, so breakage still costs, never
+    // pays. ANY failed run marks the query not-ok (flaky is not ok).
+    def minOk(a: Seq[(Double, Boolean)]): Option[Double] =
+      Some(a.collect { case (s, true) => s }).filter(_.nonEmpty).map(_.min)
+    var retries = 0
+    while (retries < MaxRetries &&
+        prior.exists(p => minOk(attempts).exists(_ > 3 * p))) {
+      System.err.println(f"[bench] $name: ${minOk(attempts).get}%.3f s > " +
+        s"3x prior ${prior.get}; re-running")
+      attempts :+= attempt()
+      retries += 1
+    }
+    val anySuccess = attempts.exists(_._2)
+    val t = minOk(attempts).getOrElse(attempts.map(_._1).max)
+    val tMax = if (anySuccess) attempts.collect { case (s, true) => s }.max
+               else attempts.map(_._1).max
+    (t, tMax, attempts.forall(_._2), retries)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,30 +143,9 @@ object Bench {
             }
           ((System.nanoTime() - t0) / 1e9, runOk)
         }
-        var attempts = (0 until runs).map(_ => attempt())
-        // the reported time is the min over SUCCESSFUL runs only — a run
-        // that threw in 50 ms must not undercut a 5 s successful run and
-        // shrink the headline total; only when every run failed does the
-        // (worst) failure time stand in, so breakage still costs, never
-        // pays. ANY failed run marks the query not-ok (flaky is not ok).
-        def minOk(a: Seq[(Double, Boolean)]): Option[Double] =
-          Some(a.collect { case (s, true) => s }).filter(_.nonEmpty).map(_.min)
-        // anti-stall retry: a warm min 3× above the committed prior is a
-        // machine-state artifact until it survives a re-measurement
-        val prior = priors.get(name)
-        var retries = 0
-        while (retries < MaxRetries &&
-            prior.exists(p => minOk(attempts).exists(_ > 3 * p))) {
-          System.err.println(s"[bench] $name: ${minOk(attempts).get}%.3f s > " +
-            s"3x prior ${prior.get}; re-running")
-          attempts :+= attempt()
-          retries += 1
-        }
-        val anySuccess = attempts.exists(_._2)
-        val t = minOk(attempts).getOrElse(attempts.map(_._1).max)
-        val tMax = if (anySuccess) attempts.collect { case (s, true) => s }.max
-                   else attempts.map(_._1).max
-        (name, t, tMax, attempts.forall(_._2), retries)
+        val (t, tMax, ok, retries) =
+          measureOne(name, runs, priors.get(name), () => attempt())
+        (name, t, tMax, ok, retries)
       }
     val loadAfter = loadAvg()
     val results = measured.map { case (n, t, _, _, _) => (n, t) }

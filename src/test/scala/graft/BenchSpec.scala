@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's measurement-integrity layer has to be provably live: round 8
+  * shipped a record where a 5.1×-over-prior query recorded `n_retried: 0`
+  * because the priors loader string-matched compact JSON against a
+  * pretty-printed detail file and silently loaded nothing. These tests pin
+  * the two failure modes: priors must parse regardless of JSON formatting
+  * and path spelling, and the >3× retry must actually fire.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def withDetailFile(contents: String)(f: String => Unit): Unit = {
+    val p = java.nio.file.Files.createTempFile("bench-detail", ".json")
+    try {
+      java.nio.file.Files.writeString(p, contents)
+      f(p.toString)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
+  test("loadPriors parses a compact detail file at the same sf") {
+    withDetailFile(
+      """{"metric":"total","value":2.0,"queries":{"q_a":1.25,"q_b":0.75},"sf":"/root/testdata/sf0.1","runs":2}""") { p =>
+      val priors = Bench.loadPriors("/root/testdata/sf0.1", p)
+      assert(priors == Map("q_a" -> 1.25, "q_b" -> 0.75))
+    }
+  }
+
+  test("loadPriors parses a pretty-printed detail file (round-8 regression)") {
+    withDetailFile(
+      """|{
+         |  "metric": "total",
+         |  "value": 2.0,
+         |  "queries": {
+         |    "q_a": 1.25,
+         |    "q_b": 0.75
+         |  },
+         |  "sf": "/root/testdata/sf0.1",
+         |  "runs": 2
+         |}""".stripMargin) { p =>
+      val priors = Bench.loadPriors("/root/testdata/sf0.1", p)
+      assert(priors == Map("q_a" -> 1.25, "q_b" -> 0.75))
+    }
+  }
+
+  test("loadPriors normalizes sf paths before comparing") {
+    withDetailFile(
+      """{"queries":{"q_a":1.0},"sf":"/root/testdata/sf0.1/"}""") { p =>
+      assert(Bench.loadPriors("/root/testdata/sf0.1", p) == Map("q_a" -> 1.0))
+      assert(Bench.loadPriors("/root/testdata/./sf0.1", p) == Map("q_a" -> 1.0))
+    }
+  }
+
+  test("loadPriors rejects a different-sf record and survives garbage") {
+    withDetailFile("""{"queries":{"q_a":1.0},"sf":"/root/testdata/sf0.001"}""") { p =>
+      assert(Bench.loadPriors("/root/testdata/sf0.1", p).isEmpty)
+    }
+    withDetailFile("""not json at all""") { p =>
+      assert(Bench.loadPriors("/root/testdata/sf0.1", p).isEmpty)
+    }
+    assert(Bench.loadPriors("/root/testdata/sf0.1", "/nonexistent/x.json").isEmpty)
+  }
+
+  test("measureOne retries a run >3x over its prior and keeps the better min") {
+    // first two attempts stall at 10 s, the retry lands at 1.0 s
+    val times = Iterator(10.0, 10.0, 1.0, 1.0)
+    val (t, _, ok, retries) =
+      Bench.measureOne("q_stalled", runs = 2, prior = Some(1.0),
+        attempt = () => (times.next(), true))
+    assert(retries >= 1, "the >3x-over-prior trigger must fire")
+    assert(t == 1.0, "min over all successful attempts including retries")
+    assert(ok)
+  }
+
+  test("measureOne does not retry without a prior or within 3x") {
+    val (t1, _, _, r1) =
+      Bench.measureOne("q_noprior", runs = 1, prior = None, () => (9.0, true))
+    assert(r1 == 0 && t1 == 9.0)
+    val (t2, _, _, r2) =
+      Bench.measureOne("q_inband", runs = 1, prior = Some(4.0), () => (9.0, true))
+    assert(r2 == 0 && t2 == 9.0)
+  }
+
+  test("measureOne: failed runs never undercut successes; all-fail costs worst time") {
+    val seq = Iterator((0.05, false), (5.0, true))
+    val (t, _, ok, _) = Bench.measureOne("q_flaky", runs = 2, None, () => seq.next())
+    assert(t == 5.0 && !ok)
+    val (tf, _, okf, _) = Bench.measureOne("q_dead", runs = 2, None, () => (0.3, false))
+    assert(tf == 0.3 && !okf)
+  }
+}
