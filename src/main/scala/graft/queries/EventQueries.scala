@@ -375,7 +375,7 @@ object EventQueries {
         |FROM spine LEFT JOIN h USING (hr)
         |ORDER BY hr""".stripMargin,
     "ev_histogram" ->
-      s"""SELECT bucket, bucket * ${BucketWidth} AS lo, count(*) AS cnt
+      s"""SELECT bucket, CAST(bucket * ${BucketWidth} AS DOUBLE) AS lo, count(*) AS cnt
          |FROM (
          |  SELECT CAST(least(floor(value / ${BucketWidth}), ${NumBuckets - 1}) AS BIGINT) AS bucket
          |  FROM events)
