@@ -67,10 +67,18 @@ object Bench {
           java.nio.file.Paths.get(detailPath)))
       val recordedSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
       val queries = root.get("queries")
+      // a query that FAILED in the prior run recorded a fail-fast stand-in
+      // time (~10 ms), not a real measurement — using it as a prior would
+      // stamp every healed successor a >3x "stall" and burn retries on
+      // real times
+      val failedThen: Set[String] = Option(root.get("failed"))
+        .filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(Set.empty)
       if (norm(recordedSf) != norm(sfDir) || queries == null || !queries.isObject)
         Map.empty
       else queries.fields().asScala
-        .filter(_.getValue.isNumber)
+        .filter(e => e.getValue.isNumber && !failedThen.contains(e.getKey))
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
     } catch { case NonFatal(_) => Map.empty }
 

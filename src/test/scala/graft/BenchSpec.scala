@@ -52,6 +52,14 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("loadPriors drops queries that failed in the prior run") {
+    // a failed query's recorded time is a fail-fast stand-in, not a prior
+    withDetailFile(
+      """{"queries":{"q_ok":2.0,"q_broken":0.011},"failed":["q_broken"],"sf":"/root/testdata/sf0.1"}""") { p =>
+      assert(Bench.loadPriors("/root/testdata/sf0.1", p) == Map("q_ok" -> 2.0))
+    }
+  }
+
   test("loadPriors rejects a different-sf record and survives garbage") {
     withDetailFile("""{"queries":{"q_a":1.0},"sf":"/root/testdata/sf0.001"}""") { p =>
       assert(Bench.loadPriors("/root/testdata/sf0.1", p).isEmpty)
