@@ -688,6 +688,83 @@ object RelationalQueries {
       .orderBy("partkey")
   }
 
+  /** Minimum co-occurrence count for a part pair to count as an edge of
+    * the co-purchase graph — the frequent-itemset support threshold. It
+    * is the load-bearing scale bound: raw distinct pairs grow with the
+    * order count (1.2M at sf0.1), but the support-pruned graph stays
+    * ~3.5k edges from sf0.01 to sf0.1, so everything downstream of the
+    * prune (the triangle join included) runs on a sketch-sized input. */
+  val CopurchaseSupport = 2
+
+  /** Support-pruned co-purchase edge set `(p1 < p2, cnt)` — the
+    * market-basket pair-mining core. Pair generation self-joins the
+    * distinct (order, part) set on the order key, so the blowup per
+    * order is (basket choose 2), bounded by the basket size (≤7 lines
+    * in TPC-H-shaped data) — never data-squared. One shuffle on the
+    * order key, one on the pair. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    l.as("a").join(l.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CopurchaseSupport)
+  }
+
+  /** Top co-purchased part pairs above the support threshold — frequent
+    * pair mining, the first rung of market-basket analysis. Total order
+    * (cnt desc, p1, p2) before the limit keeps the result
+    * engine-comparable; the top-k itself is a TakeOrdered, not a global
+    * sort. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    copurchaseEdges(spark, dir)
+      .orderBy(desc("cnt"), asc("p1"), asc("p2"))
+      .limit(20)
+  }
+
+  /** Triangle census of the support-pruned co-purchase graph, by
+    * degree-ordered edge orientation: each edge points from its
+    * lower-degree endpoint (id tiebreak), wedges are generated only at
+    * a triangle's orientation-minimum vertex, and the closing edge is
+    * probed with one equi-join against the canonical edge set — the
+    * standard bound of Σ out-deg² ≤ O(m·√m) wedge candidates instead of
+    * the hub-quadratic naive join. Emits one row (n_nodes, n_edges,
+    * n_triangles); the three counts meet in 1-row broadcast products. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    triangleCensus(copurchaseEdges(spark, dir).select("p1", "p2"))
+  }
+
+  /** The census core over any canonical (p1 < p2) edge set — split out so
+    * the orientation argument is provable on synthetic graphs in
+    * GraphCensusSpec, independent of the co-purchase derivation. */
+  private[queries] def triangleCensus(e: DataFrame): DataFrame = {
+    val deg = e.select(col("p1").as("n")).unionAll(e.select(col("p2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // p1 < p2 canonically, so the equal-degree tiebreak (orient by id)
+    // keeps src = p1
+    val fwd = col("da.deg") <= col("db.deg")
+    val oriented = e
+      .join(deg.as("da"), col("p1") === col("da.n"))
+      .join(deg.as("db"), col("p2") === col("db.n"))
+      .select(
+        when(fwd, col("p1")).otherwise(col("p2")).as("src"),
+        when(fwd, col("p2")).otherwise(col("p1")).as("dst"))
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
+    val closed = wedges.join(e.as("c"),
+      least(col("v"), col("w")) === col("c.p1") &&
+        greatest(col("v"), col("w")) === col("c.p2"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   // ---- TPC-H Q4 analog (fixture has no l_commitdate, so "late" =
   // shipped >60 days after the order date): priority counts of orders
   // with at least one late line. The cross-table predicate rides the
@@ -824,6 +901,8 @@ object RelationalQueries {
     "rel_q19_disjunctive" -> (q19Disjunctive _),
     "rel_pagerank_round2" -> (pagerankRound2 _),
     "rel_pagerank_iter" -> (pagerankIter _),
+    "rel_copurchase_pairs" -> (copurchasePairs _),
+    "rel_triangles" -> (triangles _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
@@ -943,6 +1022,31 @@ object RelationalQueries {
          |SELECT part AS partkey, count(*) AS in_deg,
          |  CAST(${15L * PrScale / 100} + (85 * sum(c)) // 100 AS BIGINT) AS rank_new
          |FROM c2 GROUP BY part ORDER BY partkey""".stripMargin,
+    "rel_copurchase_pairs" ->
+      s"""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS p1, b.pk AS p2
+         |      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk)
+         |SELECT p1, p2, CAST(count(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY p1, p2 HAVING count(*) >= ${CopurchaseSupport}
+         |ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+    // orientation is a counting device, not a semantic: the oracle counts
+    // the same triangles with the plain a<b<c join
+    "rel_triangles" ->
+      s"""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS p1, b.pk AS p2
+         |      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT p1, p2 FROM p GROUP BY p1, p2
+         |      HAVING count(*) >= ${CopurchaseSupport}),
+         |nn AS (SELECT count(DISTINCT x) AS n_nodes
+         |       FROM (SELECT p1 AS x FROM e UNION ALL SELECT p2 FROM e)),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |nt AS (SELECT count(*) AS n_triangles
+         |       FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
+         |                 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles
+         |FROM nn, ne, nt""".stripMargin,
     "rel_q18_large_orders" ->
       s"""WITH big AS (
          |  SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -1101,7 +1101,58 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Duplicated-span census n-gram width / result cap. 8 words ≈ the
+    * span granularity exact-substring dedup pipelines target (long
+    * enough to not fire on common phrases, short enough to catch
+    * template reuse). */
+  val DupSpanN = 8
+  val DupSpanTopK = 15
+
+  /** Corpus-wide duplicated-span census: every word [[DupSpanN]]-gram
+    * that recurs in ≥2 distinct documents, ranked by document reach then
+    * total occurrences — the discovery pass of exact-substring
+    * deduplication (the cross-document complement of the per-doc
+    * winnowing fingerprints). One explode (linear in corpus tokens), one
+    * grouped exact distinct-count keyed on the gram, and a TakeOrdered
+    * top-k — no self-join anywhere, so corpus growth costs one shuffle's
+    * worth of n-gram rows, never pairs. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= DupSpanN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $DupSpanN), " +
+          s"i -> array_join(slice(w, i + 1, $DupSpanN), ' '))")).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), asc("gram"))
+      .limit(DupSpanTopK)
+  }
+
+  /** Per-document character entropy (nats), the classic cheap curation
+    * gate next to length and stopword ratios. Runs as the native
+    * [[graft.functions.CharEntropyExpr]] kernel: one codegen'd pass per
+    * row over the raw UTF8 bytes — no explode, no per-char rows, no
+    * shuffle beyond the output order. The kernel sums Σ c·ln c in
+    * ascending code-point order, so the double is partitioning-stable;
+    * rounded to 6 decimals to absorb the oracle engine's own summation
+    * order. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ent = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CharEntropyExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), round(ent, 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_spans" -> (dupSpans _),
+    "text_entropy" -> (charEntropy _),
     "text_len_histogram" -> (lenHistogram _),
     "text_dsir_resample" -> (dsirResample _),
     "text_char_moments" -> (charMoments _),
@@ -1163,6 +1214,27 @@ object TextAnalysis {
        |  FROM tok JOIN w USING (b) GROUP BY tok.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + ${DupSpanN - 1}), ' ') AS gram
+         |      FROM w, UNNEST(range(1, len(ws) - ${DupSpanN - 2})) AS t(i)
+         |      WHERE len(ws) >= ${DupSpanN}),
+         |a AS (SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |      FROM g GROUP BY gram)
+         |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
+         |FROM a WHERE n_docs >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT ${DupSpanTopK}""".stripMargin,
+    // the oracle spells the per-char explode the kernel avoids; entropy
+    // from integer counts, one final division, rounded to 6 decimals on
+    // both sides
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |           FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+        |g AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, sum(c * ln(c)) AS s
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, round(ln(n) - s / n, 6) AS entropy
+        |FROM n ORDER BY doc_id""".stripMargin,
     // the Aggregator's finish() expressions verbatim: mean = s/n,
     // var = (sq - (s*s)/n) / (n-1) — association must match exactly
     "text_char_moments" ->

@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
       "text_tfidf", "text_perplexity", "text_ppl_buckets",
       // sketch-sized broadcast products (64-row histogram × 3-row
       // percentile list; 64-row accumulator × 1-row gmax)
-      "sim_pca_power", "text_len_histogram")
+      "sim_pca_power", "text_len_histogram",
+      // 1-row × 1-row × 1-row: the three graph-census counts meeting in
+      // a single output row
+      "rel_triangles")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

@@ -79,6 +79,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("dupSpans: every span is an 8-gram reaching >=2 docs, ranked and capped") {
+    val sf = "/root/testdata/sf0.001"
+    val df = TextAnalysis.dupSpans(spark, sf)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.DupSpanTopK)
+    rows.foreach { case (gram, nDocs, nOcc) =>
+      assert(gram.split(' ').length == TextAnalysis.DupSpanN, gram)
+      assert(nDocs >= 2 && nOcc >= nDocs, s"$gram: $nDocs/$nOcc")
+    }
+    // declared total order: doc reach desc, occurrences desc, gram asc
+    assert(rows.sortBy { case (g, d, o) => (-d, -o, g) }.toSeq == rows.toSeq)
+    // no self-join in the plan: the census is explode + aggregate + top-k
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("charEntropy: native kernel agrees with an explode+agg spelling") {
+    val sf = "/root/testdata/sf0.001"
+    val df = TextAnalysis.charEntropy(spark, sf)
+    val viaKernel = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaExplode = graft.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "explode(split(text, '')) AS ch")
+      .groupBy("doc_id", "ch").count()
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "round(ln(sum(count)) - sum(count * ln(count)) / sum(count), 6)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaKernel.keySet == viaExplode.keySet)
+    viaKernel.foreach { case (id, e) =>
+      assert(math.abs(e - viaExplode(id)) < 1e-9, s"doc $id: $e vs ${viaExplode(id)}")
+    }
+  }
+
   test("invertedIndex: capped ascending postings, exact df, bounded-heap plan") {
     val df = TextAnalysis.invertedIndex(spark, "/root/testdata/sf0.001")
     // the posting prefix must aggregate through the bounded heap, not
