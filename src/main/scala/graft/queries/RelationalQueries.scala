@@ -735,7 +735,13 @@ object RelationalQueries {
     * n_triangles); the three counts meet in 1-row broadcast products. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    triangleCensus(copurchaseEdges(spark, dir).select("p1", "p2"))
+    // the support prune leaves a sketch-sized edge set (~3.5k rows at
+    // sf0.1) whose lineage is the expensive basket self-join; the census
+    // reads it from four branches (orientation, wedges, closing probe,
+    // counts), so materialize it once instead of recomputing the join
+    // per branch — same call the components loop makes per round
+    triangleCensus(
+      copurchaseEdges(spark, dir).select("p1", "p2").localCheckpoint(true))
   }
 
   /** The census core over any canonical (p1 < p2) edge set — split out so
