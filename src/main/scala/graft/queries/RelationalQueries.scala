@@ -725,6 +725,35 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Association-rule metrics for the mined pairs — market-basket
+    * mining's second rung: each top co-purchased pair annotated with its
+    * item supports, confidence(p1→p2) = cnt/n1, and lift =
+    * N·cnt/(n1·n2). The per-item support table is one basket-keyed
+    * aggregate joined to the 20-row top-pair set (AQE broadcasts the
+    * tiny side), and the basket total N is a 1-row broadcast product —
+    * nothing here rescans pairs. Each ratio is one double division from
+    * exact integers, rounded to 6 decimals, so both engines emit the
+    * identical value. */
+  def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val item = l.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val baskets = l.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
+    val top = copurchaseEdges(spark, dir)
+      .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(20)
+    top
+      .join(item.select(col("pk").as("p1"), col("n_item").as("n1")), Seq("p1"))
+      .join(item.select(col("pk").as("p2"), col("n_item").as("n2")), Seq("p2"))
+      .crossJoin(broadcast(baskets))
+      .select(col("p1"), col("p2"), col("cnt"), col("n1"), col("n2"),
+        round(col("cnt").cast("double") / col("n1"), 6).as("confidence"),
+        round(col("n_baskets").cast("double") * col("cnt") / (col("n1") * col("n2")), 6)
+          .as("lift"))
+      .orderBy(desc("cnt"), asc("p1"), asc("p2"))
+  }
+
   /** Triangle census of the support-pruned co-purchase graph, by
     * degree-ordered edge orientation: each edge points from its
     * lower-degree endpoint (id tiebreak), wedges are generated only at
@@ -908,6 +937,7 @@ object RelationalQueries {
     "rel_pagerank_round2" -> (pagerankRound2 _),
     "rel_pagerank_iter" -> (pagerankIter _),
     "rel_copurchase_pairs" -> (copurchasePairs _),
+    "rel_copurchase_lift" -> (copurchaseLift _),
     "rel_triangles" -> (triangles _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
@@ -1035,6 +1065,21 @@ object RelationalQueries {
          |SELECT p1, p2, CAST(count(*) AS BIGINT) AS cnt
          |FROM p GROUP BY p1, p2 HAVING count(*) >= ${CopurchaseSupport}
          |ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+    "rel_copurchase_lift" ->
+      s"""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS p1, b.pk AS p2
+         |      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT p1, p2, count(*) AS cnt FROM p GROUP BY p1, p2
+         |      HAVING count(*) >= ${CopurchaseSupport}),
+         |top AS (SELECT * FROM e ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 20),
+         |it AS (SELECT pk, count(*) AS n_item FROM l GROUP BY pk),
+         |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM l)
+         |SELECT t.p1, t.p2, CAST(t.cnt AS BIGINT) AS cnt,
+         |  CAST(i1.n_item AS BIGINT) AS n1, CAST(i2.n_item AS BIGINT) AS n2,
+         |  round(CAST(t.cnt AS DOUBLE) / i1.n_item, 6) AS confidence,
+         |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
+         |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
+         |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
     // orientation is a counting device, not a semantic: the oracle counts
     // the same triangles with the plain a<b<c join
     "rel_triangles" ->

@@ -1131,6 +1131,36 @@ object TextAnalysis {
       .limit(DupSpanTopK)
   }
 
+  /** Per-document duplicated-span coverage — the DROP-DECISION input of
+    * exact-substring dedup (pipelines drop or trim docs whose duplicated
+    * fraction crosses a threshold; the census alone only names the
+    * spans). For every doc: its total [[DupSpanN]]-gram count, how many
+    * of those grams recur in ≥2 distinct docs corpus-wide, and the
+    * coverage ratio. The duplicated-gram set is reused from the census
+    * aggregation (distinct-doc reach ≥ 2) and meets the per-doc gram
+    * stream in ONE equi-join on the gram — linear in corpus tokens, the
+    * join's right side bounded by the duplicated vocabulary, never a
+    * doc-pair product. */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= DupSpanN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $DupSpanN), " +
+          s"i -> array_join(slice(w, i + 1, $DupSpanN), ' '))")).as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"), lit(1L).as("is_dup"))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document character entropy (nats), the classic cheap curation
     * gate next to length and stopword ratios. Runs as the native
     * [[graft.functions.CharEntropyExpr]] kernel: one codegen'd pass per
@@ -1152,6 +1182,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans" -> (dupSpans _),
+    "text_dup_coverage" -> (dupCoverage _),
     "text_entropy" -> (charEntropy _),
     "text_len_histogram" -> (lenHistogram _),
     "text_dsir_resample" -> (dsirResample _),
@@ -1224,6 +1255,17 @@ object TextAnalysis {
          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
          |FROM a WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT ${DupSpanTopK}""".stripMargin,
+    "text_dup_coverage" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + ${DupSpanN - 1}), ' ') AS gram
+         |      FROM w, UNNEST(range(1, len(ws) - ${DupSpanN - 2})) AS t(i)
+         |      WHERE len(ws) >= ${DupSpanN}),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(d.gram) AS BIGINT) AS n_dup,
+         |  round(CAST(count(d.gram) AS DOUBLE) / count(*), 6) AS dup_frac
+         |FROM g LEFT JOIN d ON g.gram = d.gram
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // the oracle spells the per-char explode the kernel avoids; entropy
     // from integer counts, one final division, rounded to 6 decimals on
     // both sides

@@ -31,8 +31,8 @@ class PlanAuditSpec extends SparkSpec {
       // percentile list; 64-row accumulator × 1-row gmax)
       "sim_pca_power", "text_len_histogram",
       // 1-row × 1-row × 1-row: the three graph-census counts meeting in
-      // a single output row
-      "rel_triangles")
+      // a single output row; the basket total joining the 20-row lift set
+      "rel_triangles", "rel_copurchase_lift")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
