@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_zvalue", 2, args)
         ZValue(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[graft.functions.CharEntropyExpr].getName,
+        "graft_char_entropy"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_char_entropy", 1, args)
+        graft.functions.CharEntropyExpr(args.head)
+      }))
     // the per-row signature kernels, for pure-SQL sessions: integer
     // parameters must be foldable ints at ANALYSIS time (they size
     // arrays inside the kernels), enforced with the same analyzer-error

@@ -55,6 +55,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT graft_topk(CAST(n AS DOUBLE), n) FROM VALUES (1) v(n)").collect()
       }
       assert(badK.getMessage.contains("graft_topk"))
+      // the char-entropy kernel registers: uniform two-symbol string → ln 2
+      val ent = s.sql("SELECT graft_char_entropy('abab') AS e").head().getDouble(0)
+      assert(math.abs(ent - math.log(2)) < 1e-12)
+      val badEnt = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT graft_char_entropy('a', 'b')").collect()
+      }
+      assert(badEnt.getMessage.contains("graft_char_entropy"))
       // the z-order layout key registers and interleaves
       val z = s.sql("SELECT graft_zvalue(5L, 3L) AS z").head().getLong(0)
       assert(z == 27L)
