@@ -150,6 +150,34 @@ object EventQueries {
       .orderBy("user_id", "session_no")
   }
 
+  /** Lateness-bucket cap (minutes): everything ≥ this collapses into the
+    * open-ended last bucket. */
+  val LatenessCapMin = 10L
+
+  /** Watermark-delay tuning profile — the batch diagnostic a streaming
+    * deployment runs BEFORE choosing `withWatermark`'s delay: how far
+    * behind each user's high-water mark events arrive. Arrival order is
+    * the event_id sequence within a user; lateness is the running
+    * max(t_us) over that order minus the event's own t_us, bucketed in
+    * whole minutes with an open-ended cap. The histogram row at bucket b
+    * is exactly the event mass a watermark of b minutes would admit
+    * late vs drop. One shuffle on user_id (same partitioning every
+    * sessionization query uses), then a tiny grouped count — no global
+    * arrival-order sort anywhere. All arithmetic exact integer micros. */
+  def lateness(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("hwm", max("t_us").over(run))
+      .select(least(expr("(hwm - t_us) div 60000000"), lit(LatenessCapMin))
+        .as("late_min"))
+      .groupBy("late_min").agg(count(lit(1)).as("cnt"))
+      .orderBy("late_min")
+  }
+
   /** Fixed-width value histogram (profiling op): 20 buckets of width
     * BucketWidth with the last bucket open-ended — one scan, one grouped
     * count, the data-profiling pass every curation job starts with.
@@ -262,6 +290,7 @@ object EventQueries {
     "ev_anomaly" -> (anomaly _),
     "ev_zorder" -> (zorder _),
     "ev_histogram" -> (histogram _),
+    "ev_lateness" -> (lateness _),
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +409,13 @@ object EventQueries {
          |  SELECT CAST(least(floor(value / ${BucketWidth}), ${NumBuckets - 1}) AS BIGINT) AS bucket
          |  FROM events)
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "ev_lateness" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+         |h AS (SELECT t_us, max(t_us) OVER (PARTITION BY user_id ORDER BY event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm FROM t),
+         |b AS (SELECT least((hwm - t_us) // 60000000, ${LatenessCapMin}) AS late_min FROM h)
+         |SELECT late_min, CAST(count(*) AS BIGINT) AS cnt
+         |FROM b GROUP BY late_min ORDER BY late_min""".stripMargin,
     // identical lag/running-sum windowing in exact integer micros
     "ev_sessionize" ->
       s"""WITH t AS (
