@@ -93,6 +93,30 @@ object EventQueries {
       .orderBy("hr", "event_type")
   }
 
+  /** Partial re-aggregation — the incremental-pipeline pattern: the day
+    * rollup is computed FROM the stored hourly partials (counts add,
+    * decimal sums add, n_partials counts the merged intermediates), not
+    * by rescanning raw events. At 100 TB this is the difference between
+    * a daily report that reads 24 hourly aggregate rows per key and one
+    * that re-reads the raw day; the oracle aggregates the raw table
+    * directly, so the MERGEABILITY of the partials themselves sits
+    * under the cross-engine hash (any partial lost or double-merged
+    * breaks the row). Sums ride the same decimal(18,2) quantization as
+    * ev_hourly_agg, so addition order cannot move the result. */
+  def reaggregate(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_val"))
+    hourly
+      .groupBy(to_date(col("hr")).as("day"), col("event_type"))
+      .agg(sum("cnt").as("cnt"),
+        sum("sum_val").cast("double").as("sum_val"),
+        count(lit(1)).as("n_partials"))
+      .orderBy("day", "event_type")
+  }
+
   /** JSON-path prop extraction via get_json_object (the JSON-function
     * analog of the regexp path above; FIXTURES.md §C role map). */
   def jsonPath(spark: SparkSession, dir: String): DataFrame = {
@@ -291,9 +315,16 @@ object EventQueries {
     "ev_zorder" -> (zorder _),
     "ev_histogram" -> (histogram _),
     "ev_lateness" -> (lateness _),
+    "ev_reaggregate" -> (reaggregate _),
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_reaggregate" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_partials
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "ev_paths" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type FROM events),
