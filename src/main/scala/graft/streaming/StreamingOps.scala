@@ -313,6 +313,75 @@ object StreamingOps {
       feed.toString
     })
 
+  /** ARRIVAL-order sibling of [[timeSplitFeed]]: slices by event_id range
+    * instead of event time, so the stream replays the batch table's
+    * arrival order (event_id) across triggers — what a lateness monitor
+    * must see, since lateness IS the disorder of event time relative to
+    * arrival order (a time-split feed would deliver perfectly ordered
+    * time and measure zero). Per-user id order survives the slicing
+    * because the slices are global id ranges. */
+  private def idSplitFeed(spark: SparkSession, dir: String, n: Int): String =
+    feedDirs.getOrElseUpdate(s"$dir#id$n", {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val feed = graft.TempDirs.create("graft-feed-id")
+      val tmp = feed.resolve(".tmp")
+      raw.repartitionByRange(n, col("event_id")).write.parquet(tmp.toString)
+      val parts = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val dst = feed.resolve(f"b$i%04d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+      feed.toString
+    })
+
+  /** Streaming watermark-delay monitor — the online dual of the batch
+    * `ev_lateness` profile (same oracle, duality by construction): each
+    * user's event-time high-water mark is CARRIED as keyed state across
+    * triggers, each arriving event emits its minutes-behind-hwm bucket,
+    * and the complete-mode count materializes the same histogram a
+    * deployment would alert on. State is one long per user — bounded by
+    * the key space, not the stream. Runs over the id-split feed because
+    * lateness is meaningless unless the stream arrives in arrival
+    * order. */
+  def streamLateness(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = idSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val lateMin = Tables.normalizeEvents(stream)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Long](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          // arrival order = event_id, exactly the batch window's order
+          val sorted = rows.toSeq.sortBy(_._2)
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = sorted.map { r =>
+            if (r._3 > hwm) hwm = r._3
+            math.min((hwm - r._3) / 60000000L,
+              graft.queries.EventQueries.LatenessCapMin)
+          }
+          state.update(hwm)
+          out.iterator
+      }
+    runToMemory(spark, lateMin.toDF("late_min"),
+        mode = "append", minDataBatches = 3)
+      .groupBy("late_min").agg(count(lit(1)).as("cnt"))
+      .orderBy("late_min")
+  }
+
   /** Append-mode watermarked hourly aggregation, executed across ≥3
     * micro-batches (maxFilesPerTrigger=1 over a 3-way time-split feed, so
     * window state provably carries between triggers — reference S2/S6
@@ -679,6 +748,7 @@ object StreamingOps {
     "stream_session_window" -> (sessionWindows _),
     "stream_milestones" -> (milestones _),
     "stream_paths" -> (streamPaths _),
+    "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _))
 
   val oracles: Map[String, String] = Map(
@@ -686,6 +756,7 @@ object StreamingOps {
     // the batch ev_paths oracle — the carried-state fold must reproduce
     // the lead() window's transition matrix exactly
     "stream_paths" -> graft.queries.EventQueries.oracles("ev_paths"),
+    "stream_lateness" -> graft.queries.EventQueries.oracles("ev_lateness"),
     "stream_complete_counts" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
