@@ -455,6 +455,43 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Candidate count the cheap stage hands the expensive stage. */
+  val RerankCandidates = 10
+
+  /** Two-stage retrieval (retrieve-then-rerank) — the production ANN
+    * architecture: stage 1 scores the corpus with the cheap
+    * [[TruncDims]]-dim cosine and keeps [[RerankCandidates]] per query;
+    * stage 2 re-scores ONLY those candidates with the exact full-dim
+    * cosine and emits the top-3. The expensive metric touches
+    * |queries|·candidates rows, never the corpus — at 100 TB the full
+    * vectors load for a few dozen ids per query. Dominance over the
+    * truncated-only index is structural (both pick from the same
+    * candidate set; rerank orders it by the true score) and
+    * spec-asserted against exact ground truth. */
+  def rerankTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cand = truncTopK(spark, dir, RerankCandidates)
+      .select(col("qid"), col("vec_id"))
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+    cand.join(emb, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Rerank recall@3 — what the exact second stage recovers of the
+    * recall the truncated first stage loses (the number that justifies
+    * the two-stage architecture). */
+  def rerankRecallEval(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, rerankTopK(spark, dir))
+
   /** Truncation recall@3: the [[TruncDims]]-dim answers against the exact
     * full-dim cosine truth — what the first 8 of 64 dims preserve. The
     * third recall column next to PQ (codebook error) and SQ (int8
@@ -676,6 +713,8 @@ object Similarity {
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
     "sim_trunc_topk" -> ((s: SparkSession, d: String) => truncTopK(s, d)),
+    "sim_rerank" -> ((s: SparkSession, d: String) => rerankTopK(s, d)),
+    "sim_rerank_recall" -> (rerankRecallEval _),
     "sim_trunc_recall" -> (truncRecallEval _),
     "sim_kmeans_iter" -> (kmeansIter _),
     "sim_centroid_shift" -> (centroidShift _),
@@ -770,7 +809,7 @@ object Similarity {
     * by construction (the ivfTopKSql pattern). Only the range bound
     * differs from the exact brute force: the first [[TruncDims]]
     * components score, the rest never load. */
-  private val truncTopKSql: String =
+  private def truncCandSql(k: Int): String =
     s"""WITH tq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
        |ts AS (
        |  SELECT tq.qid, e.vec_id,
@@ -786,7 +825,33 @@ object Similarity {
        |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
        |                                vec_id ASC) AS rn
        |  FROM ts)
-       |SELECT qid, vec_id, cos_r, rn FROM tr WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+       |SELECT qid, vec_id, cos_r, rn FROM tr WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  private val truncTopKSql: String = truncCandSql(3)
+
+  /** The complete sim_rerank SELECT — stage-1 candidates embedded as a
+    * nested CTE (the shared truncCandSql body at k=RerankCandidates),
+    * stage-2 exact rescoring confined to the candidate pairs. */
+  private val rerankTopKSql: String =
+    s"""WITH cand AS (${truncCandSql(RerankCandidates)}),
+       |fq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |fs AS (
+       |  SELECT c.qid, c.vec_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(fq.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(fq.qe[i] AS DOUBLE) * CAST(fq.qe[i] AS DOUBLE)) AS n2b
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN fq ON fq.qid = c.qid,
+       |       UNNEST(range(1, len(e.embedding) + 1)) t(i)
+       |  GROUP BY c.qid, c.vec_id),
+       |rr AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                vec_id ASC) AS rn
+       |  FROM fs)
+       |SELECT qid, vec_id, cos_r, rn FROM rr WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   /** The complete sim_pq_topk SELECT — also embedded (as a nested-WITH
     * CTE body) in the PQ recall oracle, so the two stay identical by
@@ -1021,6 +1086,36 @@ object Similarity {
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_trunc_topk" -> truncTopKSql,
+    "sim_rerank" -> rerankTopKSql,
+    "sim_rerank_recall" ->
+      s"""WITH ans AS ($rerankTopKSql),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM bs)
+         |  WHERE rn <= 3),
+         |h AS (
+         |  SELECT a.qid,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM ans a LEFT JOIN bf b ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |  GROUP BY a.qid)
+         |SELECT q.qid, COALESCE(h.h, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.h, CAST(0 AS BIGINT)) / 3.0 AS recall_at_3
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
+         |LEFT JOIN h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
     "sim_trunc_recall" ->
       s"""WITH ans AS ($truncTopKSql),
          |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),

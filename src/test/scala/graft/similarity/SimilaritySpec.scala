@@ -194,6 +194,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ans.forall(x => math.abs(x.getDouble(2)) <= 1.0001))
   }
 
+  test("rerank recall dominates truncated-only recall per query (structural)") {
+    // both stages pick from the SAME candidate set; rerank orders it by
+    // the true full-dim score, so any truth member among the candidates
+    // must land in rerank's top-3
+    val trunc = Similarity.truncRecallEval(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val rr = Similarity.rerankRecallEval(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rr.keySet == trunc.keySet && rr.keySet == Set(0L, 1L, 2L, 3L))
+    rr.keySet.foreach { q =>
+      assert(rr(q) >= trunc(q), s"query $q: rerank ${rr(q)} < trunc ${trunc(q)}")
+    }
+  }
+
   test("multi-probe IVF recall dominates single-probe against exact ground truth") {
     val truth = bruteTop3
     val single = hits(Similarity.ivfTopK(spark, sf), truth)
