@@ -93,6 +93,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Confusion matrix of the marker-token language ID against the
+    * corpus's ground-truth lang column — the eval loop a classifier ships
+    * with (langId alone only asserts per-doc guesses; this aggregates
+    * where they go wrong). Each (actual, guess) cell carries its count
+    * and its share of the actual class (the row-normalized matrix whose
+    * diagonal is per-class recall). Reuses [[langId]]'s exact output, so
+    * the eval can never drift from the classifier; cost is one tiny
+    * grouped count over the per-doc frame. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang_actual")
+    langId(spark, dir)
+      .groupBy("lang_actual", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_actual",
+        round(col("n").cast("double") / sum("n").over(w), 6))
+      .orderBy("lang_actual", "lang_guess")
+  }
+
   /** Normalized-document fingerprint families: md5 of the sorted distinct
     * token set; docs sharing a fingerprint are permutation-duplicates. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -1198,6 +1217,7 @@ object TextAnalysis {
     "text_vocab_exact" -> (vocabExact _),
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
+    "text_langid_eval" -> (langIdEval _),
     "text_fingerprint" -> (fingerprint _),
     "text_token_stats" -> (tokenStats _),
     "text_pack_sequences" -> (packSequences _),
@@ -1243,6 +1263,33 @@ object TextAnalysis {
        |  SELECT tok.doc_id, count(*) AS n_tokens,
        |    CAST(sum(w.w_q) AS BIGINT) AS dsir_q
        |  FROM tok JOIN w USING (b) GROUP BY tok.doc_id)""".stripMargin
+
+  /** DuckDB spelling of the marker-token language ID per doc — single-
+    * sourced between the text_langid oracle and the confusion-matrix eval
+    * built on top of it. */
+  private val langIdSql: String =
+      s"""WITH tok AS ($tokSql),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    sum(CASE WHEN token IN ('the','a','order') THEN 1 ELSE 0 END) AS s_en,
+         |    sum(CASE WHEN token IN ('data','table','row') THEN 1 ELSE 0 END) AS s_es,
+         |    sum(CASE WHEN token IN ('spark','join') THEN 1 ELSE 0 END) AS s_de,
+         |    sum(CASE WHEN token IN ('window','merge') THEN 1 ELSE 0 END) AS s_fr,
+         |    sum(CASE WHEN token IN ('batch','stream') THEN 1 ELSE 0 END) AS s_zh
+         |  FROM tok GROUP BY doc_id, lang)
+         |SELECT doc_id,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_guess,
+         |  lang AS lang_actual,
+         |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |        WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |        WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |        WHEN s_fr >= s_zh THEN 'fr'
+         |        ELSE 'zh' END) = lang AS is_match
+         |FROM s ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_dup_spans" ->
@@ -1422,29 +1469,14 @@ object TextAnalysis {
          |  CASE WHEN n_tokens BETWEEN $QualityMinTokens AND $QualityMaxTokens
          |        AND stop_cnt * 1.0 / n_tokens < $QualityStopRatioMax THEN 1 ELSE 0 END AS quality
          |FROM g ORDER BY doc_id""".stripMargin,
-    "text_langid" ->
-      s"""WITH tok AS ($tokSql),
-         |s AS (
-         |  SELECT doc_id, lang,
-         |    sum(CASE WHEN token IN ('the','a','order') THEN 1 ELSE 0 END) AS s_en,
-         |    sum(CASE WHEN token IN ('data','table','row') THEN 1 ELSE 0 END) AS s_es,
-         |    sum(CASE WHEN token IN ('spark','join') THEN 1 ELSE 0 END) AS s_de,
-         |    sum(CASE WHEN token IN ('window','merge') THEN 1 ELSE 0 END) AS s_fr,
-         |    sum(CASE WHEN token IN ('batch','stream') THEN 1 ELSE 0 END) AS s_zh
-         |  FROM tok GROUP BY doc_id, lang)
-         |SELECT doc_id,
-         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |       WHEN s_fr >= s_zh THEN 'fr'
-         |       ELSE 'zh' END AS lang_guess,
-         |  lang AS lang_actual,
-         |  (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |        WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |        WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |        WHEN s_fr >= s_zh THEN 'fr'
-         |        ELSE 'zh' END) = lang AS is_match
-         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" -> langIdSql,
+    "text_langid_eval" ->
+      s"""WITH g AS ($langIdSql)
+         |SELECT lang_actual, lang_guess, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |        sum(count(*)) OVER (PARTITION BY lang_actual), 6) AS share_of_actual
+         |FROM g GROUP BY lang_actual, lang_guess
+         |ORDER BY lang_actual, lang_guess""".stripMargin,
     "text_fingerprint" ->
       """SELECT fp, count(*) AS n_docs
         |FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
