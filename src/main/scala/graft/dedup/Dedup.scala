@@ -596,7 +596,59 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** The two banding geometries the sweep compares: 12 hashes cut as
+    * 6 bands × 2 rows (high-recall, more candidates) vs 3 bands × 4 rows
+    * (stricter, fewer candidates) — the (b, r) knob of the MinHash
+    * S-curve P(candidate) = 1 − (1 − s^r)^b. */
+  val SweepBandWidths = Seq(2, 4)
+
+  /** LSH banding-geometry sweep — the TUNING LOOP a dedup deployment
+    * runs before fixing (bands, rows): for each geometry, the candidate
+    * volume it generates (the cost side) and its recall against the
+    * exact-Jaccard ≥ 0.5 truth pairs (the quality side; same sampled
+    * ground truth as [[recallEval]]). One row per geometry; a deployment
+    * reads the trade straight off. Each geometry's pair pipeline is the
+    * registered [[minhashLsh]] shape (kernel banding, bounded buckets,
+    * never all-pairs), so the sweep costs |geometries| LSH passes. */
+  def bandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    def candPairs(w: Int): DataFrame = {
+      val bandsCol = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MinHashSignature(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 12, bandWidth = w))
+      val bands = Tables(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(bandsCol))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+      val small = bands.groupBy("band", "sig")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, MaxBucket))
+        .select("band", "sig")
+      val capped = bands.join(small, Seq("band", "sig"))
+      capped.alias("a")
+        .join(capped.alias("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+    val truth = ngramJaccard(spark, dir).select(col("da"), col("db"))
+    def geometryRow(w: Int): DataFrame = {
+      val cand = candPairs(w)
+      val caught = truth.join(cand,
+        col("da") === col("doc_a") && col("db") === col("doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+        .select(lit(w).as("band_width"), lit(12 / w).as("n_bands"),
+          col("n_candidates"), col("n_truth"), col("n_caught"),
+          round(col("n_caught").cast("double") /
+            greatest(col("n_truth"), lit(1L)), 6).as("recall"))
+    }
+    SweepBandWidths.map(geometryRow).reduce(_.unionAll(_)).orderBy("band_width")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_banding_sweep" -> (bandingSweep _),
     "dedup_cross_source" -> (crossSourceProfile _),
     "dedup_exact" -> (exactSummary _),
     "dedup_simhash_pairs" -> (simhashPairs _),
@@ -656,6 +708,27 @@ object Dedup {
        |  FROM pairs JOIN n na ON da = na.doc_id JOIN n nb ON db = nb.doc_id
        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5)""".stripMargin
 
+  /** '|'-joined band-key expression for width `w` over the shared `mh`
+    * CTE — the oracle mirror of the kernel's banding. */
+  private def bandSigSql(w: Int): String =
+    (0 until w).map(j => s"max(CASE WHEN i % $w = $j THEN minh END)")
+      .mkString(" || '|' || ")
+
+  /** Per-geometry candidate-pair CTE chain (prefix `g$w`) over the shared
+    * `mh` minhash table. */
+  private def geometryCtes(w: Int): String =
+    s"""g${w}b AS (
+       |  SELECT doc_id, i // $w AS band, ${bandSigSql(w)} AS sig
+       |  FROM mh GROUP BY doc_id, i // $w),
+       |g${w}s AS (
+       |  SELECT band, sig FROM g${w}b GROUP BY band, sig
+       |  HAVING count(*) BETWEEN 2 AND ${MaxBucket}),
+       |g${w}c AS (SELECT b.* FROM g${w}b b JOIN g${w}s USING (band, sig)),
+       |g${w}p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g${w}c a JOIN g${w}c b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
   private def minhashCtes: String =
     s"""$bandsCtes,
        |small AS (
@@ -681,6 +754,28 @@ object Dedup {
       |  FROM d GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_banding_sweep" ->
+      s"""WITH tok AS ($distinctTokSql),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
+         |  FROM tok, UNNEST(range(0, 12)) s(i) GROUP BY doc_id, i),
+         |${geometryCtes(2)},
+         |${geometryCtes(4)},
+         |$ngramJacCtes,
+         |rows AS (
+         |  SELECT CAST(2 AS INTEGER) AS band_width, CAST(6 AS INTEGER) AS n_bands,
+         |    (SELECT count(*) FROM g2p) AS n_candidates,
+         |    (SELECT count(*) FROM jacp) AS n_truth,
+         |    (SELECT count(*) FROM jacp j JOIN g2p p ON j.da = p.doc_a AND j.db = p.doc_b) AS n_caught
+         |  UNION ALL
+         |  SELECT CAST(4 AS INTEGER), CAST(3 AS INTEGER),
+         |    (SELECT count(*) FROM g4p),
+         |    (SELECT count(*) FROM jacp),
+         |    (SELECT count(*) FROM jacp j JOIN g4p p ON j.da = p.doc_a AND j.db = p.doc_b))
+         |SELECT band_width, n_bands, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_caught AS BIGINT) AS n_caught,
+         |  round(CAST(n_caught AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
+         |FROM rows ORDER BY band_width""".stripMargin,
     "dedup_exact" ->
       """SELECT n_docs, n_distinct, n_docs - n_distinct AS n_dups
         |FROM (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents)""".stripMargin,

@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_pca_power", "text_len_histogram",
       // 1-row × 1-row × 1-row: the three graph-census counts meeting in
       // a single output row; the basket total joining the 20-row lift set
-      "rel_triangles", "rel_copurchase_lift")
+      "rel_triangles", "rel_copurchase_lift",
+      // per-geometry 1-row count products in the banding sweep
+      "dedup_banding_sweep")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
