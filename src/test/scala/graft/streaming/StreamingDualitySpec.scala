@@ -81,4 +81,49 @@ class StreamingDualitySpec extends SparkSpec {
     // exactly — any dropped or doubled boundary transition shifts a count
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("carried-state streaming lateness histogram equals the batch running-max window") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamLateness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.queries.EventQueries.lateness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the per-user hwm carry across triggers over the id-split feed must
+    // reproduce the batch per-user running max over event_id exactly —
+    // a slice boundary that reset or skipped the hwm would shift mass
+    // between buckets
+    assert(streamed == batch && streamed.nonEmpty)
+    // every event lands in exactly one bucket
+    val total = graft.Tables(spark, sf, "events").count()
+    assert(streamed.map(_._2).sum == total)
+    // on THIS fixture per-user event time is monotone in event_id, so the
+    // whole profile sits in bucket 0 — the well-ordered-feed baseline a
+    // deployment wants to see; disorder semantics (hwm > current ts) are
+    // pinned synthetically below
+    assert(streamed == Seq((0L, total)))
+  }
+
+  test("lateness hwm carry measures disorder on a crafted out-of-order feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // user 1: arrival order (event_id) 1,2,3 with times 10:00, 10:05,
+    // 10:02 → the third event is 3 minutes behind the high-water mark
+    val crafted = Seq(
+      (1L, 1L, "2026-08-13 10:00:00"),
+      (1L, 2L, "2026-08-13 10:05:00"),
+      (1L, 3L, "2026-08-13 10:02:00"),
+      (2L, 4L, "2026-08-13 11:00:00"))
+      .toDF("user_id", "event_id", "s")
+      .selectExpr("user_id", "event_id", "unix_micros(CAST(s AS TIMESTAMP)) AS t_us")
+    val run = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = crafted
+      .withColumn("hwm", max("t_us").over(run))
+      .select(least(expr("(hwm - t_us) div 60000000"),
+        lit(graft.queries.EventQueries.LatenessCapMin)).as("late_min"))
+      .groupBy("late_min").agg(count(lit(1)).as("cnt"))
+      .orderBy("late_min")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(buckets == Seq((0L, 3L), (3L, 1L)))
+  }
 }
