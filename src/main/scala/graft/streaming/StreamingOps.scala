@@ -63,12 +63,14 @@ object StreamingOps {
     * partition count is baked into the state store layout at query start,
     * and every partition pays per-batch store open/commit/checkpoint cost —
     * at local[32] with 32 shuffle partitions that overhead dominated the
-    * actual aggregation (~100× the batch twin). 8 partitions still
-    * exercises distributed state; a production job sizes this to
-    * cluster width × keys-per-partition, not to the session default.
-    * Env-overridable for measurement sweeps (never set by the driver). */
+    * actual aggregation (~100× the batch twin). 4 partitions still
+    * exercises distributed state and won the round-9 sweep over 8 and 16
+    * in BOTH run orders (~10% family total, BENCH_NOTES); a production
+    * job sizes this to cluster width × keys-per-partition, not to the
+    * session default. Env-overridable for measurement sweeps (never set
+    * by the driver). */
   private val StreamShufflePartitions =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
 
   /** Default state store provider for the family. The fixture-scale state
     * is tiny (hundreds of keys), where provider fixed costs — native DB
