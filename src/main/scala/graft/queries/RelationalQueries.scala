@@ -316,6 +316,26 @@ object RelationalQueries {
   // same as rel_salted_join: salting must never change semantics.
   private val HotKeyThreshold = 6L
 
+  /** Join-key skew profile — the DETECTION diagnostic in front of the
+    * salting remedies ([[saltedJoin]] blankets, [[saltedJoinHot]] salts
+    * detected-hot keys; this is the report that justifies either): the
+    * heaviest join keys with their absolute counts and corpus share.
+    * One grouped count on the key, a global-window share over the
+    * key-sized aggregated frame (|keys| rows, never the fact table),
+    * and a TakeOrdered top-10. A deployment reads "is the hottest key
+    * over the salting threshold" straight off row 1. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val counts = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("share", round(col("cnt").cast("double") / sum("cnt").over(w), 6))
+      .orderBy(desc("cnt"), asc("custkey"))
+      .limit(10)
+  }
+
   def saltedJoinHot(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val li = Tables(spark, dir, "lineitem")
@@ -943,6 +963,7 @@ object RelationalQueries {
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
     "rel_salted_join" -> (saltedJoin _),
+    "rel_skew_profile" -> (skewProfile _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
     "rel_asof_join" -> (asofJoin _),
     "rel_topk_per_group" -> (topKPerGroup _),
@@ -980,6 +1001,12 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_skew_profile" ->
+      """WITH c AS (SELECT o_custkey AS custkey, count(*) AS cnt
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT custkey, CAST(cnt AS BIGINT) AS cnt,
+        |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS share
+        |FROM c ORDER BY cnt DESC, custkey ASC LIMIT 10""".stripMargin,
     "rel_q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
