@@ -437,21 +437,23 @@ object Similarity {
     * for the scoring pass drops 8×, and [[truncRecallEval]] prices the
     * recall that buys. Same corpus-scan × broadcast-queries shape as the
     * exact baseline; the truncation is a `slice` at scan time, so the
-    * full vectors never reach the join. */
+    * full vectors never reach the join. Per-query ranking goes through
+    * the bounded-heap [[graft.plans.TopKPerGroup]] operator (like
+    * [[knnBatch]]), not a window row_number whose plan would sort each
+    * qid partition's ~|corpus| scored rows before discarding all but
+    * k. */
   def truncTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), slice(col("embedding"), 1, TruncDims).as("te"))
     val q = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("te").as("qe"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
-    emb.crossJoin(broadcast(q))
+    val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorOps.cosine("te", "qe"), 4).as("cos_r"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), k)
       .orderBy("qid", "rn")
   }
 
@@ -475,14 +477,12 @@ object Similarity {
       .select(col("qid"), col("vec_id"))
     val q = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
-    cand.join(emb, Seq("vec_id"))
+    val rescored = cand.join(emb, Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.plans.TopK.perGroup(rescored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), k)
       .orderBy("qid", "rn")
   }
 

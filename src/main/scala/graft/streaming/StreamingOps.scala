@@ -232,6 +232,8 @@ object StreamingOps {
     * nanosecond-timestamp normalization (Tables.normalizeEvents) applies on
     * top of the streaming source exactly as it does on the batch scan. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately sticky: the returned stream tails the raw nanos-typed
+    // fixture, so the conf must hold at every micro-batch, not just here
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsSchema(spark, dir)
     // the file-stream source tails a *directory* (reference S2 semantics);
@@ -266,10 +268,56 @@ object StreamingOps {
       .orderBy("hr", "event_type")
   }
 
+  /** File-sink sibling of [[hourlyCounts]] — the SAME watermarked hourly
+    * aggregate landed through [[runToFiles]]' foreachBatch-to-parquet
+    * overwrite instead of the driver-capped memory sink, across ≥3
+    * micro-batches (maxFilesPerTrigger=1 over the 3-way time-split feed)
+    * so the complete-mode re-emission provably overwrote per trigger.
+    * This is the route whose result size is unbounded-safe: every batch's
+    * full state lands as a distributed parquet write, the readback is an
+    * ordinary scan, and no row ever transits the driver — the sink a
+    * 100 TB deployment would actually use. Shares hourlyCounts' oracle:
+    * the sink route must not change the result. */
+  def hourlyCountsFiles(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val agg = Tables.normalizeEvents(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+    runToFiles(spark, agg, minDataBatches = 3)
+      .select(col("window.start").as("hr"), col("event_type"), col("cnt"), col("sum_val"))
+      .orderBy("hr", "event_type")
+  }
+
   /** Cache of prepared multi-file feed directories, keyed by source dir —
     * Verify and Bench call each query several times per session; the
-    * split is deterministic so one prep per (dir, n) is sound. */
+    * split is deterministic AND the driver's fixture parquet is immutable
+    * for the life of a session (same contract [[schemaCache]] leans on),
+    * so one prep per (dir, n) is sound with no invalidation. */
   private val feedDirs = TrieMap.empty[String, String]
+
+  /** Runs `body` with the legacy nanos-as-long parquet conf set,
+    * restoring the previous value after — for the feed builders, whose
+    * batch read of the nanos-typed fixture completes eagerly inside the
+    * call. NOT used where the conf must outlive the call: a streaming
+    * tail of the raw fixture ([[eventStream]]) needs the conf at every
+    * micro-batch, so those sites set it sticky on purpose. */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Events-table schema per source dir. Every streaming query bootstraps
     * its stream schema from the static file (reference S3); the footer
@@ -279,8 +327,7 @@ object StreamingOps {
   private val schemaCache = TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   private def eventsSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
-    schemaCache.getOrElseUpdate(dir, {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schemaCache.getOrElseUpdate(dir, withNanosAsLong(spark) {
       spark.read.parquet(s"$dir/events.parquet").schema
     })
 
@@ -297,8 +344,7 @@ object StreamingOps {
     * `ts` longs are preserved so the streaming schema matches the batch
     * file exactly. */
   private def timeSplitFeed(spark: SparkSession, dir: String, n: Int): String =
-    feedDirs.getOrElseUpdate(s"$dir#$n", {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    feedDirs.getOrElseUpdate(s"$dir#$n", withNanosAsLong(spark) {
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val feed = graft.TempDirs.create("graft-feed")
       val tmp = feed.resolve(".tmp")
@@ -323,8 +369,7 @@ object StreamingOps {
     * time and measure zero). Per-user id order survives the slicing
     * because the slices are global id ranges. */
   private def idSplitFeed(spark: SparkSession, dir: String, n: Int): String =
-    feedDirs.getOrElseUpdate(s"$dir#id$n", {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    feedDirs.getOrElseUpdate(s"$dir#id$n", withNanosAsLong(spark) {
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val feed = graft.TempDirs.create("graft-feed-id")
       val tmp = feed.resolve(".tmp")
@@ -740,6 +785,7 @@ object StreamingOps {
     "stream_cms" -> (cmsSketch _),
     "stream_complete_counts" -> (completeCounts _),
     "stream_hourly_counts" -> (hourlyCounts _),
+    "stream_hourly_files" -> (hourlyCountsFiles _),
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
@@ -772,6 +818,12 @@ object StreamingOps {
          |FROM r GROUP BY i, b ORDER BY i, b""".stripMargin
     },
     "stream_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    // the file-sink route must not change the result: literally the
+    // memory-sink sibling's oracle
+    "stream_hourly_files" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,

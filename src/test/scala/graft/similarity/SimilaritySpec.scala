@@ -65,6 +65,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == truth, s"got=$got truth=$truth")
   }
 
+  test("truncTopK and rerankTopK plan the bounded-heap TopKPerGroup, not a window sort") {
+    // the two-stage retrieval rankings go through the same bounded-heap
+    // operator as knnBatch: stage 1 scores |corpus| rows per query, so a
+    // row_number window would sort corpus-sized qid partitions
+    for ((name, df) <- Seq(
+        "truncTopK" -> Similarity.truncTopK(spark, sf),
+        "rerankTopK" -> Similarity.rerankTopK(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["),
+        s"expected two-phase TopKPerGroup in $name plan:\n$plan")
+      assert(!plan.contains("Window"), s"window sort leaked back into $name:\n$plan")
+    }
+  }
+
   test("SQ: codes bounded to the level grid, per-dim extremes hit both ends") {
     val codes = Similarity.sqQuantized(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
