@@ -708,6 +708,103 @@ object RelationalQueries {
       .orderBy("partkey")
   }
 
+  /** Full alternations (part→supplier→part) the converged PageRank run
+    * executes — the fixed iteration budget of the driver loop. Single-
+    * sourced with the unrolled oracle CTE chain, so editing it can never
+    * desync kernel from oracle. */
+  val PrAlternations = 4
+
+  /** The REAL driver loop over [[pagerankIter]]/[[pagerankRound2]]'s
+    * single rounds: [[PrAlternations]] full part→supplier→part power
+    * alternations of the damped bipartite PageRank, with per-round
+    * `localCheckpoint` (the `dedup_components` discipline — lineage cut
+    * each round, edges and degree tables materialized ONCE before the
+    * loop) and a driver-side stop probe (a node-sized aggregate — data
+    * rows never transit the driver) that exits early iff the integer
+    * ranks reach an EXACT fixed point. The early exit is output-neutral
+    * by construction: identical rank input reproduces identical rank
+    * output for every later round, so the unrolled [[PrAlternations]]-
+    * round oracle matches whether or not the loop cut out early — the
+    * probe is the stop condition a production run would use, not a
+    * semantics fork. Per-alternation cost is two edge-keyed equi-joins +
+    * two grouped sums (the Pregel round), nothing edge-squared; at 100 TB
+    * the loop state is one (node, rank) table the size of the part
+    * column. Convergence itself (L∞ contraction at the 0.85 damping
+    * rate, total-rank conservation) is pinned by PagerankSpec on the
+    * trajectory this same loop records. */
+  private[queries] def pagerankTrajectory(
+      spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
+    Engine.tune(spark)
+    val edges = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(true)
+    val pdeg = edges.groupBy("part").agg(count(lit(1)).as("pd")).localCheckpoint(true)
+    val sdeg = edges.groupBy("supp").agg(count(lit(1)).as("sd")).localCheckpoint(true)
+    var ranks = pdeg.select(col("part"), lit(PrScale).as("r")).localCheckpoint(true)
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var it = 0
+    var converged = false
+    while (it < PrAlternations && !converged) {
+      val sr = edges.join(ranks, Seq("part")).join(pdeg, Seq("part"))
+        .select(col("supp"), expr("r div pd").as("c"))
+        .groupBy("supp").agg(sum("c").as("c_sum"))
+        .select(col("supp"),
+          (lit(15L * PrScale / 100) + expr("(85 * c_sum) div 100")).as("r"))
+      val pr = edges.join(sr, Seq("supp")).join(sdeg, Seq("supp"))
+        .select(col("part"), expr("r div sd").as("c"))
+        .groupBy("part").agg(sum("c").as("c_sum"))
+        .select(col("part"),
+          (lit(15L * PrScale / 100) + expr("(85 * c_sum) div 100")).as("r"))
+        .localCheckpoint(true)
+      val d = pr.join(ranks.select(col("part"), col("r").as("prev")), Seq("part"))
+        .agg(max(abs(col("r") - col("prev"))).as("d"))
+        .head().getLong(0)
+      deltas += d
+      converged = d == 0L
+      ranks = pr
+      it += 1
+    }
+    (ranks, deltas.toSeq)
+  }
+
+  /** Converged-run output: the part-side ranks after the final
+    * alternation, the graph metric the reference's 1.5 B-tweet
+    * historical corpus would demand at scale. */
+  def pagerankConverged(spark: SparkSession, dir: String): DataFrame =
+    pagerankTrajectory(spark, dir)._1
+      .select(col("part").as("partkey"), col("r").as("rank_final"))
+      .orderBy("partkey")
+
+  /** One unrolled oracle round: sr$i from pr$(i-1), pr$i from sr$i —
+    * the same damped exact-integer update as the Spark loop (`//` floors
+    * like Spark's `div` on these all-non-negative operands). */
+  private def prRoundCte(i: Int): String =
+    s"""sr$i AS (
+       |  SELECT e.supp,
+       |    CAST(${15L * PrScale / 100} + (85 * sum(p.r // d.pd)) // 100 AS BIGINT) AS r
+       |  FROM e JOIN pr${i - 1} p USING (part) JOIN pd d USING (part)
+       |  GROUP BY e.supp),
+       |pr$i AS (
+       |  SELECT e.part,
+       |    CAST(${15L * PrScale / 100} + (85 * sum(s.r // d.sd)) // 100 AS BIGINT) AS r
+       |  FROM e JOIN sr$i s USING (supp) JOIN sd d USING (supp)
+       |  GROUP BY e.part)""".stripMargin
+
+  /** The unrolled [[PrAlternations]]-round oracle — generated by mapping
+    * over the same constant the Spark loop iterates, so kernel and
+    * oracle can never silently desync. */
+  private[queries] def pagerankConvergedSql: String = {
+    val rounds = (1 to PrAlternations).map(prRoundCte).mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem),
+       |pd AS (SELECT part, count(*) AS pd FROM e GROUP BY part),
+       |sd AS (SELECT supp, count(*) AS sd FROM e GROUP BY supp),
+       |pr0 AS (SELECT part, CAST($PrScale AS BIGINT) AS r FROM pd),
+       |$rounds
+       |SELECT part AS partkey, r AS rank_final
+       |FROM pr$PrAlternations ORDER BY partkey""".stripMargin
+  }
+
   /** Minimum co-occurrence count for a part pair to count as an edge of
     * the co-purchase graph — the frequent-itemset support threshold. It
     * is the load-bearing scale bound: raw distinct pairs grow with the
@@ -956,6 +1053,7 @@ object RelationalQueries {
     "rel_q19_disjunctive" -> (q19Disjunctive _),
     "rel_pagerank_round2" -> (pagerankRound2 _),
     "rel_pagerank_iter" -> (pagerankIter _),
+    "rel_pagerank_converged" -> (pagerankConverged _),
     "rel_copurchase_pairs" -> (copurchasePairs _),
     "rel_copurchase_lift" -> (copurchaseLift _),
     "rel_triangles" -> (triangles _),
@@ -1085,6 +1183,7 @@ object RelationalQueries {
          |SELECT part AS partkey, count(*) AS in_deg,
          |  CAST(${15L * PrScale / 100} + (85 * sum(c)) // 100 AS BIGINT) AS rank_new
          |FROM c2 GROUP BY part ORDER BY partkey""".stripMargin,
+    "rel_pagerank_converged" -> pagerankConvergedSql,
     "rel_copurchase_pairs" ->
       s"""WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |p AS (SELECT a.pk AS p1, b.pk AS p2

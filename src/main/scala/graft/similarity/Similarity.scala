@@ -274,6 +274,98 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Lloyd rounds the full k-means run executes — the fixed iteration
+    * budget of the driver loop, single-sourced with the unrolled oracle
+    * CTE chain. */
+  val KmeansRunRounds = 3
+
+  /** The REAL driver loop over [[kmeansIter]] with [[centroidShift]] as
+    * its stop condition — the full k-means training run the two
+    * primitives were built for. Per round: assignment is the exact-
+    * integer nearest-centroid argmin against the BROADCAST current
+    * centroids (one corpus scan), the update is one (cell, dim)-keyed
+    * exact-DECIMAL mean, and a driver-side probe (a centroid-sized
+    * aggregate — data rows never transit the driver) exits early iff the
+    * quantized centroid table is EXACTLY unchanged. The early exit is
+    * output-neutral: identical centroids reproduce identical assignments
+    * and so identical next centroids, making every later round an
+    * identity — the unrolled [[KmeansRunRounds]]-round oracle matches
+    * whether or not the loop cut out early. Component tables (quantized
+    * and exact-decimal vector components) are materialized ONCE before
+    * the loop; each round's centroid table is `localCheckpoint`ed (the
+    * `dedup_components` discipline). At 100 TB: loop state is one
+    * centroid table (cells × dims rows — broadcastable by construction),
+    * per-round cost is one scan + one aggregate; that is textbook
+    * distributed Lloyd. KmeansRunSpec pins Lloyd's DESCENT invariant
+    * (the quantized clustering objective non-increasing every round) on
+    * this loop — exact fixed point is beyond the fixed budget on the
+    * fine 1024-grid, so the invariant, not the terminal state, is the
+    * honest convergence evidence. */
+  private[similarity] def kmeansTrajectory(spark: SparkSession, dir: String,
+      maxRounds: Int = KmeansRunRounds): (DataFrame, Seq[Long]) = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+      .localCheckpoint(true)
+    val vd = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        col("col").cast("string").cast("decimal(38,30)").as("v"))
+      .localCheckpoint(true)
+    // round-0 centroids: the label-seeded exact-DECIMAL means on the
+    // floor(·1024) grid — exactly the table cellAssignments broadcasts
+    var cent = emb.select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy(col("c_label"), col("pos").as("dim"))
+      .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))) * 1024).cast("long").as("cq"))
+      .localCheckpoint(true)
+    var out = cent.select(col("c_label"), col("dim"),
+      lit(-1L).as("n_members"), col("cq")) // overwritten by round 1
+    val movedPerRound = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val dists = vdim.join(broadcast(cent), Seq("dim"))
+        .groupBy("vec_id", "c_label")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
+      val argmin = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
+      val assign = dists.withColumn("rk", row_number().over(argmin))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val next = assign.join(vd, Seq("vec_id"))
+        .groupBy(col("cell").as("c_label"), col("dim"))
+        .agg(count(lit(1)).as("n_members"),
+          floor((sum("v").cast("double") / count(lit(1))) * 1024)
+            .cast("long").as("cq"))
+        .localCheckpoint(true)
+      // moved = (cell, dim) grid entries whose quantized component
+      // changed, a vanished or newborn cell counting as movement (the
+      // full-outer null-safe compare)
+      val moved = next.select(col("c_label"), col("dim"), col("cq").as("cq1"))
+        .join(cent.select(col("c_label"), col("dim"), col("cq").as("cq0")),
+          Seq("c_label", "dim"), "full")
+        .filter(!(col("cq1") <=> col("cq0")))
+        .count()
+      movedPerRound += moved
+      converged = moved == 0L
+      out = next
+      cent = next.select(col("c_label"), col("dim"), col("cq"))
+      rounds += 1
+    }
+    (out, movedPerRound.toSeq)
+  }
+
+  /** Converged-run output: the final centroid table (same schema as
+    * [[kmeansIter]] — the one-round primitive is literally round 1 of
+    * this run). */
+  def kmeansRun(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrajectory(spark, dir)._1
+      .select(col("c_label").as("cell"), col("dim"), col("n_members"), col("cq"))
+      .orderBy("cell", "dim")
+
   /** Power-iteration grid: embeddings and the emitted next vector both
     * live on a 2^10 integer grid (the codebase's kmeans convention). */
   val PowerScale = 1024L
@@ -717,6 +809,7 @@ object Similarity {
     "sim_rerank_recall" -> (rerankRecallEval _),
     "sim_trunc_recall" -> (truncRecallEval _),
     "sim_kmeans_iter" -> (kmeansIter _),
+    "sim_kmeans_run" -> (kmeansRun _),
     "sim_centroid_shift" -> (centroidShift _),
     "sim_pca_power" -> (pcaPowerIter _),
     "sim_centroids" -> (centroidComponents _))
@@ -764,6 +857,48 @@ object Similarity {
       |  SELECT d.vec_id, min(d.c_label) AS cell
       |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
       |  GROUP BY d.vec_id)""".stripMargin
+
+  /** One unrolled Lloyd round of the k-means-run oracle: distances to
+    * the previous round's centroids, argmin assignment (min-label
+    * tiebreak), exact-DECIMAL mean update on the floor(·1024) grid —
+    * the [[kmeansNextCtes]] spelling iterated. */
+  private def kmeansRoundCtes(i: Int): String =
+    s"""d$i AS (
+       |  SELECT v.vec_id, c.c_label, CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS dist
+       |  FROM kvdim v JOIN cent${i - 1} c USING (dim) GROUP BY v.vec_id, c.c_label),
+       |m$i AS (SELECT vec_id, min(dist) AS md FROM d$i GROUP BY vec_id),
+       |a$i AS (
+       |  SELECT d.vec_id, min(d.c_label) AS cell
+       |  FROM d$i d JOIN m$i m ON d.vec_id = m.vec_id AND d.dist = m.md
+       |  GROUP BY d.vec_id),
+       |cent$i AS (
+       |  SELECT a.cell AS c_label, kvd.dim, count(*) AS n_members,
+       |    CAST(floor((CAST(sum(kvd.v) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+       |  FROM a$i a JOIN kvd USING (vec_id)
+       |  GROUP BY a.cell, kvd.dim)""".stripMargin
+
+  /** The unrolled [[KmeansRunRounds]]-round k-means oracle — generated
+    * by mapping over the same constant the Spark driver loop iterates,
+    * so kernel and oracle can never silently desync. */
+  private[graft] def kmeansRunSql: String = {
+    val rounds = (1 to KmeansRunRounds).map(kmeansRoundCtes).mkString(",\n")
+    s"""WITH cent0 AS (
+       |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+       |  GROUP BY label, i),
+       |kvdim AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |kvd AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |$rounds
+       |SELECT c_label AS cell, dim, CAST(n_members AS BIGINT) AS n_members, cq
+       |FROM cent$KmeansRunRounds ORDER BY cell, dim""".stripMargin
+  }
 
   /** The complete sim_ivf_topk SELECT — also embedded (as a nested-WITH
     * CTE body) in the recall-eval oracle, so the two stay identical by
@@ -1215,6 +1350,7 @@ object Similarity {
       s"""$kmeansNextCtes
          |SELECT cell, dim, n_members, cq FROM knext
          |ORDER BY cell, dim""".stripMargin,
+    "sim_kmeans_run" -> kmeansRunSql,
     "sim_centroid_shift" ->
       s"""$kmeansNextCtes
          |SELECT knext.cell,
