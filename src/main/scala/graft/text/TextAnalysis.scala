@@ -859,6 +859,106 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(BpeTopK)
 
+  /** Merge rounds the BPE vocabulary build executes — the fixed
+    * iteration budget of the driver loop, single-sourced with the
+    * unrolled oracle CTE chain. */
+  val BpeMergeRounds = 5
+
+  /** Symbol-boundary sentinel for the vocabulary build's string
+    * representation (a control char that cannot occur in
+    * whitespace-split tokens of the documents corpus). */
+  private val BpeSep = "\u0001"
+
+  /** The REAL BPE trainer loop over [[bpePairs]]' one-round statistics:
+    * [[BpeMergeRounds]] merge rounds, emitting the merge table
+    * `(round, pa, pb, merged, cnt)` — the artifact a tokenizer build
+    * actually ships. Token occurrences are held as sentinel-delimited
+    * SYMBOL strings (`␁␁sym␁␁sym␁␁`, double sentinel between symbols),
+    * the classic trick that makes one merge round a single literal
+    * string `replace`: the pattern `␁a␁␁b␁` can only match complete
+    * adjacent symbols (every match must start/end at sentinel-delimited
+    * boundaries), and left-to-right non-overlapping replacement — the
+    * semantics both engines' `replace` share — is exactly BPE's greedy
+    * merge application, consecutive occurrences included (each match
+    * consumes one sentinel of each flanking pair, leaving the other).
+    * Per round: one pair-explode + grouped count, one 1-row argmax
+    * (count desc, pair lex asc — the deterministic trainer tiebreak)
+    * BROADCAST into the corpus-wide replace, then `localCheckpoint`
+    * (the dedup_components discipline). No row ever transits the
+    * driver: the chosen merge rides as a broadcast 1-row frame into
+    * column-argument `replace`. At 100 TB the loop state is the token
+    * string column (linear, re-materialized per round — what a real
+    * distributed BPE trainer pays) plus the merge table (rounds rows).
+    * Round 1's pair statistics coincide with [[bpePairs]] by
+    * construction (char-level init), spec-pinned in TextAnalysisSpec. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sep2 = BpeSep + BpeSep
+    var toks = tokens(spark, dir)
+      .filter(length(col("token")) >= 2)
+      .select(concat(lit(sep2),
+        regexp_replace(col("token"), "(.)", "$1" + sep2)).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to BpeMergeRounds) {
+      val syms = toks.select(
+        filter(split(col("s"), sep2), x => x =!= lit("")).as("a"))
+      val pairs = syms
+        .select(explode(arrays_zip(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"))
+        .select(col("p.0").as("pa"), col("p.1").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1)
+        .localCheckpoint(true)
+      merges += best.select(lit(r).as("round"), col("pa"), col("pb"),
+        concat(col("pa"), col("pb")).as("merged"), col("cnt"))
+      if (r < BpeMergeRounds)
+        toks = toks.crossJoin(broadcast(best))
+          .select(replace(col("s"),
+            concat(lit(BpeSep), col("pa"), lit(sep2), col("pb"), lit(BpeSep)),
+            concat(lit(BpeSep), col("pa"), col("pb"), lit(BpeSep))).as("s"))
+          .localCheckpoint(true)
+    }
+    merges.reduce(_ union _).orderBy("round")
+  }
+
+  /** One unrolled oracle merge round: pair statistics from the previous
+    * round's symbol strings, the 1-row argmax, and the sentinel-replace
+    * producing the next round's strings — the Spark loop body spelled
+    * in DuckDB (`replace` shares the left-to-right non-overlapping
+    * semantics the merge application relies on). */
+  private def bpeRoundCtes(i: Int): String =
+    s"""pr$i AS (
+       |  SELECT q.l[s.i] AS pa, q.l[s.i + 1] AS pb
+       |  FROM (SELECT list_filter(string_split(s, chr(1) || chr(1)), x -> x <> '') AS l
+       |        FROM tok${i - 1}) q,
+       |       UNNEST(range(1, len(q.l))) s(i)),
+       |best$i AS (
+       |  SELECT pa, pb, count(*) AS cnt FROM pr$i GROUP BY pa, pb
+       |  ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+       |tok$i AS (
+       |  SELECT replace(t.s, chr(1) || b.pa || chr(1) || chr(1) || b.pb || chr(1),
+       |                 chr(1) || b.pa || b.pb || chr(1)) AS s
+       |  FROM tok${i - 1} t CROSS JOIN best$i b)""".stripMargin
+
+  /** The unrolled [[BpeMergeRounds]]-round vocabulary-build oracle —
+    * generated by mapping over the same constant the Spark driver loop
+    * iterates, so kernel and oracle can never silently desync. */
+  private[graft] def bpeVocabSql: String = {
+    val rounds = (1 to BpeMergeRounds).map(bpeRoundCtes).mkString(",\n")
+    val sel = (1 to BpeMergeRounds).map(i =>
+      s"SELECT $i AS round, pa, pb, pa || pb AS merged, cnt FROM best$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS ($tokSql),
+       |tok0 AS (
+       |  SELECT chr(1) || chr(1) || regexp_replace(token, '(.)', '\\1' || chr(1) || chr(1), 'g') AS s
+       |  FROM tok WHERE length(token) >= 2),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   /** Count-Min Sketch geometry: depth (independent hash rows) × width
     * (buckets per row), and the heavy-hitter report size. */
   val CmsDepth = 4
@@ -1226,6 +1326,7 @@ object TextAnalysis {
     "text_contamination_ngram" -> (contaminationNgram _),
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_pairs" -> (bpePairs _),
+    "text_bpe_vocab" -> (bpeVocab _),
     "text_cms_heavy" -> (cmsHeavy _),
     "text_chunk_windows" -> (chunkWindows _),
     "pipeline_rag" -> (ragFunnel _),
@@ -1614,6 +1715,7 @@ object TextAnalysis {
          |  WHERE length(t.token) >= 2)
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
+    "text_bpe_vocab" -> bpeVocabSql,
     "text_cms_heavy" -> {
       val b = s"(${nibSql("CAST(i AS VARCHAR) || ':' || token", 4)} % $CmsWidth)"
       s"""WITH tok AS ($tokSql),

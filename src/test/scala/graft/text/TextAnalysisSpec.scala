@@ -466,6 +466,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("bpeVocab: round 1 is bpePairs' top candidate; a driver brute-force reproduces the full merge table") {
+    val sf = "/root/testdata/sf0.001"
+    val vocab = TextAnalysis.bpeVocab(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(vocab.map(_._1) == (1 to TextAnalysis.BpeMergeRounds))
+    // round 1 from char-level init IS bpePairs' winner (pa+pb == pair)
+    val top = TextAnalysis.bpePairs(spark, sf).collect().head
+    assert(vocab.head._4 == top.getString(0) && vocab.head._5 == top.getLong(1))
+
+    // driver-side BPE trainer on the same token stream: greedy
+    // left-to-right merge application, (cnt desc, pair lex) argmax
+    var toks = graft.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").collect().map(_.getString(0))
+      .filter(_.length >= 2)
+      .map(t => t.map(_.toString).toVector)
+    val got = (1 to TextAnalysis.BpeMergeRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      toks.foreach { syms =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _ =>
+        }
+      }
+      val ((pa, pb), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      toks = toks.map { syms =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == pa && s == pb) out(out.length - 1) = pa + pb
+          else out += s
+        }
+        out.toVector
+      }
+      (r, pa, pb, pa + pb, cnt)
+    }
+    assert(vocab == got)
+  }
+
   test("cmsHeavy: estimates never undercount and equal exact counts sans collision") {
     val sf = "/root/testdata/sf0.001"
     val rows = TextAnalysis.cmsHeavy(spark, sf).collect()
