@@ -754,24 +754,24 @@ object Dedup {
       |  FROM d GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both the per-geometry CTE chains and the result rows are GENERATED
+    // from SweepBandWidths — the same constant the Spark side iterates —
+    // so editing the sweep geometries can never silently desync kernel
+    // from oracle
     "dedup_banding_sweep" ->
       s"""WITH tok AS ($distinctTokSql),
          |mh AS (
          |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || token)) AS minh
          |  FROM tok, UNNEST(range(0, 12)) s(i) GROUP BY doc_id, i),
-         |${geometryCtes(2)},
-         |${geometryCtes(4)},
+         |${SweepBandWidths.map(geometryCtes).mkString(",\n")},
          |$ngramJacCtes,
          |rows AS (
-         |  SELECT CAST(2 AS INTEGER) AS band_width, CAST(6 AS INTEGER) AS n_bands,
-         |    (SELECT count(*) FROM g2p) AS n_candidates,
-         |    (SELECT count(*) FROM jacp) AS n_truth,
-         |    (SELECT count(*) FROM jacp j JOIN g2p p ON j.da = p.doc_a AND j.db = p.doc_b) AS n_caught
-         |  UNION ALL
-         |  SELECT CAST(4 AS INTEGER), CAST(3 AS INTEGER),
-         |    (SELECT count(*) FROM g4p),
-         |    (SELECT count(*) FROM jacp),
-         |    (SELECT count(*) FROM jacp j JOIN g4p p ON j.da = p.doc_a AND j.db = p.doc_b))
+         |${SweepBandWidths.map(w =>
+             s"""  SELECT CAST($w AS INTEGER) AS band_width, CAST(${12 / w} AS INTEGER) AS n_bands,
+                |    (SELECT count(*) FROM g${w}p) AS n_candidates,
+                |    (SELECT count(*) FROM jacp) AS n_truth,
+                |    (SELECT count(*) FROM jacp j JOIN g${w}p p ON j.da = p.doc_a AND j.db = p.doc_b) AS n_caught""".stripMargin)
+           .mkString("\n  UNION ALL\n")})
          |SELECT band_width, n_bands, CAST(n_candidates AS BIGINT) AS n_candidates,
          |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_caught AS BIGINT) AS n_caught,
          |  round(CAST(n_caught AS DOUBLE) / greatest(n_truth, 1), 6) AS recall

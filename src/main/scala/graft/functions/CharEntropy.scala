@@ -24,28 +24,35 @@ object CharEntropy {
 
   def entropy(s: UTF8String): Double = {
     val bytes = s.getBytes
-    // UTF-8 → code points (loop shape shared with Winnow.fingerprints)
+    // UTF-8 → code points (loop shape shared with Winnow.fingerprints),
+    // VALIDATING: a malformed sequence — orphan continuation byte,
+    // invalid lead, truncated tail, or a lead whose continuation slot
+    // holds a non-continuation byte — counts as ONE U+FFFD symbol and
+    // the scan resumes at the next byte, matching how validating
+    // decoders count symbols (binary-ish strings are exactly what an
+    // entropy gate targets, so their symbol count must not depend on
+    // accidental bit patterns absorbed via `& 0x3f`)
     val units = new Array[Int](bytes.length)
     var nu = 0
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
-      var len =
+      val len =
         if (b < 0x80) 1
         else if ((b & 0xe0) == 0xc0) 2
         else if ((b & 0xf0) == 0xe0) 3
         else if ((b & 0xf8) == 0xf0) 4
-        else 1
-      var cp =
-        if (len == 1) b
-        else b & (0x7f >> len)
+        else 0 // orphan continuation byte or invalid lead (0xf8-0xff)
+      var cp = if (len == 1) b else b & (0x7f >> len)
+      var valid = len > 0
       var j = 1
-      while (j < len) {
-        if (i + j >= bytes.length) { len = j }
+      while (valid && j < len) {
+        if (i + j >= bytes.length || (bytes(i + j) & 0xc0) != 0x80) valid = false
         else { cp = (cp << 6) | (bytes(i + j) & 0x3f); j += 1 }
       }
-      i += len
-      units(nu) = cp; nu += 1
+      if (valid) { units(nu) = cp; i += len }
+      else { units(nu) = 0xfffd; i += 1 }
+      nu += 1
     }
     if (nu == 0) return 0.0
     val sorted = java.util.Arrays.copyOf(units, nu)

@@ -44,4 +44,24 @@ class CharEntropySpec extends AnyFunSuite {
     assert(h("aabbcc") == h("abcabc"))
     assert(h("abcabc") == h("ccbbaa"))
   }
+
+  test("malformed UTF-8 counts U+FFFD symbols like a validating decoder") {
+    def hb(bytes: Array[Byte]): Double = CharEntropy.entropy(UTF8String.fromBytes(bytes))
+    // a lead byte followed by a NON-continuation byte must not absorb it:
+    // 0xC3 'a' = [FFFD, a] — two distinct symbols → ln 2
+    assert(math.abs(hb(Array(0xc3.toByte, 'a'.toByte)) - math.log(2)) < 1e-12)
+    // truncated trailing sequence: 'a' then a dangling 3-byte lead
+    assert(math.abs(hb(Array('a'.toByte, 0xe2.toByte)) - math.log(2)) < 1e-12)
+    // orphan continuation bytes each count as one replacement symbol:
+    // [80, 80, 'a'] = two FFFD + one 'a' → counts (2,1)
+    val expected = {
+      val n = 3.0
+      -(2 / n) * math.log(2 / n) - (1 / n) * math.log(1 / n)
+    }
+    assert(math.abs(hb(Array(0x80.toByte, 0x80.toByte, 'a'.toByte)) - expected) < 1e-12)
+    // invalid lead 0xFF resumes at the next byte, not past it
+    assert(math.abs(hb(Array(0xff.toByte, 'a'.toByte)) - math.log(2)) < 1e-12)
+    // valid multi-byte sequences still decode as single symbols
+    assert(math.abs(hb("é€😀".getBytes("UTF-8")) - math.log(3)) < 1e-12)
+  }
 }
