@@ -90,6 +90,32 @@ class BenchSpec extends AnyFunSuite {
     assert(r2 == 0 && t2 == 9.0)
   }
 
+  test("measureOne takes an extra base run for sub-second priors (min-of-3)") {
+    // prior 0.4 s < SubSecondPrior → 3 base samples, not 2; the third
+    // (quiet) sample sets the min without spending any retry
+    var calls = 0
+    val times = Iterator(3.2, 3.1, 0.45)
+    val (t, _, ok, retries) =
+      Bench.measureOne("q_subsec", runs = 2, prior = Some(0.4),
+        attempt = () => { calls += 1; (times.next(), true) })
+    assert(calls == 3, "sub-second prior must add one base run")
+    assert(t == 0.45 && retries == 0 && ok)
+  }
+
+  test("measureOne retry floor: sub-second jitter never burns a retry") {
+    // 3x over a 0.2 s prior but still under RetryFloorSec → jitter, no retry
+    val (t, _, _, r) =
+      Bench.measureOne("q_jitter", runs = 1, prior = Some(0.2),
+        attempt = () => (0.8, true))
+    assert(r == 0 && t == 0.8)
+    // a REAL stall against the same prior (seconds, over the floor) retries
+    val seq = Iterator(5.0, 5.0, 0.21, 0.21)
+    val (t2, _, _, r2) =
+      Bench.measureOne("q_stall", runs = 1, prior = Some(0.2),
+        attempt = () => (seq.next(), true))
+    assert(r2 >= 1 && t2 == 0.21)
+  }
+
   test("measureOne: failed runs never undercut successes; all-fail costs worst time") {
     val seq = Iterator((0.05, false), (5.0, true))
     val (t, _, ok, _) = Bench.measureOne("q_flaky", runs = 2, None, () => seq.next())
