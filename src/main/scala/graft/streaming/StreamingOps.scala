@@ -295,6 +295,76 @@ object StreamingOps {
       .orderBy("hr", "event_type")
   }
 
+  /** Kill-and-restart exactly-once recovery, oracle-gated at fixture
+    * scale (the mechanism itself is spec-proven on a crafted feed in
+    * StreamingStateSpec "a restarted query resumes from its checkpoint
+    * exactly-once"; this registers the production property under the
+    * cross-engine hash). The watermarked hourly aggregate runs over the
+    * first time-slice of the feed with a DURABLE checkpoint, is STOPPED,
+    * and the remaining slices land while the query is down; the restarted
+    * query recovers offsets + aggregation state from the checkpoint,
+    * ingests ONLY the unseen slices — `require`d exactly: run-2 input
+    * rows + run-1 input rows == the batch table count, so any replay or
+    * loss fails the query, not just a spec — and its final complete-mode
+    * emission must equal the batch aggregate over the whole table. This
+    * is the property a 1000-executor deployment leans on at every driver
+    * restart / code redeploy: state outlives the process. Stage,
+    * checkpoint, and sink dirs are fresh per invocation so the
+    * kill/restart drama replays every run (nothing rides the feed
+    * cache except the slice files themselves). */
+  def restartRecovery(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val slices = new java.io.File(feed).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val stage = graft.TempDirs.create("graft-feed-restart")
+    val ckpt = graft.TempDirs.create("graft-ckpt-restart").toString
+    val out = graft.TempDirs.create("graft-sink-restart").toString
+    def admit(f: java.io.File): Unit = {
+      val dst = stage.resolve(f.getName)
+      Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(f.lastModified)
+    }
+    // sticky on purpose: the stream tails the raw nanos-typed slices at
+    // every micro-batch of both runs (same contract as eventStream)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsSchema(spark, dir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      def runOnce(): Long = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+        val agg = Tables.normalizeEvents(stream)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+        val q = agg.writeStream.outputMode("complete")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      admit(slices.head)
+      val in1 = runOnce() // sees only slice 0, then is stopped
+      slices.tail.foreach(admit) // data lands while the query is DOWN
+      val in2 = runOnce() // SAME checkpoint: must resume, not replay
+      val total = spark.read.parquet(s"$dir/events.parquet").count()
+      require(in1 > 0 && in2 > 0 && in1 + in2 == total,
+        s"exactly-once recovery violated: run1=$in1 + run2=$in2 != $total " +
+          "batch rows (replayed or lost input across the restart)")
+      spark.read.parquet(out)
+        .select(col("window.start").as("hr"), col("event_type"), col("cnt"), col("sum_val"))
+        .orderBy("hr", "event_type")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Cache of prepared multi-file feed directories, keyed by source dir —
     * Verify and Bench call each query several times per session; the
     * split is deterministic AND the driver's fixture parquet is immutable
@@ -786,6 +856,7 @@ object StreamingOps {
     "stream_complete_counts" -> (completeCounts _),
     "stream_hourly_counts" -> (hourlyCounts _),
     "stream_hourly_files" -> (hourlyCountsFiles _),
+    "stream_restart_recovery" -> (restartRecovery _),
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
@@ -824,6 +895,13 @@ object StreamingOps {
     // the file-sink route must not change the result: literally the
     // memory-sink sibling's oracle
     "stream_hourly_files" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    // a kill/restart in the middle of the stream must not change the
+    // result either: the recovered run's final emission is the same
+    // whole-table aggregate (exactly-once input is require'd in-query)
+    "stream_restart_recovery" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
