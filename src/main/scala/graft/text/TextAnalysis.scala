@@ -923,6 +923,65 @@ object TextAnalysis {
     merges.reduce(_ union _).orderBy("round")
   }
 
+  /** BPE ENCODE — the apply half that makes the trainer's artifact
+    * usable: the same [[BpeMergeRounds]]-round greedy loop runs over the
+    * FULL token stream (doc association carried; single-char tokens
+    * included — they generate zero pairs, so the learned merge sequence
+    * is provably identical to [[bpeVocab]]'s), every round's winning
+    * merge applied including the last, and the encoded corpus collapses
+    * to the per-doc token-count report a curation pipeline actually
+    * stores: characters in vs BPE tokens out. Character mass is
+    * conserved by construction (merges concatenate, never drop), so
+    * `n_bpe` ≤ `n_chars` always — the compression the vocabulary buys,
+    * per document. Same scale posture as the trainer: the loop state is
+    * the linear symbol-string column re-materialized per round
+    * (`localCheckpoint`), each merge a broadcast 1-row frame into a
+    * corpus-wide literal `replace`, and the output is doc-sized. A
+    * round with no remaining pairs (possible on tiny corpora, never on
+    * the fixture) leaves the stream untouched instead of emptying it
+    * through the degenerate cross join — spec-pinned on a crafted
+    * corpus encoded by hand. */
+  private[graft] def bpeEncodeFrom(base: DataFrame, rounds: Int): DataFrame = {
+    val sep2 = BpeSep + BpeSep
+    var toks = base
+      .select(col("doc_id"),
+        concat(lit(sep2), regexp_replace(col("token"), "(.)", "$1" + sep2)).as("s"))
+      .localCheckpoint(true)
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val syms = toks.select(
+        filter(split(col("s"), sep2), x => x =!= lit("")).as("a"))
+      val pairs = syms
+        .select(explode(arrays_zip(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"))
+        .select(col("p.0").as("pa"), col("p.1").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1)
+        .localCheckpoint(true)
+      if (best.isEmpty) exhausted = true
+      else toks = toks.crossJoin(broadcast(best))
+        .select(col("doc_id"), replace(col("s"),
+          concat(lit(BpeSep), col("pa"), lit(sep2), col("pb"), lit(BpeSep)),
+          concat(lit(BpeSep), col("pa"), col("pb"), lit(BpeSep))).as("s"))
+        .localCheckpoint(true)
+    }
+    val nChars = base.groupBy("doc_id")
+      .agg(sum(length(col("token"))).as("n_chars"))
+    val nBpe = toks
+      .select(col("doc_id"),
+        size(filter(split(col("s"), sep2), x => x =!= lit(""))).as("n"))
+      .groupBy("doc_id").agg(sum(col("n")).as("n_bpe"))
+    nChars.join(nBpe, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"), col("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    bpeEncodeFrom(tokens(spark, dir).select("doc_id", "token"), BpeMergeRounds)
+  }
+
   /** One unrolled oracle merge round: pair statistics from the previous
     * round's symbol strings, the 1-row argmax, and the sentinel-replace
     * producing the next round's strings — the Spark loop body spelled
@@ -957,6 +1016,45 @@ object TextAnalysis {
        |$rounds
        |$sel
        |ORDER BY round""".stripMargin
+  }
+
+  /** One unrolled ENCODE oracle round — [[bpeRoundCtes]] with the doc
+    * association carried through the symbol strings (pair statistics
+    * ignore it, the replace preserves it). */
+  private def bpeEncRoundCtes(i: Int): String =
+    s"""epr$i AS (
+       |  SELECT q.l[s.i] AS pa, q.l[s.i + 1] AS pb
+       |  FROM (SELECT list_filter(string_split(s, chr(1) || chr(1)), x -> x <> '') AS l
+       |        FROM etok${i - 1}) q,
+       |       UNNEST(range(1, len(q.l))) s(i)),
+       |ebest$i AS (
+       |  SELECT pa, pb FROM epr$i GROUP BY pa, pb
+       |  ORDER BY count(*) DESC, pa ASC, pb ASC LIMIT 1),
+       |etok$i AS (
+       |  SELECT t.doc_id,
+       |         replace(t.s, chr(1) || b.pa || chr(1) || chr(1) || b.pb || chr(1),
+       |                 chr(1) || b.pa || b.pb || chr(1)) AS s
+       |  FROM etok${i - 1} t CROSS JOIN ebest$i b)""".stripMargin
+
+  private[graft] def bpeEncodeSql: String = {
+    val rounds = (1 to BpeMergeRounds).map(bpeEncRoundCtes).mkString(",\n")
+    s"""WITH tok AS ($tokSql),
+       |etok0 AS (
+       |  SELECT doc_id,
+       |         chr(1) || chr(1) || regexp_replace(token, '(.)', '\\1' || chr(1) || chr(1), 'g') AS s
+       |  FROM tok),
+       |$rounds,
+       |enc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(s, chr(1) || chr(1)), x -> x <> '')) AS n
+       |  FROM etok$BpeMergeRounds),
+       |chars AS (
+       |  SELECT doc_id, CAST(sum(length(token)) AS BIGINT) AS n_chars
+       |  FROM tok GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_chars, CAST(sum(e.n) AS BIGINT) AS n_bpe
+       |FROM chars c JOIN enc e USING (doc_id)
+       |GROUP BY c.doc_id, c.n_chars
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Count-Min Sketch geometry: depth (independent hash rows) × width
@@ -1327,6 +1425,7 @@ object TextAnalysis {
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_vocab" -> (bpeVocab _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_cms_heavy" -> (cmsHeavy _),
     "text_chunk_windows" -> (chunkWindows _),
     "pipeline_rag" -> (ragFunnel _),
@@ -1716,6 +1815,7 @@ object TextAnalysis {
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
     "text_bpe_vocab" -> bpeVocabSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "text_cms_heavy" -> {
       val b = s"(${nibSql("CAST(i AS VARCHAR) || ':' || token", 4)} % $CmsWidth)"
       s"""WITH tok AS ($tokSql),

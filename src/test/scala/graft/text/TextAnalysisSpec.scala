@@ -636,4 +636,34 @@ class TextAnalysisSpec extends SparkSpec {
     val expectedDup = fps.filter(_ > 1).sum
     assert(rows.map(_._4).sum == expectedDup)
   }
+
+  test("bpeEncode: hand-computed BPE on a crafted corpus, pair exhaustion leaves the stream intact") {
+    import spark.implicits._
+    // doc 1: "aaab" + "ab"; doc 2: "abab". Greedy trainer trajectory:
+    //   r1 stats: (a,b):4 (a,a):2 (b,a):1        -> merge (a,b)
+    //   r2 stats: (a,a):1 (a,ab):1 (ab,ab):1 tie -> lex argmax (a,a)
+    //   r3 stats: (aa,ab):1 (ab,ab):1 tie        -> (aa,ab)  ["aaab" whole]
+    //   r4 stats: (ab,ab):1                      -> (ab,ab)  ["abab" whole]
+    //   r5 stats: EMPTY — the guard must leave the stream as-is, not
+    //   empty it through the degenerate cross join
+    val toks = Seq((1L, "aaab"), (1L, "ab"), (2L, "abab")).toDF("doc_id", "token")
+    val out = TextAnalysis.bpeEncodeFrom(toks, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // d1: "aaab" -> [aaab], "ab" -> [ab] = 2 tokens over 6 chars
+    // d2: "abab" -> [abab] = 1 token over 4 chars
+    assert(out == Seq((1L, 6L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("bpeEncode on the fixture: char mass conserved as an upper bound, encoding is lossy-free on count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // merges concatenate, never drop: every doc's BPE token count is
+    // >= 1 per non-empty token and <= its char count
+    assert(rows.forall { case (_, chars, bpe) => bpe >= 1 && bpe <= chars })
+    // the 5 learned merges actually fired somewhere: corpus-wide the
+    // encoding is strictly shorter than character-level
+    assert(rows.map(_._3).sum < rows.map(_._2).sum)
+  }
 }
