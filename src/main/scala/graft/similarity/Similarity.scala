@@ -403,6 +403,64 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Power-iteration rounds the PCA RUN executes — the fixed budget of
+    * the driver loop, single-sourced with the unrolled oracle chain. */
+  val PcaRunRounds = 4
+
+  /** The REAL power-iteration run over [[pcaPowerIter]]'s one-step plan
+    * — the last of the repo's four one-training-iteration primitives
+    * (kmeans, PageRank, BPE, PCA) given its driver loop. v₀ is the
+    * all-ones vector (so round 1 IS the registered single-step, exactly
+    * — spec-pinned); each round joins the quantized component stream
+    * against the BROADCAST d-row vector, folds per-vector dots, then the
+    * (dim)-keyed accumulator, and renormalizes onto the ±[[PowerScale]]
+    * grid by the same sign-split magnitude division. The loop stops
+    * early when the grid vector is an exact fixed point of the round map
+    * (null-safe full-outer compare, like the k-means stop) — sound
+    * against the unrolled fixed-round oracle because a fixed point
+    * reproduces itself through every remaining oracle round. Per-round
+    * cost at 100 TB: one broadcast hash join on `dim` + two linear
+    * aggregates; only the d-sized vector ever crosses a round boundary
+    * (`localCheckpoint` truncates lineage, the dedup_components
+    * discipline). */
+  private[similarity] def pcaTrajectory(spark: SparkSession, dir: String,
+      maxRounds: Int = PcaRunRounds): (DataFrame, Int) = {
+    Engine.tune(spark)
+    val xq = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * PowerScale).cast("long").as("q"))
+      .localCheckpoint(true)
+    var v = xq.select(col("dim")).distinct()
+      .select(col("dim"), lit(1L).as("v"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val dots = xq.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id").agg(sum(col("q") * col("v")).as("dv"))
+      val acc = xq.join(dots, Seq("vec_id"))
+        .groupBy("dim").agg(sum(col("q") * col("dv")).as("acc"))
+      val gmax = acc.agg(max(abs(col("acc"))).as("gmax"))
+      val vNext = acc.crossJoin(broadcast(gmax))
+        .select(col("dim"),
+          (when(col("acc") < 0, -1L).otherwise(1L) *
+            expr(s"(abs(acc) * $PowerScale) div gmax")).as("v"))
+        .localCheckpoint(true)
+      val moved = vNext.select(col("dim"), col("v").as("v1"))
+        .join(v.select(col("dim"), col("v").as("v0")), Seq("dim"), "full")
+        .filter(!(col("v1") <=> col("v0")))
+        .count()
+      v = vNext
+      rounds += 1
+      converged = moved == 0L
+    }
+    (v, rounds)
+  }
+
+  def pcaRun(spark: SparkSession, dir: String): DataFrame =
+    pcaTrajectory(spark, dir)._1.select(col("dim"), col("v")).orderBy("dim")
+
   /** Per-label centroid components: the class-centroid computation of a
     * training pipeline, emitted as (label, dim, value) rows. Sums go
     * through exact DECIMAL so the result is independent of partitioning
@@ -812,6 +870,7 @@ object Similarity {
     "sim_kmeans_run" -> (kmeansRun _),
     "sim_centroid_shift" -> (centroidShift _),
     "sim_pca_power" -> (pcaPowerIter _),
+    "sim_pca_run" -> (pcaRun _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -880,6 +939,34 @@ object Similarity {
   /** The unrolled [[KmeansRunRounds]]-round k-means oracle — generated
     * by mapping over the same constant the Spark driver loop iterates,
     * so kernel and oracle can never silently desync. */
+  /** One unrolled power-iteration oracle round: per-vector dots against
+    * the previous round's vector, the (dim)-keyed accumulator, and the
+    * sign-split grid renormalization — the Spark loop body in DuckDB
+    * (`//` floors like Spark's `div` on the non-negative magnitudes). */
+  private def pcaRoundCtes(i: Int): String =
+    s"""pdots$i AS (
+       |  SELECT vec_id, CAST(sum(q * v) AS BIGINT) AS dv
+       |  FROM xq JOIN pv${i - 1} USING (dim) GROUP BY vec_id),
+       |pacc$i AS (
+       |  SELECT dim, CAST(sum(q * dv) AS BIGINT) AS acc
+       |  FROM xq JOIN pdots$i USING (vec_id) GROUP BY dim),
+       |pg$i AS (SELECT max(abs(acc)) AS gmax FROM pacc$i),
+       |pv$i AS (
+       |  SELECT dim, CAST((CASE WHEN acc < 0 THEN -1 ELSE 1 END) *
+       |    ((abs(acc) * $PowerScale) // gmax) AS BIGINT) AS v
+       |  FROM pacc$i, pg$i)""".stripMargin
+
+  private[graft] def pcaRunSql: String = {
+    val rounds = (1 to PcaRunRounds).map(pcaRoundCtes).mkString(",\n")
+    s"""WITH xq AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $PowerScale) AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |pv0 AS (SELECT DISTINCT dim, CAST(1 AS BIGINT) AS v FROM xq),
+       |$rounds
+       |SELECT dim, v FROM pv$PcaRunRounds ORDER BY dim""".stripMargin
+  }
+
   private[graft] def kmeansRunSql: String = {
     val rounds = (1 to KmeansRunRounds).map(kmeansRoundCtes).mkString(",\n")
     s"""WITH cent0 AS (
@@ -1358,6 +1445,7 @@ object Similarity {
          |  count(*) AS n_dims
          |FROM knext JOIN cent ON cent.c_label = knext.cell AND cent.dim = knext.dim
          |GROUP BY knext.cell ORDER BY knext.cell""".stripMargin,
+    "sim_pca_run" -> pcaRunSql,
     "sim_pca_power" ->
       s"""WITH xq AS (
          |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
