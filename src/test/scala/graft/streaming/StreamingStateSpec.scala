@@ -61,6 +61,42 @@ class StreamingStateSpec extends SparkSpec {
     assert(streamed.count() == batch.count() && streamed.count() > 0)
   }
 
+  test("state-store metrics: watermark eviction REMOVES closed-window rows from state") {
+    // The observability contract a deployment alerts on: the progress
+    // feed's stateOperators must show bounded state under eviction, not
+    // just a correct final table. Window state accrues while windows are
+    // open, and numRowsRemoved fires when the watermark closes them.
+    val dir = graft.TempDirs.create("graft-statemetrics")
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:05:00Z", 1),
+      eventLine("2024-01-01T10:40:00Z", 2))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    val stream = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("state_metrics_t").start()
+    try {
+      q.processAllAvailable()
+      val open = q.lastProgress.stateOperators
+      assert(open.nonEmpty, "a stateful agg must report a state operator")
+      assert(open.head.numRowsTotal == 1L,
+        s"hour-10 window open in state, got ${open.head.numRowsTotal}")
+
+      // advance the watermark far past the open window: it must be
+      // emitted AND physically evicted from the store
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T12:30:00Z", 3))), prefix = "b1")
+      q.processAllAvailable()
+      val after = q.recentProgress.flatMap(_.stateOperators)
+      assert(after.exists(_.numRowsRemoved > 0L),
+        "watermark passing a window end must record state eviction")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L,
+        "only the new hour-12 window may remain in state")
+    } finally q.stop()
+  }
+
   test("runToMemory fails loudly when the sink exceeds the row cap") {
     val dir = graft.TempDirs.create("graft-cap")
     FileFeeder.feed(dir, Seq((1 to 10).map(i => eventLine(f"2024-01-01T10:00:$i%02dZ", i))), prefix = "b0")
