@@ -202,6 +202,43 @@ object EventQueries {
       .orderBy("late_min")
   }
 
+  /** Candidate watermark delays (minutes) the trade-off sweep prices —
+    * single-sourced between the Spark frame and the generated oracle
+    * VALUES list, the dedup_banding_sweep discipline. */
+  val WatermarkSweepMin: Seq[Long] = Seq(0L, 1L, 2L, 5L, 10L)
+
+  /** The DECISION the lateness profile motivates: for each candidate
+    * watermark delay, how much event mass a streaming deployment would
+    * admit vs drop as late. Lateness here is UNCAPPED (unlike the
+    * [[lateness]] histogram's display cap) — a capped value would
+    * wrongly admit arbitrarily-late events at the cap delay. One
+    * user-partition window pass folds to a minutes-keyed histogram
+    * (bounded by the corpus time span), and the 5-row delay frame meets
+    * it in a broadcast ≤-join — both sides aggregate-sized, never
+    * event-sized, so the sweep costs one pass regardless of |delays|.
+    * Admitted mass is monotone in the delay and admitted+dropped is the
+    * corpus total at every row (spec-pinned). */
+  def watermarkTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val run = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("hwm", max("t_us").over(run))
+      .select(expr("(hwm - t_us) div 60000000").as("late_min"))
+      .groupBy("late_min").agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum("cnt").as("total"))
+    val delays = WatermarkSweepMin.toDF("delay_min")
+    delays.join(broadcast(hist), col("late_min") <= col("delay_min"), "left")
+      .groupBy("delay_min").agg(coalesce(sum("cnt"), lit(0L)).as("admitted"))
+      .crossJoin(broadcast(total))
+      .select(col("delay_min"), col("admitted"),
+        (col("total") - col("admitted")).as("dropped"))
+      .orderBy("delay_min")
+  }
+
   /** Fixed-width value histogram (profiling op): 20 buckets of width
     * BucketWidth with the last bucket open-ended — one scan, one grouped
     * count, the data-profiling pass every curation job starts with.
@@ -315,6 +352,7 @@ object EventQueries {
     "ev_zorder" -> (zorder _),
     "ev_histogram" -> (histogram _),
     "ev_lateness" -> (lateness _),
+    "ev_watermark_tradeoff" -> (watermarkTradeoff _),
     "ev_reaggregate" -> (reaggregate _),
     "ev_sessionize" -> (sessionize _))
 
@@ -447,6 +485,18 @@ object EventQueries {
          |b AS (SELECT least((hwm - t_us) // 60000000, ${LatenessCapMin}) AS late_min FROM h)
          |SELECT late_min, CAST(count(*) AS BIGINT) AS cnt
          |FROM b GROUP BY late_min ORDER BY late_min""".stripMargin,
+    // UNCAPPED lateness vs the generated candidate-delay list — the
+    // VALUES branches map over the same constant the Spark sweep reads
+    "ev_watermark_tradeoff" ->
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+         |h AS (SELECT t_us, max(t_us) OVER (PARTITION BY user_id ORDER BY event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm FROM t),
+         |b AS (SELECT (hwm - t_us) // 60000000 AS late_min FROM h),
+         |d(dm) AS (VALUES ${WatermarkSweepMin.map(d => s"($d)").mkString(",")})
+         |SELECT CAST(dm AS BIGINT) AS delay_min,
+         |  CAST(sum(CASE WHEN late_min <= dm THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+         |  CAST(sum(CASE WHEN late_min > dm THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+         |FROM b, d GROUP BY dm ORDER BY delay_min""".stripMargin,
     // identical lag/running-sum windowing in exact integer micros
     "ev_sessionize" ->
       s"""WITH t AS (

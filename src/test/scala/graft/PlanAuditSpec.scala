@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
       // a single output row; the basket total joining the 20-row lift set
       "rel_triangles", "rel_copurchase_lift",
       // per-geometry 1-row count products in the banding sweep
-      "dedup_banding_sweep")
+      "dedup_banding_sweep",
+      // 5-row delay frame <=-joined to the minutes-keyed lateness
+      // histogram + the 1-row total — both sides aggregate-sized
+      "ev_watermark_tradeoff")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The watermark-delay sweep must be the decision table its lateness
+  * profile motivates: mass conservation at every candidate delay,
+  * monotone admission, and an exact anchor to the registered lateness
+  * histogram at the one bucket the display cap cannot distort. */
+class WatermarkTradeoffSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mass conserved, admission monotone, delays are the registered sweep") {
+    val rows = EventQueries.watermarkTradeoff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) == EventQueries.WatermarkSweepMin)
+    val totals = rows.map { case (_, a, d) => a + d }.distinct
+    assert(totals.size == 1 && totals.head > 0,
+      "admitted + dropped must equal the corpus total at every delay")
+    assert(rows.map(_._2) == rows.map(_._2).sorted,
+      "admitted mass must be monotone in the delay")
+  }
+
+  test("zero-delay admission anchors to the lateness histogram's on-time bucket") {
+    // the display cap only folds buckets ABOVE it, so late_min = 0 is
+    // identical between the capped histogram and the uncapped sweep
+    val admitted0 = EventQueries.watermarkTradeoff(spark, sf).collect()
+      .find(_.getLong(0) == 0L).get.getLong(1)
+    val onTime = EventQueries.lateness(spark, sf).collect()
+      .find(_.getLong(0) == 0L).map(_.getLong(1)).getOrElse(0L)
+    assert(admitted0 == onTime)
+  }
+}
