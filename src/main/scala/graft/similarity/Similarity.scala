@@ -195,11 +195,18 @@ object Similarity {
       .select(col("vec_id"), col("c_label").as("cell"), col("rk"))
   }
 
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    ivfTopKWith(spark, dir, cellAssignments(spark, dir), k)
+
+  /** IVF retrieval against an arbitrary (vec_id, cell) assignment —
+    * the k/cell/ranking machinery shared by the label-seeded index
+    * ([[ivfTopK]]) and the trained one ([[ivfTrainedTopK]]). */
+  private def ivfTopKWith(spark: SparkSession, dir: String,
+      assign: DataFrame, k: Int): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
+    val corpus = emb.join(assign, Seq("vec_id"))
     val q = corpus.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -211,6 +218,33 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("qid", "rn")
+  }
+
+  /** The production IVF composition the convergence loop exists FOR:
+    * cell assignment against the CONVERGED `sim_kmeans_run` centroids
+    * instead of the label-seeded round-0 table, then the identical
+    * retrieval machinery ([[ivfTopKWith]] — shared, so index quality is
+    * the ONLY degree of freedom between `sim_ivf_topk` and this query).
+    * Assignment is the same exact-integer argmin on the floor(·1024)
+    * grid, centroids broadcast; the trained index costs the driver loop
+    * once at build time and nothing at query time. */
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cent = kmeansTrajectory(spark, dir)._1
+      .select(col("c_label"), col("dim"), col("cq"))
+    val vdim = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+    val dists = vdim.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "c_label")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
+    val argmin = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
+    val assign = dists.withColumn("rk", row_number().over(argmin))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    ivfTopKWith(spark, dir, assign, k = 3)
   }
 
   /** One Lloyd (k-means) refinement iteration — the training step of the
@@ -860,6 +894,7 @@ object Similarity {
     "sim_range_search" -> (rangeSearch _),
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "sim_ivf_trained" -> (ivfTrainedTopK _),
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
     "sim_trunc_topk" -> ((s: SparkSession, d: String) => truncTopK(s, d)),
@@ -967,9 +1002,14 @@ object Similarity {
        |SELECT dim, v FROM pv$PcaRunRounds ORDER BY dim""".stripMargin
   }
 
-  private[graft] def kmeansRunSql: String = {
+  /** The k-means RUN's full CTE chain (round-0 seed, quantized and
+    * exact-DECIMAL component streams, the unrolled Lloyd rounds) —
+    * shared verbatim between [[kmeansRunSql]] and the trained-IVF
+    * oracle, so the trained index can never drift from the registered
+    * convergence run. */
+  private def kmeansChainCtes: String = {
     val rounds = (1 to KmeansRunRounds).map(kmeansRoundCtes).mkString(",\n")
-    s"""WITH cent0 AS (
+    s"""cent0 AS (
        |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
        |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
@@ -982,10 +1022,48 @@ object Similarity {
        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
        |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private[graft] def kmeansRunSql: String =
+    s"""WITH $kmeansChainCtes
        |SELECT c_label AS cell, dim, CAST(n_members AS BIGINT) AS n_members, cq
        |FROM cent$KmeansRunRounds ORDER BY cell, dim""".stripMargin
-  }
+
+  /** Trained-IVF oracle: the SAME kmeans chain, assignment against the
+    * converged centroids, then the sim_ivf_topk retrieval body. */
+  private[graft] def ivfTrainedSql: String =
+    s"""WITH $kmeansChainCtes,
+       |tdist AS (
+       |  SELECT v.vec_id, c.c_label,
+       |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS dist
+       |  FROM kvdim v JOIN cent$KmeansRunRounds c USING (dim)
+       |  GROUP BY v.vec_id, c.c_label),
+       |tassign AS (
+       |  SELECT vec_id, c_label AS cell FROM (
+       |    SELECT vec_id, c_label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c_label ASC) AS rk
+       |    FROM tdist) WHERE rk = 1),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, a.cell
+       |  FROM embeddings e JOIN tassign a USING (vec_id)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+       |      FROM corpus WHERE vec_id < 4),
+       |s AS (
+       |  SELECT q.qid, c.vec_id,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+       |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
+       |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
+       |  GROUP BY q.qid, c.vec_id),
+       |r AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                vec_id ASC) AS rn
+       |  FROM s)
+       |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   /** The complete sim_ivf_topk SELECT — also embedded (as a nested-WITH
     * CTE body) in the recall-eval oracle, so the two stay identical by
@@ -1307,6 +1385,7 @@ object Similarity {
     // quantized-integer cell assignment (floor(x*1024) grid, BIGINT
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_ivf_trained" -> ivfTrainedSql,
     "sim_trunc_topk" -> truncTopKSql,
     "sim_rerank" -> rerankTopKSql,
     "sim_rerank_recall" ->

@@ -341,4 +341,25 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(rows.map(t => math.abs(t._3)).max == 1024L)
   }
+
+  test("trained IVF: converged-centroid assignment, same retrieval contract as label-seeded") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfTrainedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      // per query: <=3 ranked candidates, ranks dense from 1, scores
+      // non-increasing in rank — the ivfTopK output contract exactly
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.reverse.toSeq)
+      assert(sorted.length <= 3)
+    }
+    // pinned on the deterministic fixture: no query lands in a singleton
+    // trained cell, so the trained index answers the same query set as
+    // the label-seeded one (in general a singleton cell CAN mute a
+    // query — that trade is what sim_recall_eval measures)
+    val seeded = Similarity.ivfTopK(spark, sf).collect().map(_.getLong(0)).distinct
+    assert(rows.map(_._1).distinct.sorted.sameElements(seeded.sorted))
+  }
 }
