@@ -617,6 +617,32 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Exact per-language quota for the balanced sample. */
+  val QuotaPerLang = 20
+
+  /** EXACT-QUOTA balanced sampling — the rate-based sibling's
+    * ([[sampleStratified]]) complement: keep exactly [[QuotaPerLang]]
+    * docs per language (all of them when a language has fewer), selected
+    * by a portable deterministic permutation (md5 of the doc id — the
+    * [[shuffleShards]] key discipline) so the sample is reproducible,
+    * content-blind, and engine-identical. This is the balanced-eval-set
+    * op: rates give proportional mass, quotas give equal representation.
+    * Ranking routes through the bounded-heap [[graft.plans.TopK]]
+    * operator, NOT a `row_number` window — per-language partitions are
+    * corpus-sized and a window formulation would sort each one in full
+    * to keep 20 rows (the exact shape the round-9 verdict flagged on
+    * trunc/rerank; plan-asserted here as there). */
+  def sampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hkey"))
+    graft.plans.TopK.perGroup(docs, Seq("lang"),
+        Seq(("hkey", true), ("doc_id", true)), QuotaPerLang)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** Corpus-wide top-20 word bigrams — the n-gram frequency table behind
     * n-gram LM scoring and benchmark-contamination analysis. One explode
     * + one grouped count with map-side partial aggregation; top-k plans
@@ -1408,6 +1434,7 @@ object TextAnalysis {
     "text_perplexity" -> (perplexity _),
     "text_top_bigrams" -> (topBigrams _),
     "text_sample_stratified" -> (sampleStratified _),
+    "text_sample_quota" -> (sampleQuota _),
     "text_repetition" -> (repetition _),
     "text_pii_scrub" -> (piiScrub _),
     "text_rare_ratio" -> (rareRatio _),
@@ -1587,6 +1614,18 @@ object TextAnalysis {
          |    (CASE WHEN lang = 'en' THEN ${SampleRates("en")} ELSE ${SampleRates("other")} END)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the bounded-heap ranking must agree with the window spelling —
+    // same portable md5 permutation key, same quota
+    "text_sample_quota" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+         |  FROM h)
+         |SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id
+         |FROM r WHERE rn <= $QuotaPerLang ORDER BY lang, rn""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),

@@ -368,6 +368,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sort leaked into tfidf:\n$plan")
   }
 
+  test("sampleQuota: exact per-language quotas through the bounded heap, not a window sort") {
+    val sf = "/root/testdata/sf0.001"
+    val df = TextAnalysis.sampleQuota(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["),
+      s"expected two-phase TopKPerGroup in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window sort leaked into sampleQuota:\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (_, g) =>
+      // quota respected; ranks dense from 1 (a short language keeps all)
+      assert(g.length <= TextAnalysis.QuotaPerLang)
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length))
+    }
+    // deterministic: a second run selects the identical sample
+    assert(TextAnalysis.sampleQuota(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq == rows.toSeq)
+  }
+
   test("gopherRules: pass counts are bounded, conjunctive, and non-trivial") {
     val sf = "/root/testdata/sf0.001"
     val rows = TextAnalysis.gopherRules(spark, sf).collect()
