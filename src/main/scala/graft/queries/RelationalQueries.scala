@@ -560,6 +560,53 @@ object RelationalQueries {
   // shuffle on the dimension key; run rows ≤ input rows by construction.
   // The key is the customer (no skew: order history per customer is
   // bounded); at 100 TB this is the standard one-shuffle SCD2 shape.
+  /** The SCD2 build's oracle CTE chain (change detection, run
+    * numbering, run collapse, validity-range chaining) — shared between
+    * the build and the point-in-time read so the two cannot desync. */
+  private val scd2ChainSql =
+    """m AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |r0 AS (
+      |  SELECT o_custkey, o_orderdate, o_orderpriority,
+      |    CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |                        ORDER BY o_orderdate, o_orderkey
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT o_custkey, run_id, min(o_orderpriority) AS priority,
+      |    min(o_orderdate) AS eff_from, count(*) AS n_orders
+      |  FROM r0 GROUP BY 1, 2),
+      |scd2 AS (
+      |  SELECT o_custkey, run_id, priority, eff_from,
+      |    lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS eff_to,
+      |    n_orders
+      |  FROM runs)""".stripMargin
+
+  /** The fixed point-in-time the AS OF read resolves — mid-range of the
+    * orders date span, so present keys, changed keys, and not-yet-born
+    * keys all occur. */
+  val Scd2AsOfDate = "1995-06-01"
+
+  /** The READ side of SCD2 — the query the dimension history exists to
+    * answer: each key's state AS OF a fixed date, i.e. the unique run
+    * whose validity range [eff_from, eff_to) covers it (open-ended last
+    * runs cover everything after their start; keys born later are
+    * absent). By the chain construction at most one run matches per key
+    * (spec-pinned). In production this filter hits the STORED SCD2
+    * table; composing it over the registered build keeps the whole
+    * lineage under one cross-engine hash. */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame =
+    scd2Runs(spark, dir)
+      .filter(col("eff_from") <= lit(Scd2AsOfDate) &&
+        (col("eff_to").isNull || col("eff_to") > lit(Scd2AsOfDate)))
+      .select(col("o_custkey"), col("priority"), col("eff_from"), col("eff_to"))
+      .orderBy("o_custkey")
+
   def scd2Runs(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1060,6 +1107,7 @@ object RelationalQueries {
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
+    "rel_scd2_asof" -> (scd2AsOf _),
     "rel_salted_join" -> (saltedJoin _),
     "rel_skew_profile" -> (skewProfile _),
     "rel_salted_join_hot" -> (saltedJoinHot _),
@@ -1256,27 +1304,19 @@ object RelationalQueries {
         |FROM target t FULL OUTER JOIN batch b ON t.custkey = b.custkey
         |ORDER BY custkey""".stripMargin,
     "rel_scd2_runs" ->
-      """WITH m AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
-        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
-        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |r0 AS (
-        |  SELECT o_custkey, o_orderdate, o_orderpriority,
-        |    CAST(sum(chg) OVER (PARTITION BY o_custkey
-        |                        ORDER BY o_orderdate, o_orderkey
-        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
-        |  FROM m),
-        |runs AS (
-        |  SELECT o_custkey, run_id, min(o_orderpriority) AS priority,
-        |    min(o_orderdate) AS eff_from, count(*) AS n_orders
-        |  FROM r0 GROUP BY 1, 2)
-        |SELECT o_custkey, run_id, priority, eff_from,
-        |  lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS eff_to,
-        |  n_orders
-        |FROM runs ORDER BY o_custkey, run_id""".stripMargin,
+      s"""WITH $scd2ChainSql
+         |SELECT o_custkey, run_id, priority, eff_from, eff_to, n_orders
+         |FROM scd2 ORDER BY o_custkey, run_id""".stripMargin,
+    // point-in-time read over the same chain: exactly the validity-range
+    // filter, shared CTE body so the read-side can never drift from the
+    // registered build
+    "rel_scd2_asof" ->
+      s"""WITH $scd2ChainSql
+         |SELECT o_custkey, priority, eff_from, eff_to
+         |FROM scd2
+         |WHERE eff_from <= DATE '$Scd2AsOfDate'
+         |  AND (eff_to IS NULL OR eff_to > DATE '$Scd2AsOfDate')
+         |ORDER BY o_custkey""".stripMargin,
     "rel_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  count(*) OVER (PARTITION BY o_custkey

@@ -85,4 +85,30 @@ class Scd2PathsSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
     assert(r == Seq(("b", "a", 2L), ("a", "b", 1L)))
   }
+
+  test("scd2AsOf: at most one covering run per key, each nested in the build's history") {
+    val sf = "/root/testdata/sf0.001"
+    // o_orderdate ships as TIMESTAMP_NTZ in the fixture -> LocalDateTime
+    val asOf = java.time.LocalDate
+      .parse(RelationalQueries.Scd2AsOfDate).atStartOfDay()
+    def ldt(r: org.apache.spark.sql.Row, i: Int) =
+      Option(r.getAs[java.time.LocalDateTime](i))
+    val reads = RelationalQueries.scd2AsOf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), ldt(r, 2).get, ldt(r, 3))).toSeq
+    assert(reads.nonEmpty)
+    // uniqueness: the validity chain admits exactly one covering run
+    assert(reads.map(_._1).distinct.length == reads.length)
+    // every read row IS a build row whose range covers the as-of date
+    val histRows = RelationalQueries.scd2Runs(spark, sf).collect()
+    val hist = histRows
+      .map(r => (r.getLong(0), r.getString(2), ldt(r, 3).get, ldt(r, 4))).toSet
+    assert(reads.forall(hist.contains))
+    assert(reads.forall { case (_, _, from, to) =>
+      !from.isAfter(asOf) && to.forall(_.isAfter(asOf)) })
+    // keys born after the as-of date are absent
+    val bornLater = histRows
+      .filter(_.getLong(1) == 1L) // run_id 1 = the key's birth
+      .filter(r => ldt(r, 3).get.isAfter(asOf)).map(_.getLong(0)).toSet
+    assert(reads.map(_._1).toSet.intersect(bornLater).isEmpty)
+  }
 }
