@@ -297,6 +297,32 @@ object EventQueries {
       .orderBy("hr")
   }
 
+  /** The classic cohort-retention TRIANGLE — [[retention]]'s
+    * hour-over-hour diagonal generalized to the full (cohort × offset)
+    * grid every growth dashboard renders: users cohorted by their FIRST
+    * active hour, n_active counting the cohort's distinct users active
+    * at each whole-hour offset. The offset-0 column IS the cohort size
+    * (every user is active in their own first hour), so every later
+    * column is bounded by it and the whole matrix sums to the distinct
+    * (user, hour) activity mass — both spec-pinned. Cost: one distinct,
+    * one user-keyed min, one user-keyed equi-join back, one grouped
+    * count — two user_id shuffles + one on the span²-bounded output
+    * key, nothing event-squared; offsets are exact integer micros
+    * divided on the hour grid. */
+  def retentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val act = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hr"), col("user_id"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("hr").as("c_hr"))
+    act.join(cohort, Seq("user_id"))
+      .select(col("c_hr").as("cohort_hr"),
+        expr("(unix_micros(hr) - unix_micros(c_hr)) div 3600000000").as("offset_h"))
+      .groupBy("cohort_hr", "offset_h")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_hr", "offset_h")
+  }
+
   /** Ordered funnel: users who signed up, then clicked after signing up,
     * then purchased after clicking — first-touch ordering per stage. One
     * conditional-min aggregate per user + one global rollup: no joins,
@@ -343,6 +369,7 @@ object EventQueries {
     "ev_paths" -> (paths _),
     "ev_hourly_dense" -> (hourlyDense _),
     "ev_retention" -> (retention _),
+    "ev_retention_matrix" -> (retentionMatrix _),
     "ev_funnel" -> (funnel _),
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
@@ -463,6 +490,15 @@ object EventQueries {
         |       CAST(coalesce(any_value(ret.n_retained), 0) AS BIGINT) AS n_retained
         |FROM act LEFT JOIN ret ON act.hr = ret.hr
         |GROUP BY act.hr ORDER BY act.hr""".stripMargin,
+    "ev_retention_matrix" ->
+      """WITH act AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events),
+        |c AS (SELECT user_id, min(hr) AS c_hr FROM act GROUP BY user_id)
+        |SELECT c.c_hr AS cohort_hr,
+        |  CAST((epoch_us(a.hr) - epoch_us(c.c_hr)) // 3600000000 AS BIGINT) AS offset_h,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM act a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_hr, offset_h""".stripMargin,
     "ev_hourly_dense" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt

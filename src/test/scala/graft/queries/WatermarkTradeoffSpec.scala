@@ -21,6 +21,24 @@ class WatermarkTradeoffSpec extends SparkSpec {
       "admitted mass must be monotone in the delay")
   }
 
+  test("retentionMatrix: offset-0 is the cohort size, later offsets bounded by it, mass anchors") {
+    val rows = EventQueries.retentionMatrix(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, g) =>
+      val size0 = g.find(_._2 == 0L).map(_._3)
+      assert(size0.nonEmpty, "every cohort must have its offset-0 row")
+      // every user is active in their first hour, so no offset exceeds it
+      assert(g.forall(_._3 <= size0.get))
+    }
+    // the matrix sums to the distinct (user, hour) activity mass — the
+    // same frame ev_retention aggregates per hour
+    val activity = EventQueries.retention(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.map(_._3).sum == activity)
+  }
+
   test("zero-delay admission anchors to the lateness histogram's on-time bucket") {
     // the display cap only folds buckets ABOVE it, so late_min = 0 is
     // identical between the capped histogram and the uncapped sweep
