@@ -344,6 +344,41 @@ object EventQueries {
         1L).otherwise(0L)).as("n_full_funnel"))
   }
 
+  /** Conversion window for the time-bounded funnel (2 h in micros). */
+  val FunnelWindowUs: Long = 2L * 3600L * 1000000L
+
+  /** TIME-BOUNDED funnel — [[funnel]]'s unbounded ordering made the
+    * product question every conversion dashboard actually asks: clicked
+    * within 2 h OF SIGNUP, purchased within 2 h OF THAT CLICK. Strict
+    * first-qualifying-event chaining (the anchor for stage n+1 is the
+    * earliest stage-n event inside its own window, not the global
+    * first), so a user who clicks late and again early next day cannot
+    * smuggle a purchase through an expired window. Three user-keyed
+    * aggregates + user-keyed equi-joins — the same shuffle key
+    * throughout, no window functions, nothing event-squared; exact
+    * integer micros so the boundary (≤, strict >) is engine-identical.
+    * The funnel counts are monotone and n_signup anchors to the
+    * unbounded funnel's (spec-pinned). */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t_us").as("t_s"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, Seq("user_id"))
+      .filter(col("t_us") > col("t_s") && col("t_us") <= col("t_s") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("t_us").as("t_c"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t_us") > col("t_c") && col("t_us") <= col("t_c") + FunnelWindowUs)
+      .groupBy("user_id").agg(min("t_us").as("t_p"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t_c")).as("n_click_w"),
+        count(col("t_p")).as("n_purchase_w"))
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user's time-ordered stream, count (event_type → next event_type)
     * pairs — the behavioral-analytics dual of [[sessionize]] and the input
@@ -371,6 +406,7 @@ object EventQueries {
     "ev_retention" -> (retention _),
     "ev_retention_matrix" -> (retentionMatrix _),
     "ev_funnel" -> (funnel _),
+    "ev_funnel_windowed" -> (funnelWindowed _),
     "ev_json_extract" -> (jsonExtract _),
     "ev_json_path" -> (jsonPath _),
     "ev_variant" -> (variantExtract _),
@@ -476,6 +512,26 @@ object EventQueries {
         |  CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM f""".stripMargin,
+    // strict first-qualifying-event chaining: stage n+1's anchor is the
+    // earliest stage-n event INSIDE its own window
+    "ev_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+         |s AS (SELECT user_id, min(t_us) AS t_s FROM e
+         |      WHERE event_type = 'signup' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.t_us) AS t_c
+         |      FROM e JOIN s USING (user_id)
+         |      WHERE e.event_type = 'click'
+         |        AND e.t_us > t_s AND e.t_us <= t_s + ${FunnelWindowUs}
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.t_us) AS t_p
+         |      FROM e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase'
+         |        AND e.t_us > t_c AND e.t_us <= t_c + ${FunnelWindowUs}
+         |      GROUP BY e.user_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+         |       CAST(count(c.t_c) AS BIGINT) AS n_click_w,
+         |       CAST(count(p.t_p) AS BIGINT) AS n_purchase_w
+         |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "ev_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events),

@@ -39,6 +39,20 @@ class WatermarkTradeoffSpec extends SparkSpec {
     assert(rows.map(_._3).sum == activity)
   }
 
+  test("funnelWindowed: monotone stages, n_signup anchors to the unbounded funnel") {
+    val r = EventQueries.funnelWindowed(spark, sf).collect().head
+    val (nS, nC, nP) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nS >= nC && nC >= nP, "conversion can only narrow down-funnel")
+    assert(nS > 0)
+    // stage 1 is window-free: it must equal the unbounded funnel's count
+    val unbounded = EventQueries.funnel(spark, sf).collect().head.getLong(0)
+    assert(nS == unbounded)
+    // the 2h bound actually bites relative to unbounded ordering on the
+    // fixture OR the fixture converts nobody — either way the windowed
+    // count can never exceed a pure-order one with the same anchors
+    assert(nC <= nS)
+  }
+
   test("zero-delay admission anchors to the lateness histogram's on-time bucket") {
     // the display cap only folds buckets ABOVE it, so late_min = 0 is
     // identical between the capped histogram and the uncapped sweep
