@@ -229,11 +229,16 @@ object EventQueries {
       .withColumn("hwm", max("t_us").over(run))
       .select(expr("(hwm - t_us) div 60000000").as("late_min"))
       .groupBy("late_min").agg(count(lit(1)).as("cnt"))
-    val total = hist.agg(sum("cnt").as("total"))
     val delays = WatermarkSweepMin.toDF("delay_min")
-    delays.join(broadcast(hist), col("late_min") <= col("delay_min"), "left")
-      .groupBy("delay_min").agg(coalesce(sum("cnt"), lit(0L)).as("admitted"))
-      .crossJoin(broadcast(total))
+    // ONE histogram pass: admitted and the corpus total fold out of the
+    // same broadcast product — a separate total aggregate would re-plan
+    // (and at 100 TB re-scan) the whole window subtree
+    delays.join(broadcast(hist), lit(true), "left")
+      .groupBy("delay_min")
+      .agg(
+        coalesce(sum(when(col("late_min") <= col("delay_min"), col("cnt"))), lit(0L))
+          .as("admitted"),
+        coalesce(sum("cnt"), lit(0L)).as("total"))
       .select(col("delay_min"), col("admitted"),
         (col("total") - col("admitted")).as("dropped"))
       .orderBy("delay_min")
