@@ -38,7 +38,13 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_banding_sweep",
       // 5-row delay frame <=-joined to the minutes-keyed lateness
       // histogram + the 1-row total — both sides aggregate-sized
-      "ev_watermark_tradeoff")
+      "ev_watermark_tradeoff",
+      // Q22's scalar-subquery threshold: a 1-row broadcast avg_bal
+      // >-joined against the filtered customer set — the intended shape
+      "rel_q22_global",
+      // Q11's global-fraction cut: the 1-row broadcast total >-joined
+      // against the per-part aggregate
+      "rel_q11_top_parts")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
@@ -73,7 +79,12 @@ class PlanAuditSpec extends SparkSpec {
     "rel_except" -> Seq("o_orderdate"),
     "rel_union" -> Seq("o_orderdate"),
     "rel_corr_subquery" -> Seq("c_custkey"),
-    "rel_merge_upsert" -> Seq("o_custkey", "c_custkey"))
+    "rel_merge_upsert" -> Seq("o_custkey", "c_custkey"),
+    "rel_q8_market_share" -> Seq("p_type", "r_name", "o_orderdate"),
+    "rel_q12_priority_class" -> Seq("l_shipdate"),
+    "rel_q15_top_supplier" -> Seq("l_shipdate"),
+    "rel_q17_small_qty" -> Seq("p_brand", "p_size"),
+    "rel_q21_waiting" -> Seq("o_orderstatus"))
 
   test("literal predicates on scanned base columns reach PushedFilters") {
     // the default 100-char metadata truncation would eat long pushed-filter
