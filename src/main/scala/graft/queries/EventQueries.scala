@@ -405,7 +405,67 @@ object EventQueries {
       .orderBy(desc("n_trans"), asc("event_type"), asc("next_type"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent PRECEDING non-purchase event of the same user (the
+    * "channel"), however far back — the marketing-attribution shape.
+    * The carry-forward is `last(channel, ignoreNulls)` over an
+    * unbounded-preceding frame: one shuffle on user_id, a linear
+    * running-state pass per partition (no per-row backward scan), then a
+    * |channels|-bounded grouped count. Purchases with no prior event
+    * roll up under 'none'. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("t_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"),
+        col("value"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("attributed_value"))
+      .orderBy(desc("n_conversions"), asc("channel"))
+  }
+
+  /** RFM segmentation: per-user Recency (last purchase time), Frequency
+    * (purchase count), Monetary (purchase value) quartiled with ntile(4)
+    * — the classic customer-scoring pass. The ntile orderings carry a
+    * user_id tiebreak so bucket edges are deterministic on both engines.
+    * Shapes: one |purchases| shuffle to the per-user aggregate, then the
+    * three ntile windows run over the |users|-sized frame (each a single
+    * global sort of the SMALL aggregate, not the event log), then a
+    * 4³-bounded grouped count. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(18,2)")).as("monetary"))
+    val scored = perUser
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(desc("last_us"), asc("user_id"))))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(desc("freq"), asc("user_id"))))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(desc("monetary"), asc("user_id"))))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("double").as("segment_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> (attribution _),
+    "ev_rfm" -> (rfm _),
     "ev_paths" -> (paths _),
     "ev_hourly_dense" -> (hourlyDense _),
     "ev_retention" -> (retention _),
@@ -425,6 +485,33 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT COALESCE(channel, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY n_conversions DESC, channel ASC""".stripMargin,
+    "ev_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS freq,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |s AS (
+        |  SELECT monetary,
+        |    CAST(ntile(4) OVER (ORDER BY last_us DESC, user_id ASC) AS INTEGER) AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id ASC) AS INTEGER) AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER) AS m_score
+        |  FROM pu)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary) AS DOUBLE) AS segment_value
+        |FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
     "ev_reaggregate" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS cnt,

@@ -1423,7 +1423,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Linear quality-classifier weights (a fastText-style shallow model's
+    * decision layer with hand-set public weights — the trained-model
+    * *serving* shape: broadcastable coefficients dotted against per-doc
+    * features, no per-row model call). Kept linear (no sigmoid) so the
+    * margin is rational arithmetic over exact counts — bit-identical on
+    * both engines; the sigmoid would only monotonically rescale it. */
+  private[graft] val ClfBias = -2.0
+  private[graft] val ClfWStop = 2.0   // stopword-rich ≈ natural language
+  private[graft] val ClfWLen = 0.2    // longer tokens ≈ content words
+  private[graft] val ClfWCount = 0.01 // length prior
+
+  /** Serve the linear classifier: per-doc features from one token pass,
+    * margin = w·f, per-(lang, verdict) census. The margin mass is summed
+    * on a fixed 1e-6 grid (per-row round → decimal) so the aggregate is
+    * order-independent — the float-sum-determinism discipline the money
+    * aggregates use, applied to model scores. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val feats = tokens(spark, dir)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("token"))).as("char_sum"),
+        sum(when(col("token").isin(QualityStops: _*), 1).otherwise(0)).as("stop_cnt"))
+    val margin = lit(ClfBias) +
+      lit(ClfWStop) * (col("stop_cnt") * lit(1.0) / col("n_tokens")) +
+      lit(ClfWLen) * (col("char_sum") * lit(1.0) / col("n_tokens")) +
+      lit(ClfWCount) * col("n_tokens")
+    feats.withColumn("margin", margin)
+      .withColumn("verdict", when(col("margin") > 0, "keep").otherwise("drop"))
+      .groupBy("lang", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("margin"), 6).cast("decimal(18,6)"))
+          .cast("double").as("margin_mass"))
+      .orderBy("lang", "verdict")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> (qualityClassifier _),
     "text_dup_spans" -> (dupSpans _),
     "text_dup_coverage" -> (dupCoverage _),
     "text_entropy" -> (charEntropy _),
@@ -1519,6 +1555,25 @@ object TextAnalysis {
          |FROM s ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, count(*) AS n_tokens,
+         |    sum(length(t.token)) AS char_sum,
+         |    sum(CASE WHEN t.token IN ($qualityStopsSql) THEN 1 ELSE 0 END) AS stop_cnt
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''
+         |  GROUP BY doc_id, lang),
+         |m AS (
+         |  SELECT lang,
+         |    CAST($ClfBias AS DOUBLE) +
+         |    CAST($ClfWStop AS DOUBLE) * (stop_cnt * CAST(1.0 AS DOUBLE) / n_tokens) +
+         |    CAST($ClfWLen AS DOUBLE) * (char_sum * CAST(1.0 AS DOUBLE) / n_tokens) +
+         |    CAST($ClfWCount AS DOUBLE) * n_tokens AS margin
+         |  FROM f)
+         |SELECT lang, CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS verdict,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(round(margin, 6) AS DECIMAL(18,6))) AS DOUBLE) AS margin_mass
+         |FROM m GROUP BY 1, 2 ORDER BY lang, verdict""".stripMargin,
     "text_dup_spans" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + ${DupSpanN - 1}), ' ') AS gram
