@@ -1319,7 +1319,142 @@ object RelationalQueries {
       .orderBy(desc("part_value"), asc("l_partkey"))
   }
 
+  /** The part-supplier bridge standing in for partsupp: distinct
+    * (partkey, suppkey) pairs actually traded, with the pair's minimum
+    * line price as its exact-decimal "supply cost". One fact-table
+    * aggregate; every Q2/Q9/Q16/Q20 shape hangs off it. */
+  private def partSupp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(dec("l_extendedprice")).as("ps_cost"))
+
+  private val partSuppSql =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // ---- TPC-H Q2 shape (min-cost supplier): for each qualifying part,
+  // the EUROPE suppliers achieving the per-part minimum cost over the
+  // part-supplier bridge. The correlated MIN subquery becomes a per-part
+  // aggregate equi-joined back on (partkey, cost) — exact decimal
+  // equality, so ties survive identically on both engines. Regional
+  // supplier set reduced then broadcast; nothing |lineitem|-sized past
+  // the bridge aggregate.
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val eurSup = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") < 15)
+      .select("p_partkey", "p_name")
+    val ps = partSupp(spark, dir)
+      .join(broadcast(eurSup), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+    val minCost = ps.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_cost")).as("min_cost"))
+    ps.join(minCost, col("ps_partkey") === col("mk") && col("ps_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_cost").cast("double").as("cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(100)
+  }
+
+  // ---- TPC-H Q9 shape (product-type profit): revenue minus cost per
+  // (supplier nation, order year) for parts matching a name token —
+  // p_retailprice/10 stands in for ps_supplycost. Revenue and cost are
+  // SEPARATE exact decimal sums subtracted as doubles at the end, so the
+  // profit bit-agrees with DuckDB regardless of aggregation order. The
+  // part filter reduces lineitem first (broadcast); nation broadcast;
+  // the orders join shuffles on the order key.
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,2)")
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(dec("l_extendedprice") * disc).cast("double") -
+          sum(col("l_quantity").cast("decimal(8,0)") * dec("p_retailprice") *
+            lit(0.1).cast("decimal(2,1)")).cast("double")).as("profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  // ---- TPC-H Q16 shape (supplier count by part attributes): distinct
+  // suppliers per (brand, type, size) over the bridge, excluding one
+  // brand/type slice and complaint-proxy suppliers (negative balance —
+  // the NOT IN subquery). The exclusion list is supplier-sized,
+  // broadcast as a left anti join; the census is a |pairs|-sized
+  // distinct aggregate, never fact-sized.
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val excl = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_supp"))
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partSupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("ps_suppkey") === col("bad_supp"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** Q20 dominance cut: a supplier "holds the stock" of a part when it
+    * shipped more than this share of the part's 1996 volume. */
+  val Q20Share = 0.3
+
+  // ---- TPC-H Q20 shape (suppliers holding excess stock): suppliers of
+  // one nation whose shipped quantity of some name-matched part exceeds
+  // a share of that part's total year volume — availqty stands on the
+  // shipped totals. Both quantity aggregates reuse ONE scan pass; the
+  // dominance cut compares exact integer-valued sums scaled by a
+  // constant; the supplier identity resolves via a semi join (EXISTS).
+  def q20ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").startsWith("red"))
+      .select("p_partkey")
+    val li96 = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val pairQty = li96.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("pair_qty"))
+    val partQty = pairQty.groupBy(col("l_partkey").as("tk"))
+      .agg(sum(col("pair_qty")).as("part_qty"))
+    val dominant = pairQty
+      .join(partQty, col("l_partkey") === col("tk"))
+      .filter(col("pair_qty") > col("part_qty") * Q20Share)
+      .select(col("l_suppkey").as("dk")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("dk"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q2_min_cost" -> (q2MinCost _),
+    "rel_q9_profit" -> (q9Profit _),
+    "rel_q16_supplier_cnt" -> (q16SupplierCnt _),
+    "rel_q20_excess_stock" -> (q20ExcessStock _),
     "rel_q11_top_parts" -> (q11TopParts _),
     "rel_q8_market_share" -> (q8MarketShare _),
     "rel_q12_priority_class" -> (q12PriorityClass _),
@@ -1382,6 +1517,69 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_q2_min_cost" ->
+      s"""WITH ps AS ($partSuppSql),
+         |es AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |pp AS (
+         |  SELECT p_partkey, p_name FROM part
+         |  WHERE p_type = 'STANDARD' AND p_size < 15),
+         |j AS (
+         |  SELECT * FROM ps
+         |  JOIN es ON ps_suppkey = s_suppkey
+         |  JOIN pp ON ps_partkey = p_partkey),
+         |mc AS (SELECT ps_partkey AS mk, min(ps_cost) AS min_cost
+         |       FROM j GROUP BY ps_partkey)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  CAST(ps_cost AS DOUBLE) AS cost
+         |FROM j JOIN mc ON ps_partkey = mk AND ps_cost = min_cost
+         |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+         |LIMIT 100""".stripMargin,
+    "rel_q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) -
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(8,0)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "rel_q16_supplier_cnt" ->
+      s"""WITH ps AS ($partSuppSql)
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "rel_q20_excess_stock" ->
+      s"""WITH pq AS (
+         |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE 'red%'
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2),
+         |tq AS (SELECT l_partkey AS tk, sum(pair_qty) AS part_qty
+         |       FROM pq GROUP BY 1),
+         |dom AS (
+         |  SELECT DISTINCT l_suppkey AS dk
+         |  FROM pq JOIN tq ON l_partkey = tk
+         |  WHERE pair_qty > part_qty * $Q20Share)
+         |SELECT s_suppkey, s_name, s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_7'
+         |  AND EXISTS (SELECT 1 FROM dom WHERE dk = s_suppkey)
+         |ORDER BY s_suppkey""".stripMargin,
     "rel_q11_top_parts" ->
       s"""WITH pp AS (
          |  SELECT l_partkey,
