@@ -394,7 +394,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Query-set selector for the pHash nearest-image search: one probe
+    * image every 250 ids. */
+  val PhashQueryMod = 250L
+
+  /** Nearest-image search: for each probe image, the 3 corpus images
+    * with the smallest pHash Hamming distance — "find visually similar
+    * images" as a fingerprint-domain k-NN, no decode needed. The probe
+    * set is tiny and broadcast against the corpus fingerprint scan (the
+    * similarity family's bounded 1×N product), and the per-probe ranking
+    * runs through the bounded-heap TopKPerGroup operator — at most
+    * |probes|·3 rows cross the exchange, never a sorted corpus
+    * partition per probe. */
+  def mediaPhashTopK(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ph = phashFrame(spark, dir)
+    val q = ph.filter(col("doc_id") % PhashQueryMod === 1L)
+      .select(col("doc_id").as("qid"), col("phash").as("qhash"))
+    val scored = ph.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        expr("CAST(bit_count(phash ^ qhash) AS INT)").as("hamming"))
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("hamming", true), ("doc_id", true)), 3)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_topk" -> (mediaPhashTopK _),
     "mm_headers" -> (mediaHeaders _),
     "mm_ahash" -> (mediaAhash _),
     "mm_phash" -> (mediaPhash _),
@@ -464,6 +491,21 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_topk" ->
+      s"""WITH $phashCtes,
+         |q AS (SELECT doc_id AS qid, phash AS qhash FROM ph
+         |      WHERE doc_id % $PhashQueryMod = 1),
+         |s AS (
+         |  SELECT qid, ph.doc_id,
+         |    CAST(bit_count(xor(phash, qhash)) AS INTEGER) AS hamming
+         |  FROM ph, q WHERE ph.doc_id <> qid),
+         |r AS (
+         |  SELECT qid, doc_id, hamming,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY hamming ASC, doc_id ASC) AS rn
+         |  FROM s)
+         |SELECT qid, doc_id, hamming, rn FROM r
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     // every field re-derived from the synthesis arithmetic: PNG ids parse
     // IHDR w/h, JPEG ids parse SOF0 behind the segment walk, opaque ids
     // fall back to the stub formulas over their synthetic length

@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
       "rel_q22_global",
       // Q11's global-fraction cut: the 1-row broadcast total >-joined
       // against the per-part aggregate
-      "rel_q11_top_parts")
+      "rel_q11_top_parts",
+      // the pHash probe set broadcast against the fingerprint scan —
+      // the similarity family's bounded 1×N product in the mm family
+      "mm_phash_topk")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

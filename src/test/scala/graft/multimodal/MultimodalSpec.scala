@@ -131,4 +131,13 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc(2L)._2 == byDoc(3L)._2 && byDoc(2L)._3 == 2L)
     assert(byDoc(1L)._2 != byDoc(2L)._2)
   }
+
+  test("mm_phash_topk plans the bounded-heap TopKPerGroup, not a window sort") {
+    val plan = Multimodal.mediaPhashTopK(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["),
+      s"expected two-phase TopKPerGroup in plan:\n$plan")
+    assert(!plan.contains("Window"),
+      "per-probe ranking must not sort corpus-sized probe partitions")
+  }
 }
