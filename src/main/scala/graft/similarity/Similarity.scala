@@ -209,14 +209,12 @@ object Similarity {
     val corpus = emb.join(assign, Seq("vec_id"))
     val q = corpus.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
-    corpus.join(broadcast(q), col("cell") === col("qcell"))
+    val scored = corpus.join(broadcast(q), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), k)
       .orderBy("qid", "rn")
   }
 
@@ -536,14 +534,12 @@ object Similarity {
       .filter(col("vec_id") < 4)
       .join(emb, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
-    corpus.join(broadcast(q), col("cell") === col("qcell"))
+    val scored = corpus.join(broadcast(q), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), k)
       .orderBy("qid", "rn")
   }
 
@@ -583,13 +579,11 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("s"), asc("vec_id"))
-    val bf = emb.crossJoin(broadcast(q))
+    val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), score("embedding", "qe").as("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    val bf = graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("s", false), ("vec_id", true)), 3)
     (q, bf)
   }
 
@@ -767,10 +761,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("sdist")).as("adist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
-    adc.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    graft.plans.TopK.perGroup(adc, Seq("qid"),
+      Seq(("adist", true), ("vec_id", true)), k)
       .orderBy("qid", "rn")
   }
 

@@ -79,6 +79,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf/pq retrieval rankings also go through the bounded heap (no per-query window sort)") {
+    // round-10 consistency sweep: every per-qid ranking in the family —
+    // IVF (label-seeded, trained, multiprobe) and PQ's ADC ranking —
+    // uses the two-phase TopKPerGroup operator. The remaining Window
+    // nodes (argmin over |centroids|-sized vec_id partitions, the PQ
+    // encode over |codebook|-sized (vec_id, sub) partitions) rank
+    // FIXED-size partitions and are fine; per-QUERY partitions grow with
+    // the corpus and are not.
+    for ((name, df) <- Seq(
+        "ivfTopK" -> Similarity.ivfTopK(spark, sf),
+        "ivfTrainedTopK" -> Similarity.ivfTrainedTopK(spark, sf),
+        "ivfMultiprobe" -> Similarity.ivfMultiprobe(spark, sf),
+        "pqTopK" -> Similarity.pqTopK(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["),
+        s"expected two-phase TopKPerGroup in $name plan:\n$plan")
+    }
+  }
+
   test("SQ: codes bounded to the level grid, per-dim extremes hit both ends") {
     val codes = Similarity.sqQuantized(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
