@@ -463,7 +463,29 @@ object EventQueries {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Top-20 three-step behavior paths: the trigram extension of
+    * [[paths]] — two stacked lead() offsets over the SAME user window
+    * (one shuffle, one sort, both leads in one Window node), then a
+    * |types|³-bounded census cut to 20 by TakeOrdered. The sequence-
+    * mining shape funnel designers start from. */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"))
+      .withColumn("step2", lead("event_type", 1).over(byUser))
+      .withColumn("step3", lead("event_type", 2).over(byUser))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(desc("n_paths"), asc("step1"), asc("step2"), asc("step3"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path_trigrams" -> (pathTrigrams _),
     "ev_attribution" -> (attribution _),
     "ev_rfm" -> (rfm _),
     "ev_paths" -> (paths _),
@@ -485,6 +507,17 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_path_trigrams" ->
+      """WITH e AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM e WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC LIMIT 20""".stripMargin,
     "ev_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type, value,

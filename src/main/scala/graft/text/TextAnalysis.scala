@@ -1458,7 +1458,54 @@ object TextAnalysis {
       .orderBy("lang", "verdict")
   }
 
+  /** BM25 retrieval constants (Robertson/Spärck Jones): the standard
+    * k1/b, the fixed query term set, and the IDF quantization grid —
+    * single-sourced with the oracle. */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Terms = Seq("data", "spark", "order")
+  private[graft] val Bm25IdfScale = 1000000L
+  private[graft] val Bm25TopK = 20
+
+  /** BM25 ranking of the corpus against a fixed query — the lexical
+    * retrieval rung under [[tfidf]] and the sparse half of a hybrid
+    * (BM25 + dense) search stack. Scale shape: term postings are a
+    * filtered token scan (the `isin` prunes at the scan), doc lengths
+    * one |docs| aggregate, df a |terms|-row broadcast, the corpus stats
+    * a 1-row broadcast — nothing corpus² anywhere, and the final top-k
+    * is a TakeOrdered, not a global sort. Cross-engine determinism: the
+    * one libm call (the IDF ln) is floor-quantized to a 1e-6 integer
+    * grid per DISTINCT term (the [[tfidf]] discipline), the saturation
+    * fraction is fixed-order rational arithmetic over exact counts, and
+    * the ≤3 per-term contributions fold in FIXED textual order via a
+    * conditional pivot — never an order-dependent float aggregate. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(spark, dir)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tok_total"))
+    val tf = toks.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idfQ = floor(log((col("n_docs") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0) * Bm25IdfScale).cast("long")
+    val frac = (col("tf") * lit(Bm25K1 + 1.0)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * col("dl") * col("n_docs") / col("tok_total")))
+    val contrib = tf
+      .join(broadcast(df.crossJoin(stats)), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), col("token"),
+        ((idfQ / lit(Bm25IdfScale.toDouble)) * frac).as("s"))
+    val terms = Bm25Terms.map(t =>
+      coalesce(sum(when(col("token") === t, col("s"))), lit(0.0)))
+    contrib.groupBy("doc_id")
+      .agg(round(terms.reduce(_ + _), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (bm25 _),
     "text_quality_classifier" -> (qualityClassifier _),
     "text_dup_spans" -> (dupSpans _),
     "text_dup_coverage" -> (dupCoverage _),
@@ -1555,6 +1602,30 @@ object TextAnalysis {
          |FROM s ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val termSum = Bm25Terms.map(t =>
+        s"COALESCE(sum(CASE WHEN token = '$t' THEN s END), CAST(0 AS DOUBLE))")
+        .mkString(" + ")
+      s"""WITH tok AS ($tokSql),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |       WHERE token IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, token,
+         |    (CAST(floor(ln((n_docs - df + CAST(0.5 AS DOUBLE)) /
+         |                   (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |                * $Bm25IdfScale) AS BIGINT) / CAST($Bm25IdfScale AS DOUBLE)) *
+         |    ((tf * CAST(${Bm25K1 + 1.0} AS DOUBLE)) /
+         |     (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE) +
+         |        CAST($Bm25B AS DOUBLE) * dl * n_docs / tok_total))) AS s
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st)
+         |SELECT doc_id, round($termSum, 6) AS bm25
+         |FROM c GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+    },
     "text_quality_classifier" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, count(*) AS n_tokens,

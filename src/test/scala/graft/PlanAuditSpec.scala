@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
       // 1-row broadcast scalar joins (corpus-level N / vocab-size V
       // folded to a single row, then crossJoin(broadcast(...)))
       "text_tfidf", "text_perplexity", "text_ppl_buckets",
+      // |terms|-row df × 1-row corpus stats, broadcast against postings
+      "text_bm25",
       // sketch-sized broadcast products (64-row histogram × 3-row
       // percentile list; 64-row accumulator × 1-row gmax)
       "sim_pca_power", "text_len_histogram",
