@@ -118,6 +118,52 @@ object Similarity {
       .limit(10)
   }
 
+  /** RRF fusion constants: list depth, the standard k=60 damping, and
+    * the fused cut — single-sourced with the oracle. */
+  val RrfDepth = 20
+  val RrfK = 60
+  val RrfTopK = 10
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * SIGIR'09): the lexical BM25 list and the dense cosine list, each
+    * cut to [[RrfDepth]], fused by Σ 1/(k + rank) — the standard way a
+    * RAG stack merges sparse and dense retrievers without score
+    * calibration. Scale shape: each list is produced by its own
+    * scale-safe ranking (BM25's pruned postings, the dense side's
+    * corpus-scan × 1-vector broadcast + TakeOrdered) and the fusion
+    * join touches only 2·depth rows — rank windows run AFTER the cut,
+    * over depth-sized frames. Absent ranks contribute 0 (rank reported
+    * as 0), so fusion stays a full outer join, not a silent intersect.
+    * Determinism: ranks are exact ints, 1/(k+r) a single IEEE divide,
+    * the two contributions added in fixed order, rounded to 1e-6. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.TextAnalysis.bm25(spark, dir)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val dense = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+      .orderBy(desc("cos_r"), asc("doc_id")).limit(RrfDepth)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(desc("cos_r"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(RrfTopK)
+  }
+
   /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
     * set (vec_id < 8). The shape is the scale path for "embed the eval
     * set, find its neighbors in the corpus": corpus scan × broadcast
@@ -898,6 +944,7 @@ object Similarity {
     "sim_centroid_shift" -> (centroidShift _),
     "sim_pca_power" -> (pcaPowerIter _),
     "sim_pca_run" -> (pcaRun _),
+    "sim_rrf_fusion" -> (rrfFusion _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -1303,6 +1350,35 @@ object Similarity {
          |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
          |LEFT JOIN h ON q.qid = h.qid
          |ORDER BY q.qid""".stripMargin,
+    "sim_rrf_fusion" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+         |  FROM (${graft.text.TextAnalysis.bm25OracleSql})),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+         |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+         |       sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_r
+         |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  GROUP BY e.vec_id),
+         |dense AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos_r DESC, doc_id ASC) AS dense_rank
+         |  FROM (SELECT * FROM s ORDER BY cos_r DESC, doc_id ASC LIMIT $RrfDepth)),
+         |f AS (
+         |  SELECT doc_id,
+         |    COALESCE(lex_rank, 0) AS lex_rank,
+         |    COALESCE(dense_rank, 0) AS dense_rank,
+         |    round(
+         |      COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), CAST(0 AS DOUBLE)) +
+         |      COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + dense_rank), CAST(0 AS DOUBLE)),
+         |      6) AS rrf
+         |  FROM lex FULL OUTER JOIN dense USING (doc_id))
+         |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+         |  CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+         |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (

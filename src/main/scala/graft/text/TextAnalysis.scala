@@ -1601,13 +1601,15 @@ object TextAnalysis {
          |        ELSE 'zh' END) = lang AS is_match
          |FROM s ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "text_bm25" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      val termSum = Bm25Terms.map(t =>
-        s"COALESCE(sum(CASE WHEN token = '$t' THEN s END), CAST(0 AS DOUBLE))")
-        .mkString(" + ")
-      s"""WITH tok AS ($tokSql),
+  /** The full BM25 oracle query — also composed (as a parenthesized
+    * WITH-subquery) by the sim_rrf_fusion oracle, so the lexical list
+    * the fusion ranks is bit-identical to the registered text_bm25. */
+  private[graft] val bm25OracleSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val termSum = Bm25Terms.map(t =>
+      s"COALESCE(sum(CASE WHEN token = '$t' THEN s END), CAST(0 AS DOUBLE))")
+      .mkString(" + ")
+    s"""WITH tok AS ($tokSql),
          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
          |st AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
@@ -1625,7 +1627,10 @@ object TextAnalysis {
          |SELECT doc_id, round($termSum, 6) AS bm25
          |FROM c GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" -> bm25OracleSql,
     "text_quality_classifier" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, count(*) AS n_tokens,

@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
       "text_tfidf", "text_perplexity", "text_ppl_buckets",
       // |terms|-row df × 1-row corpus stats, broadcast against postings
       "text_bm25",
+      // BM25's stats product + the dense side's 1-vector broadcast scan
+      "sim_rrf_fusion",
       // sketch-sized broadcast products (64-row histogram × 3-row
       // percentile list; 64-row accumulator × 1-row gmax)
       "sim_pca_power", "text_len_histogram",
