@@ -812,6 +812,105 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Trained product quantization: the [[kmeansTrajectory]] Lloyd loop
+    * run on every subspace AT ONCE — (sub, c_label) is the centroid key,
+    * (vec_id, sub) the assignment key, so all m per-subspace k-means
+    * trainings ride ONE driver loop and one shuffle per round instead of
+    * m sequential jobs (the batched-training layout a 100 TB codebook
+    * build wants). Same discipline as the full-vector run: exact-DECIMAL
+    * means floor-quantized to the ·1024 grid, per-round localCheckpoint,
+    * stop on zero moved grid entries or [[KmeansRunRounds]]. */
+  private[similarity] def pqTrainedCodebooks(spark: SparkSession, dir: String,
+      m: Int = PqSubspaces, maxRounds: Int = KmeansRunRounds): DataFrame = {
+    Engine.tune(spark)
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        (size(col("embedding")) / m).cast("long").as("sl"),
+        posexplode(col("embedding")))
+    val vdim = base.select(col("vec_id"),
+        floor(col("pos") / col("sl")).cast("long").as("sub"),
+        col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+      .localCheckpoint(true)
+    val vd = base.select(col("vec_id"),
+        floor(col("pos") / col("sl")).cast("long").as("sub"),
+        col("pos").cast("long").as("dim"),
+        col("col").cast("string").cast("decimal(38,30)").as("v"))
+      .localCheckpoint(true)
+    var cent = base.groupBy(col("label").as("c_label"),
+        floor(col("pos") / col("sl")).cast("long").as("sub"),
+        col("pos").cast("long").as("dim"))
+      .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))) * 1024).cast("long").as("cq"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val dists = vdim.join(broadcast(cent), Seq("sub", "dim"))
+        .groupBy("vec_id", "sub", "c_label")
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
+      val argmin = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("c_label"))
+      val assign = dists.withColumn("rk", row_number().over(argmin))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("c_label").as("cell"))
+      val next = assign.join(vd, Seq("vec_id", "sub"))
+        .groupBy(col("cell").as("c_label"), col("sub"), col("dim"))
+        .agg(floor((sum("v").cast("double") / count(lit(1))) * 1024)
+          .cast("long").as("cq"))
+        .localCheckpoint(true)
+      val moved = next.select(col("c_label"), col("sub"), col("dim"), col("cq").as("cq1"))
+        .join(cent.select(col("c_label"), col("sub"), col("dim"), col("cq").as("cq0")),
+          Seq("c_label", "sub", "dim"), "full")
+        .filter(!(col("cq1") <=> col("cq0")))
+        .count()
+      converged = moved == 0L
+      cent = next
+      rounds += 1
+    }
+    cent
+  }
+
+  /** PQ retrieval through the TRAINED sub-codebooks — the composition
+    * the batched per-subspace training exists for, and the trained
+    * sibling of `sim_pq_topk` exactly as `sim_ivf_trained` is of
+    * `sim_ivf_topk`: encode = per-(vector, subspace) argmin against the
+    * converged codewords, queries rank candidates by the same
+    * asymmetric-distance LUT sum, ranking through the bounded heap.
+    * Index quality is the ONLY degree of freedom vs the label-seeded
+    * query — the encode/LUT/ADC machinery is identical. */
+  def pqTrainedTopK(spark: SparkSession, dir: String,
+      m: Int = PqSubspaces, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val cent = pqTrainedCodebooks(spark, dir, m)
+    val vdim = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), (size(col("embedding")) / m).cast("long").as("sl"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"),
+        floor(col("pos") / col("sl")).cast("long").as("sub"),
+        col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+    val subDists = vdim.join(broadcast(cent), Seq("sub", "dim"))
+      .groupBy("vec_id", "sub", "c_label")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sdist"))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(asc("sdist"), asc("c_label"))
+    val codes = subDists.withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub").as("c_sub"), col("c_label").as("code"))
+    val lut = subDists.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("sdist"))
+    val adc = codes.join(broadcast(lut),
+        col("c_sub") === col("q_sub") && col("code") === col("q_code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("sdist")).as("adist"))
+    graft.plans.TopK.perGroup(adc, Seq("qid"),
+      Seq(("adist", true), ("vec_id", true)), k)
+      .orderBy("qid", "rn")
+  }
+
   /** Query-set size and level count for the scalar quantizer, single-
     * sourced between the Scala plan and the oracle. */
   val SqQueries = 4
@@ -945,6 +1044,7 @@ object Similarity {
     "sim_pca_power" -> (pcaPowerIter _),
     "sim_pca_run" -> (pcaRun _),
     "sim_rrf_fusion" -> (rrfFusion _),
+    "sim_pq_trained" -> ((s: SparkSession, d: String) => pqTrainedTopK(s, d)),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -1062,6 +1162,79 @@ object Similarity {
        |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
        |$rounds""".stripMargin
+  }
+
+  /** One unrolled per-subspace Lloyd round: the kmeansRoundCtes shape
+    * with (sub) added to every key — distances join on (sub, dim),
+    * assignment is per (vec_id, sub), means per (c_label, sub, dim). */
+  private def pqRoundCtes(i: Int): String =
+    s"""pd$i AS (
+       |  SELECT v.vec_id, v.sub, c.c_label,
+       |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS dist
+       |  FROM pqv v JOIN pc${i - 1} c USING (sub, dim)
+       |  GROUP BY v.vec_id, v.sub, c.c_label),
+       |pm$i AS (SELECT vec_id, sub, min(dist) AS md FROM pd$i GROUP BY vec_id, sub),
+       |pa$i AS (
+       |  SELECT d.vec_id, d.sub, min(d.c_label) AS cell
+       |  FROM pd$i d JOIN pm$i m ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.dist = m.md
+       |  GROUP BY d.vec_id, d.sub),
+       |pc$i AS (
+       |  SELECT a.cell AS c_label, q.sub, q.dim,
+       |    CAST(floor((CAST(sum(q.v) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+       |  FROM pa$i a JOIN pqd q ON a.vec_id = q.vec_id AND a.sub = q.sub
+       |  GROUP BY a.cell, q.sub, q.dim)""".stripMargin
+
+  /** The trained-PQ oracle: the unrolled per-subspace training chain
+    * (generated over the SAME constants the Spark loop iterates), then
+    * encode + LUT + ADC + ranking — the sim_pq_topk retrieval body
+    * pointed at the converged codebooks. */
+  private[graft] def pqTrainedSql: String = {
+    val m = PqSubspaces
+    val r = KmeansRunRounds
+    val rounds = (1 to r).map(pqRoundCtes).mkString(",\n")
+    s"""WITH pqv AS (
+       |  SELECT vec_id,
+       |    CAST((i - 1) // (len(embedding) // $m) AS BIGINT) AS sub,
+       |    CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |pqd AS (
+       |  SELECT vec_id,
+       |    CAST((i - 1) // (len(embedding) // $m) AS BIGINT) AS sub,
+       |    CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30)) AS v
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |pc0 AS (
+       |  SELECT label AS c_label,
+       |    CAST((i - 1) // (len(embedding) // $m) AS BIGINT) AS sub,
+       |    CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+       |  GROUP BY 1, 2, 3),
+       |$rounds,
+       |sd AS (
+       |  SELECT v.vec_id, v.sub, c.c_label,
+       |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS sdist
+       |  FROM pqv v JOIN pc$r c USING (sub, dim)
+       |  GROUP BY v.vec_id, v.sub, c.c_label),
+       |sm AS (SELECT vec_id, sub, min(sdist) AS md FROM sd GROUP BY vec_id, sub),
+       |codes AS (
+       |  SELECT d.vec_id, d.sub AS c_sub, min(d.c_label) AS code
+       |  FROM sd d JOIN sm m ON d.vec_id = m.vec_id AND d.sub = m.sub AND d.sdist = m.md
+       |  GROUP BY d.vec_id, d.sub),
+       |lut AS (
+       |  SELECT vec_id AS qid, sub AS q_sub, c_label AS q_code, sdist
+       |  FROM sd WHERE vec_id < 4),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, CAST(sum(l.sdist) AS BIGINT) AS adist
+       |  FROM codes c JOIN lut l ON c.c_sub = l.q_sub AND c.code = l.q_code
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |rk AS (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM adc)
+       |SELECT qid, vec_id, adist, rn FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
   private[graft] def kmeansRunSql: String =
@@ -1454,6 +1627,7 @@ object Similarity {
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained" -> ivfTrainedSql,
+    "sim_pq_trained" -> pqTrainedSql,
     "sim_trunc_topk" -> truncTopKSql,
     "sim_rerank" -> rerankTopKSql,
     "sim_rerank_recall" ->

@@ -98,6 +98,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained PQ: one batched loop trains all subspaces, dims partition correctly") {
+    val m = Similarity.PqSubspaces
+    val books = Similarity.pqTrainedCodebooks(spark, sf, m).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+    // every subspace trained; each (c_label, sub) codeword spans exactly
+    // its dim-range block (dim div sl == sub)
+    assert(books.map(_._2).distinct.sorted.toSeq == (0L until m).toSeq)
+    val d = books.map(_._3).max + 1
+    val sl = d / m
+    books.foreach { case (_, sub, dim, _) =>
+      assert(dim / sl == sub, s"dim $dim landed in subspace $sub (sl=$sl)")
+    }
+    // and the retrieval ranks through the bounded heap
+    val plan = Similarity.pqTrainedTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup [") && plan.contains("TopKPerGroupPartial ["))
+  }
+
   test("SQ: codes bounded to the level grid, per-dim extremes hit both ends") {
     val codes = Similarity.sqQuantized(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
