@@ -484,7 +484,69 @@ object EventQueries {
       .limit(20)
   }
 
+  /** Conversion bar for the A/B readout: a "converted" user made at
+    * least this many purchases (the fixture's per-user median — every
+    * user purchases at least once, so a has-purchased flag would
+    * saturate both cohorts at p=1 and zero the test's denominator). */
+  val AbConvThreshold = 14L
+
+  /** Two-proportion z-test between the even/odd user cohorts (the A/B
+    * readout): conversion = "user made ≥ [[AbConvThreshold]] purchases".
+    * One |events| scan to per-user flags, one |users| aggregate to the
+    * four counts, then the z-statistic from EXACT integer counts in one
+    * fixed-order expression — engine-identical doubles, same discipline
+    * as [[anomaly]]'s z-score. Output is a single decision row. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= AbConvThreshold, 1L).otherwise(0L).as("conv"))
+      .withColumn("cohort", col("user_id") % 2)
+    val counts = perUser.groupBy()
+      .agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a") * lit(1.0) / col("n_a")
+    val pb = col("conv_b") * lit(1.0) / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")) * lit(1.0) / (col("n_a") + col("n_b"))
+    val z = (pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    counts.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(z, 6).as("z"),
+      (abs(round(z, 6)) > 1.96).as("significant"))
+  }
+
+  /** DAU / WAU / stickiness: daily active users, trailing-7-day active
+    * users, and their ratio per day. WAU is computed WITHOUT a
+    * distinct-over-sliding-window (quadratic in window length at the
+    * event level): each distinct (user, day) pair fans out to the ≤7
+    * target days it keeps the user active in, and one grouped distinct
+    * count per target day finishes it — |users·days|·7 rows through one
+    * exchange, the scalable spelling of a rolling-distinct. Days join
+    * back to the observed DAU frame so partial tail windows past the
+    * last day never appear. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") * lit(1.0) / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_test" -> (abTest _),
+    "ev_dau_wau" -> (dauWau _),
     "ev_path_trigrams" -> (pathTrigrams _),
     "ev_attribution" -> (attribution _),
     "ev_rfm" -> (rfm _),
@@ -507,6 +569,45 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_ab_test" ->
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              >= $AbConvThreshold THEN 1 ELSE 0 END AS conv,
+        |    user_id % 2 AS cohort
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round((conv_a * CAST(1.0 AS DOUBLE) / n_a - conv_b * CAST(1.0 AS DOUBLE) / n_b) /
+        |    sqrt(((conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
+        |         (CAST(1.0 AS DOUBLE) - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
+        |         (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6) AS z,
+        |  abs(round((conv_a * CAST(1.0 AS DOUBLE) / n_a - conv_b * CAST(1.0 AS DOUBLE) / n_b) /
+        |    sqrt(((conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
+        |         (CAST(1.0 AS DOUBLE) - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
+        |         (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)) > 1.96 AS significant
+        |FROM c""".stripMargin,
+    "ev_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT day + CAST(k AS INTEGER) AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM ud, UNNEST(range(0, 7)) t(k)
+        |  GROUP BY 1)
+        |SELECT dau.day, dau, wau,
+        |  round(dau * CAST(1.0 AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
     "ev_path_trigrams" ->
       """WITH e AS (
         |  SELECT event_type AS step1,
