@@ -348,7 +348,39 @@ object Formats {
         sum(when(col("_corrupt_record").isNull, col("val")).otherwise(0L)).as("sum_val"))
   }
 
+  /** Writes the document texts as raw line-oriented text once per dir
+    * (marker guarded) — the rawest ingestion format an LLM corpus
+    * arrives in: one document per line, no schema, no column structure.
+    * The fixture texts carry no embedded newlines (asserted in
+    * FormatsSpec), so lines round-trip 1:1 with documents. */
+  private def materializeText(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#text", {
+      val out = s"/tmp/graft-src-text-${sfTag(dir)}"
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        Tables(spark, dir, "documents").select(col("text"))
+          .write.mode("overwrite").text(out)
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** Raw-text round-trip: `spark.read.text` over the one-doc-per-line
+    * dump, then a per-line-length histogram-style aggregate that the
+    * oracle reproduces from the parquet originals. Text files split on
+    * line boundaries, so the scan parallelizes like the CSV variant;
+    * this is the path a from-scratch corpus build starts from. */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.read.text(materializeText(spark, dir))
+      .select(length(col("value")).as("len"))
+      .groupBy((col("len") / 100).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("len")).as("char_sum"))
+      .orderBy("len_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
     "src_runtime_filter" -> (runtimeFilterJoin _),
     "src_bucketed_join" -> (bucketedJoin _),
@@ -370,6 +402,12 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "src_text_roundtrip" ->
+      """WITH l AS (SELECT length(text) AS len FROM documents)
+        |SELECT len // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(len) AS BIGINT) AS char_sum
+        |FROM l GROUP BY 1 ORDER BY len_bucket""".stripMargin,
     // the quarantine boundary re-derived from the synthesis arithmetic
     "src_csv_malformed" ->
       s"""SELECT count(*) AS n_rows,
