@@ -1504,7 +1504,51 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
+  /** Char-trigram language-ID constants: profile depth per language and
+    * the evaluated split — single-sourced with the oracle. */
+  private[graft] val ChargramProfileK = 50
+
+  /** Cavnar–Trenkle character-n-gram language ID, TRAINED on the train
+    * split and EVALUATED on the val split — the real n-gram-profile
+    * method next to [[langId]]'s fixed word markers. Train: per-language
+    * trigram counts → top-[[ChargramProfileK]] profile through the
+    * bounded-heap TopKPerGroup (per-language partitions, never a global
+    * vocabulary sort). Score: val-doc trigrams equi-join the tiny
+    * broadcast profile, hits count per (doc, candidate), argmax with
+    * language tiebreak. Output is the confusion matrix the deployment
+    * watches. All counts exact integers — engine-identical. At 100 TB
+    * the train pass runs on a sample; the plan shape is unchanged. */
+  def langIdChargram(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = withSplit(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        explode(expr(
+          // sequence(1, 0) would step BACKWARD, so short texts get an
+          // explicit empty gram array (explode then drops the row)
+          "CASE WHEN length(text) >= 3 THEN " +
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+            "ELSE array() END"))
+          .as("gram"))
+    val profile = graft.plans.TopK.perGroup(
+      docs.filter(col("split") === "train")
+        .groupBy(col("lang").as("p_lang"), col("gram"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("p_lang"), Seq(("cnt", false), ("gram", true)), ChargramProfileK)
+      .select(col("p_lang"), col("gram"))
+    val hits = docs.filter(col("split") === "val")
+      .join(broadcast(profile), Seq("gram"))
+      .groupBy("doc_id", "lang", "p_lang")
+      .agg(count(lit(1)).as("hits"))
+    val best = hits.groupBy(col("doc_id"), col("lang"))
+      .agg(max(struct(col("hits"), col("p_lang"))).as("b"))
+      .select(col("lang").as("lang_actual"), col("b.p_lang").as("lang_pred"))
+    best.groupBy("lang_actual", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_actual", "lang_pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_chargram" -> (langIdChargram _),
     "text_bm25" -> (bm25 _),
     "text_quality_classifier" -> (qualityClassifier _),
     "text_dup_spans" -> (dupSpans _),
@@ -1630,6 +1674,33 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_langid_chargram" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |         WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split,
+         |    substr(text, CAST(i AS INTEGER), 3) AS gram
+         |  FROM documents, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) t(i)),
+         |tp AS (SELECT lang AS p_lang, gram, count(*) AS cnt
+         |       FROM g WHERE split = 'train' GROUP BY 1, 2),
+         |prof AS (
+         |  SELECT p_lang, gram FROM (
+         |    SELECT p_lang, gram,
+         |      row_number() OVER (PARTITION BY p_lang
+         |                         ORDER BY cnt DESC, gram ASC) AS rk
+         |    FROM tp) WHERE rk <= $ChargramProfileK),
+         |h AS (
+         |  SELECT doc_id, lang, p_lang, count(*) AS hits
+         |  FROM g JOIN prof USING (gram)
+         |  WHERE split = 'val' GROUP BY 1, 2, 3),
+         |b AS (
+         |  SELECT lang AS lang_actual, p_lang AS lang_pred FROM (
+         |    SELECT lang, p_lang,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY hits DESC, p_lang DESC) AS rk
+         |    FROM h) WHERE rk = 1)
+         |SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1, 2 ORDER BY lang_actual, lang_pred""".stripMargin,
     "text_bm25" -> bm25OracleSql,
     "text_quality_classifier" ->
       s"""WITH f AS (
