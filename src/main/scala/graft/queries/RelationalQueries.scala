@@ -1450,7 +1450,33 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  // ---- exact grouped median WITHOUT a per-group sort of the raw rows:
+  // aggregate to per-(group, value) counts first, then one cumulative
+  // window over the DISTINCT-value frame picks the value containing the
+  // ⌈n/2⌉-th row (the lower median — exact, no interpolation, so the
+  // result is a value that exists and both engines agree bitwise). At
+  // 100 TB the windowed frame is |distinct values per group|, not
+  // |rows| — the classic scalable exact-median layout; the approximate
+  // alternative (percentile_approx) trades this exactness for a sketch.
+  def exactMedianGrouped(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val h = Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice")
+    val whole = Window.partitionBy("o_orderpriority")
+    h.withColumn("cum", sum("cnt").over(byVal))
+      .withColumn("n", sum("cnt").over(whole))
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        col("cum") >= expr("(n + 1) div 2"))
+      .select(col("o_orderpriority"), col("o_totalprice").as("median_price"),
+        col("n").as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_exact_median" -> (exactMedianGrouped _),
     "rel_q2_min_cost" -> (q2MinCost _),
     "rel_q9_profit" -> (q9Profit _),
     "rel_q16_supplier_cnt" -> (q16SupplierCnt _),
@@ -1517,6 +1543,21 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_exact_median" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_totalprice, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, o_totalprice, cnt,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h)
+        |SELECT o_orderpriority, o_totalprice AS median_price,
+        |  CAST(n AS BIGINT) AS n_orders
+        |FROM c
+        |WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
     "rel_q2_min_cost" ->
       s"""WITH ps AS ($partSuppSql),
          |es AS (
