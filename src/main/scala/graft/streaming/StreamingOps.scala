@@ -767,6 +767,53 @@ object StreamingOps {
       .orderBy(desc("n_trans"), asc("event_type"), asc("next_type"))
   }
 
+  /** Streaming last-touch attribution — the online dual of the batch
+    * `ev_attribution` (same oracle, duality by construction): each
+    * user's most recent non-purchase channel is CARRIED as keyed state
+    * across triggers, each arriving purchase emits its credited
+    * (channel, value) immediately in append mode, and the complete
+    * census aggregates the materialized credits. State is one string
+    * per user — bounded by the key space, not the stream. Within a
+    * trigger the group folds in the batch window's (t_us, event_id)
+    * order; the time-split feed delivers slices in event-time order, so
+    * a credit bridging the trigger boundary (purchase in batch i+1,
+    * channel set in batch i) is provably exercised across ≥3 triggers. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val credits = Tables.normalizeEvents(stream)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (String, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var ch = state.getOption.orNull
+          val out = Seq.newBuilder[(String, Double)]
+          sorted.foreach { case (_, _, _, tpe, value) =>
+            if (tpe == "purchase") out += ((if (ch == null) "none" else ch, value))
+            else ch = tpe
+          }
+          if (ch != null) state.update(ch)
+          out.result().iterator
+      }
+    runToMemory(spark, credits.toDF("channel", "value"),
+        mode = "append", minDataBatches = 3)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("attributed_value"))
+      .orderBy(desc("n_conversions"), asc("channel"))
+  }
+
   /** Streaming deduplication (dropDuplicates over the stream's key column):
     * bounded-input distinct set; ordering applied to the materialized
     * result (a sort inside the stream is illegal in append mode). */
@@ -867,6 +914,7 @@ object StreamingOps {
     "stream_session_window" -> (sessionWindows _),
     "stream_milestones" -> (milestones _),
     "stream_paths" -> (streamPaths _),
+    "stream_attribution" -> (streamAttribution _),
     "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _))
 
@@ -875,6 +923,7 @@ object StreamingOps {
     // the batch ev_paths oracle — the carried-state fold must reproduce
     // the lead() window's transition matrix exactly
     "stream_paths" -> graft.queries.EventQueries.oracles("ev_paths"),
+    "stream_attribution" -> graft.queries.EventQueries.oracles("ev_attribution"),
     "stream_lateness" -> graft.queries.EventQueries.oracles("ev_lateness"),
     "stream_complete_counts" ->
       """SELECT event_type, count(*) AS cnt
