@@ -544,7 +544,43 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Train/test day cutoff for the forecast baseline (the fixture spans
+    * 2024-01-01..01-30; 24 train days, 6 test days). */
+  val ForecastCutoff = "2024-01-25"
+
+  /** Seasonal-naive forecasting baseline + backtest: the hour-of-day
+    * profile fitted on the train days predicts each test (day, hour)
+    * cell, scored by MAE per hour — the sanity baseline every real
+    * forecasting deployment must beat, and the backtest harness shape
+    * (fit on a prefix, score on the holdout) is the actual deliverable.
+    * Scale: two aggregates over the hourly frame (|days|·24 rows after
+    * the first shuffle) and a 24-row broadcast model join. Determinism:
+    * the model means are rounded to a 1e-6 grid and carried as exact
+    * DECIMAL, so the |actual − pred| sums are order-independent; the
+    * final MAE is one division. */
+  def forecastNaive(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val hourly = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .groupBy("day", "hod").agg(count(lit(1)).as("cnt"))
+    val cutoff = lit(ForecastCutoff).cast("date")
+    val model = hourly.filter(col("day") < cutoff)
+      .groupBy("hod")
+      .agg(round(sum("cnt") * lit(1.0) / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("pred"))
+    hourly.filter(col("day") >= cutoff)
+      .join(broadcast(model), Seq("hod"))
+      .groupBy("hod", "pred")
+      .agg(count(lit(1)).as("n_test"),
+        round(sum(abs(col("cnt").cast("decimal(18,6)") - col("pred")))
+          .cast("double") / count(lit(1)), 6).as("mae"))
+      .select(col("hod"), col("pred").cast("double").as("pred"),
+        col("n_test"), col("mae"))
+      .orderBy("hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_forecast_naive" -> (forecastNaive _),
     "ev_ab_test" -> (abTest _),
     "ev_dau_wau" -> (dauWau _),
     "ev_path_trigrams" -> (pathTrigrams _),
@@ -569,6 +605,23 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_forecast_naive" ->
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT hod,
+         |    CAST(round(sum(cnt) * CAST(1.0 AS DOUBLE) / count(*), 6)
+         |      AS DECIMAL(18,6)) AS pred
+         |  FROM h WHERE day < DATE '$ForecastCutoff' GROUP BY hod)
+         |SELECT h.hod, CAST(pred AS DOUBLE) AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  round(CAST(sum(abs(CAST(cnt AS DECIMAL(18,6)) - pred)) AS DOUBLE)
+         |    / count(*), 6) AS mae
+         |FROM h JOIN m ON h.hod = m.hod
+         |WHERE day >= DATE '$ForecastCutoff'
+         |GROUP BY h.hod, pred ORDER BY h.hod""".stripMargin,
     "ev_ab_test" ->
       s"""WITH pu AS (
         |  SELECT user_id,
