@@ -1547,7 +1547,45 @@ object TextAnalysis {
       .orderBy("lang_actual", "lang_pred")
   }
 
+  /** Contrastive training-pair mining (the embedding-training data
+    * prep): POSITIVES are same-content pairs (each doc in a content-hash
+    * duplicate group pairs with the group's min doc — Σ(group−1) pairs,
+    * never group², the anchor-star layout), HARD NEGATIVES are the
+    * length-adjacent same-source doc (one lead() over the source
+    * partition ordered by length — the cheapest "confusable but
+    * different" heuristic, one window, no self-join), skipped when the
+    * neighbor is content-identical. Emits the per-source curation
+    * summary; the pair frames are the operator's intermediates. All
+    * counts and gaps exact integers. */
+  def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+    val pos = docs.groupBy("source", "h")
+      .agg(count(lit(1)).as("gsz"))
+      .groupBy("source")
+      .agg(sum(col("gsz") - 1).as("n_pos_pairs"))
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val negs = docs
+      .withColumn("neg_h", lead("h", 1).over(w))
+      .withColumn("neg_len", lead("n_chars", 1).over(w))
+      .filter(col("neg_h").isNotNull && col("neg_h") =!= col("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_hard_negs"),
+        sum(col("neg_len") - col("n_chars")).as("gap_sum"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(pos, Seq("source"))
+      .join(negs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_pos_pairs"),
+        col("n_hard_negs"),
+        round(col("gap_sum") * lit(1.0) / col("n_hard_negs"), 6).as("avg_neg_gap"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_training_pairs" -> (trainingPairs _),
     "text_langid_chargram" -> (langIdChargram _),
     "text_bm25" -> (bm25 _),
     "text_quality_classifier" -> (qualityClassifier _),
@@ -1674,6 +1712,28 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_training_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+        |pos AS (
+        |  SELECT source, CAST(sum(gsz - 1) AS BIGINT) AS n_pos_pairs
+        |  FROM (SELECT source, h, count(*) AS gsz FROM d GROUP BY 1, 2)
+        |  GROUP BY source),
+        |ng AS (
+        |  SELECT source,
+        |    lead(h, 1) OVER w AS neg_h, h,
+        |    lead(n_chars, 1) OVER w - n_chars AS gap
+        |  FROM d WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)),
+        |neg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_hard_negs,
+        |    sum(gap) AS gap_sum
+        |  FROM ng WHERE neg_h IS NOT NULL AND neg_h <> h GROUP BY source),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source)
+        |SELECT nd.source, n_docs, n_pos_pairs, n_hard_negs,
+        |  round(gap_sum * CAST(1.0 AS DOUBLE) / n_hard_negs, 6) AS avg_neg_gap
+        |FROM nd JOIN pos ON nd.source = pos.source
+        |JOIN neg ON nd.source = neg.source
+        |ORDER BY nd.source""".stripMargin,
     "text_langid_chargram" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang,
