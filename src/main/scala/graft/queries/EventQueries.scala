@@ -579,7 +579,62 @@ object EventQueries {
       .orderBy("hod")
   }
 
+  /** CUPED pre-period cutoff: the month's first half is the covariate
+    * window, the second half the experiment window. */
+  val CupedCutoff = "2024-01-16"
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    * each user's PRE-period purchase count is the covariate for their
+    * POST-period metric; θ = cov(pre, post)/var(pre) computed from EXACT
+    * BIGINT moment sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)²  — the
+    * Moments-aggregate discipline), the cohort difference re-estimated
+    * on the adjusted metric, and the achieved variance reduction (ρ²)
+    * reported. One |events| scan → |users| frame → 1-row moments; every
+    * downstream number is fixed-order arithmetic over those exact sums,
+    * so both engines agree bitwise. The ρ² squares are taken in DOUBLE
+    * (their BIGINT squares would overflow at fixture scale — by design,
+    * the cast happens BEFORE squaring on both engines). */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cut = lit(CupedCutoff).cast("timestamp")
+    val isP = col("event_type") === "purchase"
+    val per = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(isP && col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(isP && col("ts") >= cut, 1L).otherwise(0L)).as("y"))
+      .withColumn("c", col("user_id") % 2)
+    val s = per.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("c") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("c") === 0, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("c") === 0, col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("c") === 1, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("c") === 1, col("y")).otherwise(0L)).as("syb"))
+    val t = s.withColumn("theta",
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    val meanDiff = col("sya") * lit(1.0) / col("na") - col("syb") * lit(1.0) / col("nb")
+    val adjA = col("sya") * lit(1.0) / col("na") -
+      col("theta") * (col("sxa") * lit(1.0) / col("na") - col("sx") * lit(1.0) / col("n"))
+    val adjB = col("syb") * lit(1.0) / col("nb") -
+      col("theta") * (col("sxb") * lit(1.0) / col("nb") - col("sx") * lit(1.0) / col("n"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    t.select(col("n"), col("na"), col("nb"),
+      round(col("theta"), 6).as("theta"),
+      round(meanDiff, 6).as("diff_raw"),
+      round(adjA - adjB, 6).as("diff_cuped"),
+      round(covN * covN / (varX * varY) * 100.0, 6).as("var_reduction_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
     "ev_ab_test" -> (abTest _),
     "ev_dau_wau" -> (dauWau _),
@@ -605,6 +660,44 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_cuped" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '$CupedCutoff'
+         |             THEN 1 ELSE 0 END) AS x,
+         |    sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '$CupedCutoff'
+         |             THEN 1 ELSE 0 END) AS y,
+         |    user_id % 2 AS c
+         |  FROM events GROUP BY user_id),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN c = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+         |    CAST(sum(CASE WHEN c = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN c = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+         |    CAST(sum(CASE WHEN c = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+         |  FROM pu),
+         |t AS (
+         |  SELECT *,
+         |    CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+         |  FROM s)
+         |SELECT n, na, nb,
+         |  round(theta, 6) AS theta,
+         |  round(sya * CAST(1.0 AS DOUBLE) / na - syb * CAST(1.0 AS DOUBLE) / nb, 6) AS diff_raw,
+         |  round((sya * CAST(1.0 AS DOUBLE) / na -
+         |         theta * (sxa * CAST(1.0 AS DOUBLE) / na - sx * CAST(1.0 AS DOUBLE) / n)) -
+         |        (syb * CAST(1.0 AS DOUBLE) / nb -
+         |         theta * (sxb * CAST(1.0 AS DOUBLE) / nb - sx * CAST(1.0 AS DOUBLE) / n)), 6) AS diff_cuped,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+         |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) * 100.0,
+         |        6) AS var_reduction_pct
+         |FROM t""".stripMargin,
     "ev_forecast_naive" ->
       s"""WITH h AS (
          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
