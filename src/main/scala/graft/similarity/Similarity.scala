@@ -911,6 +911,39 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Probe counts the sweep prices, single-sourced with the oracle. */
+  val ProbeSweepNs = Seq(1, 2, 3)
+
+  /** nprobe tuning sweep — the decision table an IVF deployment reads
+    * before fixing its probe count (the ANN sibling of
+    * `dedup_banding_sweep`): for each candidate probe count, the
+    * candidate volume the query side would scan and the recall@3 it
+    * buys against the exact ground truth. Cost is |sweep| linear probes
+    * of the SAME registered index machinery ([[cellCandidates]] /
+    * [[ivfMultiprobe]] — shared, so the sweep prices exactly what the
+    * registered query runs), never an all-pairs pass; the ground-truth
+    * pass is computed once and reused across the sweep. */
+  def probeSweep(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
+    val (q, truth) = exactTruth(spark, dir, 4,
+      (e, qe) => round(VectorOps.cosine(e, qe), 4))
+    val frames = ProbeSweepNs.map { p =>
+      val qcells = cellCandidates(spark, dir, p).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("cell").as("qcell"))
+      val nCand = corpus.join(broadcast(qcells), col("cell") === col("qcell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val hits = recallVsTruth(q, truth, ivfMultiprobe(spark, dir, probes = p))
+        .agg(sum("n_hits").as("hits"))
+      nCand.crossJoin(broadcast(hits))
+        .select(lit(p).as("probes"), col("n_candidates"),
+          round(col("hits") / lit(12.0), 6).as("mean_recall_at_3"))
+    }
+    frames.reduce(_ unionByName _).orderBy("probes")
+  }
+
   /** Query-set size and level count for the scalar quantizer, single-
     * sourced between the Scala plan and the oracle. */
   val SqQueries = 4
@@ -1045,6 +1078,7 @@ object Similarity {
     "sim_pca_run" -> (pcaRun _),
     "sim_rrf_fusion" -> (rrfFusion _),
     "sim_pq_trained" -> ((s: SparkSession, d: String) => pqTrainedTopK(s, d)),
+    "sim_probe_sweep" -> (probeSweep _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -1062,6 +1096,76 @@ object Similarity {
       |dists AS (
       |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
       |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label)""".stripMargin
+
+  /** The nprobe-sweep oracle: shared dists/assign/corpus/probe/truth
+    * CTEs, then one (candidates, recall) block per probe count in
+    * [[ProbeSweepNs]] — generated from the same constant the Spark
+    * sweep iterates, UNION ALL'd. */
+  private[graft] def probeSweepSql: String = {
+    val blocks = ProbeSweepNs.map { p =>
+      s"""qc$p AS (
+         |  SELECT pr.vec_id AS qid, pr.cell, qs.qe
+         |  FROM probe pr JOIN qs ON pr.vec_id = qs.qid WHERE pr.rk <= $p),
+         |cand$p AS (
+         |  SELECT qc.qid, c.vec_id, c.embedding, qc.qe
+         |  FROM corpus c JOIN qc$p qc ON c.cell = qc.cell AND c.vec_id <> qc.qid),
+         |nc$p AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand$p),
+         |s$p AS (
+         |  SELECT qid, vec_id,
+         |    sum(CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS n2b
+         |  FROM cand$p, UNNEST(range(1, len(embedding) + 1)) t(i)
+         |  GROUP BY qid, vec_id),
+         |a$p AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM s$p) WHERE rn <= 3),
+         |h$p AS (
+         |  SELECT CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM a$p i LEFT JOIN bf b ON i.qid = b.qid AND i.vec_id = b.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val rows = ProbeSweepNs.map { p =>
+      s"""SELECT $p AS probes, n_candidates,
+         |  round(hits / CAST(12.0 AS DOUBLE), 6) AS mean_recall_at_3
+         |FROM nc$p, h$p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$cellDistSql,
+       |mind AS (SELECT vec_id, min(dist) AS md FROM dists GROUP BY vec_id),
+       |assign AS (
+       |  SELECT d.vec_id, min(d.c_label) AS cell
+       |  FROM dists d JOIN mind m ON d.vec_id = m.vec_id AND d.dist = m.md
+       |  GROUP BY d.vec_id),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, a.cell
+       |  FROM embeddings e JOIN assign a USING (vec_id)),
+       |probe AS (
+       |  SELECT vec_id, c_label AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c_label ASC) AS rk
+       |  FROM dists),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |bs AS (
+       |  SELECT qs.qid, e.vec_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+       |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+       |  WHERE e.vec_id <> qs.qid
+       |  GROUP BY qs.qid, e.vec_id),
+       |bf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                  vec_id ASC) AS rn
+       |    FROM bs) WHERE rn <= 3),
+       |$blocks
+       |$rows
+       |ORDER BY probes""".stripMargin
+  }
 
   /** DuckDB spelling of the Lloyd-round refined centroids as a CTE
     * prefix ending in `knext(cell, dim, n_members, cq)` — single-sourced
@@ -1628,6 +1732,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained" -> ivfTrainedSql,
     "sim_pq_trained" -> pqTrainedSql,
+    "sim_probe_sweep" -> probeSweepSql,
     "sim_trunc_topk" -> truncTopKSql,
     "sim_rerank" -> rerankTopKSql,
     "sim_rerank_recall" ->

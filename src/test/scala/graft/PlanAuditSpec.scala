@@ -32,6 +32,9 @@ class PlanAuditSpec extends SparkSpec {
       "text_bm25",
       // BM25's stats product + the dense side's 1-vector broadcast scan
       "sim_rrf_fusion",
+      // per-probe 1-row candidate-count × 1-row hits products + the
+      // shared exact-truth broadcast pass
+      "sim_probe_sweep",
       // sketch-sized broadcast products (64-row histogram × 3-row
       // percentile list; 64-row accumulator × 1-row gmax)
       "sim_pca_power", "text_len_histogram",
