@@ -663,7 +663,32 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingPairs _),
     "dedup_semantic" -> (semanticDedup _),
+    "dedup_cluster_purity" -> (clusterPurity _),
     "pipeline_curation" -> (curationFunnel _))
+
+  /** Cluster-quality eval against content-hash ground truth — the
+    * number a dedup deployment reads before trusting the MinHash
+    * cluster collapse: within each converged component, the largest
+    * same-content subgroup over the component size (purity), plus the
+    * cluster and membership census. Exact-duplicate docs scattered
+    * ACROSS components or mixed-content components both pull purity
+    * below 1. One |clustered|-sized join (labels ⋈ hashes) and two
+    * grouped aggregates — eval cost is proportional to the CLUSTERED
+    * set, which at scale is the tiny near-dup fraction of the corpus. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = labelsFor(spark, dir)
+      .join(Tables(spark, dir, "documents")
+        .select(col("doc_id").as("doc"), md5(col("text")).as("h")), Seq("doc"))
+    val subgroup = labeled.groupBy("root", "h").agg(count(lit(1)).as("sz"))
+    val perCluster = subgroup.groupBy("root")
+      .agg(max(col("sz")).as("max_same"), sum(col("sz")).as("csz"))
+    perCluster.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("csz")).as("n_clustered"),
+        sum(col("max_same")).as("n_pure"))
+      .select(col("n_clusters"), col("n_clustered"),
+        round(col("n_pure") * lit(1.0) / col("n_clustered"), 6).as("purity"))
+  }
 
   private val distinctTokSql =
     """SELECT DISTINCT doc_id, t.token
@@ -812,6 +837,25 @@ object Dedup {
          |SELECT root AS rep, count(*) AS n_docs
          |FROM (SELECT doc, min(root) AS root FROM reach GROUP BY doc)
          |GROUP BY root ORDER BY rep""".stripMargin,
+    "dedup_cluster_purity" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, min(root) AS root FROM reach GROUP BY doc),
+         |lh AS (SELECT lab.root, md5(d.text) AS h
+         |       FROM lab JOIN documents d ON lab.doc = d.doc_id),
+         |sg AS (SELECT root, h, count(*) AS sz FROM lh GROUP BY 1, 2),
+         |pc AS (SELECT root, max(sz) AS max_same, sum(sz) AS csz FROM sg GROUP BY root)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(csz) AS BIGINT) AS n_clustered,
+         |  round(sum(max_same) * CAST(1.0 AS DOUBLE) / sum(csz), 6) AS purity
+         |FROM pc""".stripMargin,
     "dedup_keep" ->
       s"""WITH RECURSIVE $minhashCtes,
          |edges AS (
