@@ -633,7 +633,39 @@ object EventQueries {
       round(covN * covN / (varX * varY) * 100.0, 6).as("var_reduction_pct"))
   }
 
+  /** Bounce rate per session entry type: sessions ([[sessionize]]'s
+    * exact gap semantics, shared constant) keyed by their FIRST event's
+    * type; a one-event session is a bounce. The entry type rides the
+    * same (t_us, event_id)-ordered window that numbers the sessions
+    * (min of a (t_us, event_id, type) struct per session — no second
+    * shuffle), then a |types|-bounded census. Rates are exact-count
+    * ratios rounded to 1e-6. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("new_s",
+        when(col("t_us") - lag("t_us", 1).over(byUser) > SessionGapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_no", sum("new_s").over(run))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("t_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces") * lit(1.0) / col("n_sessions"), 6).as("bounce_rate"))
+      .orderBy("entry_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bounce_rate" -> (bounceRate _),
     "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
     "ev_ab_test" -> (abTest _),
@@ -660,6 +692,28 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_bounce_rate" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+         |             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |           > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |                             ORDER BY t_us, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_no
+         |  FROM e),
+         |g AS (
+         |  SELECT user_id, session_no, count(*) AS n_events,
+         |    min(struct_pack(t_us := t_us, event_id := event_id,
+         |                    event_type := event_type)).event_type AS entry_type
+         |  FROM s GROUP BY 1, 2)
+         |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+         |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * CAST(1.0 AS DOUBLE)
+         |    / count(*), 6) AS bounce_rate
+         |FROM g GROUP BY entry_type ORDER BY entry_type""".stripMargin,
     "ev_cuped" ->
       s"""WITH pu AS (
          |  SELECT user_id,
