@@ -911,6 +911,13 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Trained-PQ recall@3: the eval harness pointed at the trained
+    * codebooks — together with `sim_pq_recall` this prices exactly what
+    * the per-subspace training bought (same harness, same truth; the
+    * codebook is the only degree of freedom). */
+  def pqTrainedRecallEval(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir, pqTrainedTopK(spark, dir))
+
   /** Probe counts the sweep prices, single-sourced with the oracle. */
   val ProbeSweepNs = Seq(1, 2, 3)
 
@@ -1079,6 +1086,7 @@ object Similarity {
     "sim_rrf_fusion" -> (rrfFusion _),
     "sim_pq_trained" -> ((s: SparkSession, d: String) => pqTrainedTopK(s, d)),
     "sim_probe_sweep" -> (probeSweep _),
+    "sim_pq_trained_recall" -> (pqTrainedRecallEval _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -1733,6 +1741,34 @@ object Similarity {
     "sim_ivf_trained" -> ivfTrainedSql,
     "sim_pq_trained" -> pqTrainedSql,
     "sim_probe_sweep" -> probeSweepSql,
+    "sim_pq_trained_recall" ->
+      s"""WITH ans AS (SELECT qid, vec_id FROM ($pqTrainedSql)),
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM bs) WHERE rn <= 3),
+         |h AS (
+         |  SELECT a.qid,
+         |    CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM ans a LEFT JOIN bf b ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |  GROUP BY a.qid)
+         |SELECT q.qid, COALESCE(h.h, CAST(0 AS BIGINT)) AS n_hits,
+         |       COALESCE(h.h, CAST(0 AS BIGINT)) / 3.0 AS recall_at_3
+         |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4) q
+         |LEFT JOIN h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
     "sim_trunc_topk" -> truncTopKSql,
     "sim_rerank" -> rerankTopKSql,
     "sim_rerank_recall" ->
