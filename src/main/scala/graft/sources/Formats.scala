@@ -348,6 +348,46 @@ object Formats {
         sum(when(col("_corrupt_record").isNull, col("val")).otherwise(0L)).as("sum_val"))
   }
 
+  /** The NDJSON sibling of [[materializeMalformed]]: every
+    * [[MalformedEvery]]-th line is TRUNCATED mid-object (the crawler
+    * failure mode JSON actually exhibits — a connection cut, not a bad
+    * numeric). Same arithmetic content, so the oracle is shared-shape. */
+  private def materializeMalformedJson(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#malformedjson", {
+      val out = s"/tmp/graft-src-malformedjson-${sfTag(dir)}"
+      new File(out).mkdirs()
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        val lines = (0 until MalformedRows).map { i =>
+          if (i % MalformedEvery == 0) s"""{"id": $i, "tag": "t$i", "va"""
+          else s"""{"id": $i, "tag": "t$i", "val": ${i * 3L}}"""
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "data.json"),
+          scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** [[csvMalformed]]'s JSON twin: PERMISSIVE NDJSON ingestion with
+    * truncated-object quarantine — the same accounting contract over
+    * the format whose corruption mode is structural (cut-off objects)
+    * rather than value-level. */
+  def jsonMalformed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val schema = "id LONG, tag STRING, val LONG, _corrupt_record STRING"
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(materializeMalformedJson(spark, dir))
+      .cache()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("val")).otherwise(0L)).as("sum_val"))
+  }
+
   /** Writes the document texts as raw line-oriented text once per dir
     * (marker guarded) — the rawest ingestion format an LLM corpus
     * arrives in: one document per line, no schema, no column structure.
@@ -382,6 +422,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
+    "src_json_malformed" -> (jsonMalformed _),
     "src_runtime_filter" -> (runtimeFilterJoin _),
     "src_bucketed_join" -> (bucketedJoin _),
     "src_dpp_join" -> (dppJoin _),
@@ -410,6 +451,15 @@ object Formats {
         |FROM l GROUP BY 1 ORDER BY len_bucket""".stripMargin,
     // the quarantine boundary re-derived from the synthesis arithmetic
     "src_csv_malformed" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_good,
+         |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bad,
+         |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 0 ELSE i * 3 END)
+         |    AS BIGINT) AS sum_val
+         |FROM range(0, $MalformedRows) t(i)""".stripMargin,
+    "src_json_malformed" ->
       s"""SELECT count(*) AS n_rows,
          |  CAST(sum(CASE WHEN i % $MalformedEvery = 0 THEN 0 ELSE 1 END)
          |    AS BIGINT) AS n_good,
