@@ -664,7 +664,37 @@ object EventQueries {
       .orderBy("entry_type")
   }
 
+  /** Cohort LTV matrix — the value-weighted sibling of
+    * [[retentionMatrix]]: users cohorted by FIRST-purchase day, each
+    * later purchase's value accruing to the (cohort, age-in-days) cell,
+    * plus the running cumulative LTV per cohort. Two shuffles to the
+    * |cohorts|×|ages| matrix; the cumulative window runs over that tiny
+    * aggregated frame, never the event log. Value mass stays exact
+    * DECIMAL through the cumulative sum, so the running totals are
+    * order-independent and engine-identical. */
+  def ltvMatrix(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val cohort = p.groupBy("user_id").agg(min("day").as("c_day"))
+    val cells = p.join(cohort, Seq("user_id"))
+      .groupBy(col("c_day").as("cohort_day"),
+        datediff(col("day"), col("c_day")).as("age_d"))
+      .agg(sum(col("v")).as("rev"))
+    val cum = Window.partitionBy("cohort_day").orderBy("age_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_ltv", sum("rev").over(cum))
+      .select(col("cohort_day"), col("age_d"),
+        col("rev").cast("double").as("rev"),
+        col("cum_ltv").cast("double").as("cum_ltv"))
+      .orderBy("cohort_day", "age_d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ltv_matrix" -> (ltvMatrix _),
     "ev_bounce_rate" -> (bounceRate _),
     "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
@@ -692,6 +722,21 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_ltv_matrix" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(day) AS c_day FROM p GROUP BY user_id),
+        |cells AS (
+        |  SELECT c_day AS cohort_day,
+        |    CAST(date_diff('day', c_day, day) AS INTEGER) AS age_d,
+        |    sum(v) AS rev
+        |  FROM p JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, age_d, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_d
+        |                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_ltv
+        |FROM cells ORDER BY cohort_day, age_d""".stripMargin,
     "ev_bounce_rate" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
