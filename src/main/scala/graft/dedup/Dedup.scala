@@ -664,7 +664,32 @@ object Dedup {
     "dedup_embedding" -> (embeddingPairs _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_cluster_purity" -> (clusterPurity _),
+    "dedup_keep_quality" -> (keepByQuality _),
     "pipeline_curation" -> (curationFunnel _))
+
+  /** Quality-aware keep decision — the curation composition the keep
+    * table exists for: within each converged component the survivor is
+    * the HIGHEST-QUALITY member (quality gate, then token count, then
+    * min doc_id — the "keep the best duplicate" rule real pipelines use
+    * instead of [[keepDecision]]'s arbitrary min-id), resolved by one
+    * exact-integer argmax struct per component, no window. Joins the
+    * |clustered| labeling against the per-doc quality frame (reusing
+    * `text_quality`'s exact token aggregates verbatim), so the decision
+    * inputs are already oracle-gated elsewhere. */
+  def keepByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.text.TextAnalysis.quality(spark, dir)
+      .select(col("doc_id").as("doc"), col("quality"), col("n_tokens"))
+    val labeled = labelsFor(spark, dir).join(q, Seq("doc"))
+    val best = labeled.groupBy("root")
+      .agg(max(struct(col("quality"), col("n_tokens"), (-col("doc")).as("negdoc")))
+        .as("b"))
+      .select(col("root"), (-col("b.negdoc")).as("keep_doc"))
+    labeled.join(best, Seq("root"))
+      .select(col("doc").as("doc_id"), col("root").as("rep"),
+        col("keep_doc"),
+        when(col("doc") === col("keep_doc"), 1).otherwise(0).as("is_keep"))
+      .orderBy("doc_id")
+  }
 
   /** Cluster-quality eval against content-hash ground truth — the
     * number a dedup deployment reads before trusting the MinHash
@@ -856,6 +881,40 @@ object Dedup {
          |  CAST(sum(csz) AS BIGINT) AS n_clustered,
          |  round(sum(max_same) * CAST(1.0 AS DOUBLE) / sum(csz), 6) AS purity
          |FROM pc""".stripMargin,
+    "dedup_keep_quality" -> {
+      import graft.text.TextAnalysis.{QualityMinTokens, QualityMaxTokens, QualityStopRatioMax, qualityStopsSql}
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, min(root) AS root FROM reach GROUP BY doc),
+         |tq AS (
+         |  SELECT doc_id AS doc, count(*) AS n_tokens,
+         |    CASE WHEN count(*) BETWEEN $QualityMinTokens AND $QualityMaxTokens
+         |          AND sum(CASE WHEN t.token IN ($qualityStopsSql) THEN 1 ELSE 0 END)
+         |              * 1.0 / count(*) < $QualityStopRatioMax
+         |         THEN 1 ELSE 0 END AS quality
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''
+         |  GROUP BY doc_id),
+         |lq AS (SELECT lab.doc, lab.root, tq.quality, tq.n_tokens
+         |       FROM lab JOIN tq ON lab.doc = tq.doc),
+         |best AS (
+         |  SELECT root, doc AS keep_doc FROM (
+         |    SELECT root, doc,
+         |      row_number() OVER (PARTITION BY root
+         |                         ORDER BY quality DESC, n_tokens DESC, doc ASC) AS rk
+         |    FROM lq) WHERE rk = 1)
+         |SELECT lq.doc AS doc_id, lq.root AS rep, best.keep_doc,
+         |  CASE WHEN lq.doc = best.keep_doc THEN 1 ELSE 0 END AS is_keep
+         |FROM lq JOIN best ON lq.root = best.root
+         |ORDER BY doc_id""".stripMargin
+    },
     "dedup_keep" ->
       s"""WITH RECURSIVE $minhashCtes,
          |edges AS (
