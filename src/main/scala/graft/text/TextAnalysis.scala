@@ -807,6 +807,34 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Temperature sweep for the mixture weights — the decision table
+    * behind [[mixWeights]]'s fixed α = 1/2: the per-source shares at
+    * α ∈ {1/4, 1/2, 1}. The sweep stays libm-free by construction —
+    * every α is a composition of exactly-rounded IEEE sqrt (α=1/4 is
+    * sqrt∘sqrt, α=1 the identity), so all three columns of the table
+    * are bit-identical across engines, unlike a pow(x, α) spelling.
+    * One corpus aggregate feeds all three weightings; the share
+    * windows run over the |sources|-row frame. */
+  def mixTempSweep(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"))
+    val alphas: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      Seq(("0.25", c => sqrt(sqrt(c))), ("0.5", c => sqrt(c)), ("1.0", c => c))
+    alphas.map { case (a, f) =>
+      base
+        .withColumn("w_q",
+          floor(f(col("n_tokens").cast("double")) * MixScale).cast("long"))
+        .select(lit(a).as("alpha"), col("source"), col("n_tokens"),
+          round(col("w_q") * lit(1.0) /
+            sum("w_q").over(Window.partitionBy()), 6).as("share"))
+    }.reduce(_ unionByName _).orderBy("alpha", "source")
+  }
+
   /** Per-document bigram surprisal with the language carried — the
     * shared core of [[perplexity]] (which drops lang) and
     * [[pplBuckets]] (which buckets within it). Model and quantization
@@ -1622,6 +1650,7 @@ object TextAnalysis {
     "text_chunk_windows" -> (chunkWindows _),
     "pipeline_rag" -> (ragFunnel _),
     "text_mix_weights" -> (mixWeights _),
+    "text_mix_temp_sweep" -> (mixTempSweep _),
     "text_ppl_buckets" -> (pplBuckets _),
     "text_dsir" -> (dsirScores _),
     "text_len_quantiles" -> (lengthQuantiles _),
@@ -2201,6 +2230,23 @@ object TextAnalysis {
          |UNION ALL SELECT 4, 'chunk_chars',
          |  (SELECT CAST(sum(chunk_len) AS BIGINT) FROM ch)
          |ORDER BY stage_no""".stripMargin,
+    "text_mix_temp_sweep" -> {
+      val blocks = Seq(
+        ("0.25", "sqrt(sqrt(CAST(n_tokens AS DOUBLE)))"),
+        ("0.5", "sqrt(CAST(n_tokens AS DOUBLE))"),
+        ("1.0", "CAST(n_tokens AS DOUBLE)")).map { case (a, f) =>
+        s"""SELECT '$a' AS alpha, source, n_tokens,
+           |  round(CAST(floor($f * $MixScale) AS BIGINT) * CAST(1.0 AS DOUBLE) /
+           |    sum(CAST(floor($f * $MixScale) AS BIGINT)) OVER (), 6) AS share
+           |FROM base""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source)
+         |$blocks
+         |ORDER BY alpha, source""".stripMargin
+    },
     "text_mix_weights" ->
       s"""WITH s AS (
          |  SELECT source, count(*) AS n_docs,
