@@ -95,7 +95,12 @@ class PlanAuditSpec extends SparkSpec {
     "rel_q12_priority_class" -> Seq("l_shipdate"),
     "rel_q15_top_supplier" -> Seq("l_shipdate"),
     "rel_q17_small_qty" -> Seq("p_brand", "p_size"),
-    "rel_q21_waiting" -> Seq("o_orderstatus"))
+    "rel_q21_waiting" -> Seq("o_orderstatus"),
+    "rel_q2_min_cost" -> Seq("p_type", "p_size", "r_name"),
+    "rel_q9_profit" -> Seq("p_name"),
+    "rel_q13_custdist" -> Seq("o_orderpriority"),
+    "rel_q16_supplier_cnt" -> Seq("p_brand", "p_type", "p_size", "s_acctbal"),
+    "rel_q20_excess_stock" -> Seq("p_name", "l_shipdate", "n_name"))
 
   test("literal predicates on scanned base columns reach PushedFilters") {
     // the default 100-char metadata truncation would eat long pushed-filter
