@@ -693,7 +693,45 @@ object EventQueries {
       .orderBy("cohort_day", "age_d")
   }
 
+  /** Relative lifts the power analysis prices, and the standard
+    * two-sided α=.05 / power=.80 z constants (1.959964, 0.841621 —
+    * fixed public quantiles, interpolated into both engines as
+    * literals so no inverse-normal libm call exists anywhere). */
+  val PowerLifts = Seq(2, 5, 10) // percent
+  val PowerZAlpha = 1.959964
+  val PowerZBeta = 0.841621
+
+  /** Experiment power analysis — the third leg of the A/B harness
+    * (ev_ab_test measures, ev_cuped sharpens, this PLANS): for the
+    * fixture's measured baseline conversion rate, the per-arm sample
+    * size needed to detect a 2/5/10% relative lift at α=.05,
+    * power=.80 — n = (z_α+z_β)²·2·p̄(1−p̄)/δ². One |users| aggregate
+    * produces the baseline; the table is 3 rows of fixed-order
+    * arithmetic over it, ceil'd to integers so the cross-engine hash
+    * sees no raw float tails. */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val base = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= AbConvThreshold, 1L).otherwise(0L).as("conv"))
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val p = col("n_conv") * lit(1.0) / col("n_users")
+    val frames = PowerLifts.map { liftPct =>
+      val delta = p * (liftPct / 100.0)
+      val zsum = PowerZAlpha + PowerZBeta
+      val nArm = ceil(lit(zsum * zsum) * lit(2.0) * p * (lit(1.0) - p) /
+        (delta * delta)).cast("long")
+      base.select(lit(liftPct).as("lift_pct"),
+        round(p, 6).as("baseline_rate"),
+        round(delta, 6).as("abs_delta"),
+        nArm.as("n_per_arm"))
+    }
+    frames.reduce(_ unionByName _).orderBy("lift_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_power_analysis" -> (powerAnalysis _),
     "ev_ltv_matrix" -> (ltvMatrix _),
     "ev_bounce_rate" -> (bounceRate _),
     "ev_cuped" -> (cuped _),
@@ -722,6 +760,27 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_power_analysis" -> {
+      val zsum2 = (PowerZAlpha + PowerZBeta) * (PowerZAlpha + PowerZBeta)
+      val blocks = PowerLifts.map { liftPct =>
+        s"""SELECT $liftPct AS lift_pct,
+           |  round(p, 6) AS baseline_rate,
+           |  round(p * CAST(${liftPct / 100.0} AS DOUBLE), 6) AS abs_delta,
+           |  CAST(ceil(CAST($zsum2 AS DOUBLE) * CAST(2.0 AS DOUBLE) * p * (CAST(1.0 AS DOUBLE) - p) /
+           |    ((p * CAST(${liftPct / 100.0} AS DOUBLE)) * (p * CAST(${liftPct / 100.0} AS DOUBLE))))
+           |    AS BIGINT) AS n_per_arm
+           |FROM b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |              >= $AbConvThreshold THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY user_id),
+         |b AS (
+         |  SELECT sum(conv) * CAST(1.0 AS DOUBLE) / count(*) AS p FROM pu)
+         |$blocks
+         |ORDER BY lift_pct""".stripMargin
+    },
     "ev_ltv_matrix" ->
       """WITH p AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

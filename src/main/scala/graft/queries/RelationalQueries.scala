@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
@@ -1475,7 +1475,45 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- ANALYZE-style column profile (the optimizer-statistics pass):
+  // null count, exact NDV, min and max per column of `orders`, in ONE
+  // scan — the multi-countDistinct aggregate plans a single Expand pass
+  // (one shuffle), not a job per column. Values are canonicalized to
+  // strings through DECIMAL for numerics so both engines print
+  // identically; at 100 TB the exact NDVs swap for HLL sketches with
+  // the same plan shape (the repo's HLL sibling shows the swap).
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val canon: Map[String, Column => Column] = Map(
+      "o_orderkey" -> (c => c.cast("string")),
+      "o_custkey" -> (c => c.cast("string")),
+      "o_totalprice" -> (c => c.cast("decimal(18,2)").cast("string")),
+      "o_orderdate" -> (c => c.cast("string")),
+      "o_orderstatus" -> (c => c),
+      "o_orderpriority" -> (c => c))
+    val cols = canon.keys.toSeq.sorted
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        // min/max run on the RAW column (numeric/temporal order), the
+        // canonical string cast applies to the 1-row result — a min
+        // over canonicalized strings would order lexicographically
+        canon(c)(min(col(c))).as(s"mn_$c"),
+        canon(c)(max(col(c))).as(s"mx_$c"))
+    }
+    val prof = Tables(spark, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column"), col(s"nn_$c").as("n_null"), col(s"nd_$c").as("ndv"),
+      col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val")))
+    prof.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.n_null"), col("r.ndv"),
+        col("r.min_val"), col("r.max_val"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_data_profile" -> (dataProfile _),
     "rel_exact_median" -> (exactMedianGrouped _),
     "rel_q2_min_cost" -> (q2MinCost _),
     "rel_q9_profit" -> (q9Profit _),
@@ -1543,6 +1581,24 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_data_profile" -> {
+      val canonSql: Map[String, String => String] = Map(
+        "o_orderkey" -> (e => s"CAST($e AS VARCHAR)"),
+        "o_custkey" -> (e => s"CAST($e AS VARCHAR)"),
+        "o_totalprice" -> (e => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+        "o_orderdate" -> (e => s"CAST($e AS VARCHAR)"),
+        "o_orderstatus" -> (e => e),
+        "o_orderpriority" -> (e => e))
+      canonSql.keys.toSeq.sorted.map { c =>
+        val f = canonSql(c)
+        s"""SELECT '$c' AS "column",
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  ${f(s"min($c)")} AS min_val,
+           |  ${f(s"max($c)")} AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
     "rel_exact_median" ->
       """WITH h AS (
         |  SELECT o_orderpriority, o_totalprice, count(*) AS cnt
