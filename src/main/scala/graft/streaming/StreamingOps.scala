@@ -268,6 +268,36 @@ object StreamingOps {
       .orderBy("hr", "event_type")
   }
 
+  /** Online volume-anomaly monitor — the streaming dual of the batch
+    * `ev_anomaly` (same oracle, duality by construction): the
+    * watermarked hourly counts accumulate in complete mode; the z-score
+    * pass runs over the MATERIALIZED hourly frame (|hours| rows — the
+    * same tiny window the batch query scores), with the identical
+    * exact-integer variance spelling, so the alert boundary cannot fork
+    * between the online and offline paths. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val hourly = runToMemory(spark, agg)
+      .select(col("window.start").as("hr"), col("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val n = count(lit(1)).over(w)
+    val s = sum("n_events").over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    val z = when(n > 1 && (n * s2 - s * s) > 0, round(
+      (col("n_events") * n - s).cast("double") /
+        (n.cast("double") *
+          sqrt((n * s2 - s * s).cast("double") / (n * (n - lit(1))).cast("double"))),
+      4))
+    hourly
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy("hr")
+  }
+
   /** File-sink sibling of [[hourlyCounts]] — the SAME watermarked hourly
     * aggregate landed through [[runToFiles]]' foreachBatch-to-parquet
     * overwrite instead of the driver-capped memory sink, across ≥3
@@ -915,6 +945,7 @@ object StreamingOps {
     "stream_milestones" -> (milestones _),
     "stream_paths" -> (streamPaths _),
     "stream_attribution" -> (streamAttribution _),
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _))
 
@@ -924,6 +955,7 @@ object StreamingOps {
     // the lead() window's transition matrix exactly
     "stream_paths" -> graft.queries.EventQueries.oracles("ev_paths"),
     "stream_attribution" -> graft.queries.EventQueries.oracles("ev_attribution"),
+    "stream_anomaly" -> graft.queries.EventQueries.oracles("ev_anomaly"),
     "stream_lateness" -> graft.queries.EventQueries.oracles("ev_lateness"),
     "stream_complete_counts" ->
       """SELECT event_type, count(*) AS cnt
