@@ -681,6 +681,39 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Truncation depths the dimension sweep prices. */
+  val DimSweepDs = Seq(4, 8, 16)
+
+  /** Truncation-depth decision table — the Matryoshka sibling of
+    * [[probeSweep]]: recall@3 at each candidate prefix length, each
+    * depth running the registered [[truncTopK]] machinery (same slice,
+    * same bounded-heap ranking) against the ONE shared exact ground
+    * truth. The table a deployment reads before fixing [[TruncDims]]:
+    * scoring cost scales linearly with the prefix, recall is what that
+    * buys. */
+  def dimSweep(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (q, truth) = exactTruth(spark, dir, 4,
+      (e, qe) => round(VectorOps.cosine(e, qe), 4))
+    val frames = DimSweepDs.map { d =>
+      val te = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("te"))
+      val tq = te.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("te").as("qe"))
+      val scored = te.crossJoin(broadcast(tq))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(VectorOps.cosine("te", "qe"), 4).as("cos_r"))
+      val answers = graft.plans.TopK.perGroup(scored, Seq("qid"),
+        Seq(("cos_r", false), ("vec_id", true)), 3)
+      recallVsTruth(q, truth, answers)
+        .agg(sum("n_hits").as("hits"))
+        .select(lit(d).as("dims"),
+          round(col("hits") / lit(12.0), 6).as("mean_recall_at_3"))
+    }
+    frames.reduce(_ unionByName _).orderBy("dims")
+  }
+
   /** Candidate count the cheap stage hands the expensive stage. */
   val RerankCandidates = 10
 
@@ -1087,6 +1120,7 @@ object Similarity {
     "sim_pq_trained" -> ((s: SparkSession, d: String) => pqTrainedTopK(s, d)),
     "sim_probe_sweep" -> (probeSweep _),
     "sim_pq_trained_recall" -> (pqTrainedRecallEval _),
+    "sim_dim_sweep" -> (dimSweep _),
     "sim_centroids" -> (centroidComponents _))
 
   /** DuckDB spelling of the quantized centroid-distance table as a CTE
@@ -1741,6 +1775,53 @@ object Similarity {
     "sim_ivf_trained" -> ivfTrainedSql,
     "sim_pq_trained" -> pqTrainedSql,
     "sim_probe_sweep" -> probeSweepSql,
+    "sim_dim_sweep" -> {
+      val blocks = DimSweepDs.map { d =>
+        s"""ts$d AS (
+           |  SELECT e.vec_id AS cid, q.vec_id AS qid,
+           |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) AS dot,
+           |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+           |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) AS n2b
+           |  FROM embeddings e, embeddings q,
+           |       UNNEST(range(1, $d + 1)) t(i)
+           |  WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id
+           |  GROUP BY e.vec_id, q.vec_id),
+           |ta$d AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      row_number() OVER (PARTITION BY qid
+           |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+           |                                  cid ASC) AS rn
+           |    FROM ts$d) WHERE rn <= 3),
+           |th$d AS (
+           |  SELECT CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |  FROM ta$d a LEFT JOIN bf b ON a.qid = b.qid AND a.cid = b.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = DimSweepDs.map { d =>
+        s"""SELECT $d AS dims,
+           |  round(hits / CAST(12.0 AS DOUBLE), 6) AS mean_recall_at_3
+           |FROM th$d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+         |bs AS (
+         |  SELECT qs.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, qs, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> qs.qid
+         |  GROUP BY qs.qid, e.vec_id),
+         |bf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                  vec_id ASC) AS rn
+         |    FROM bs) WHERE rn <= 3),
+         |$blocks
+         |$rows
+         |ORDER BY dims""".stripMargin
+    },
     "sim_pq_trained_recall" ->
       s"""WITH ans AS (SELECT qid, vec_id FROM ($pqTrainedSql)),
          |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),

@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSpec {
       // per-probe 1-row candidate-count × 1-row hits products + the
       // shared exact-truth broadcast pass
       "sim_probe_sweep",
+      // per-depth truncated-prefix broadcast scans + the shared truth pass
+      "sim_dim_sweep",
       // sketch-sized broadcast products (64-row histogram × 3-row
       // percentile list; 64-row accumulator × 1-row gmax)
       "sim_pca_power", "text_len_histogram",
