@@ -730,7 +730,30 @@ object EventQueries {
     frames.reduce(_ unionByName _).orderBy("lift_pct")
   }
 
+  /** Time-to-convert distribution: per user, the lag from first signup
+    * to first subsequent purchase, bucketed in whole hours with an
+    * open-ended 48h+ tail — the timing histogram behind [[funnel]]'s
+    * stage counts (how LONG conversion takes, not just whether). Same
+    * conditional-min shape as the funnel (one |events| aggregate, no
+    * joins), then a |buckets|-bounded census. Exact integer micros
+    * throughout. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val firsts = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("t_s"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_p"))
+      .filter(col("t_s").isNotNull && col("t_p") > col("t_s"))
+    firsts
+      .select(least(expr("(t_p - t_s) div 3600000000"), lit(48L)).as("lag_h"))
+      .groupBy("lag_h")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("lag_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_conversion_lag" -> (conversionLag _),
     "ev_power_analysis" -> (powerAnalysis _),
     "ev_ltv_matrix" -> (ltvMatrix _),
     "ev_bounce_rate" -> (bounceRate _),
@@ -760,6 +783,16 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_s,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_p
+        |  FROM events GROUP BY user_id)
+        |SELECT least((t_p - t_s) // 3600000000, 48) AS lag_h,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f WHERE t_s IS NOT NULL AND t_p > t_s
+        |GROUP BY 1 ORDER BY lag_h""".stripMargin,
     "ev_power_analysis" -> {
       val zsum2 = (PowerZAlpha + PowerZBeta) * (PowerZAlpha + PowerZBeta)
       val blocks = PowerLifts.map { liftPct =>

@@ -1612,7 +1612,37 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Split drift monitor: standardized mean difference of document
+    * length between every split pair — the data-quality check that a
+    * hash-based split didn't accidentally skew a covariate (SMD < 0.1
+    * is the usual "balanced" bar). Moments come from exact BIGINT sums
+    * over the |docs| frame (the Moments-aggregate discipline); the
+    * pairwise table is a 3×3 self-join of the 3-row aggregate. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val s = withSplit(Tables(spark, dir, "documents"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .withColumn("mean_len", col("s1").cast("double") / col("n"))
+      .withColumn("var_len",
+        (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"))
+    val a = s.select(col("split").as("split_a"), col("n").as("n_a"),
+      col("mean_len").as("m_a"), col("var_len").as("v_a"))
+    val b = s.select(col("split").as("split_b"), col("n").as("n_b"),
+      col("mean_len").as("m_b"), col("var_len").as("v_b"))
+    a.join(b, col("split_a") < col("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
+        round(abs(col("m_a") - col("m_b")) /
+          sqrt((col("v_a") + col("v_b")) / 2.0), 6).as("smd"))
+      .withColumn("balanced", col("smd") < 0.1)
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_drift" -> (splitDrift _),
     "text_training_pairs" -> (trainingPairs _),
     "text_langid_chargram" -> (langIdChargram _),
     "text_bm25" -> (bm25 _),
@@ -1741,6 +1771,27 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_split_drift" ->
+      s"""WITH s AS (
+         |  SELECT CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |              WHEN $splitBucketSql < 95 THEN 'val' ELSE 'test' END AS split,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS s1,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+         |  FROM documents GROUP BY 1),
+         |m AS (
+         |  SELECT split, n,
+         |    CAST(s1 AS DOUBLE) / n AS mean_len,
+         |    CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_len
+         |  FROM s)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  round(abs(a.mean_len - b.mean_len) /
+         |    sqrt((a.var_len + b.var_len) / CAST(2.0 AS DOUBLE)), 6) AS smd,
+         |  round(abs(a.mean_len - b.mean_len) /
+         |    sqrt((a.var_len + b.var_len) / CAST(2.0 AS DOUBLE)), 6) < 0.1 AS balanced
+         |FROM m a JOIN m b ON a.split < b.split
+         |ORDER BY split_a, split_b""".stripMargin,
     "text_training_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),

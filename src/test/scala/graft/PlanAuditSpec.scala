@@ -31,6 +31,8 @@ class PlanAuditSpec extends SparkSpec {
       "text_tfidf", "text_perplexity", "text_ppl_buckets",
       // |terms|-row df × 1-row corpus stats, broadcast against postings
       "text_bm25",
+      // 3-row × 3-row split-moments pairing
+      "text_split_drift",
       // BM25's stats product + the dense side's 1-vector broadcast scan
       "sim_rrf_fusion",
       // per-probe 1-row candidate-count × 1-row hits products + the
