@@ -665,7 +665,65 @@ object Dedup {
     "dedup_semantic" -> (semanticDedup _),
     "dedup_cluster_purity" -> (clusterPurity _),
     "dedup_keep_quality" -> (keepByQuality _),
-    "pipeline_curation" -> (curationFunnel _))
+    "pipeline_curation" -> (curationFunnel _),
+    "pipeline_pretrain" -> (pretrainFunnel _))
+
+  /** The full pretraining-data funnel — [[curationFunnel]]'s five
+    * stages extended to the two a pretraining run actually ships:
+    * stage 5 DECONTAMINATES the train survivors (drop any train doc
+    * sharing a 13-word shingle with a val/test doc — the reverse
+    * direction of `text_contamination_ngram`'s eval-side report, same
+    * shingle model), stage 6 converts the survivor token mass into the
+    * packed-sequence count at the `text_pack_sequences` budget — the
+    * number of training sequences the curated corpus yields, which IS
+    * the quantity a pretraining plan is sized in. Every stage reuses a
+    * registered operator's spelling (quality gate, MinHash LSH, split
+    * hash, shingle model, pack budget), so the funnel is the
+    * integration gate across all five families it touches. */
+  def pretrainFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.text.TextAnalysis.{ContamNgram, withSplit, PackBudget}
+    val docs = Tables(spark, dir, "documents")
+    val q1 = graft.text.TextAnalysis.quality(spark, dir)
+      .filter(col("quality") === 1).select("doc_id")
+    val s2 = docs.join(q1, "doc_id")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val dropB = minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.join(dropB, Seq("doc_id"), "left_anti")
+    val s4 = withSplit(docs.join(s3, "doc_id"))
+      .filter(col("split") === "train").select("doc_id")
+    val sh = withSplit(docs)
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= ContamNgram)
+      .select(col("doc_id"), col("split"),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - $ContamNgram + 1),
+             |  i -> md5(concat_ws(' ', slice(w, i, $ContamNgram))))""".stripMargin))
+          .as("g"))
+      .distinct()
+    val evalG = sh.filter(col("split") =!= "train").select("g").distinct()
+    val dirty = sh.filter(col("split") === "train")
+      .join(evalG, "g").select("doc_id").distinct()
+    val s5 = s4.join(dirty, Seq("doc_id"), "left_anti")
+    val nSeq = docs.join(s5, "doc_id")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .agg((count(lit(1)) / lit(PackBudget)).cast("long").as("n"))
+    def stage(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    stage(0, "raw", docs)
+      .unionAll(stage(1, "quality", q1))
+      .unionAll(stage(2, "exact_dedup", s2))
+      .unionAll(stage(3, "fuzzy_dedup", s3))
+      .unionAll(stage(4, "train_split", s4))
+      .unionAll(stage(5, "decontaminated", s5))
+      .unionAll(nSeq.select(lit(6).as("stage_no"), lit("packed_sequences").as("stage"),
+        col("n").as("n_docs")))
+      .orderBy("stage_no")
+  }
 
   /** Quality-aware keep decision — the curation composition the keep
     * table exists for: within each converged component the survivor is
@@ -1075,5 +1133,48 @@ object Dedup {
          |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
          |  UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM s3)
          |  UNION ALL SELECT 4, 'train_split', (SELECT count(*) FROM s4))
-         |ORDER BY stage_no""".stripMargin)
+         |ORDER BY stage_no""".stripMargin,
+    "pipeline_pretrain" -> {
+      import graft.text.TextAnalysis.{ContamNgram, PackBudget}
+      s"""WITH $minhashCtes,
+         |q1 AS (${graft.text.TextAnalysis.qualityPassSql}),
+         |s2 AS (SELECT min(d.doc_id) AS doc_id
+         |       FROM documents d JOIN q1 USING (doc_id)
+         |       GROUP BY md5(d.text)),
+         |s3 AS (SELECT doc_id FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_b FROM pr)),
+         |s4 AS (SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)
+         |       WHERE ${graft.text.TextAnalysis.splitBucketSql} < 90),
+         |d2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |    CASE WHEN ${graft.text.TextAnalysis.splitBucketSql} < 90 THEN 'train'
+         |         WHEN ${graft.text.TextAnalysis.splitBucketSql} < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |shp AS (
+         |  SELECT DISTINCT doc_id, split,
+         |    md5(array_to_string(w[i.i : i.i + $ContamNgram - 1], ' ')) AS g
+         |  FROM d2, UNNEST(generate_series(1, len(w) - $ContamNgram + 1)) AS i(i)
+         |  WHERE len(w) >= $ContamNgram),
+         |eg AS (SELECT DISTINCT g FROM shp WHERE split <> 'train'),
+         |dirty AS (SELECT DISTINCT shp.doc_id FROM shp JOIN eg ON shp.g = eg.g
+         |          WHERE shp.split = 'train'),
+         |s5 AS (SELECT doc_id FROM s4
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |ns AS (
+         |  SELECT CAST(count(*) // $PackBudget AS BIGINT) AS n
+         |  FROM s5 JOIN documents USING (doc_id),
+         |       UNNEST(string_split(text, ' ')) t(tok)
+         |  WHERE tok <> '')
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_no, 'raw' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q1)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'train_split', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
+         |  UNION ALL SELECT 6, 'packed_sequences', (SELECT n FROM ns))
+         |ORDER BY stage_no""".stripMargin
+    })
 }
