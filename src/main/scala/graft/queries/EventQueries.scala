@@ -752,7 +752,40 @@ object EventQueries {
       .orderBy("lag_h")
   }
 
+  /** SLO error budget: the fixture's error share is ~20%, so the
+    * target is 80% non-error — budget 0.2. */
+  val SloBudget = 0.2
+
+  /** Error-budget burn-rate monitor (the SRE multiwindow alert): per
+    * hour, the error rate over the event mix, the 1-hour and trailing
+    * 6-hour burn rates against the [[SloBudget]], and the
+    * fast-AND-slow-window alert rule (short window catches the spike,
+    * long window suppresses flapping). The rolling mean runs over the
+    * |hours| aggregated frame ordered by hour — a ≤6-row frame per row,
+    * never the event log. Rates are exact-count ratios; the 6-window
+    * mean sums those identical doubles in frame order on both engines. */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(lit(1)).as("n_all"))
+      .withColumn("rate", col("n_err") * lit(1.0) / col("n_all"))
+    val w6 = Window.orderBy("hr").rowsBetween(-5, Window.currentRow)
+    hourly
+      .withColumn("burn_1h", round(col("rate") / SloBudget, 6))
+      .withColumn("burn_6h",
+        round((sum("rate").over(w6) / count(lit(1)).over(w6)) / SloBudget, 6))
+      .withColumn("alert", col("burn_1h") > 1.2 && col("burn_6h") > 1.0)
+      .select(col("hr"), col("n_err"), col("n_all"),
+        round(col("rate"), 6).as("rate"),
+        col("burn_1h"), col("burn_6h"), col("alert"))
+      .orderBy("hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_slo_burn" -> (sloBurn _),
     "ev_conversion_lag" -> (conversionLag _),
     "ev_power_analysis" -> (powerAnalysis _),
     "ev_ltv_matrix" -> (ltvMatrix _),
@@ -783,6 +816,25 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_slo_burn" ->
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', ts) AS hr,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+         |    CAST(count(*) AS BIGINT) AS n_all
+         |  FROM events GROUP BY 1),
+         |r AS (
+         |  SELECT hr, n_err, n_all,
+         |    n_err * CAST(1.0 AS DOUBLE) / n_all AS rate
+         |  FROM h),
+         |b AS (
+         |  SELECT hr, n_err, n_all, rate,
+         |    round(rate / CAST($SloBudget AS DOUBLE), 6) AS burn_1h,
+         |    round((sum(rate) OVER w / count(*) OVER w) / CAST($SloBudget AS DOUBLE), 6) AS burn_6h
+         |  FROM r
+         |  WINDOW w AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         |SELECT hr, n_err, n_all, round(rate, 6) AS rate, burn_1h, burn_6h,
+         |  burn_1h > 1.2 AND burn_6h > 1.0 AS alert
+         |FROM b ORDER BY hr""".stripMargin,
     "ev_conversion_lag" ->
       """WITH f AS (
         |  SELECT user_id,
