@@ -784,7 +784,45 @@ object EventQueries {
       .orderBy("hr")
   }
 
+  /** Window lengths (hours) the funnel sweep prices. */
+  val FunnelSweepHours = Seq(1L, 2L, 4L)
+
+  /** Conversion-window decision sweep — [[funnelWindowed]]'s fixed 2 h
+    * window priced at 1/2/4 h: per candidate window, the stage-wise
+    * conversion counts. The table a funnel designer reads before fixing
+    * the window (too short undercounts slow converters, too long
+    * attributes unrelated purchases); cost is |windows| passes of the
+    * registered funnel machinery, each the same three user-keyed
+    * aggregates. The 2 h row equals `ev_funnel_windowed` by shared
+    * construction. */
+  def funnelWindowSweep(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t_us").as("t_s"))
+    val frames = FunnelSweepHours.map { h =>
+      val wUs = h * 3600L * 1000000L
+      val c = ev.filter(col("event_type") === "click")
+        .join(s, Seq("user_id"))
+        .filter(col("t_us") > col("t_s") && col("t_us") <= col("t_s") + wUs)
+        .groupBy("user_id").agg(min("t_us").as("t_c"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("t_us") > col("t_c") && col("t_us") <= col("t_c") + wUs)
+        .groupBy("user_id").agg(min("t_us").as("t_p"))
+      s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"),
+          count(col("t_c")).as("n_click_w"),
+          count(col("t_p")).as("n_purchase_w"))
+        .select(lit(h).as("window_h"), col("n_signup"),
+          col("n_click_w"), col("n_purchase_w"))
+    }
+    frames.reduce(_ unionByName _).orderBy("window_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_window_sweep" -> (funnelWindowSweep _),
     "ev_slo_burn" -> (sloBurn _),
     "ev_conversion_lag" -> (conversionLag _),
     "ev_power_analysis" -> (powerAnalysis _),
@@ -816,6 +854,35 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel_window_sweep" -> {
+      val blocks = FunnelSweepHours.map { h =>
+        val wUs = h * 3600L * 1000000L
+        s"""SELECT $h AS window_h,
+           |  CAST(count(*) AS BIGINT) AS n_signup,
+           |  CAST(count(c.t_c) AS BIGINT) AS n_click_w,
+           |  CAST(count(p.t_p) AS BIGINT) AS n_purchase_w
+           |FROM s
+           |LEFT JOIN (SELECT e.user_id, min(e.t_us) AS t_c
+           |           FROM e JOIN s USING (user_id)
+           |           WHERE e.event_type = 'click'
+           |             AND e.t_us > t_s AND e.t_us <= t_s + $wUs
+           |           GROUP BY e.user_id) c USING (user_id)
+           |LEFT JOIN (SELECT e.user_id, min(e.t_us) AS t_p
+           |           FROM e JOIN (SELECT e2.user_id, min(e2.t_us) AS t_c
+           |                        FROM e e2 JOIN s USING (user_id)
+           |                        WHERE e2.event_type = 'click'
+           |                          AND e2.t_us > t_s AND e2.t_us <= t_s + $wUs
+           |                        GROUP BY e2.user_id) cc USING (user_id)
+           |           WHERE e.event_type = 'purchase'
+           |             AND e.t_us > cc.t_c AND e.t_us <= cc.t_c + $wUs
+           |           GROUP BY e.user_id) p USING (user_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+         |s AS (SELECT user_id, min(t_us) AS t_s FROM e
+         |      WHERE event_type = 'signup' GROUP BY user_id)
+         |$blocks
+         |ORDER BY window_h""".stripMargin
+    },
     "ev_slo_burn" ->
       s"""WITH h AS (
          |  SELECT date_trunc('hour', ts) AS hr,
