@@ -821,7 +821,21 @@ object EventQueries {
     frames.reduce(_ unionByName _).orderBy("window_h")
   }
 
+  /** Traffic heatmap — counts per (ISO day-of-week, hour-of-day): the
+    * weekly seasonality profile behind [[forecastNaive]]'s hour-of-day
+    * model and the first chart every traffic dashboard draws. One
+    * grouped count into a ≤168-cell frame. */
+  def trafficHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "events")
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("dow", "hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_traffic_heatmap" -> (trafficHeatmap _),
     "ev_funnel_window_sweep" -> (funnelWindowSweep _),
     "ev_slo_burn" -> (sloBurn _),
     "ev_conversion_lag" -> (conversionLag _),
@@ -854,6 +868,12 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_traffic_heatmap" ->
+      """SELECT CAST(EXTRACT(DOW FROM ts) + 1 AS INTEGER) AS dow,
+        |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "ev_funnel_window_sweep" -> {
       val blocks = FunnelSweepHours.map { h =>
         val wUs = h * 3600L * 1000000L

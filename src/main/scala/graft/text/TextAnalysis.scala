@@ -1641,7 +1641,35 @@ object TextAnalysis {
       .orderBy("split_a", "split_b")
   }
 
+  /** Vocabulary growth curve (Heaps' law): cumulative distinct-type
+    * count as the corpus grows by doc-id deciles — the curve that sizes
+    * a tokenizer vocabulary and predicts OOV rates at 100×. Each type
+    * contributes at its FIRST decile (one grouped min over the token
+    * frame — never a per-prefix re-scan), then one 10-row cumulative
+    * window finishes the curve. The corpus size joins as a 1-row
+    * broadcast to form the decile key. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val nd = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val toks = tokens(spark, dir)
+      .crossJoin(broadcast(nd))
+      .select(expr("(doc_id * 10) div n_docs").as("decile"), col("token"))
+    val firstSeen = toks.groupBy("token").agg(min("decile").as("d0"))
+      .groupBy(col("d0").as("decile")).agg(count(lit(1)).as("n_new_types"))
+    val mass = toks.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(firstSeen, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("vocab_size", sum("n_new_types").over(cum))
+      .withColumn("tokens_cum", sum("n_tokens").over(cum))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> (vocabGrowth _),
     "text_split_drift" -> (splitDrift _),
     "text_training_pairs" -> (trainingPairs _),
     "text_langid_chargram" -> (langIdChargram _),
@@ -1771,6 +1799,26 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_growth" ->
+      s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+         |tk AS (
+         |  SELECT (doc_id * 10) // n_docs AS decile, t.token
+         |  FROM documents, nd, UNNEST(string_split(text, ' ')) AS t(token)
+         |  WHERE t.token <> ''),
+         |fs AS (
+         |  SELECT d0 AS decile, CAST(count(*) AS BIGINT) AS n_new_types
+         |  FROM (SELECT token, min(decile) AS d0 FROM tk GROUP BY token)
+         |  GROUP BY d0),
+         |m AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens
+         |      FROM tk GROUP BY decile)
+         |SELECT m.decile, n_tokens,
+         |  COALESCE(n_new_types, CAST(0 AS BIGINT)) AS n_new_types,
+         |  CAST(sum(COALESCE(n_new_types, 0)) OVER (ORDER BY m.decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+         |  CAST(sum(n_tokens) OVER (ORDER BY m.decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum
+         |FROM m LEFT JOIN fs ON m.decile = fs.decile
+         |ORDER BY m.decile""".stripMargin,
     "text_split_drift" ->
       s"""WITH s AS (
          |  SELECT CASE WHEN $splitBucketSql < 90 THEN 'train'

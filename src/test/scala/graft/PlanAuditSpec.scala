@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkSpec {
       "text_bm25",
       // 3-row × 3-row split-moments pairing
       "text_split_drift",
+      // 1-row corpus count broadcast to form the decile key
+      "text_vocab_growth",
       // BM25's stats product + the dense side's 1-vector broadcast scan
       "sim_rrf_fusion",
       // per-probe 1-row candidate-count × 1-row hits products + the
