@@ -50,11 +50,29 @@ object Bench {
     *    reliably than a post-hoc retry taken under the same machine state;
     *  - the >3×-prior retry trigger carries an absolute floor of
     *    [[RetryFloorSec]]: a measurement that is 3× its 0.2 s prior but
-    *    still under a second is jitter, not a stall, and re-measuring it
+    *    still in the jitter band is noise, not a stall, and re-measuring it
     *    proves nothing. Real stalls (seconds against a sub-second prior)
-    *    still trip the trigger — the floor only mutes the noise band. */
+    *    still trip the trigger — the floor only mutes the noise band.
+    *
+    * Round 11 hardening — the r10 official window (load_before 3.03) STILL
+    * burned 5 retries: its contended sub-second measurements landed at
+    * 1.0–1.4 s, just over the old 1.0 s floor, so every one tripped the
+    * trigger and the re-runs (taken under the same load) proved nothing:
+    *  - [[RetryFloorSec]] is raised to 1.5 s — the observed contended-window
+    *    noise band tops out ~1.4 s on this box, and a genuine stall against
+    *    a sub-second prior shows up at multiple seconds, well over 1.5;
+    *  - when the window itself is loaded at start (1-min loadavg over
+    *    [[LoadedSampleThreshold]]), sub-second-prior queries take a FOURTH
+    *    base sample: under contention the min needs more draws to find a
+    *    quiet slot, and at <1 s each the extra draw is cheaper than any
+    *    retry cycle. */
   val SubSecondPrior = 1.0
-  val RetryFloorSec = 1.0
+  val RetryFloorSec = 1.5
+
+  /** 1-min loadavg above which sub-second queries take an extra base
+    * sample (see above). Below [[LoadWarnThreshold]] on purpose: 3.03
+    * (the r10 window) must qualify as loaded. */
+  val LoadedSampleThreshold = 1.5
 
   private def loadAvg(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -104,10 +122,13 @@ object Bench {
     * Extracted from main so a spec can drive it with a fake attempt and
     * prove the retry actually fires (round 8's never did). */
   private[graft] def measureOne(name: String, runs: Int,
-      prior: Option[Double], attempt: () => (Double, Boolean))
+      prior: Option[Double], attempt: () => (Double, Boolean),
+      loaded: Boolean = false)
       : (Double, Double, Boolean, Int) = {
-    // sub-second-prior queries take one extra base sample (see SubSecondPrior)
-    val baseRuns = if (prior.exists(_ < SubSecondPrior)) runs + 1 else runs
+    // sub-second-prior queries take one extra base sample (two when the
+    // window started loaded — see SubSecondPrior/LoadedSampleThreshold)
+    val extra = if (prior.exists(_ < SubSecondPrior)) (if (loaded) 2 else 1) else 0
+    val baseRuns = runs + extra
     var attempts = (0 until baseRuns).map(_ => attempt())
     // the reported time is the min over SUCCESSFUL runs only — a run
     // that threw in 50 ms must not undercut a 5 s successful run and
@@ -169,7 +190,8 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, runOk)
         }
         val (t, tMax, ok, retries) =
-          measureOne(name, runs, priors.get(name), () => attempt())
+          measureOne(name, runs, priors.get(name), () => attempt(),
+            loaded = loadBefore > LoadedSampleThreshold)
         (name, t, tMax, ok, retries)
       }
     val loadAfter = loadAvg()

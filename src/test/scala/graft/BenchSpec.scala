@@ -116,6 +116,41 @@ class BenchSpec extends AnyFunSuite {
     assert(r2 >= 1 && t2 == 0.21)
   }
 
+  test("measureOne retry floor covers the r10 contended band (1.0-1.4 s)") {
+    // the r10 window's five burned retries were sub-second queries landing
+    // at 1.0-1.4 s under load_before 3.03 — over 3x prior AND over the old
+    // 1.0 s floor. The 1.5 s floor classifies that band as jitter.
+    for (noisy <- Seq(1.01, 1.19, 1.41)) {
+      val (t, _, _, r) =
+        Bench.measureOne("q_r10_band", runs = 1, prior = Some(0.3),
+          attempt = () => (noisy, true))
+      assert(r == 0, s"a $noisy s measurement must not burn a retry")
+      assert(t == noisy)
+    }
+    // but a multi-second stall against the same prior still trips it
+    // (sub-second prior → 2 base samples; both must stall for the min to)
+    val seq = Iterator(4.0, 4.0, 0.31)
+    val (t3, _, _, r2) =
+      Bench.measureOne("q_real_stall", runs = 1, prior = Some(0.3),
+        attempt = () => (seq.next(), true))
+    assert(r2 >= 1 && t3 == 0.31)
+  }
+
+  test("measureOne: loaded window adds a fourth base sample for sub-second priors") {
+    var calls = 0
+    val times = Iterator(2.2, 2.1, 2.0, 0.4)
+    val (t, _, ok, retries) =
+      Bench.measureOne("q_loaded", runs = 2, prior = Some(0.4),
+        attempt = () => { calls += 1; (times.next(), true) }, loaded = true)
+    assert(calls == 4, "loaded window + sub-second prior must take 4 base samples")
+    assert(t == 0.4 && retries == 0 && ok)
+    // loaded window does NOT add samples for multi-second priors
+    var calls2 = 0
+    Bench.measureOne("q_big", runs = 2, prior = Some(3.0),
+      attempt = () => { calls2 += 1; (3.1, true) }, loaded = true)
+    assert(calls2 == 2)
+  }
+
   test("measureOne: failed runs never undercut successes; all-fail costs worst time") {
     val seq = Iterator((0.05, false), (5.0, true))
     val (t, _, ok, _) = Bench.measureOne("q_flaky", runs = 2, None, () => seq.next())
