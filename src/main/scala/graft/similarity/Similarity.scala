@@ -272,7 +272,14 @@ object Similarity {
     * Assignment is the same exact-integer argmin on the floor(·1024)
     * grid, centroids broadcast; the trained index costs the driver loop
     * once at build time and nothing at query time. */
-  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKWith(spark, dir, ivfTrainedAssign(spark, dir), k = 3)
+
+  /** The trained index TABLE — (vec_id, cell) assignments against the
+    * converged `sim_kmeans_run` centroids. This is what a deployment
+    * persists: [[ivfTrainedTopK]] computes it inline (train-and-query),
+    * [[ivfServedTopK]] reads it back from the parquet artifact. */
+  private[similarity] def ivfTrainedAssign(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val cent = kmeansTrajectory(spark, dir)._1
       .select(col("c_label"), col("dim"), col("cq"))
@@ -285,10 +292,9 @@ object Similarity {
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
     val argmin = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
-    val assign = dists.withColumn("rk", row_number().over(argmin))
+    dists.withColumn("rk", row_number().over(argmin))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
-    ivfTopKWith(spark, dir, assign, k = 3)
   }
 
   /** One Lloyd (k-means) refinement iteration — the training step of the
@@ -916,24 +922,44 @@ object Similarity {
       m: Int = PqSubspaces, k: Int = 3): DataFrame = {
     Engine.tune(spark)
     val cent = pqTrainedCodebooks(spark, dir, m)
-    val vdim = Tables(spark, dir, "embeddings")
+    val subDists = pqSubDists(pqVdim(spark, dir, m), cent)
+    val codes = pqEncode(subDists)
+    val lut = subDists.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("sdist"))
+    pqAdcTopK(codes, lut, k)
+  }
+
+  /** Quantized per-(vector, subspace, dim) component stream — the encode
+    * input shared by the trained (inline) and served (persisted-index)
+    * PQ queries. */
+  private def pqVdim(spark: SparkSession, dir: String, m: Int): DataFrame =
+    Tables(spark, dir, "embeddings")
       .select(col("vec_id"), (size(col("embedding")) / m).cast("long").as("sl"),
         posexplode(col("embedding")))
       .select(col("vec_id"),
         floor(col("pos") / col("sl")).cast("long").as("sub"),
         col("pos").cast("long").as("dim"),
         floor(col("col").cast("double") * 1024).cast("long").as("xq"))
-    val subDists = vdim.join(broadcast(cent), Seq("sub", "dim"))
+
+  /** Per-(vector, subspace, codeword) squared distance against an
+    * arbitrary codebook — codebook broadcast, one component scan. */
+  private def pqSubDists(vdim: DataFrame, cent: DataFrame): DataFrame =
+    vdim.join(broadcast(cent), Seq("sub", "dim"))
       .groupBy("vec_id", "sub", "c_label")
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("sdist"))
+
+  /** PQ encode: per-(vector, subspace) nearest codeword. */
+  private def pqEncode(subDists: DataFrame): DataFrame = {
     val wEnc = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id", "sub").orderBy(asc("sdist"), asc("c_label"))
-    val codes = subDists.withColumn("rk", row_number().over(wEnc))
+    subDists.withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("sub").as("c_sub"), col("c_label").as("code"))
-    val lut = subDists.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("qid"), col("sub").as("q_sub"),
-        col("c_label").as("q_code"), col("sdist"))
+  }
+
+  /** ADC ranking: LUT-sum per (query, candidate), bounded-heap top-k. */
+  private def pqAdcTopK(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
     val adc = codes.join(broadcast(lut),
         col("c_sub") === col("q_sub") && col("code") === col("q_code"))
       .filter(col("vec_id") =!= col("qid"))
@@ -942,6 +968,41 @@ object Similarity {
     graft.plans.TopK.perGroup(adc, Seq("qid"),
       Seq(("adist", true), ("vec_id", true)), k)
       .orderBy("qid", "rn")
+  }
+
+  /** IVF retrieval against the PERSISTED trained index — the serve half
+    * of the build/serve split ([[IndexStore]]): the (vec_id, cell)
+    * assignment table is read from the parquet artifact (built once per
+    * sf dir by [[ivfTrainedAssign]]) and the query only pays the
+    * candidate scan + ranking. Output is row-for-row [[ivfTrainedTopK]]
+    * (pinned in SimilaritySpec) — index content is identical, only WHERE
+    * it comes from differs. The oracle reads the SAME artifact via
+    * read_parquet, so the cross-engine gate covers the persisted bytes,
+    * not a retrain. */
+  def ivfServedTopK(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val assign = IndexStore.ensure(spark, dir, "ivf_assign")(
+      ivfTrainedAssign(spark, dir))
+    ivfTopKWith(spark, dir, assign, k = 3)
+  }
+
+  /** PQ retrieval against the PERSISTED codebooks + codes — the serve
+    * half for PQ: the corpus is never re-encoded at query time (codes are
+    * part of the index artifact); only the 4 query vectors are scored
+    * against the broadcast codebook to build the ADC LUT, then the
+    * LUT-join ranks the stored codes. Row-for-row [[pqTrainedTopK]]
+    * (pinned in SimilaritySpec). */
+  def pqServedTopK(spark: SparkSession, dir: String,
+      m: Int = PqSubspaces, k: Int = 3): DataFrame = {
+    Engine.tune(spark)
+    val cent = IndexStore.ensure(spark, dir, "pq_codebooks")(
+      pqTrainedCodebooks(spark, dir, m))
+    val codes = IndexStore.ensure(spark, dir, "pq_codes")(
+      pqEncode(pqSubDists(pqVdim(spark, dir, m), cent)))
+    val lut = pqSubDists(pqVdim(spark, dir, m).filter(col("vec_id") < 4), cent)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"),
+        col("c_label").as("q_code"), col("sdist"))
+    pqAdcTopK(codes, lut, k)
   }
 
   /** Trained-PQ recall@3: the eval harness pointed at the trained
@@ -1118,6 +1179,8 @@ object Similarity {
     "sim_pca_run" -> (pcaRun _),
     "sim_rrf_fusion" -> (rrfFusion _),
     "sim_pq_trained" -> ((s: SparkSession, d: String) => pqTrainedTopK(s, d)),
+    "sim_ivf_served" -> (ivfServedTopK _),
+    "sim_pq_served" -> ((s: SparkSession, d: String) => pqServedTopK(s, d)),
     "sim_probe_sweep" -> (probeSweep _),
     "sim_pq_trained_recall" -> (pqTrainedRecallEval _),
     "sim_dim_sweep" -> (dimSweep _),
@@ -1422,6 +1485,67 @@ object Similarity {
        |                                vec_id ASC) AS rn
        |  FROM s)
        |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Served-IVF oracle: the ivfTrainedSql retrieval body with the
+    * assignment read from the PERSISTED parquet artifact instead of the
+    * unrolled training chain — the cross-engine gate covers the stored
+    * index bytes themselves. */
+  private[graft] def ivfServedSql: String =
+    s"""WITH tassign AS (
+       |  SELECT vec_id, cell FROM ${IndexStore.duckdbScan("ivf_assign")}),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, a.cell
+       |  FROM embeddings e JOIN tassign a USING (vec_id)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+       |      FROM corpus WHERE vec_id < 4),
+       |s AS (
+       |  SELECT q.qid, c.vec_id,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+       |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
+       |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
+       |  GROUP BY q.qid, c.vec_id),
+       |r AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                vec_id ASC) AS rn
+       |  FROM s)
+       |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Served-PQ oracle: codebooks AND codes scanned from the persisted
+    * artifacts; only the query vectors' LUT is computed (against the
+    * stored codebook), then the pqTrainedSql ADC/ranking tail. */
+  private[graft] def pqServedSql: String = {
+    val m = PqSubspaces
+    s"""WITH cb AS (
+       |  SELECT c_label, sub, dim, cq FROM ${IndexStore.duckdbScan("pq_codebooks")}),
+       |codes AS (
+       |  SELECT vec_id, c_sub, code FROM ${IndexStore.duckdbScan("pq_codes")}),
+       |qv AS (
+       |  SELECT vec_id,
+       |    CAST((i - 1) // (len(embedding) // $m) AS BIGINT) AS sub,
+       |    CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+       |  WHERE vec_id < 4),
+       |lut AS (
+       |  SELECT v.vec_id AS qid, v.sub AS q_sub, c.c_label AS q_code,
+       |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS sdist
+       |  FROM qv v JOIN cb c USING (sub, dim)
+       |  GROUP BY v.vec_id, v.sub, c.c_label),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, CAST(sum(l.sdist) AS BIGINT) AS adist
+       |  FROM codes c JOIN lut l ON c.c_sub = l.q_sub AND c.code = l.q_code
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |rk AS (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM adc)
+       |SELECT qid, vec_id, adist, rn FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
 
   /** The complete sim_ivf_topk SELECT — also embedded (as a nested-WITH
     * CTE body) in the recall-eval oracle, so the two stay identical by
@@ -1774,6 +1898,8 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained" -> ivfTrainedSql,
     "sim_pq_trained" -> pqTrainedSql,
+    "sim_ivf_served" -> ivfServedSql,
+    "sim_pq_served" -> pqServedSql,
     "sim_probe_sweep" -> probeSweepSql,
     "sim_dim_sweep" -> {
       val blocks = DimSweepDs.map { d =>

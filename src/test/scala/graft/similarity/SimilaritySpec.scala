@@ -400,4 +400,35 @@ class SimilaritySpec extends SparkSpec {
     val seeded = Similarity.ivfTopK(spark, sf).collect().map(_.getLong(0)).distinct
     assert(rows.map(_._1).distinct.sorted.sameElements(seeded.sorted))
   }
+
+  test("served IVF/PQ equal their trained siblings row-for-row (build/serve split)") {
+    val sf = "/root/testdata/sf0.001"
+    // force a cold build so the pin covers the full persist-then-read path,
+    // not an artifact left over from a previous suite run
+    val root = java.nio.file.Paths.get(IndexStore.Root)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    def ivfRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def pqRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(ivfRows(Similarity.ivfServedTopK(spark, sf)) ==
+      ivfRows(Similarity.ivfTrainedTopK(spark, sf)),
+      "persisted-index IVF serve must reproduce the inline-trained ranking")
+    assert(pqRows(Similarity.pqServedTopK(spark, sf)) ==
+      pqRows(Similarity.pqTrainedTopK(spark, sf)),
+      "persisted-index PQ serve must reproduce the inline-trained ranking")
+    // WARM serve must not retrain: the artifacts now exist for this sf, so
+    // a second call reads them back — and a marker for a DIFFERENT sf dir
+    // must invalidate (the stale-index guard)
+    val warm = ivfRows(Similarity.ivfServedTopK(spark, sf))
+    assert(warm == ivfRows(Similarity.ivfTrainedTopK(spark, sf)))
+    val marker = root.resolve("ivf_assign.sf")
+    assert(java.nio.file.Files.readString(marker).trim ==
+      java.nio.file.Paths.get(sf).normalize().toString)
+  }
 }
