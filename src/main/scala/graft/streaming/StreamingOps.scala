@@ -395,6 +395,92 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming MERGE sink (SCD1 apply per trigger) — the most common
+    * production streaming sink shape: each micro-batch is UPSERTED into a
+    * keyed table instead of appended or blindly overwritten. Per trigger,
+    * foreachBatch reduces the batch to its latest row per user_id (rank
+    * pushdown, batch-sized), reads the current target state, and applies
+    * the `rel_merge_upsert` classification — key on both sides → the row
+    * with the GREATER (ts, event_id) wins (a conditional update, so the
+    * apply is CDC-correct and order-independent, not latest-batch-wins);
+    * batch-only → insert; target-only → keep. The merged state lands as a
+    * NEW versioned parquet directory — a job never overwrites the files
+    * it is lazily reading, which is exactly the copy-on-write protocol
+    * Delta/Iceberg implement with a transaction log; at 100 TB this
+    * foreachBatch body becomes `MERGE INTO target USING batch` against
+    * such a table format and the plan inside is unchanged (the target
+    * side additionally prunes to touched partitions). State is
+    * keyed-dimension-sized (|users|), never |events|; no row transits the
+    * driver. Final state must equal the batch argmax per user over the
+    * whole table — the cross-engine oracle. */
+  def mergeUpsertStream(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val targetRoot = graft.TempDirs.create("graft-merge-target")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+      val events = Tables.normalizeEvents(stream)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id"))
+      // driver-side version pointer (the stand-in for a table format's
+      // transaction log); foreachBatch bodies run serially on the driver
+      var current: Option[String] = None
+      var nextV = 0L
+      val q = events.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val s = batch.sparkSession
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+          val latest = batch.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1).drop("rk")
+          // the persisted target carries the output names (last_*); map it
+          // back to the event shape the merge classifier joins on
+          val cur = current match {
+            case Some(d) => s.read.parquet(d)
+              .select(col("user_id"), col("last_type").as("event_type"),
+                col("last_value").as("value"), col("last_ts").as("ts"),
+                col("last_event_id").as("event_id"))
+            case None => s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), latest.schema)
+          }
+          val t = cur.select(cur.columns.map(c => col(c).as("t_" + c)).toSeq: _*)
+          val b = latest.select(latest.columns.map(c => col(c).as("b_" + c)).toSeq: _*)
+          // conditional update: the batch row wins only when the key is
+          // new OR its (ts, event_id) is strictly newer than the target's
+          val takeB = col("t_user_id").isNull ||
+            (struct(col("b_ts"), col("b_event_id")) >
+              struct(col("t_ts"), col("t_event_id")))
+          val merged = t.join(b, col("t_user_id") === col("b_user_id"), "full_outer")
+            .select(
+              coalesce(col("b_user_id"), col("t_user_id")).as("user_id"),
+              when(takeB, col("b_event_type")).otherwise(col("t_event_type")).as("last_type"),
+              when(takeB, col("b_value")).otherwise(col("t_value")).as("last_value"),
+              when(takeB, col("b_ts")).otherwise(col("t_ts")).as("last_ts"),
+              when(takeB, col("b_event_id")).otherwise(col("t_event_id")).as("last_event_id"))
+          val next = targetRoot.resolve(s"v$nextV").toString
+          merged.write.mode("overwrite").parquet(next)
+          current = Some(next)
+          nextV += 1
+        }
+        .options(ckptOption)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 3) throw new IllegalStateException(
+        s"streaming merge ran $dataBatches data-carrying micro-batches, " +
+          "expected >= 3 (the upsert must prove itself across triggers)")
+      spark.read.parquet(current.getOrElse(
+        throw new IllegalStateException("streaming merge produced no target version")))
+        .orderBy("user_id")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Cache of prepared multi-file feed directories, keyed by source dir —
     * Verify and Bench call each query several times per session; the
     * split is deterministic AND the driver's fixture parquet is immutable
@@ -934,6 +1020,7 @@ object StreamingOps {
     "stream_hourly_counts" -> (hourlyCounts _),
     "stream_hourly_files" -> (hourlyCountsFiles _),
     "stream_restart_recovery" -> (restartRecovery _),
+    "stream_merge_upsert" -> (mergeUpsertStream _),
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
@@ -986,6 +1073,16 @@ object StreamingOps {
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    // the per-trigger conditional upsert's final state must equal the
+    // batch argmax per user over the whole table (SCD1 duality)
+    "stream_merge_upsert" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        |       ts AS last_ts, event_id AS last_event_id
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Same aggregate as stream_hourly_counts, but only the windows the
     // watermark closed: end <= ms-floored max event time - 10 min (the
     // tie case end == watermark IS emitted; pinned empirically).

@@ -126,4 +126,54 @@ class StreamingDualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(buckets == Seq((0L, 3L), (3L, 1L)))
   }
+
+  test("streaming merge-upsert final state equals the batch per-user argmax") {
+    val sf = "/root/testdata/sf0.001"
+    val got = StreamingOps.mergeUpsertStream(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3), r.getLong(4))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val want = graft.Tables(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts"), col("event_id"))
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3), r.getLong(4))).toSeq
+    assert(got == want, "per-trigger conditional upsert must fold to the batch argmax")
+    // every user key survived the merge (keeps + updates + inserts cover
+    // the key space; nothing was dropped by the full-outer classification)
+    assert(got.map(_._1) == got.map(_._1).sorted && got.map(_._1).distinct == got.map(_._1))
+  }
+
+  test("merge-upsert conditional apply is order-independent (stale batch never clobbers)") {
+    import spark.implicits._
+    // target already holds user 1 at t=10:05 (event 7); a LATE-arriving
+    // batch carries an OLDER row for user 1 (t=10:02, event 5) plus a new
+    // user 2 — the apply must keep the target's newer row and insert the
+    // new key. This is the CDC property the registered query's
+    // struct-compare implements; replicated here on a crafted pair.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val target = Seq((1L, "purchase", 5.0, ts("2026-08-13 10:05:00"), 7L))
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+    val batch = Seq(
+      (1L, "view", 1.0, ts("2026-08-13 10:02:00"), 5L),
+      (2L, "signup", 2.0, ts("2026-08-13 10:04:00"), 6L))
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+    val t = target.select(target.columns.map(c => col(c).as("t_" + c)).toSeq: _*)
+    val b = batch.select(batch.columns.map(c => col(c).as("b_" + c)).toSeq: _*)
+    val takeB = col("t_user_id").isNull ||
+      (struct(col("b_ts"), col("b_event_id")) > struct(col("t_ts"), col("t_event_id")))
+    val merged = t.join(b, col("t_user_id") === col("b_user_id"), "full_outer")
+      .select(coalesce(col("b_user_id"), col("t_user_id")).as("user_id"),
+        when(takeB, col("b_event_type")).otherwise(col("t_event_type")).as("last_type"),
+        when(takeB, col("b_event_id")).otherwise(col("t_event_id")).as("last_event_id"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merged == Seq((1L, "purchase", 7L), (2L, "signup", 6L)),
+      "older batch row must not overwrite newer target state; new key must insert")
+  }
 }
