@@ -710,7 +710,7 @@ object Dedup {
     val nSeq = docs.join(s5, "doc_id")
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
-      .agg((count(lit(1)) / lit(PackBudget)).cast("long").as("n"))
+      .agg(expr(s"count(1) div $PackBudget").as("n"))
     def stage(no: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))

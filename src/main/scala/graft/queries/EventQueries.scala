@@ -821,10 +821,12 @@ object EventQueries {
     frames.reduce(_ unionByName _).orderBy("window_h")
   }
 
-  /** Traffic heatmap — counts per (ISO day-of-week, hour-of-day): the
-    * weekly seasonality profile behind [[forecastNaive]]'s hour-of-day
-    * model and the first chart every traffic dashboard draws. One
-    * grouped count into a ≤168-cell frame. */
+  /** Traffic heatmap — counts per (Sunday-first day-of-week 1..7,
+    * hour-of-day): the weekly seasonality profile behind
+    * [[forecastNaive]]'s hour-of-day model and the first chart every
+    * traffic dashboard draws. One grouped count into a ≤168-cell frame.
+    * `dow` follows Spark `dayofweek()` / DuckDB `EXTRACT(DOW)+1`
+    * numbering (Sunday=1 .. Saturday=7), NOT ISO Monday-first. */
   def trafficHeatmap(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     Tables(spark, dir, "events")
