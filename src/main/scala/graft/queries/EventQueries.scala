@@ -544,6 +544,32 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Week-over-week growth monitor: weekly event volume and value with
+    * the previous week's figures and delta/growth via lag — the topline
+    * trend table of a product-analytics deployment. Plan: one grouped
+    * aggregate collapses the corpus to |weeks| rows (map-side partials
+    * behind the shuffle), then the lag window runs over that tiny frame
+    * only — the single-partition window never touches raw events. Value
+    * sums are exact DECIMAL before the final double cast, so
+    * partition/summation order cannot drift the floats; the growth
+    * percentage is evaluated as delta·100.0/prev in the same order on
+    * both engines under a 1e-4 round. */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val weekly = Tables(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy("wk")
+    weekly
+      .withColumn("prev_events", lag("n_events", 1).over(w))
+      .withColumn("delta_events", col("n_events") - col("prev_events"))
+      .withColumn("growth_pct",
+        round(col("delta_events") * lit(100.0) / col("prev_events"), 4))
+      .orderBy("wk")
+  }
+
   /** Train/test day cutoff for the forecast baseline (the fixture spans
     * 2024-01-01..01-30; 24 train days, 6 test days). */
   val ForecastCutoff = "2024-01-25"
@@ -846,6 +872,7 @@ object EventQueries {
     "ev_bounce_rate" -> (bounceRate _),
     "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
+    "ev_wow_growth" -> (wowGrowth _),
     "ev_ab_test" -> (abTest _),
     "ev_dau_wau" -> (dauWau _),
     "ev_path_trigrams" -> (pathTrigrams _),
@@ -870,6 +897,18 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |  FROM events GROUP BY 1)
+        |SELECT wk, n_events, sum_val,
+        |  lag(n_events) OVER (ORDER BY wk) AS prev_events,
+        |  n_events - lag(n_events) OVER (ORDER BY wk) AS delta_events,
+        |  round((n_events - lag(n_events) OVER (ORDER BY wk)) * 100.0
+        |        / lag(n_events) OVER (ORDER BY wk), 4) AS growth_pct
+        |FROM weekly ORDER BY wk""".stripMargin,
     "ev_traffic_heatmap" ->
       """SELECT CAST(EXTRACT(DOW FROM ts) + 1 AS INTEGER) AS dow,
         |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hod,

@@ -484,6 +484,35 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_totalprice", "o_orderkey")
   }
 
+  // ---- NTILE customer-value tiering: customers ranked by lifetime
+  // spend within their market segment and cut into quartiles, then
+  // summarized per (segment, tile) — the standard value-tier table
+  // behind cohort targeting. Plan: orders collapse to per-customer
+  // spend FIRST (map-side partials behind one shuffle), the segment
+  // dimension joins on the collapsed frame, and the ntile window runs
+  // over |customers| rows partitioned by segment — never over raw
+  // orders. Spend is summed as exact DECIMAL so tile boundaries and
+  // the per-tile sums are engine-identical; doubles appear only in the
+  // final casts.
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("spend"), asc("c_custkey"))
+    spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy("c_mktsegment", "tile")
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("spend")).cast("double").as("min_spend"),
+        max(col("spend")).cast("double").as("max_spend"),
+        sum(col("spend")).cast("double").as("tile_spend"))
+      .orderBy("c_mktsegment", "tile")
+  }
+
   // ---- value-based window frame (RANGE BETWEEN): for each order, how
   // many of the same customer's orders fall within ±30 days of it — a
   // sliding event-time neighborhood that ROWS frames cannot express
@@ -1557,6 +1586,7 @@ object RelationalQueries {
     "rel_corr_subquery" -> (corrSubquery _),
     "rel_window_range_frame" -> (windowRangeFrame _),
     "rel_window_dist" -> (windowDist _),
+    "rel_window_ntile" -> (windowNtile _),
     "rel_arg_extremes" -> (argExtremes _),
     "rel_q1_pricing" -> (q1Pricing _),
     "rel_q3_topk" -> (q3TopK _),
@@ -2000,6 +2030,20 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+    "rel_window_ntile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |tiled AS (
+        |  SELECT c_mktsegment, spend,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |                   ORDER BY spend DESC, c_custkey ASC) AS tile
+        |  FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, tile, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(min(spend) AS DOUBLE) AS min_spend,
+        |  CAST(max(spend) AS DOUBLE) AS max_spend,
+        |  CAST(sum(spend) AS DOUBLE) AS tile_spend
+        |FROM tiled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rel_window_range_frame" ->
       """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)

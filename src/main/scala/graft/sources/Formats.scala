@@ -419,7 +419,63 @@ object Formats {
       .orderBy("len_bucket")
   }
 
+  /** Compaction target file size. 8 MiB keeps the sf0.1 copy at a few
+    * files and the small SFs at one; a production lake would set
+    * 128 MiB–1 GiB — the budget is the knob, the mechanism is
+    * identical. */
+  val TargetFileBytes: Long = 8L << 20
+
+  /** Fragments documents into 64 small files, then compacts by size
+    * budget; idempotent per dir. Returns (fragmented, compacted) so the
+    * spec can assert the file-count reduction. */
+  def compactionDirs(spark: SparkSession, dir: String): (String, String) = {
+    val frag = s"/tmp/graft-src-frag-${sfTag(dir)}"
+    val out = materialized.getOrElseUpdate(s"$dir#compact", {
+      val o = s"/tmp/graft-src-compact-${sfTag(dir)}"
+      val fragMarker = new File(frag, "_COMPLETE")
+      if (!fragMarker.exists()) {
+        Tables(spark, dir, "documents")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+        fragMarker.createNewFile()
+      }
+      val marker = new File(o, "_COMPLETE")
+      if (!marker.exists()) {
+        val bytes = Option(new File(frag).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part-")).map(_.length).sum
+        val nOut = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+        spark.read.parquet(frag).coalesce(nOut)
+          .write.mode("overwrite").parquet(o)
+        marker.createNewFile()
+      }
+      o
+    })
+    (frag, out)
+  }
+
+  /** Small-file compaction (the OPTIMIZE pass): documents first
+    * fragmented into 64 tiny files — the pathological layout streaming
+    * ingest leaves behind — then rewritten into size-budgeted files via
+    * `coalesce` (a shuffle-free rewrite: compaction reads many splits
+    * and writes few, it never needs a repartition unless re-clustering
+    * is requested). At 100 TB this pass is what keeps scan task counts
+    * and NameNode/object-store listings sane. The registered result is
+    * the content census of the COMPACTED copy against the
+    * original-table oracle, so row fidelity of the rewrite is under the
+    * hash; the ≥8× file-count reduction itself is asserted in
+    * FormatsSpec. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val (_, out) = compactionDirs(spark, dir)
+    spark.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct("doc_id").as("n_ids"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
     "src_json_malformed" -> (jsonMalformed _),
@@ -443,6 +499,11 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "src_compaction" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "src_text_roundtrip" ->
       """WITH l AS (SELECT length(text) AS len FROM documents)
         |SELECT len // 100 AS len_bucket,

@@ -659,6 +659,32 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Sentence-segmentation profile per language: documents split on
+    * terminal punctuation runs ([.!?]+), empty fragments dropped after
+    * trim, then per-lang sentence counts and mean lengths — the
+    * sentence-level corpus census behind chunking, readability scoring,
+    * and context-window planning. Plan: ONE explode pass over the
+    * corpus feeding a grouped aggregate with map-side partials; the
+    * group key is |langs| (tiny), so the shuffle moves partial rows,
+    * not sentences. The means are single divisions of exact integer
+    * sums — no float-summation-order contract. */
+  def sentences(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "[.!?]+")).as("s0"))
+      .select(col("doc_id"), col("lang"), trim(col("s0")).as("s"))
+      .filter(length(col("s")) > 0)
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_sentences"),
+        (count(lit(1)).cast("double") / countDistinct("doc_id"))
+          .as("sent_per_doc"),
+        (sum(length(col("s"))).cast("double") / count(lit(1)))
+          .as("avg_sent_chars"))
+      .orderBy("lang")
+  }
+
   /** Keyword count per doc and the integer IDF grid, single-sourced with
     * the oracle. The only libm call is one ln per DISTINCT token (the IDF
     * table), floor-quantized to an integer BEFORE it ever multiplies or
@@ -1684,6 +1710,7 @@ object TextAnalysis {
     "text_tfidf" -> (tfidf _),
     "text_perplexity" -> (perplexity _),
     "text_top_bigrams" -> (topBigrams _),
+    "text_sentences" -> (sentences _),
     "text_sample_stratified" -> (sampleStratified _),
     "text_sample_quota" -> (sampleQuota _),
     "text_repetition" -> (repetition _),
@@ -1998,6 +2025,18 @@ object TextAnalysis {
         |  FROM d, UNNEST(range(1, len(arr))) t(i))
         |SELECT bg, count(*) AS cnt FROM bg
         |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin,
+    "text_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, trim(s0) AS s FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(regexp_split_to_array(text, '[.!?]+')) AS s0
+        |    FROM documents)
+        |  WHERE length(trim(s0)) > 0)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS sent_per_doc,
+        |  CAST(sum(length(s)) AS DOUBLE) / count(*) AS avg_sent_chars
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "text_sample_stratified" ->
       s"""SELECT lang, count(*) AS n_total,
          |  CAST(sum(CASE WHEN $sampleBucketSql <

@@ -17,4 +17,15 @@ class FormatsSpec extends SparkSpec {
       .agg(sum("n_lines")).collect().head.getLong(0)
     assert(nLines == nDocs, s"text dump has $nLines lines for $nDocs docs")
   }
+
+  test("compaction collapses the 64-file fragment layout by >=8x, keeping rows") {
+    val (frag, out) = Formats.compactionDirs(spark, sf)
+    def parts(d: String): Int = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val (nFrag, nOut) = (parts(frag), parts(out))
+    assert(nFrag == 64, s"fragment layout has $nFrag files")
+    assert(nOut * 8 <= nFrag, s"compacted to $nOut files from $nFrag")
+    assert(spark.read.parquet(out).count() == spark.read.parquet(frag).count())
+  }
 }
