@@ -570,6 +570,53 @@ object EventQueries {
       .orderBy("wk")
   }
 
+  /** Weekly growth accounting: every active (user, week) classified as
+    * new (first-ever week), retained (also active the week before), or
+    * resurrected (active before, but not last week), plus the churned
+    * count (active last week, absent this week) — the standard
+    * growth-accounting ledger where new + retained + resurrected −
+    * churned reconciles the WAU delta. Plan: the corpus collapses to
+    * the distinct (user, week) frame first (one shuffle with map-side
+    * partials); the lag/lead windows run per-user over that frame
+    * (each partition is one user's |weeks|-row history, never raw
+    * events); weekly counts and the final full-outer stitch touch only
+    * |weeks|-row frames. Churn at the horizon is censored against the
+    * corpus max week (a 1-row broadcast). Integer counts only — no
+    * float contract anywhere. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val uw = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("wk")
+    val hist = uw
+      .withColumn("prev", lag("wk", 1).over(w))
+      .withColumn("next", lead("wk", 1).over(w))
+    val active = hist.groupBy("wk").agg(
+      sum(when(col("prev").isNull, 1).otherwise(0)).as("n_new"),
+      sum(when(datediff(col("wk"), col("prev")) === 7, 1).otherwise(0))
+        .as("n_retained"),
+      sum(when(col("prev").isNotNull &&
+        datediff(col("wk"), col("prev")) > 7, 1).otherwise(0))
+        .as("n_resurrected"))
+    val maxWk = uw.agg(max("wk").as("max_wk"))
+    val churn = hist
+      .filter(col("next").isNull || datediff(col("next"), col("wk")) > 7)
+      .select(date_add(col("wk"), 7).as("wk"))
+      .crossJoin(broadcast(maxWk))
+      .filter(col("wk") <= col("max_wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("wk"), "full_outer")
+      .select(col("wk"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("wk")
+  }
+
   /** Train/test day cutoff for the forecast baseline (the fixture spans
     * 2024-01-01..01-30; 24 train days, 6 test days). */
   val ForecastCutoff = "2024-01-25"
@@ -873,6 +920,7 @@ object EventQueries {
     "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
     "ev_wow_growth" -> (wowGrowth _),
+    "ev_growth_accounting" -> (growthAccounting _),
     "ev_ab_test" -> (abTest _),
     "ev_dau_wau" -> (dauWau _),
     "ev_path_trigrams" -> (pathTrigrams _),
@@ -897,6 +945,39 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |hist AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+        |  FROM uw),
+        |active AS (
+        |  SELECT wk,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN date_diff('day', prev, wk) = 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND date_diff('day', prev, wk) > 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM hist GROUP BY wk),
+        |mx AS (SELECT max(wk) AS max_wk FROM uw),
+        |churn AS (
+        |  SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM hist CROSS JOIN mx
+        |  WHERE (next IS NULL OR date_diff('day', wk, next) > 7)
+        |    AND wk + 7 <= max_wk
+        |  GROUP BY 1)
+        |SELECT COALESCE(a.wk, c.wk) AS wk,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM active a FULL JOIN churn c ON a.wk = c.wk
+        |ORDER BY wk""".stripMargin,
     "ev_wow_growth" ->
       """WITH weekly AS (
         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
