@@ -659,6 +659,75 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Collocation support floor: pairs seen fewer times are noise. */
+  val CollocMinCount = 5
+
+  /** Lift-ranked collocations: bigrams scored by cnt(w1,w2)·N /
+    * (cnt(w1)·cnt(w2)) — the PMI ranking (PMI = ln lift is monotone in
+    * it) without a single transcendental call: the score is one
+    * division of exact integer products, so the ranking is
+    * engine-identical by construction (the tfidf/perplexity operators
+    * quantize their logs; here even that is unnecessary). Plan: ONE
+    * split pass feeds both the unigram and the adjacent-pair counts
+    * (map-side partials each), N is a 1-row broadcast, the two unigram
+    * joins are vocab-sized, and the top-20 plans as
+    * TakeOrderedAndProject. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val arrs = Tables(spark, dir, "documents")
+      .select(split(col("text"), " ").as("arr"))
+    val uni = arrs.select(explode(col("arr")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = arrs.select(explode(col("arr")).as("w"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val pairs = arrs.filter(size(col("arr")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c1").as("cw1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bg"), col("c12"),
+        ((col("c12") * col("n_tokens")).cast("double") /
+          (col("cw1") * col("cw2"))).as("lift"))
+      .orderBy(desc("lift"), asc("bg"))
+      .limit(20)
+  }
+
+  /** Corpus readability profile per language — Flesch reading ease over
+    * EXACT per-lang totals (words, sentences, vowel-group syllable
+    * proxy), evaluated once per |langs| output row: the per-doc counts
+    * aggregate as integers (map-side partials, no float-summation-order
+    * contract) and doubles appear only in the final two divisions and
+    * the formula, identical on both engines under a 1e-4 round. The
+    * syllable proxy (runs of vowels) is the standard dictionary-free
+    * approximation. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val per = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(expr("filter(split(text, '[.!?]+'), s -> length(trim(s)) > 0)"))
+          .cast("long").as("n_sent"),
+        size(expr("filter(split(text, ' '), s -> length(s) > 0)"))
+          .cast("long").as("n_words"),
+        size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+          .cast("long").as("n_syll"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_sent").as("n_sentences"),
+        sum("n_words").as("n_words"),
+        sum("n_syll").as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+      .orderBy("lang")
+  }
+
   /** Sentence-segmentation profile per language: documents split on
     * terminal punctuation runs ([.!?]+), empty fragments dropped after
     * trim, then per-lang sentence counts and mean lengths — the
@@ -1711,6 +1780,8 @@ object TextAnalysis {
     "text_perplexity" -> (perplexity _),
     "text_top_bigrams" -> (topBigrams _),
     "text_sentences" -> (sentences _),
+    "text_collocations" -> (collocations _),
+    "text_readability" -> (readability _),
     "text_sample_stratified" -> (sampleStratified _),
     "text_sample_quota" -> (sampleQuota _),
     "text_repetition" -> (repetition _),
@@ -2025,6 +2096,41 @@ object TextAnalysis {
         |  FROM d, UNNEST(range(1, len(arr))) t(i))
         |SELECT bg, count(*) AS cnt FROM bg
         |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin,
+    "text_collocations" ->
+      s"""WITH arrs AS (SELECT string_split(text, ' ') AS arr FROM documents),
+         |toks AS (SELECT unnest(arr) AS w FROM arrs),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+         |pairs AS (
+         |  SELECT arr[CAST(i AS INTEGER)] AS w1, arr[CAST(i+1 AS INTEGER)] AS w2
+         |  FROM arrs, UNNEST(range(1, len(arr))) t(i)
+         |  WHERE len(arr) >= 2),
+         |pc AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs
+         |  GROUP BY 1, 2 HAVING count(*) >= $CollocMinCount)
+         |SELECT w1 || ' ' || w2 AS bg, c12,
+         |  CAST(c12 * n_tokens AS DOUBLE) / (u1.c1 * u2.c1) AS lift
+         |FROM pc JOIN uni u1 ON pc.w1 = u1.w
+         |        JOIN uni u2 ON pc.w2 = u2.w
+         |        CROSS JOIN n
+         |ORDER BY lift DESC, bg ASC LIMIT 20""".stripMargin,
+    "text_readability" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |        s -> length(trim(s)) > 0)) AS n_sent,
+        |    len(list_filter(string_split(text, ' '),
+        |        s -> length(s) > 0)) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syll
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_syll) AS BIGINT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(sum(n_words) AS DOUBLE) / sum(n_sent))
+        |    - 84.6 * (CAST(sum(n_syll) AS DOUBLE) / sum(n_words)), 4) AS flesch
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "text_sentences" ->
       """WITH s AS (
         |  SELECT doc_id, lang, trim(s0) AS s FROM (
