@@ -667,19 +667,20 @@ object TextAnalysis {
     * it) without a single transcendental call: the score is one
     * division of exact integer products, so the ranking is
     * engine-identical by construction (the tfidf/perplexity operators
-    * quantize their logs; here even that is unnecessary). Plan: ONE
-    * split pass feeds both the unigram and the adjacent-pair counts
-    * (map-side partials each), N is a 1-row broadcast, the two unigram
-    * joins are vocab-sized, and the top-20 plans as
-    * TakeOrderedAndProject. */
+    * quantize their logs; here even that is unnecessary). Plan: the
+    * corpus is split twice (unigram and adjacent-pair passes, map-side
+    * partials each); N = Σ c1 comes from the vocab-sized unigram frame,
+    * never a third scan; the two unigram joins broadcast vocab-sized
+    * sides and the top-20 plans as TakeOrderedAndProject. */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val arrs = Tables(spark, dir, "documents")
       .select(split(col("text"), " ").as("arr"))
     val uni = arrs.select(explode(col("arr")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val n = arrs.select(explode(col("arr")).as("w"))
-      .agg(count(lit(1)).as("n_tokens"))
+    // N = Σ c1 — derived from the vocab-sized unigram frame, not a
+    // second corpus scan.
+    val n = uni.agg(sum("c1").as("n_tokens"))
     val pairs = arrs.filter(size(col("arr")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
