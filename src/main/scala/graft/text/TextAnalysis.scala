@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
 
@@ -1132,6 +1132,73 @@ object TextAnalysis {
     bpeEncodeFrom(tokens(spark, dir).select("doc_id", "token"), BpeMergeRounds)
   }
 
+  /** BPE encode against the PERSISTED merge table — the serve half of
+    * the tokenizer build/serve split, the same
+    * [[graft.similarity.IndexStore]] protocol the trained ANN stack
+    * ships: [[bpeVocab]]'s merge artifact is built once per sf dir, and
+    * every encode after that applies the stored merges as ONE narrow
+    * projection — the [[BpeMergeRounds]] literal replaces compose in
+    * round order inside a single map stage, so serving pays ZERO
+    * per-round shuffles and zero pair-count aggregations (the trainer's
+    * entire per-round cost; inline [[bpeEncode]] re-learns each merge
+    * to prove the duality, this is what production runs). The merge
+    * table transits the driver as exactly [[BpeMergeRounds]] rows —
+    * constant tokenizer-sized state, the same class as a broadcast
+    * codebook, never data-sized. Output is row-for-row [[bpeEncode]]
+    * (spec-pinned); the oracle applies the SAME persisted artifact via
+    * read_parquet + a recursive CTE, so the cross-engine gate covers
+    * the stored bytes, not a retrain. */
+  def bpeEncodeServed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sep2 = BpeSep + BpeSep
+    val artifact = graft.similarity.IndexStore
+      .ensure(spark, dir, "bpe_merges")(bpeVocab(spark, dir))
+    val merges = artifact.orderBy("round").select("pa", "pb")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val base = tokens(spark, dir).select("doc_id", "token")
+    val sym: Column = concat(lit(sep2),
+      regexp_replace(col("token"), "(.)", "$1" + sep2))
+    val encoded = merges.foldLeft(sym) { case (c, (pa, pb)) =>
+      replace(c, lit(BpeSep + pa + sep2 + pb + BpeSep),
+        lit(BpeSep + pa + pb + BpeSep))
+    }
+    base
+      .select(col("doc_id"), length(col("token")).as("nc"),
+        size(filter(split(encoded, sep2), x => x =!= lit(""))).as("nb"))
+      .groupBy("doc_id")
+      .agg(sum("nc").as("n_chars"), sum("nb").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** The served-encode oracle: the persisted merge artifact applied in
+    * round order through a recursive CTE — one replace per recursion
+    * step, terminating when the artifact runs out of rounds. */
+  private[graft] def bpeEncodeServedSql: String = {
+    val scan = graft.similarity.IndexStore.duckdbScan("bpe_merges")
+    s"""WITH RECURSIVE tok AS ($tokSql),
+       |m AS (SELECT round, pa, pb FROM $scan),
+       |enc AS (
+       |  SELECT 0 AS r, doc_id,
+       |    chr(1) || chr(1) || regexp_replace(token, '(.)', '\\1' || chr(1) || chr(1), 'g') AS s
+       |  FROM tok
+       |  UNION ALL
+       |  SELECT e.r + 1, e.doc_id,
+       |    replace(e.s, chr(1) || m.pa || chr(1) || chr(1) || m.pb || chr(1),
+       |            chr(1) || m.pa || m.pb || chr(1)) AS s
+       |  FROM enc e JOIN m ON m.round = e.r + 1),
+       |fin AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(s, chr(1) || chr(1)), x -> x <> '')) AS n
+       |  FROM enc WHERE r = (SELECT CAST(max(round) AS INTEGER) FROM m)),
+       |chars AS (
+       |  SELECT doc_id, CAST(sum(length(token)) AS BIGINT) AS n_chars
+       |  FROM tok GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_chars, CAST(sum(f.n) AS BIGINT) AS n_bpe
+       |FROM chars c JOIN fin f USING (doc_id)
+       |GROUP BY c.doc_id, c.n_chars
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One unrolled oracle merge round: pair statistics from the previous
     * round's symbol strings, the 1-row argmax, and the sentinel-replace
     * producing the next round's strings — the Spark loop body spelled
@@ -1803,6 +1870,7 @@ object TextAnalysis {
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_bpe_encode_served" -> (bpeEncodeServed _),
     "text_cms_heavy" -> (cmsHeavy _),
     "text_chunk_windows" -> (chunkWindows _),
     "pipeline_rag" -> (ragFunnel _),
@@ -2391,6 +2459,7 @@ object TextAnalysis {
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
     "text_bpe_vocab" -> bpeVocabSql,
     "text_bpe_encode" -> bpeEncodeSql,
+    "text_bpe_encode_served" -> bpeEncodeServedSql,
     "text_cms_heavy" -> {
       val b = s"(${nibSql("CAST(i AS VARCHAR) || ':' || token", 4)} % $CmsWidth)"
       s"""WITH tok AS ($tokSql),

@@ -686,4 +686,13 @@ class TextAnalysisSpec extends SparkSpec {
     // encoding is strictly shorter than character-level
     assert(rows.map(_._3).sum < rows.map(_._2).sum)
   }
+
+  test("bpeEncodeServed: the persisted-artifact single-pass apply is row-for-row the inline encode") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val served = TextAnalysis.bpeEncodeServed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == inline)
+  }
 }
