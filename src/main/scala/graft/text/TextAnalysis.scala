@@ -1170,6 +1170,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language: the served encode's per-doc
+    * (chars, BPE tokens) joined to the language dimension and collapsed
+    * to the chars-per-token compression table — the governance report a
+    * pretraining team keeps per tokenizer release (low fertility on a
+    * language means its documents burn context window). One doc-keyed
+    * join (co-partitioned at scale) + a |langs|-row aggregate over
+    * exact integer sums; the ratio is a single division. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncodeServed(spark, dir)
+    val langs = Tables(spark, dir, "documents").select("doc_id", "lang")
+    enc.join(langs, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_bpe").as("sum_bpe"),
+        (sum("n_chars").cast("double") / sum("n_bpe")).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** The served-encode oracle: the persisted merge artifact applied in
     * round order through a recursive CTE — one replace per recursion
     * step, terminating when the artifact runs out of rounds. */
@@ -1871,6 +1890,7 @@ object TextAnalysis {
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_encode_served" -> (bpeEncodeServed _),
+    "text_tokenizer_fertility" -> (tokenizerFertility _),
     "text_cms_heavy" -> (cmsHeavy _),
     "text_chunk_windows" -> (chunkWindows _),
     "pipeline_rag" -> (ragFunnel _),
@@ -2460,6 +2480,14 @@ object TextAnalysis {
     "text_bpe_vocab" -> bpeVocabSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_bpe_encode_served" -> bpeEncodeServedSql,
+    "text_tokenizer_fertility" ->
+      s"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e.n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(e.n_bpe) AS BIGINT) AS sum_bpe,
+         |  CAST(sum(e.n_chars) AS DOUBLE) / sum(e.n_bpe) AS chars_per_token
+         |FROM ($bpeEncodeServedSql) e
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_cms_heavy" -> {
       val b = s"(${nibSql("CAST(i AS VARCHAR) || ':' || token", 4)} % $CmsWidth)"
       s"""WITH tok AS ($tokSql),
