@@ -234,6 +234,27 @@ object Dedup {
         when(col("doc") === col("root"), 1).otherwise(0).as("is_keep"))
       .orderBy("doc_id")
 
+  /** Keep decision against the PERSISTED cluster map — the serve half
+    * of the dedup build/serve split, the third family on the
+    * [[graft.similarity.IndexStore]] protocol after the trained ANN
+    * stack and the BPE tokenizer: the converged labeling (the exact
+    * production persistence [[labelsFor]]'s doc names) is built once
+    * per sf dir and stored as the cluster-assignment artifact; the
+    * keep decision is then ONE projection over the stored table — zero
+    * propagation rounds at serve time, which is how a 100 TB ingest
+    * consults yesterday's dedup verdicts. Row-for-row
+    * [[keepDecision]] (spec-pinned); the oracle reads the SAME
+    * artifact via read_parquet, so the gate covers the persisted
+    * bytes, not a recluster. */
+  def keepServed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    graft.similarity.IndexStore.ensure(spark, dir, "dedup_labels")(
+        labelsFor(spark, dir))
+      .select(col("doc").as("doc_id"), col("root").as("rep"),
+        when(col("doc") === col("root"), 1).otherwise(0).as("is_keep"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label propagation with pointer jumping over an UNDIRECTED edge
     * list given as one direction ([[components]]'s engine; parameterized
     * so the convergence bound is testable on adversarial graph shapes).
@@ -655,6 +676,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_components" -> (components _),
     "dedup_keep" -> (keepDecision _),
+    "dedup_keep_served" -> (keepServed _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_recall_eval" -> (recallEval _),
     "dedup_minhash_est" -> (minhashEstimate _),
@@ -986,6 +1008,11 @@ object Dedup {
          |SELECT doc AS doc_id, min(root) AS rep,
          |       CASE WHEN doc = min(root) THEN 1 ELSE 0 END AS is_keep
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dedup_keep_served" ->
+      s"""SELECT doc AS doc_id, root AS rep,
+         |  CASE WHEN doc = root THEN 1 ELSE 0 END AS is_keep
+         |FROM ${graft.similarity.IndexStore.duckdbScan("dedup_labels")}
+         |ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $bandsCtes,
          |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),

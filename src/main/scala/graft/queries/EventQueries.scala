@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, Tables}
 
@@ -570,6 +570,48 @@ object EventQueries {
       .orderBy("wk")
   }
 
+  /** Experiment arms for the SRM guardrail. */
+  val SrmArms = 3
+
+  /** Chi-square critical value at df = SrmArms−1 = 2, α = 0.05. */
+  val SrmCritical = 5.991
+
+  /** Sample-ratio-mismatch (SRM) guardrail: users hashed into
+    * [[SrmArms]] equal-intent arms (md5 buckets — the stable assignment
+    * an experimentation platform uses), arm counts chi-square-tested
+    * against the equal split. SRM is THE first validity check an A/B
+    * readout must pass — a mismatched split means the assignment or
+    * logging is broken and every downstream metric is suspect. The
+    * statistic is exact to the last step: with expected T/k, χ² =
+    * Σ(k·obsᵢ−T)²/(k·T) — an exact integer numerator and ONE double
+    * division, so no float-summation-order contract (the ev_anomaly
+    * discipline). Plan: distinct users (one shuffle), a single global
+    * aggregate; the chi-square evaluates on a 1-row frame. */
+  def experimentSrm(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val arm = expr(
+      "conv(substring(md5(concat('exp1:', cast(user_id as string))), 1, 4), 16, 10)")
+      .cast("long") % SrmArms
+    val counts = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .groupBy()
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 2, 1L).otherwise(0L)).as("n_c"),
+        count(lit(1)).as("n_total"))
+    def dev(c: Column) = {
+      val d = c * SrmArms - col("n_total")
+      d * d
+    }
+    val chi2 = round(
+      (dev(col("n_a")) + dev(col("n_b")) + dev(col("n_c"))).cast("double") /
+        (col("n_total") * SrmArms), 6)
+    counts.select(col("n_a"), col("n_b"), col("n_c"), col("n_total"),
+      chi2.as("chi2"),
+      when(chi2 > SrmCritical, 1).otherwise(0).as("srm_flag"))
+  }
+
   /** Weekly growth accounting: every active (user, week) classified as
     * new (first-ever week), retained (also active the week before), or
     * resurrected (active before, but not last week), plus the churned
@@ -921,6 +963,7 @@ object EventQueries {
     "ev_forecast_naive" -> (forecastNaive _),
     "ev_wow_growth" -> (wowGrowth _),
     "ev_growth_accounting" -> (growthAccounting _),
+    "ev_experiment_srm" -> (experimentSrm _),
     "ev_ab_test" -> (abTest _),
     "ev_dau_wau" -> (dauWau _),
     "ev_path_trigrams" -> (pathTrigrams _),
@@ -945,6 +988,25 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "ev_experiment_srm" -> {
+      val nib = graft.text.TextAnalysis.nibSql(
+        "'exp1:' || CAST(user_id AS VARCHAR)", 4)
+      def dev(c: String) = s"($SrmArms*$c - n_total)*($SrmArms*$c - n_total)"
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT ($nib) % $SrmArms AS arm FROM u),
+         |c AS (SELECT
+         |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |  CAST(count(*) AS BIGINT) AS n_total FROM a)
+         |SELECT n_a, n_b, n_c, n_total,
+         |  round(CAST(${dev("n_a")} + ${dev("n_b")} + ${dev("n_c")}
+         |    AS DOUBLE) / ($SrmArms * n_total), 6) AS chi2,
+         |  CASE WHEN round(CAST(${dev("n_a")} + ${dev("n_b")} + ${dev("n_c")}
+         |    AS DOUBLE) / ($SrmArms * n_total), 6) > $SrmCritical
+         |  THEN 1 ELSE 0 END AS srm_flag
+         |FROM c""".stripMargin
+    },
     "ev_growth_accounting" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

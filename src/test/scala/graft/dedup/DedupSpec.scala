@@ -201,4 +201,13 @@ class DedupSpec extends SparkSpec {
       assert((caught == 1) == cand.contains((da, db)), s"($da, $db)")
     }
   }
+
+  test("keepServed: the persisted cluster map serves row-for-row the inline keep decision") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = Dedup.keepDecision(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val served = Dedup.keepServed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(served == inline && served.nonEmpty)
+  }
 }
