@@ -420,8 +420,33 @@ object Multimodal {
       .orderBy("qid", "rn")
   }
 
+  /** pHash search against the PERSISTED fingerprint index — the fourth
+    * family on the [[graft.similarity.IndexStore]] protocol (ANN,
+    * tokenizer, dedup, now perceptual hashes): the 64-bit fingerprint
+    * table is computed once per sf dir and stored; serving pays only
+    * the broadcast query join + Hamming ranking over the stored codes —
+    * at 100 TB the decode+DCT fingerprint pass over raw media is the
+    * expensive half, and no production image-dedup system re-runs it
+    * per query. Row-for-row [[mediaPhashTopK]] (spec-pinned); the
+    * oracle reads the SAME artifact via read_parquet. */
+  def mediaPhashServed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ph = graft.similarity.IndexStore.ensure(spark, dir, "phash_index")(
+      phashFrame(spark, dir))
+    val q = ph.filter(col("doc_id") % PhashQueryMod === 1L)
+      .select(col("doc_id").as("qid"), col("phash").as("qhash"))
+    val scored = ph.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        expr("CAST(bit_count(phash ^ qhash) AS INT)").as("hamming"))
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("hamming", true), ("doc_id", true)), 3)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_topk" -> (mediaPhashTopK _),
+    "mm_phash_served" -> (mediaPhashServed _),
     "mm_headers" -> (mediaHeaders _),
     "mm_ahash" -> (mediaAhash _),
     "mm_phash" -> (mediaPhash _),
@@ -493,6 +518,23 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_phash_topk" ->
       s"""WITH $phashCtes,
+         |q AS (SELECT doc_id AS qid, phash AS qhash FROM ph
+         |      WHERE doc_id % $PhashQueryMod = 1),
+         |s AS (
+         |  SELECT qid, ph.doc_id,
+         |    CAST(bit_count(xor(phash, qhash)) AS INTEGER) AS hamming
+         |  FROM ph, q WHERE ph.doc_id <> qid),
+         |r AS (
+         |  SELECT qid, doc_id, hamming,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY hamming ASC, doc_id ASC) AS rn
+         |  FROM s)
+         |SELECT qid, doc_id, hamming, rn FROM r
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "mm_phash_served" ->
+      s"""WITH ph AS (
+         |  SELECT doc_id, phash
+         |  FROM ${graft.similarity.IndexStore.duckdbScan("phash_index")}),
          |q AS (SELECT doc_id AS qid, phash AS qhash FROM ph
          |      WHERE doc_id % $PhashQueryMod = 1),
          |s AS (

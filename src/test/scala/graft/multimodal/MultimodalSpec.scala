@@ -140,4 +140,13 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "per-probe ranking must not sort corpus-sized probe partitions")
   }
+
+  test("mm_phash_served: the persisted fingerprint index serves row-for-row the inline search") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val inline = rows(Multimodal.mediaPhashTopK(spark, sf))
+    val served = rows(Multimodal.mediaPhashServed(spark, sf))
+    assert(served == inline && served.nonEmpty)
+  }
 }

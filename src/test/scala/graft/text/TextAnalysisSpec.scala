@@ -540,6 +540,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists { case (_, exact, est) => est == exact })
   }
 
+  test("CMS merges by cell-wise addition: per-source partial sketches sum to the single-pass sketch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val bucket = (expr("conv(substring(md5(concat(i, ':', token)), 1, 4), 16, 10)")
+      .cast("long") % TextAnalysis.CmsWidth).as("b")
+    val cells = graft.Tables(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("source"), col("token"),
+        explode(expr(s"sequence(0, ${TextAnalysis.CmsDepth - 1})")).as("i"))
+      .select(col("source"), col("i"), bucket)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val direct = toMap(cells.groupBy("i", "b").agg(count(lit(1)).as("c")))
+    val merged = toMap(cells.groupBy("source", "i", "b")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("i", "b").agg(sum("c").as("c")))
+    // the map-side-combine property the cmsHeavy docstring claims: a
+    // per-shard sketch build followed by cell-wise addition is exactly
+    // the one-pass sketch, so the structure distributes at 100 TB
+    assert(direct.nonEmpty && merged == direct)
+  }
+
   test("chunkWindows: brute-forced stride/overlap layout matches and tiles every doc") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
