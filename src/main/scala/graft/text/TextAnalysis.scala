@@ -2217,8 +2217,8 @@ object TextAnalysis {
         |  CAST(sum(n_words) AS BIGINT) AS n_words,
         |  CAST(sum(n_syll) AS BIGINT) AS n_syllables,
         |  round(206.835
-        |    - 1.015 * (CAST(sum(n_words) AS DOUBLE) / sum(n_sent))
-        |    - 84.6 * (CAST(sum(n_syll) AS DOUBLE) / sum(n_words)), 4) AS flesch
+        |    - 1.015 * (CAST(sum(n_words) AS DOUBLE) / CAST(sum(n_sent) AS BIGINT))
+        |    - 84.6 * (CAST(sum(n_syll) AS DOUBLE) / CAST(sum(n_words) AS BIGINT)), 4) AS flesch
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "text_sentences" ->
       """WITH s AS (
@@ -2484,7 +2484,8 @@ object TextAnalysis {
       s"""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(e.n_chars) AS BIGINT) AS sum_chars,
          |  CAST(sum(e.n_bpe) AS BIGINT) AS sum_bpe,
-         |  CAST(sum(e.n_chars) AS DOUBLE) / sum(e.n_bpe) AS chars_per_token
+         |  CAST(sum(e.n_chars) AS DOUBLE) / CAST(sum(e.n_bpe) AS BIGINT)
+         |    AS chars_per_token
          |FROM ($bpeEncodeServedSql) e
          |JOIN documents d USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,

@@ -61,7 +61,11 @@ class PlanAuditSpec extends SparkSpec {
       "rel_q11_top_parts",
       // the pHash probe set broadcast against the fingerprint scan —
       // the similarity family's bounded 1×N product in the mm family
-      "mm_phash_topk")
+      // (the served variant reads the same probes from the artifact)
+      "mm_phash_topk", "mm_phash_served",
+      // 1-row broadcast scalars: the max-week censoring bound and the
+      // corpus token total joining vocab-sized frames
+      "ev_growth_accounting", "text_collocations")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
