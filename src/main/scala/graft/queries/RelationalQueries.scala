@@ -1504,6 +1504,42 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- data-quality audit sweep (the Deequ/dbt-tests shape): one row
+  // per declared constraint with its violation count — referential
+  // integrity via anti joins (the dimension side broadcasts; the
+  // fact-fact orphan check is a shuffled anti join on the key, exactly
+  // a semi-join's cost), key uniqueness via a grouped count (violations
+  // = Σ(cnt−1) over duplicated keys, so the check prices the fix), and
+  // scalar domain/null rules as pushdown-friendly filtered counts. Each
+  // branch collapses to ONE row before the union, so the report is
+  // |checks| rows regardless of data size — the daily gate a 100 TB
+  // warehouse runs before publishing a partition.
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val orders = Tables(spark, dir, "orders")
+    def one(name: String, viol: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("dq_check"), col("n_violations"))
+    val orphanOrders = one("orders_orphan_custkey",
+      orders.join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti"))
+    val orphanLines = one("lineitem_orphan_orderkey",
+      Tables(spark, dir, "lineitem").select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val dupKeys = orders.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      .select(lit("orders_dup_orderkey").as("dq_check"), col("n_violations"))
+    val negTotal = one("orders_nonpositive_total",
+      orders.filter(col("o_totalprice") <= 0))
+    val nullDate = one("orders_null_orderdate",
+      orders.filter(col("o_orderdate").isNull))
+    orphanOrders.union(orphanLines).union(dupKeys).union(negTotal)
+      .union(nullDate)
+      .orderBy("dq_check")
+  }
+
   // ---- ANALYZE-style column profile (the optimizer-statistics pass):
   // null count, exact NDV, min and max per column of `orders`, in ONE
   // scan — the multi-countDistinct aggregate plans a single Expand pass
@@ -1544,6 +1580,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_data_profile" -> (dataProfile _),
+    "rel_dq_audit" -> (dqAudit _),
     "rel_exact_median" -> (exactMedianGrouped _),
     "rel_q2_min_cost" -> (q2MinCost _),
     "rel_q9_profit" -> (q9Profit _),
@@ -1612,6 +1649,28 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orphan_orderkey' AS dq_check,
+        |    CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM lineitem WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_dup_orderkey',
+        |    CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |    SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        |    ) t WHERE c > 1
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_total', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'orders_null_orderdate', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_orderdate IS NULL
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |ORDER BY dq_check""".stripMargin,
     "rel_data_profile" -> {
       val canonSql: Map[String, String => String] = Map(
         "o_orderkey" -> (e => s"CAST($e AS VARCHAR)"),
