@@ -50,6 +50,65 @@ object Multimodal {
 
   case class MediaMeta0(byte_len: Long, width: Long, height: Long, fmt: String)
 
+  /** Embedding-model stub geometry: output dimensions and the serving
+    * batch size (the max records per model invocation). */
+  val EmbedDim = 16
+  val EmbedBatch = 32
+
+  /** Per-doc embedding output: payload byte length and the component
+    * checksum (the oracle-able projection of the vector). */
+  case class EmbedOut(doc_id: Long, byte_len: Long, checksum: Long)
+
+  /** STUB embedding "model": a deterministic integer vector from the
+    * payload byte length — stands in for the real encoder invocation
+    * (single source of truth with the oracle's arithmetic). */
+  def embedStub(byteLen: Long): Array[Long] =
+    Array.tabulate(EmbedDim)(k => (byteLen * 31 + k * 17) % 97)
+
+  /** The batched-inference core: partition-wise, records grouped into
+    * [[EmbedBatch]]-sized batches, ONE "model call" per batch over the
+    * whole batch (the vectorized-inference boundary — a real encoder
+    * amortizes weights-load and kernel launch across the batch exactly
+    * here). `onBatch` is the instrumentation hook the spec uses to
+    * count invocations and batch sizes; production passes nothing. */
+  private[multimodal] def embedPartitions(
+      media: Dataset[MediaRecord],
+      onBatch: Int => Unit = _ => ()): Dataset[EmbedOut] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(EmbedBatch).flatMap { batch =>
+        onBatch(batch.size)
+        val embs = batch.map(r => embedStub(r.payload.length.toLong))
+        batch.lazyZip(embs).map { (r, e) =>
+          EmbedOut(r.doc_id, r.payload.length.toLong, e.sum)
+        }
+      }
+    }
+  }
+
+  /** Batched embedding inference over the opaque media column — the
+    * feature-extraction pass of a multimodal training pipeline, with the
+    * REAL serving plumbing in the registered path: typed records flow
+    * through `mapPartitions`, batch into fixed-size model calls, and
+    * come back as doc-keyed vectors (checksummed here so the result is
+    * oracle-able; the full `Array[Long]` is one field away). Batch
+    * membership depends on physical partitioning, so only
+    * partition-INDEPENDENT outputs are emitted — the per-batch shape
+    * contract (every batch ≤ [[EmbedBatch]], full batches until the
+    * partition tail, ceil(rows/batch) model calls) is pinned in
+    * MultimodalSpec via the instrumentation hook. At 100 TB this is the
+    * GPU-fleet shape: partitions sized to the accelerator's memory,
+    * batches to its throughput knee, and the stub body swaps for the
+    * real encoder without touching the plan. */
+  def mediaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    embedPartitions(media).toDF().orderBy("doc_id")
+  }
+
   /** documents.text cast to a binary payload column → per-media metadata,
     * all column expressions (whole-stage codegen, no JVM object round-trip). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -447,6 +506,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_topk" -> (mediaPhashTopK _),
     "mm_phash_served" -> (mediaPhashServed _),
+    "mm_embed_stub" -> (mediaEmbed _),
     "mm_headers" -> (mediaHeaders _),
     "mm_ahash" -> (mediaAhash _),
     "mm_phash" -> (mediaPhash _),
@@ -516,6 +576,13 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm_embed_stub" ->
+      s"""WITH d AS (SELECT doc_id, strlen(text) AS byte_len FROM documents),
+         |e AS (
+         |  SELECT doc_id, byte_len, (byte_len * 31 + 17 * t.i) % 97 AS c
+         |  FROM d, range(0, $EmbedDim) t(i))
+         |SELECT doc_id, byte_len, CAST(sum(c) AS BIGINT) AS checksum
+         |FROM e GROUP BY doc_id, byte_len ORDER BY doc_id""".stripMargin,
     "mm_phash_topk" ->
       s"""WITH $phashCtes,
          |q AS (SELECT doc_id AS qid, phash AS qhash FROM ph

@@ -141,6 +141,22 @@ class MultimodalSpec extends SparkSpec {
       "per-probe ranking must not sort corpus-sized probe partitions")
   }
 
+  test("mediaEmbed batching: fixed-size model calls, full batches until the partition tail") {
+    import spark.implicits._
+    val n = 70
+    val sizes = spark.sparkContext.collectionAccumulator[Integer]("batchSizes")
+    val media = (1 to n).map(i => MediaRecord(i.toLong, Array.fill(i)(7: Byte)))
+      .toDS().repartition(1)
+    val out = Multimodal.embedPartitions(media, s => sizes.add(s)).collect()
+    // ceil(70/32) = 3 model calls on one partition: 32, 32, 6
+    val got = sizes.value
+    assert(got.size == 3 && got.stream.mapToInt(_.toInt).sum == n)
+    assert(got.stream.allMatch(s => s <= Multimodal.EmbedBatch))
+    // every record came back with the stub checksum, batch-independent
+    assert(out.length == n && out.forall(o =>
+      o.checksum == Multimodal.embedStub(o.byte_len).sum))
+  }
+
   test("mm_phash_served: the persisted fingerprint index serves row-for-row the inline search") {
     val sf = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
