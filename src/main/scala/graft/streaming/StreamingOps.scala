@@ -298,6 +298,29 @@ object StreamingOps {
       .orderBy("hr")
   }
 
+  /** Streaming data-quality gate — the ingest admission monitor (the
+    * streaming dual of `rel_dq_audit`'s warehouse sweep): structural
+    * violation counters accumulate over the event stream in complete
+    * mode, so at any trigger the sink holds the cumulative quality
+    * ledger an ops dashboard reads before admitting the partition
+    * downstream. Checks are per-row column predicates (null key,
+    * non-positive measure, unparseable/missing JSON prop), so the
+    * streaming aggregate carries FOUR counters of state total — at
+    * 100 TB/day the gate's state is still four longs. Shares arithmetic
+    * with the batch oracle over the same fixture: the online and
+    * offline quality ledgers cannot fork. */
+  def streamDqGate(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val agg = eventStream(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+      sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_nonpositive_value"),
+      sum(when(expr(
+        "try_variant_get(try_parse_json(props), '$.k', 'bigint')").isNull,
+        1L).otherwise(0L)).as("n_props_no_k"))
+    runToMemory(spark, agg)
+  }
+
   /** File-sink sibling of [[hourlyCounts]] — the SAME watermarked hourly
     * aggregate landed through [[runToFiles]]' foreachBatch-to-parquet
     * overwrite instead of the driver-capped memory sink, across ≥3
@@ -1018,6 +1041,7 @@ object StreamingOps {
     "stream_cms" -> (cmsSketch _),
     "stream_complete_counts" -> (completeCounts _),
     "stream_hourly_counts" -> (hourlyCounts _),
+    "stream_dq_gate" -> (streamDqGate _),
     "stream_hourly_files" -> (hourlyCountsFiles _),
     "stream_restart_recovery" -> (restartRecovery _),
     "stream_merge_upsert" -> (mergeUpsertStream _),
@@ -1056,6 +1080,15 @@ object StreamingOps {
          |SELECT i, CAST($b AS BIGINT) AS b, count(*) AS c
          |FROM r GROUP BY i, b ORDER BY i, b""".stripMargin
     },
+    "stream_dq_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_user,
+        |  CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonpositive_value,
+        |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props_no_k
+        |FROM events""".stripMargin,
     "stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
