@@ -1657,7 +1657,7 @@ object RelationalQueries {
         |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         |  UNION ALL
         |  SELECT 'orders_dup_orderkey',
-        |    CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |    coalesce(CAST(sum(c - 1) AS BIGINT), 0) FROM (
         |    SELECT count(*) AS c FROM orders GROUP BY o_orderkey
         |    ) t WHERE c > 1
         |  UNION ALL
