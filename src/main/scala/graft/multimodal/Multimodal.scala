@@ -105,6 +105,9 @@ object Multimodal {
     import spark.implicits._
     val media = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // null media carry nothing to embed: skipped on BOTH sides (the
+      // oracle filters text IS NOT NULL), never a typed-path NPE
+      .filter(col("payload").isNotNull)
       .as[MediaRecord]
     embedPartitions(media).toDF().orderBy("doc_id")
   }
@@ -577,7 +580,8 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_embed_stub" ->
-      s"""WITH d AS (SELECT doc_id, strlen(text) AS byte_len FROM documents),
+      s"""WITH d AS (SELECT doc_id, strlen(text) AS byte_len FROM documents
+         |           WHERE text IS NOT NULL),
          |e AS (
          |  SELECT doc_id, byte_len, (byte_len * 31 + 17 * t.i) % 97 AS c
          |  FROM d, range(0, $EmbedDim) t(i))

@@ -600,8 +600,10 @@ object EventQueries {
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("arm") === 2, 1L).otherwise(0L)).as("n_c"),
         count(lit(1)).as("n_total"))
+    // the squared deviations ride DECIMAL(38,0) (DuckDB: HUGEINT) so the
+    // numerator stays EXACT past 1.5e9 users, where a Long d² would wrap
     def dev(c: Column) = {
-      val d = c * SrmArms - col("n_total")
+      val d = (c * SrmArms - col("n_total")).cast("decimal(38,0)")
       d * d
     }
     val chi2 = round(
@@ -991,7 +993,8 @@ object EventQueries {
     "ev_experiment_srm" -> {
       val nib = graft.text.TextAnalysis.nibSql(
         "'exp1:' || CAST(user_id AS VARCHAR)", 4)
-      def dev(c: String) = s"($SrmArms*$c - n_total)*($SrmArms*$c - n_total)"
+      def dev(c: String) =
+        s"CAST($SrmArms*$c - n_total AS HUGEINT)*($SrmArms*$c - n_total)"
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
          |a AS (SELECT ($nib) % $SrmArms AS arm FROM u),
          |c AS (SELECT

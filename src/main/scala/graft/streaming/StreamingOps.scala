@@ -315,8 +315,12 @@ object StreamingOps {
       count(lit(1)).as("n_rows"),
       sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
       sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_nonpositive_value"),
+      // string-path extraction + try_cast, NOT try_variant_get: the
+      // variant route casts a JSON double/bool k (7.5, true) to bigint
+      // where the oracle's TRY_CAST('7.5' AS BIGINT) nulls — the
+      // string route nulls on BOTH engines for every non-integer k
       sum(when(expr(
-        "try_variant_get(try_parse_json(props), '$.k', 'bigint')").isNull,
+        "try_cast(get_json_object(props, '$.k') AS bigint)").isNull,
         1L).otherwise(0L)).as("n_props_no_k"))
     runToMemory(spark, agg)
   }

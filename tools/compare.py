@@ -88,5 +88,9 @@ for name in sorted(oracle):
     else:
         nfail += 1
         print(f'{name}: FAIL ({"; ".join(why)})')
+if npass + nfail == 0:
+    # a typo'd --only filter or an empty dump must not read as success
+    print('NO QUERIES COMPARED (bad name filter or empty outdir)')
+    sys.exit(2)
 print(f'PASS {npass}/{npass+nfail}')
 sys.exit(1 if nfail else 0)
