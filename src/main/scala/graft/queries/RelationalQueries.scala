@@ -1504,6 +1504,35 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- keyed snapshot diff (the reconciliation report between two
+  // table versions — what a migration or backfill runs before swapping
+  // a partition in): v1 and v2 are deterministic slices/mutations of
+  // the orders fixture (v1 misses the mod-97 keys, v2 misses mod-89,
+  // v2 remaps priority on mod-53), full-outer joined on the key and
+  // classified added / removed / changed / unchanged by KEY presence
+  // then value equality. ONE key-shuffled join (AQE-planned) and a
+  // |classes|-row aggregate — the report never materializes row-level
+  // diffs, which is what makes it runnable table-wide at 100 TB (the
+  // row-level drill-down is the same join with a class filter).
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val v1 = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k1"), col("o_orderpriority").as("p1"))
+    val v2 = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 53 === 0, lit("REMAPPED"))
+          .otherwise(col("o_orderpriority")).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(when(col("k1").isNull, "added")
+        .when(col("k2").isNull, "removed")
+        .when(col("p1") =!= col("p2"), "changed")
+        .otherwise("unchanged").as("action"))
+      .groupBy("action").agg(count(lit(1)).as("n_keys"))
+      .orderBy("action")
+  }
+
   // ---- data-quality audit sweep (the Deequ/dbt-tests shape): one row
   // per declared constraint with its violation count — referential
   // integrity via anti joins (the dimension side broadcasts; the
@@ -1581,6 +1610,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_data_profile" -> (dataProfile _),
     "rel_dq_audit" -> (dqAudit _),
+    "rel_table_diff" -> (tableDiff _),
     "rel_exact_median" -> (exactMedianGrouped _),
     "rel_q2_min_cost" -> (q2MinCost _),
     "rel_q9_profit" -> (q9Profit _),
@@ -1649,6 +1679,22 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_table_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k1, o_orderpriority AS p1 FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey AS k2,
+        |    CASE WHEN o_orderkey % 53 = 0 THEN 'REMAPPED'
+        |         ELSE o_orderpriority END AS p2
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT CASE WHEN k1 IS NULL THEN 'added'
+        |            WHEN k2 IS NULL THEN 'removed'
+        |            WHEN p1 <> p2 THEN 'changed'
+        |            ELSE 'unchanged' END AS action,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM v1 FULL JOIN v2 ON k1 = k2
+        |GROUP BY 1 ORDER BY action""".stripMargin,
     "rel_dq_audit" ->
       """SELECT * FROM (
         |  SELECT 'lineitem_orphan_orderkey' AS dq_check,
