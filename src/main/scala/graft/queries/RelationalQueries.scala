@@ -1504,6 +1504,33 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---- exact grouped percentiles (p50/p90/p99 — the latency-report
+  // shape): the exact-median technique generalized to a percentile
+  // list. ONE pass builds the per-(group, value) histogram (map-side
+  // partials), the cumulative window runs over the DISTINCT-VALUE frame
+  // (|groups|·|distinct values| rows, never raw orders), and each
+  // percentile is selected by the exact integer rank ceil(n·p/100) =
+  // (n·p + 99) div 100 — no interpolation, no float rank, so both
+  // engines pick the identical witness value. The percentile list rides
+  // an exploded literal array: no join, no product. approx_percentile
+  // is the 100 TB swap-in; this is its exact oracle-able sibling.
+  def percentilesGrouped(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val h = Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val whole = Window.partitionBy("o_orderpriority")
+    h.withColumn("cum", sum("cnt").over(byVal))
+      .withColumn("n", sum("cnt").over(whole))
+      .withColumn("pct", explode(array(lit(50), lit(90), lit(99))))
+      .filter(col("cum") - col("cnt") < expr("(n * pct + 99) div 100") &&
+        col("cum") >= expr("(n * pct + 99) div 100"))
+      .select(col("o_orderpriority"), col("pct"),
+        col("o_totalprice").as("value"))
+      .orderBy("o_orderpriority", "pct")
+  }
+
   // ---- keyed snapshot diff (the reconciliation report between two
   // table versions — what a migration or backfill runs before swapping
   // a partition in): v1 and v2 are deterministic slices/mutations of
@@ -1611,6 +1638,7 @@ object RelationalQueries {
     "rel_data_profile" -> (dataProfile _),
     "rel_dq_audit" -> (dqAudit _),
     "rel_table_diff" -> (tableDiff _),
+    "rel_percentiles_grouped" -> (percentilesGrouped _),
     "rel_exact_median" -> (exactMedianGrouped _),
     "rel_q2_min_cost" -> (q2MinCost _),
     "rel_q9_profit" -> (q9Profit _),
@@ -1679,6 +1707,22 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rel_percentiles_grouped" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_totalprice, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, o_totalprice, cnt,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h),
+        |q AS (SELECT c.*, p.pct FROM c, (VALUES (50), (90), (99)) p(pct))
+        |SELECT o_orderpriority, pct, o_totalprice AS value
+        |FROM q
+        |WHERE cum - cnt < (n * pct + 99) // 100
+        |  AND cum >= (n * pct + 99) // 100
+        |ORDER BY o_orderpriority, pct""".stripMargin,
     "rel_table_diff" ->
       """WITH v1 AS (
         |  SELECT o_orderkey AS k1, o_orderpriority AS p1 FROM orders
