@@ -110,7 +110,10 @@ class PlanAuditSpec extends SparkSpec {
     "rel_q9_profit" -> Seq("p_name"),
     "rel_q13_custdist" -> Seq("o_orderpriority"),
     "rel_q16_supplier_cnt" -> Seq("p_brand", "p_type", "p_size", "s_acctbal"),
-    "rel_q20_excess_stock" -> Seq("p_name", "l_shipdate", "n_name"))
+    "rel_q20_excess_stock" -> Seq("p_name", "l_shipdate", "n_name"),
+    // the DQ audit's domain rule is a literal predicate on the scan; the
+    // referential/modulo branches legitimately cannot push
+    "rel_dq_audit" -> Seq("o_totalprice"))
 
   test("literal predicates on scanned base columns reach PushedFilters") {
     // the default 100-char metadata truncation would eat long pushed-filter
