@@ -45,7 +45,7 @@ class OracleLintSpec extends AnyFunSuite {
     // rel_percentiles_grouped: same class as rel_exact_median — the
     // window sums are CTE-internal rank comparisons, never output
     "rel_cube", "rel_exact_median", "rel_percentiles_grouped",
-    "rel_pagerank_iter",
+    "stream_latency_pctl", "rel_pagerank_iter",
     "rel_pagerank_round2", "rel_pivot", "rel_q17_small_qty",
     "rel_q18_large_orders", "rel_q1_pricing", "rel_q20_excess_stock",
     "rel_rollup", "rel_skew_profile", "rel_unpivot",
