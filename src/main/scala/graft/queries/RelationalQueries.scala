@@ -1509,26 +1509,16 @@ object RelationalQueries {
   // list. ONE pass builds the per-(group, value) histogram (map-side
   // partials), the cumulative window runs over the DISTINCT-VALUE frame
   // (|groups|·|distinct values| rows, never raw orders), and each
-  // percentile is selected by the exact integer rank ceil(n·p/100) =
-  // (n·p + 99) div 100 — no interpolation, no float rank, so both
-  // engines pick the identical witness value. The percentile list rides
-  // an exploded literal array: no join, no product. approx_percentile
+  // percentile is selected by the exact integer rank (the
+  // graft.functions.ExactPercentiles read-off, structurally shared
+  // with the streaming stream_latency_pctl monitor). approx_percentile
   // is the 100 TB swap-in; this is its exact oracle-able sibling.
   def percentilesGrouped(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val h = Tables(spark, dir, "orders")
-      .groupBy("o_orderpriority", "o_totalprice")
+      .groupBy(col("o_orderpriority"), col("o_totalprice").as("value"))
       .agg(count(lit(1)).as("cnt"))
-    val byVal = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    val whole = Window.partitionBy("o_orderpriority")
-    h.withColumn("cum", sum("cnt").over(byVal))
-      .withColumn("n", sum("cnt").over(whole))
-      .withColumn("pct", explode(array(lit(50), lit(90), lit(99))))
-      .filter(col("cum") - col("cnt") < expr("(n * pct + 99) div 100") &&
-        col("cum") >= expr("(n * pct + 99) div 100"))
-      .select(col("o_orderpriority"), col("pct"),
-        col("o_totalprice").as("value"))
-      .orderBy("o_orderpriority", "pct")
+    graft.functions.ExactPercentiles.readoff(h, "o_orderpriority", "value")
   }
 
   // ---- keyed snapshot diff (the reconciliation report between two
@@ -1707,22 +1697,10 @@ object RelationalQueries {
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "rel_percentiles_grouped" ->
-      """WITH h AS (
-        |  SELECT o_orderpriority, o_totalprice, count(*) AS cnt
-        |  FROM orders GROUP BY 1, 2),
-        |c AS (
-        |  SELECT o_orderpriority, o_totalprice, cnt,
-        |    sum(cnt) OVER (PARTITION BY o_orderpriority
-        |                   ORDER BY o_totalprice) AS cum,
-        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM h),
-        |q AS (SELECT c.*, p.pct FROM c, (VALUES (50), (90), (99)) p(pct))
-        |SELECT o_orderpriority, pct, o_totalprice AS value
-        |FROM q
-        |WHERE cum - cnt < (n * pct + 99) // 100
-        |  AND cum >= (n * pct + 99) // 100
-        |ORDER BY o_orderpriority, pct""".stripMargin,
+    "rel_percentiles_grouped" -> graft.functions.ExactPercentiles.sql(
+      """  SELECT o_orderpriority, o_totalprice AS value, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2""".stripMargin,
+      "o_orderpriority", "value"),
     "rel_table_diff" ->
       """WITH v1 AS (
         |  SELECT o_orderkey AS k1, o_orderpriority AS p1 FROM orders

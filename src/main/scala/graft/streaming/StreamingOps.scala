@@ -330,28 +330,19 @@ object StreamingOps {
     * integer-bucket) histogram in complete mode (state = |types|·
     * |buckets| counters, BOUNDED regardless of volume — the whole point
     * of histogram-bucketed percentiles over exact values), and
-    * p50/p90/p99 read off the cumulative histogram by the exact integer
-    * rank ceil(n·p/100) — the same rank spelling as the batch
-    * `rel_percentiles_grouped`, so online and offline percentile
-    * reports cannot fork. The rank scan runs over the MATERIALIZED
-    * histogram (the tiny sink frame), never the stream. */
+    * p50/p90/p99 read off the cumulative histogram through
+    * [[graft.functions.ExactPercentiles]] — the SAME read-off object
+    * the batch `rel_percentiles_grouped` calls, so online and offline
+    * percentile reports cannot fork structurally. The rank scan runs
+    * over the MATERIALIZED histogram (the tiny sink frame), never the
+    * stream. */
   def streamLatencyPctl(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val agg = eventStream(spark, dir)
       .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val h = runToMemory(spark, agg)
-    val byVal = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("bucket")
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type")
-    h.withColumn("cum", sum("cnt").over(byVal))
-      .withColumn("n", sum("cnt").over(whole))
-      .withColumn("pct", explode(array(lit(50), lit(90), lit(99))))
-      .filter(col("cum") - col("cnt") < expr("(n * pct + 99) div 100") &&
-        col("cum") >= expr("(n * pct + 99) div 100"))
-      .select(col("event_type"), col("pct"), col("bucket"))
-      .orderBy("event_type", "pct")
+    graft.functions.ExactPercentiles.readoff(
+      runToMemory(spark, agg), "event_type", "bucket")
   }
 
   /** File-sink sibling of [[hourlyCounts]] — the SAME watermarked hourly
@@ -1114,21 +1105,11 @@ object StreamingOps {
          |SELECT i, CAST($b AS BIGINT) AS b, count(*) AS c
          |FROM r GROUP BY i, b ORDER BY i, b""".stripMargin
     },
-    "stream_latency_pctl" ->
-      """WITH h AS (
-        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+    "stream_latency_pctl" -> graft.functions.ExactPercentiles.sql(
+      """  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
         |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |c AS (
-        |  SELECT event_type, bucket, cnt,
-        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
-        |    sum(cnt) OVER (PARTITION BY event_type) AS n
-        |  FROM h),
-        |q AS (SELECT c.*, p.pct FROM c, (VALUES (50), (90), (99)) p(pct))
-        |SELECT event_type, pct, bucket FROM q
-        |WHERE cum - cnt < (n * pct + 99) // 100
-        |  AND cum >= (n * pct + 99) // 100
-        |ORDER BY event_type, pct""".stripMargin,
+        |  FROM events GROUP BY 1, 2""".stripMargin,
+      "event_type", "bucket"),
     "stream_dq_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)

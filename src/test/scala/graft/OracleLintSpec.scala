@@ -42,8 +42,11 @@ class OracleLintSpec extends AnyFunSuite {
     "ev_ltv_matrix", "ev_power_analysis", "ev_slo_burn",
     "mm_ahash", "mm_ahash_pairs",
     "pipeline_curation", "pipeline_pretrain", "pipeline_rag",
-    // rel_percentiles_grouped: same class as rel_exact_median — the
-    // window sums are CTE-internal rank comparisons, never output
+    // rel_percentiles_grouped / stream_latency_pctl: same class as
+    // rel_exact_median — the window sums are CTE-internal rank
+    // comparisons, never output. These two postdate round 10; their
+    // audit evidence is the r11 tri-SF certification (PASS 271/271 at
+    // sf0.001/0.01/0.1, BENCH_NOTES round-11 closing addendum)
     "rel_cube", "rel_exact_median", "rel_percentiles_grouped",
     "stream_latency_pctl", "rel_pagerank_iter",
     "rel_pagerank_round2", "rel_pivot", "rel_q17_small_qty",
