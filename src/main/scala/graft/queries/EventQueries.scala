@@ -519,6 +519,78 @@ object EventQueries {
       (abs(round(z, 6)) > 1.96).as("significant"))
   }
 
+  /** HyperLogLog geometry: m = 2^[[HllBucketBits]] registers; the 48-bit
+    * md5-derived hash splits into 6 bucket bits + 42 payload bits; a zero
+    * payload pins the rank at [[HllRankCap]] = 42 + 1. */
+  val HllBucketBits = 6
+  val HllBuckets = 1L << HllBucketBits
+  val HllRankCap = 43
+  /** 2^42·2, i.e. the S-scale unit 2^(HllRankCap): S = Σ 2^(43 − M_j)
+    * renders every register's 2^−M contribution as an EXACT integer. */
+  val HllScale = 1L << HllRankCap
+
+  /** Deterministic HyperLogLog DAU: the mergeable approximate-distinct
+    * sketch next to [[dauWau]]'s exact count — THE fixed-memory DAU
+    * structure at 100 TB, where countDistinct's shuffle carries every
+    * distinct user and this carries 64 integers per day regardless of
+    * volume. Register assignment is md5-derived (like the CMS sketch,
+    * [[graft.text.TextAnalysis.cmsHeavy]]) so BOTH engines build the
+    * bit-identical sketch and the estimate itself sits under the oracle
+    * hash: hash = first 48 md5 bits, bucket = hash mod 64, register
+    * value = LSB-rank of the payload bits (geometric(1/2), exactly the
+    * statistic HLL's estimator assumes; `bit_count((w & -w) - 1) + 1` in
+    * both engines). Registers merge by MAX — a (day, bucket) grouped max
+    * IS the merge, partial aggregates combine map-side, and the same 64
+    * integers can be unioned across days/sources/streams (mergeability
+    * spec-pinned in DauHllSpec). The harmonic-mean read-off stays exact
+    * integer arithmetic until one literal-constant double division:
+    * S = Σ 2^(43−M) over all 64 registers (absent register ⇒ M = 0 ⇒
+    * term 2^43), est = α₆₄·m²·2^43 / S — identical IEEE doubles on both
+    * engines because S is an exact BIGINT. Raw estimate only (the
+    * small-range linear-counting branch needs ln, whose last-ulp
+    * behavior is engine-specific — applied driver-side in DauHllSpec);
+    * zero_regs ships so any consumer can apply the correction. */
+  def dauHll(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ev = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val dau = ev.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    dau.join(hllEstimate(hllRegisters(ev)), Seq("day"))
+      .select("day", "dau", "hll_est", "zero_regs")
+      .orderBy("day")
+  }
+
+  /** The sketch itself: per (day, bucket) register = max LSB-rank.
+    * Merge law (DauHllSpec): registers of a union of frames = bucket-wise
+    * MAX of the frames' registers — the property that lets per-source /
+    * per-partition sketches combine without rescanning. */
+  private[graft] def hllRegisters(ev: DataFrame): DataFrame =
+    ev.select(col("day"),
+        expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)")
+          .cast("long").as("h"))
+      .select(col("day"), (col("h") % HllBuckets).as("b"),
+        expr(s"h div $HllBuckets").as("w"))
+      .select(col("day"), col("b"),
+        when(col("w") === 0, lit(HllRankCap))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
+      .groupBy("day", "b").agg(max("rho").as("m"))
+
+  /** Harmonic-mean read-off over the 64 registers (absent ⇒ M = 0). */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("day").agg(
+        count(lit(1)).as("n_obs"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $HllRankCap - m)")).as("s_obs"))
+      .select(col("day"),
+        ((lit(HllBuckets) - col("n_obs")) * lit(HllScale) + col("s_obs")).as("s"),
+        (lit(HllBuckets) - col("n_obs")).as("zero_regs"))
+      .select(col("day"),
+        // literal-by-literal DOUBLE casts (not bare decimal literals):
+        // both engines otherwise type 0.709 as DECIMAL and fork/overflow
+        expr("round(cast(0.709 as double) * cast(4096 as double) * " +
+          s"cast($HllScale as double) / cast(s as double), 2)")
+          .as("hll_est"),
+        col("zero_regs"))
+
   /** DAU / WAU / stickiness: daily active users, trailing-7-day active
     * users, and their ratio per day. WAU is computed WITHOUT a
     * distinct-over-sliding-window (quadratic in window length at the
@@ -968,6 +1040,7 @@ object EventQueries {
     "ev_experiment_srm" -> (experimentSrm _),
     "ev_ab_test" -> (abTest _),
     "ev_dau_wau" -> (dauWau _),
+    "ev_dau_hll" -> (dauHll _),
     "ev_path_trigrams" -> (pathTrigrams _),
     "ev_attribution" -> (attribution _),
     "ev_rfm" -> (rfm _),
@@ -1256,6 +1329,31 @@ object EventQueries {
         |         (CAST(1.0 AS DOUBLE) - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
         |         (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)) > 1.96 AS significant
         |FROM c""".stripMargin,
+    "ev_dau_hll" -> {
+      val h = graft.text.TextAnalysis.nibSql("CAST(user_id AS VARCHAR)", 12)
+      s"""WITH hh AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+         |    ($h) AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT day, h % 64 AS b,
+         |    CASE WHEN h // 64 = 0 THEN 43
+         |         ELSE CAST(bit_count(((h // 64) & -(h // 64)) - 1) AS INTEGER) + 1
+         |    END AS rho
+         |  FROM hh),
+         |m AS (SELECT day, b, max(rho) AS m FROM r GROUP BY day, b),
+         |s AS (SELECT day, count(*) AS n_obs,
+         |        CAST(sum(CAST(1 AS BIGINT) << (43 - m)) AS BIGINT) AS s_obs
+         |      FROM m GROUP BY day),
+         |d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+         |      FROM hh GROUP BY day)
+         |SELECT d.day, dau,
+         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(8796093022208 AS DOUBLE) /
+         |    CAST(CAST(64 - n_obs AS BIGINT) * 8796093022208 + s_obs AS DOUBLE), 2) AS hll_est,
+         |  CAST(64 - n_obs AS BIGINT) AS zero_regs
+         |FROM d JOIN s USING (day)
+         |ORDER BY day""".stripMargin
+    },
     "ev_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
