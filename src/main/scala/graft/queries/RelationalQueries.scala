@@ -966,6 +966,60 @@ object RelationalQueries {
       copurchaseEdges(spark, dir).select("p1", "p2").localCheckpoint(true))
   }
 
+  /** BFS hop cap: both engines bound the expansion at the same constant,
+    * so the result is well-defined ("min-hop distance within 20") even on
+    * a pathological graph whose diameter exceeds it. Fixture co-purchase
+    * graphs have diameter ≈ 3–6. */
+  val ReachMaxHops = 20
+
+  /** Single-source BFS over the co-purchase graph run to FIXPOINT — the
+    * frontier-expansion loop every distributed graph engine (Pregel,
+    * GraphX, GraphFrames) builds on, here as plain DataFrame rounds:
+    * seed = smallest node; per round the frontier equi-joins the
+    * undirected edge list, dedups, and anti-joins the visited set; the
+    * loop stops when the frontier empties (1-row `isEmpty` probe, same
+    * documented O(1) driver stop as [[pagerankConverged]]) or at
+    * [[ReachMaxHops]]. State crossing rounds is node-sized (visited +
+    * frontier), lineage truncated per round via `localCheckpoint` — at
+    * 100 TB the edge list shuffles once on src and every round is one
+    * equi-join + distinct, never a path enumeration. Output is the hop
+    * histogram (n_nodes, id range per hop). Oracle: DuckDB
+    * `WITH RECURSIVE` capped at the same hop constant, min(hops) per
+    * node — BFS re-expressed as the fixpoint its semantics are. */
+  def reachability(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    bfsHistogram(
+      copurchaseEdges(spark, dir).select("p1", "p2").localCheckpoint(true))
+  }
+
+  /** The BFS core over any canonical (p1 < p2) edge frame — split out so
+    * hop semantics (seed = min node, unreachable components absent, hop
+    * cap honored) are provable on synthetic graphs in ReachabilitySpec,
+    * independent of the co-purchase derivation. */
+  private[queries] def bfsHistogram(e: DataFrame): DataFrame = {
+    val undirected = e.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint(true) // edge-sized; reused by every round
+    var visited = e.agg(min("p1").as("node"))
+      .select(col("node"), lit(0).as("hops")).localCheckpoint(true)
+    var frontier = visited
+    var h = 0
+    while (h < ReachMaxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.join(undirected, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.groupBy("hops")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("hops")
+  }
+
   /** The census core over any canonical (p1 < p2) edge set — split out so
     * the orientation argument is provable on synthetic graphs in
     * GraphCensusSpec, independent of the co-purchase derivation. */
@@ -1653,6 +1707,7 @@ object RelationalQueries {
     "rel_copurchase_pairs" -> (copurchasePairs _),
     "rel_copurchase_lift" -> (copurchaseLift _),
     "rel_triangles" -> (triangles _),
+    "rel_reachability" -> (reachability _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
@@ -2046,6 +2101,24 @@ object RelationalQueries {
          |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
          |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
          |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
+    "rel_reachability" ->
+      s"""WITH RECURSIVE l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS p1, b.pk AS p2
+         |      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT p1, p2 FROM p GROUP BY p1, p2
+         |      HAVING count(*) >= ${CopurchaseSupport}),
+         |u AS (SELECT p1 AS src, p2 AS dst FROM e
+         |      UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+         |seed AS (SELECT min(p1) AS node FROM e),
+         |bfs(node, hops) AS (
+         |  SELECT node, 0 FROM seed
+         |  UNION
+         |  SELECT u.dst, bfs.hops + 1 FROM bfs JOIN u ON u.src = bfs.node
+         |  WHERE bfs.hops < $ReachMaxHops),
+         |d AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY node)
+         |SELECT CAST(hops AS INTEGER) AS hops, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+         |FROM d GROUP BY hops ORDER BY hops""".stripMargin,
     // orientation is a counting device, not a semantic: the oracle counts
     // the same triangles with the plain a<b<c join
     "rel_triangles" ->
