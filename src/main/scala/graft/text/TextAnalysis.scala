@@ -1594,6 +1594,51 @@ object TextAnalysis {
     * stream in ONE equi-join on the gram — linear in corpus tokens, the
     * join's right side bounded by the duplicated vocabulary, never a
     * doc-pair product. */
+  /** Synthetic line width for [[lineDedup]]: the fixture corpus has no
+    * newline delimiters, so "line" = a fixed 12-word aligned window —
+    * the C4/RefinedWeb line-dedup shape with the delimiter made
+    * explicit. The (doc_id, line_idx) keep-key packs as
+    * doc_id·100000 + idx (valid while docs stay under 100k lines —
+    * 1.2M words — and doc_id under 9e13; both hold at any plausible
+    * corpus). */
+  val LineWords = 12
+  val LineKeyStride = 100000L
+
+  /** C4-style LINE-level exact dedup with keep-first semantics — the
+    * removal DECISION the dup-span census ([[dupCoverage]]) only
+    * measures: every aligned [[LineWords]]-word line hashes (md5, so the
+    * decision sits under the oracle hash), each distinct line text keeps
+    * exactly its first occurrence in (doc_id, line_idx) order, and every
+    * other occurrence is dropped. Per doc: line count, lines removed,
+    * retained fraction. Plan: one explode linear in corpus words, one
+    * grouped MIN on the line hash (the keeper table, |distinct lines|
+    * rows), one equi-join back on the hash — never a doc-pair or
+    * line-pair product, the same bounded-join shape as dupCoverage. At
+    * 100 TB both sides shuffle once on the line hash; keep-first is an
+    * argmin, not a window sort. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val lines = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, (size(ws) - 1) div $LineWords)"))
+          .as("line_idx"))
+      .select(col("doc_id"), col("line_idx"),
+        md5(array_join(
+          expr(s"slice(ws, line_idx * $LineWords + 1, $LineWords)"), " "))
+          .as("line_md5"))
+    val key = col("doc_id") * LineKeyStride + col("line_idx")
+    val keeper = lines.groupBy("line_md5").agg(min(key).as("keep_key"))
+    lines.join(keeper, Seq("line_md5"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(key =!= col("keep_key"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup"),
+        round((col("n_lines") - col("n_dup")).cast("double") / col("n_lines"),
+          6).as("retained"))
+      .orderBy("doc_id")
+  }
+
   def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val grams = Tables(spark, dir, "documents")
@@ -1859,6 +1904,7 @@ object TextAnalysis {
     "text_quality_classifier" -> (qualityClassifier _),
     "text_dup_spans" -> (dupSpans _),
     "text_dup_coverage" -> (dupCoverage _),
+    "text_line_dedup" -> (lineDedup _),
     "text_entropy" -> (charEntropy _),
     "text_len_histogram" -> (lenHistogram _),
     "text_dsir_resample" -> (dsirResample _),
@@ -2106,6 +2152,23 @@ object TextAnalysis {
          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
          |FROM a WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT ${DupSpanTopK}""".stripMargin,
+    "text_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+         |        md5(array_to_string(list_slice(ws,
+         |          CAST(i * $LineWords + 1 AS INTEGER),
+         |          CAST(i * $LineWords + $LineWords AS INTEGER)), ' ')) AS line_md5
+         |      FROM d, UNNEST(generate_series(0, (len(ws) - 1) // $LineWords)) t(i)),
+         |k AS (SELECT line_md5,
+         |        min(doc_id * $LineKeyStride + line_idx) AS keep_key
+         |      FROM l GROUP BY line_md5),
+         |a AS (SELECT l.doc_id, count(*) AS n_lines,
+         |        CAST(sum(CASE WHEN l.doc_id * $LineKeyStride + l.line_idx <> k.keep_key
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |      FROM l JOIN k USING (line_md5) GROUP BY l.doc_id)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, n_dup,
+         |  round(CAST(n_lines - n_dup AS DOUBLE) / n_lines, 6) AS retained
+         |FROM a ORDER BY doc_id""".stripMargin,
     "text_dup_coverage" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + ${DupSpanN - 1}), ' ') AS gram
