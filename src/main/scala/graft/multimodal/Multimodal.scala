@@ -349,6 +349,52 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Scene-boundary threshold: a cut is a consecutive-frame Hamming
+    * distance strictly above half the [[AhashBits]] fingerprint — the
+    * distance two UNRELATED frames sit near, so smooth continuations
+    * (near-identical fingerprints) stay below it by a wide margin. */
+  val SceneCutHamming: Int = AhashBits / 2
+
+  /** Scene-cut detection over the frame stream — the shot-segmentation
+    * pass of a video pipeline: each [[FrameStep]]-byte frame of the
+    * payload gets the 48-bit average-hash fingerprint (same native
+    * kernel as [[mediaAhash]], here over the frame SLICE), consecutive
+    * frames within an asset compare by Hamming distance (`bit_count`
+    * of the XOR, exact integers), and a boundary fires where the
+    * distance exceeds [[SceneCutHamming]]. Per asset: frame count, cut
+    * count, and the largest jump. Plan: one scan + posexplode linear in
+    * payload bytes, the lag window partitions by asset (per-asset frame
+    * counts are bounded, so no window ever sees more than one asset's
+    * frames), one grouped aggregate — no joins at all. With a real
+    * decoder the fingerprint input would be downscaled luma per frame;
+    * the stub slices the text-as-payload fixture, arithmetic unchanged. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val frames = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .filter(col("byte_len") > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(s"sequence(0L, byte_len - 1, ${FrameStep}L)")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        expr(s"substring(text, cast(col + 1 as int), ${FrameStep.toInt})")
+          .as("frame"))
+    val hashCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.AHash(
+        org.apache.spark.sql.GraftBridge.expression(col("frame")), AhashBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames.select(col("doc_id"), col("frame_idx"), hashCol.as("fh"))
+      .withColumn("prev", lag("fh", 1).over(w))
+      .withColumn("hamming", expr("cast(bit_count(fh ^ prev) as int)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("hamming") > SceneCutHamming, 1L).otherwise(0L))
+          .as("n_cuts"),
+        max("hamming").as("max_hamming"))
+      .orderBy("doc_id")
+  }
+
   /** DCT perceptual hash (pHash) over the media payload — the
     * frequency-domain sibling of [[mediaAhash]]: 64 samples arranged as
     * an 8×8 grid, 2-D DCT on the fixed-point integer basis
@@ -517,6 +563,7 @@ object Multimodal {
     "mm_ahash_pairs" -> (mediaAhashPairs _),
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
+    "mm_scene_cuts" -> (sceneCuts _),
     "mm_resize" -> (mediaResize _),
     "mm_dedup" -> (mediaDedup _))
 
@@ -693,6 +740,36 @@ object Multimodal {
         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_scene_cuts" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, CAST(o AS BIGINT) // ${FrameStep} AS frame_idx,
+         |    CAST(o AS BIGINT) AS off,
+         |    least(${FrameStep}, strlen(text) - o) AS flen
+         |  FROM documents,
+         |       UNNEST(generate_series(0, strlen(text) - 1, ${FrameStep})) t(o)
+         |  WHERE strlen(text) > 0),
+         |s AS (
+         |  SELECT doc_id, frame_idx, j,
+         |    ascii(substr(text,
+         |      CAST(off + 1 + ((flen - 1) * j) // ${AhashBits - 1} AS INTEGER), 1)) AS v
+         |  FROM f, UNNEST(range(0, $AhashBits)) t(j)),
+         |m AS (SELECT doc_id, frame_idx, j, v,
+         |        sum(v) OVER (PARTITION BY doc_id, frame_idx) AS sv FROM s),
+         |h AS (
+         |  SELECT doc_id, frame_idx,
+         |    CAST(sum(CASE WHEN v * $AhashBits >= sv
+         |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fh
+         |  FROM m GROUP BY doc_id, frame_idx),
+         |l AS (SELECT doc_id, fh,
+         |        lag(fh) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pv FROM h),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_frames,
+         |    CAST(sum(CASE WHEN bit_count(xor(fh, pv)) > $SceneCutHamming
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |    max(CAST(bit_count(xor(fh, pv)) AS INTEGER)) AS max_hamming
+         |  FROM l GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, n_cuts, max_hamming
+         |FROM a ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       s"""SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
          |       k * ${FrameStep} AS offset,

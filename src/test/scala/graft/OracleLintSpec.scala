@@ -40,7 +40,10 @@ class OracleLintSpec extends AnyFunSuite {
     "dedup_cluster_purity", "dedup_keep_quality", "dedup_minhash_est",
     "ev_ab_test", "ev_bounce_rate", "ev_cuped", "ev_forecast_naive",
     "ev_ltv_matrix", "ev_power_analysis", "ev_slo_burn",
-    "mm_ahash", "mm_ahash_pairs",
+    // mm_scene_cuts: the same aHash window-sum-as-mean-test as mm_ahash,
+    // per frame; sv is CTE-internal (only compared, never output) and
+    // the output sums are cast. Tri-SF green at add time (r11).
+    "mm_ahash", "mm_ahash_pairs", "mm_scene_cuts",
     "pipeline_curation", "pipeline_pretrain", "pipeline_rag",
     // rel_percentiles_grouped / stream_latency_pctl: same class as
     // rel_exact_median — the window sums are CTE-internal rank
