@@ -966,6 +966,47 @@ object RelationalQueries {
       copurchaseEdges(spark, dir).select("p1", "p2").localCheckpoint(true))
   }
 
+  /** Incremental-refresh cutoff — MID-month on purpose, so January 2001
+    * exists as a base partial AND a delta partial and the merge provably
+    * combines two partials for one group (a month-boundary cutoff would
+    * make the merge a disjoint union). */
+  val MvCutoff = "2001-01-15"
+
+  /** Incremental materialized-view maintenance — the production refresh
+    * lifecycle: the monthly revenue MV's partial aggregates
+    * (month, count, exact DECIMAL revenue sum) for orders BEFORE
+    * [[MvCutoff]] are persisted once as a parquet artifact
+    * (IndexStore, the same build/serve split as sim_ivf_served), and
+    * the registered query REFRESHES it — scans only the delta
+    * (orders ≥ cutoff, the filter pushed to the scan), aggregates it,
+    * and merges by unioning partials and re-summing per month. Counts
+    * merge by addition and DECIMAL sums merge exactly, which is WHY the
+    * MV is incrementally maintainable at all (the algebraic-aggregate
+    * property; a median MV would need the full history). The oracle is
+    * the MV's DEFINING query — one full recompute over orders — so the
+    * driver's hash proves refresh ≡ definition, not merely
+    * self-consistency. At 100 TB the refresh touches |delta| rows +
+    * a months-sized artifact instead of the whole fact table. */
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    def partials(pred: Column): DataFrame =
+      Tables(spark, dir, "orders")
+        .filter(pred)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_part"))
+    val cut = lit(MvCutoff).cast("timestamp")
+    val base = graft.similarity.IndexStore.ensure(spark, dir, "mv_monthly")(
+      partials(col("o_orderdate") < cut))
+    base.select("month", "n_part", "rev_part")
+      .unionAll(partials(col("o_orderdate") >= cut))
+      .groupBy("month")
+      .agg(sum("n_part").as("n_orders"),
+        sum("rev_part").cast("double").as("revenue"))
+      .orderBy("month")
+  }
+
   /** BFS hop cap: both engines bound the expansion at the same constant,
     * so the result is well-defined ("min-hop distance within 20") even on
     * a pathological graph whose diameter exceeds it. Fixture co-purchase
@@ -1708,6 +1749,7 @@ object RelationalQueries {
     "rel_copurchase_lift" -> (copurchaseLift _),
     "rel_triangles" -> (triangles _),
     "rel_reachability" -> (reachability _),
+    "rel_mv_refresh" -> (mvRefresh _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
@@ -2101,6 +2143,14 @@ object RelationalQueries {
          |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
          |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
          |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
+    // the MV's DEFINING query, recomputed in full: the hash gate proves
+    // the incremental merge (persisted base partials + delta partials)
+    // equals the definition, not merely itself
+    "rel_mv_refresh" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "rel_reachability" ->
       s"""WITH RECURSIVE l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |p AS (SELECT a.pk AS p1, b.pk AS p2
