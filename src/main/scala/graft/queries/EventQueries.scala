@@ -575,6 +575,36 @@ object EventQueries {
           .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
       .groupBy("day", "b").agg(max("rho").as("m"))
 
+  /** DuckDB CTE prefix ending in `s(day, n_obs, s_obs)` (plus the raw
+    * `hh(day, user_id, h)` hash frame) — the register table of the HLL
+    * sketch, single-sourced between the batch (ev_dau_hll) and streaming
+    * (stream_dau_hll) oracles so online and offline distinct-count
+    * monitors cannot fork. */
+  private[graft] val hllOracleCtes: String = {
+    val h = graft.text.TextAnalysis.nibSql("CAST(user_id AS VARCHAR)", 12)
+    s"""hh AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+       |    ($h) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT day, h % $HllBuckets AS b,
+       |    CASE WHEN h // $HllBuckets = 0 THEN $HllRankCap
+       |         ELSE CAST(bit_count(((h // $HllBuckets) & -(h // $HllBuckets)) - 1)
+       |              AS INTEGER) + 1
+       |    END AS rho
+       |  FROM hh),
+       |m AS (SELECT day, b, max(rho) AS m FROM r GROUP BY day, b),
+       |s AS (SELECT day, count(*) AS n_obs,
+       |        CAST(sum(CAST(1 AS BIGINT) << ($HllRankCap - m)) AS BIGINT) AS s_obs
+       |      FROM m GROUP BY day)""".stripMargin
+  }
+
+  /** DuckDB spelling of [[hllEstimate]]'s read-off columns over `s`. */
+  private[graft] val hllOracleReadoff: String =
+    s"""round(CAST(0.709 AS DOUBLE) * CAST(${HllBuckets * HllBuckets} AS DOUBLE) * CAST($HllScale AS DOUBLE) /
+       |    CAST(CAST($HllBuckets - n_obs AS BIGINT) * $HllScale + s_obs AS DOUBLE), 2) AS hll_est,
+       |  CAST($HllBuckets - n_obs AS BIGINT) AS zero_regs""".stripMargin
+
   /** Harmonic-mean read-off over the 64 registers (absent ⇒ M = 0). */
   private[graft] def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy("day").agg(
@@ -585,8 +615,9 @@ object EventQueries {
         (lit(HllBuckets) - col("n_obs")).as("zero_regs"))
       .select(col("day"),
         // literal-by-literal DOUBLE casts (not bare decimal literals):
-        // both engines otherwise type 0.709 as DECIMAL and fork/overflow
-        expr("round(cast(0.709 as double) * cast(4096 as double) * " +
+        // both engines otherwise type 0.709 as DECIMAL and fork/overflow;
+        // 0.709 is the standard alpha for m = 64 registers
+        expr(s"round(cast(0.709 as double) * cast(${HllBuckets * HllBuckets} as double) * " +
           s"cast($HllScale as double) / cast(s as double), 2)")
           .as("hll_est"),
         col("zero_regs"))
@@ -1329,31 +1360,13 @@ object EventQueries {
         |         (CAST(1.0 AS DOUBLE) - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
         |         (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)) > 1.96 AS significant
         |FROM c""".stripMargin,
-    "ev_dau_hll" -> {
-      val h = graft.text.TextAnalysis.nibSql("CAST(user_id AS VARCHAR)", 12)
-      s"""WITH hh AS (
-         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
-         |    ($h) AS h
-         |  FROM events),
-         |r AS (
-         |  SELECT day, h % 64 AS b,
-         |    CASE WHEN h // 64 = 0 THEN 43
-         |         ELSE CAST(bit_count(((h // 64) & -(h // 64)) - 1) AS INTEGER) + 1
-         |    END AS rho
-         |  FROM hh),
-         |m AS (SELECT day, b, max(rho) AS m FROM r GROUP BY day, b),
-         |s AS (SELECT day, count(*) AS n_obs,
-         |        CAST(sum(CAST(1 AS BIGINT) << (43 - m)) AS BIGINT) AS s_obs
-         |      FROM m GROUP BY day),
+    "ev_dau_hll" ->
+      s"""WITH $hllOracleCtes,
          |d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
          |      FROM hh GROUP BY day)
-         |SELECT d.day, dau,
-         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(8796093022208 AS DOUBLE) /
-         |    CAST(CAST(64 - n_obs AS BIGINT) * 8796093022208 + s_obs AS DOUBLE), 2) AS hll_est,
-         |  CAST(64 - n_obs AS BIGINT) AS zero_regs
+         |SELECT d.day, dau, $hllOracleReadoff
          |FROM d JOIN s USING (day)
-         |ORDER BY day""".stripMargin
-    },
+         |ORDER BY day""".stripMargin,
     "ev_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

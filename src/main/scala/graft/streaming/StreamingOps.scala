@@ -1061,7 +1061,30 @@ object StreamingOps {
     runToMemory(spark, agg).orderBy("i", "b")
   }
 
+  /** Streaming HyperLogLog DAU monitor — the online sibling of the batch
+    * ev_dau_hll sketch, and the distinct-count analog of
+    * [[streamLatencyPctl]]'s bucketed percentiles: the stream maintains
+    * ONLY the (day, bucket) register maxima in complete mode — state
+    * bounded at |days|·64 integers regardless of volume, which is the
+    * whole reason HLL is THE streaming distinct-count structure (an
+    * exact streaming countDistinct's state grows with the user set).
+    * Register construction AND the harmonic-mean read-off are the same
+    * code the batch query runs ([[EventQueries.hllRegisters]] /
+    * [[EventQueries.hllEstimate]]), and the oracle shares the batch
+    * oracle's CTEs verbatim — online and offline DAU estimates cannot
+    * fork. The register max merges monotonically, so complete-mode
+    * re-emission per trigger is the sketch's natural update. */
+  def streamDauHll(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val regs = graft.queries.EventQueries.hllRegisters(
+      eventStream(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")))
+    graft.queries.EventQueries.hllEstimate(runToMemory(spark, regs))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dau_hll" -> (streamDauHll _),
     "stream_cms" -> (cmsSketch _),
     "stream_complete_counts" -> (completeCounts _),
     "stream_hourly_counts" -> (hourlyCounts _),
@@ -1105,6 +1128,12 @@ object StreamingOps {
          |SELECT i, CAST($b AS BIGINT) AS b, count(*) AS c
          |FROM r GROUP BY i, b ORDER BY i, b""".stripMargin
     },
+    // the batch HLL oracle's CTEs verbatim, minus the exact-DAU join the
+    // bounded-state monitor deliberately does not carry
+    "stream_dau_hll" ->
+      s"""WITH ${graft.queries.EventQueries.hllOracleCtes}
+         |SELECT day, ${graft.queries.EventQueries.hllOracleReadoff}
+         |FROM s ORDER BY day""".stripMargin,
     "stream_latency_pctl" -> graft.functions.ExactPercentiles.sql(
       """  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
         |    count(*) AS cnt

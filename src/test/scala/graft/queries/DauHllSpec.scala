@@ -39,6 +39,14 @@ class DauHllSpec extends SparkSpec {
     assert(mean < 0.20, s"mean error $mean exceeds the sketch envelope")
   }
 
+  test("streaming monitor equals the batch sketch read-off") {
+    val batch = EventQueries.dauHll(spark, "/root/testdata/sf0.001")
+      .select("day", "hll_est", "zero_regs").collect().toSeq
+    val online = graft.streaming.StreamingOps
+      .streamDauHll(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(online == batch)
+  }
+
   test("registers of a union are the bucket-wise max of the parts") {
     import spark.implicits._
     val all = (1L to 500L).map(u => ("2024-01-01", u)).toDF("d", "user_id")
