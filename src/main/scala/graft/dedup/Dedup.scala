@@ -96,10 +96,17 @@ object Dedup {
     * universe. */
   val MaxShingleDf = 20
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
+  /** Rare-shingle frame `(doc_id, s)` over a 1-in-`mod` doc sample:
+    * distinct bigram shingles with document frequency ≤ [[MaxShingleDf]]
+    * (the df cap bounds every shingle's pair fan-out to ≤ df² rows, which
+    * is what keeps the shingle equi-join linear at any corpus size).
+    * Shared by the Jaccard (mod 50, the exact-truth sample) and
+    * containment (mod 1, full corpus — the bounded join needs no sample)
+    * scorers so their shingle semantics cannot drift. */
+  private def sampledRareShingles(
+      spark: SparkSession, dir: String, mod: Int = 50): DataFrame = {
     val d = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
+      .filter(col("doc_id") % mod === 0)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= 2)
     val shAll = d.select(col("doc_id"),
@@ -107,7 +114,12 @@ object Dedup {
       .distinct()
     val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select("s")
-    val sh = shAll.join(rare, Seq("s"))
+    shAll.join(rare, Seq("s"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sh = sampledRareShingles(spark, dir)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.alias("x")
       .join(sh.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -119,6 +131,35 @@ object Dedup {
       .select(col("da"), col("db"),
         (col("common") * lit(1.0) / (col("na.n") + col("nb.n") - col("common"))).as("jac"))
       .filter(col("jac") >= 0.5)
+      .orderBy("da", "db")
+  }
+
+  /** Containment floor for the directional report. */
+  val ContainmentMin = 0.5
+
+  /** DIRECTIONAL shingle containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| —
+    * the doc-in-doc detector Jaccard structurally misses: when a short
+    * document is quoted inside a much larger one, the union in Jaccard's
+    * denominator dilutes the score below any useful threshold while
+    * containment stays at 1.0 (the measure behind excerpt/quote dedup
+    * and the asymmetric half of test-set contamination). Same shingle
+    * semantics as [[ngramJaccard]] ([[sampledRareShingles]], shared
+    * code) but over the FULL corpus — the df-capped shingle equi-join
+    * fans each shingle out to ≤ [[MaxShingleDf]]² ordered pairs, so no
+    * sample is needed at any scale — and each direction scores
+    * independently, so (a→b) can clear the floor while (b→a) does not. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val sh = sampledRareShingles(spark, dir, mod = 1)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.alias("x")
+      .join(sh.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    pairs.join(n.alias("na"), col("da") === col("na.doc_id"))
+      .select(col("da"), col("db"), col("common"), col("na.n").as("n_a"),
+        (col("common") * lit(1.0) / col("na.n")).as("containment"))
+      .filter(col("containment") >= ContainmentMin)
       .orderBy("da", "db")
   }
 
@@ -678,6 +719,7 @@ object Dedup {
     "dedup_keep" -> (keepDecision _),
     "dedup_keep_served" -> (keepServed _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_recall_eval" -> (recallEval _),
     "dedup_minhash_est" -> (minhashEstimate _),
     "dedup_incremental" -> (incrementalDedup _),
@@ -819,16 +861,21 @@ object Dedup {
   /** Exact bigram-Jaccard truth pairs as a CTE chain ending in
     * `jacp(da, db, jac)` — shared by the dedup_ngram_jaccard and
     * dedup_recall_eval oracles. */
-  private def ngramJacCtes: String =
+  /** Shared shingle CTE prefix ending in `sh(doc_id, s)` + `n(doc_id, n)`
+    * — the oracle mirror of [[sampledRareShingles]]. */
+  private def shingleCtes(mod: Int = 50): String =
     s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-       |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 2),
+       |  WHERE doc_id % $mod = 0 AND len(string_split(text, ' ')) >= 2),
        |sh_all AS (
        |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS s
        |  FROM d, UNNEST(range(1, len(arr))) t(i)),
        |rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= ${MaxShingleDf}),
        |sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (s)),
-       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def ngramJacCtes: String =
+    s"""${shingleCtes()},
        |pairs AS (
        |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -1055,6 +1102,18 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $ngramJacCtes
          |SELECT da, db, jac FROM jacp ORDER BY da, db""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH ${shingleCtes(mod = 1)},
+         |op AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS common
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, CAST(common AS BIGINT) AS common,
+         |  CAST(na.n AS BIGINT) AS n_a,
+         |  common * 1.0 / na.n AS containment
+         |FROM op JOIN n na ON da = na.doc_id
+         |WHERE common * 1.0 / na.n >= $ContainmentMin
+         |ORDER BY da, db""".stripMargin,
     "dedup_recall_eval" ->
       s"""WITH $minhashCtes,
          |$ngramJacCtes
