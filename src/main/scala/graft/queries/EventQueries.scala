@@ -778,6 +778,40 @@ object EventQueries {
     * the model means are rounded to a 1e-6 grid and carried as exact
     * DECIMAL, so the |actual − pred| sums are order-independent; the
     * final MAE is one division. */
+  /** Trailing window depth of the dyadic EWMA — weights 2^(depth−1−k)
+    * for lags k = 0..depth−1, normalized by 2^depth − 1. */
+  val EwmaDepth = 8
+
+  /** Exponentially-weighted moving average of hourly volume — the
+    * smoother behind every ops dashboard's "trend" line, with the
+    * geometric α = 1/2 weights chosen DYADIC so the whole statistic is
+    * exact: the numerator Σ lag(cnt,k)·2^(depth−1−k) is an integer
+    * window expression (no float accumulates in any order anywhere),
+    * and the single normalizing division by 2^depth − 1 = 255 is one
+    * exactly-rounded IEEE op — engine-identical, where a conventional
+    * recursive EWMA (s_t = α·x + (1−α)·s_{t−1}) compounds float error
+    * in sequence order and cannot be window-parallelized at all. Rows
+    * without the full trailing history are withheld (the smoother
+    * invents nothing). Plan: the corpus collapses to |hours| rows
+    * first; the global-order window runs over that tiny frame only —
+    * [[anomaly]]'s documented posture. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
+    val num = (0 until EwmaDepth)
+      .map(k => lag(col("cnt"), k).over(w) * lit(1L << (EwmaDepth - 1 - k)))
+      .reduce(_ + _)
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("num", num)
+      .filter(col("num").isNotNull)
+      .select(col("hr"), col("cnt"),
+        expr(s"round(cast(num as double) / cast(${(1 << EwmaDepth) - 1} as double), 6)")
+          .as("ewma"))
+      .orderBy("hr")
+  }
+
   def forecastNaive(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val hourly = Tables(spark, dir, "events")
@@ -1066,6 +1100,7 @@ object EventQueries {
     "ev_bounce_rate" -> (bounceRate _),
     "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
+    "ev_ewma" -> (ewma _),
     "ev_wow_growth" -> (wowGrowth _),
     "ev_growth_accounting" -> (growthAccounting _),
     "ev_experiment_srm" -> (experimentSrm _),
@@ -1360,6 +1395,19 @@ object EventQueries {
         |         (CAST(1.0 AS DOUBLE) - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
         |         (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)) > 1.96 AS significant
         |FROM c""".stripMargin,
+    "ev_ewma" -> {
+      val terms = (0 until EwmaDepth)
+        .map(k => s"lag(cnt, $k) OVER w * ${1L << (EwmaDepth - 1 - k)}")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT hr, cnt, $terms AS num
+         |      FROM h WINDOW w AS (ORDER BY hr))
+         |SELECT hr, CAST(cnt AS BIGINT) AS cnt,
+         |  round(CAST(num AS DOUBLE) / CAST(${(1 << EwmaDepth) - 1} AS DOUBLE), 6) AS ewma
+         |FROM t WHERE num IS NOT NULL ORDER BY hr""".stripMargin
+    },
     "ev_dau_hll" ->
       s"""WITH $hllOracleCtes,
          |d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau

@@ -966,6 +966,31 @@ object RelationalQueries {
       copurchaseEdges(spark, dir).select("p1", "p2").localCheckpoint(true))
   }
 
+  /** LOCF (last-observation-carried-forward) imputation — the canonical
+    * sparse-timeseries fill: per customer, each order carries the most
+    * recent FINALIZED order's price forward in (date, key) order; rows
+    * before a customer's first observation stay NULL (LOCF invents
+    * nothing). The IGNORE-NULLS running last_value is THE window
+    * modifier built for this — no self-join, no recursive gap walk; one
+    * shuffle on the partition key and a per-customer ordered scan,
+    * embarrassingly parallel across customers at any scale. The 1-in-100
+    * customer sample only caps the VERIFY dump; the plan is
+    * sample-free. */
+  def locfFill(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_date", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", col("o_totalprice")).as("observed"))
+      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+      .orderBy("o_custkey", "o_date", "o_orderkey")
+  }
+
   /** Incremental-refresh cutoff — MID-month on purpose, so January 2001
     * exists as a base partial AND a delta partial and the merge provably
     * combines two partials for one group (a month-boundary cutoff would
@@ -1750,6 +1775,7 @@ object RelationalQueries {
     "rel_triangles" -> (triangles _),
     "rel_reachability" -> (reachability _),
     "rel_mv_refresh" -> (mvRefresh _),
+    "rel_locf_fill" -> (locfFill _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
@@ -2143,6 +2169,16 @@ object RelationalQueries {
          |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
          |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
          |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
+    "rel_locf_fill" ->
+      """WITH s AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS observed
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT o_custkey, o_date, o_orderkey, observed,
+        |  last_value(observed IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_date, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM s ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
     // the MV's DEFINING query, recomputed in full: the hash gate proves
     // the incremental merge (persisted base partials + delta partials)
     // equals the definition, not merely itself

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LOCF fill (rel_locf_fill) and the dyadic EWMA (ev_ewma) on inputs
+  * with closed-form answers. */
+class ImputationSpec extends SparkSpec {
+
+  test("LOCF carries the last observation forward and invents nothing") {
+    import spark.implicits._
+    // cust 100 (passes the %100 sample): O, F(10), O, F(20), O
+    // -> filled: null, 10, 10, 20, 20
+    val rows = Seq(
+      (100L, "2024-01-01", 1L, "O", 99.0),
+      (100L, "2024-01-02", 2L, "F", 10.0),
+      (100L, "2024-01-03", 3L, "O", 99.0),
+      (100L, "2024-01-04", 4L, "F", 20.0),
+      (100L, "2024-01-05", 5L, "O", 99.0))
+    val dir = graft.TempDirs.create("graft-locf-spec").toString
+    rows.toDF("o_custkey", "d", "o_orderkey", "o_orderstatus", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("d").cast("timestamp").as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = RelationalQueries.locfFill(spark, dir).collect()
+      .map(r => (r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, None), (2L, Some(10.0)), (3L, Some(10.0)),
+      (4L, Some(20.0)), (5L, Some(20.0))))
+  }
+
+  test("EWMA of a constant series is the constant; history gate holds") {
+    import spark.implicits._
+    // 12 hours of exactly 5 events each: rows only after 8 full hours,
+    // and each EWMA is exactly 5.0 (the weights sum to the normalizer).
+    val rows = for (h <- 0 until 12; i <- 0 until 5) yield
+      (h.toLong * 5 + i, f"2024-01-01 $h%02d:30:00", h.toLong, "view", 1.0, "{}")
+    val dir = graft.TempDirs.create("graft-ewma-spec").toString
+    rows.toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.ewma(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.length == 12 - EventQueries.EwmaDepth + 1)
+    assert(got.forall { case (cnt, e) => cnt == 5L && e == 5.0 })
+  }
+}
