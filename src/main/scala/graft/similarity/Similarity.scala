@@ -175,6 +175,38 @@ object Similarity {
     * queries·k rows per input partition; with few queries and a huge
     * corpus that is the difference between a fixed-size heap and a
     * full sort of the scored frame. */
+  /** Out-degree of the neighbor graph. */
+  val KnnGraphK = 3
+
+  /** All-vectors kNN GRAPH build — every vector's top-[[KnnGraphK]]
+    * cosine neighbors, the seed structure graph-based ANN (NN-descent,
+    * HNSW layers) and SemDeDup-style cluster pruning start from. Where
+    * [[knnBatch]] answers a query SET against the corpus, this builds
+    * the corpus×corpus graph — and the brute-force spelling would be
+    * the n² product no cluster survives, so candidates come from the
+    * IVF coarse quantizer instead: one equi-join of the corpus with
+    * itself ON THE CELL ID ([[cellAssignments]], shared with the whole
+    * IVF family), cost Σ|cell|², with the cell count retrained to track
+    * corpus size in a real deployment (the fixture's label-seeded 10
+    * cells are the family's standing posture). Ranking is the bounded-
+    * heap TopKPerGroup, never a window sort over all candidates. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val corpus = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(cellAssignments(spark, dir), Seq("vec_id"))
+    val pairs = corpus
+      .select(col("vec_id").as("src"), col("embedding").as("se"), col("cell"))
+      .join(corpus.select(col("vec_id").as("dst"),
+        col("embedding").as("de"), col("cell")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosine("se", "de"), 4).as("cos_r"))
+    graft.plans.TopK.perGroup(pairs, Seq("src"),
+      Seq(("cos_r", false), ("dst", true)), KnnGraphK)
+      .orderBy("src", "rn")
+  }
+
   def knnBatch(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1162,6 +1194,7 @@ object Similarity {
     "sim_ann_buckets" -> (annBuckets _),
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
+    "sim_knn_graph" -> (knnGraph _),
     "sim_range_search" -> (rangeSearch _),
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -1876,6 +1909,27 @@ object Similarity {
          |SELECT vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r
          |FROM s WHERE round(dot / (sqrt(n2a) * sqrt(n2b)), 4) >= ${RangeThreshold}
          |ORDER BY cos_r DESC, vec_id ASC""".stripMargin,
+    "sim_knn_graph" ->
+      s"""$cellAssignSql,
+         |corpus AS (
+         |  SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN assign a USING (vec_id)),
+         |s AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS n2b
+         |  FROM corpus x JOIN corpus y ON x.cell = y.cell AND x.vec_id <> y.vec_id,
+         |       UNNEST(range(1, len(x.embedding) + 1)) t(i)
+         |  GROUP BY x.vec_id, y.vec_id),
+         |r AS (
+         |  SELECT src, dst, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+         |    row_number() OVER (PARTITION BY src
+         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                dst ASC) AS rn
+         |  FROM s)
+         |SELECT src, dst, cos_r, rn FROM r WHERE rn <= $KnnGraphK
+         |ORDER BY src, rn""".stripMargin,
     "sim_knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |s AS (
