@@ -192,6 +192,13 @@ object Similarity {
     * heap TopKPerGroup, never a window sort over all candidates. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    knnGraphEdges(spark, dir).orderBy("src", "rn")
+  }
+
+  /** The graph's edge set (src, dst, cos_r, rn), unordered — shared by
+    * the registered graph query, the NN-descent refinement round, and
+    * the recall eval. */
+  private def knnGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .join(cellAssignments(spark, dir), Seq("vec_id"))
@@ -204,7 +211,107 @@ object Similarity {
         round(VectorOps.cosine("se", "de"), 4).as("cos_r"))
     graft.plans.TopK.perGroup(pairs, Seq("src"),
       Seq(("cos_r", false), ("dst", true)), KnnGraphK)
-      .orderBy("src", "rn")
+  }
+
+  /** NN-descent improvement rounds run on the loop. */
+  val DescentRounds = 2
+
+  /** NN-descent (Dong et al. 2011) — the graph-ANN construction loop:
+    * start from a DETERMINISTIC pseudo-random k-edge seed graph
+    * (dst = (src·31 + j·607) mod n — NN-descent's random init made
+    * engine-reproducible; a gappy id space just shrinks seed degree via
+    * the corpus semi-join), then [[DescentRounds]] rounds of "a neighbor
+    * of my neighbor is probably my neighbor": candidates = current edges
+    * ∪ reverse edges ∪ the 2-hop expansion (one self equi-join of the
+    * k-degree edge list on the middle vertex — ≤ n·(2k)² rows,
+    * graph-sized, NEVER corpus²), rescored exactly and re-ranked through
+    * the bounded heap. Candidates always contain the current edges, so
+    * each probe's truth-recall is provably non-decreasing round over
+    * round (any displaced truth edge is displaced by a better-ranked
+    * truth edge) — measured 0.017 → 0.05 → 0.12 across the two rounds
+    * at sf0.01, strict improvement pinned against exact ground truth in
+    * KnnGraphSpec. Descent's random seeds reach CROSS-CELL neighbors
+    * the cell-seeded [[knnGraph]]'s 2-hop closure structurally cannot
+    * (within-cell edges compose to within-cell paths) — the two
+    * generators are complementary, and production systems seed descent
+    * with both. Per-round state is the n·k edge list, localCheckpoint'd
+    * — the k-means/PageRank loop posture; the one driver-side scalar is
+    * the corpus count seeding the modulus. */
+  def knnDescent(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    descentRanked(spark, dir, DescentRounds).orderBy("src", "rn")
+  }
+
+  /** [[knnDescent]]'s loop with the round count exposed — rounds = 0 is
+    * the ranked random seed graph; KnnGraphSpec measures recall at
+    * 0, 1, 2 rounds to pin the monotone improvement. */
+  private[similarity] def descentRanked(
+      spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count() // 1-row scalar probe (documented loop posture)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")),
+        Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("de")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosine("se", "de"), 4).as("cos_r"))
+    var edges = emb.select(col("vec_id").as("src"),
+        explode(expr(s"transform(sequence(1, $KnnGraphK), " +
+          s"j -> (vec_id * 31 + j * 607) % ${n}L)")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(emb.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst") // USING-join moved the key first; unionAll is positional
+      .distinct()
+      .localCheckpoint(true)
+    def rank(scored: DataFrame): DataFrame =
+      graft.plans.TopK.perGroup(scored, Seq("src"),
+        Seq(("cos_r", false), ("dst", true)), KnnGraphK)
+    var ranked = rank(score(edges))
+    for (_ <- 1 to rounds) {
+      val u = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val hop2 = u.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val cand = u.unionAll(hop2).distinct()
+      ranked = rank(score(cand))
+      edges = ranked.select("src", "dst").localCheckpoint(true)
+    }
+    ranked
+  }
+
+  /** Probe stride of the graph-recall eval (1-in-25 vectors). */
+  val GraphProbeMod = 25
+
+  /** Recall eval of the kNN graph against EXACT ground truth — the
+    * measurement that justifies (or indicts) the cell-restricted
+    * candidate generator: for a 1-in-[[GraphProbeMod]] probe sample,
+    * the true top-[[KnnGraphK]] neighbors over the FULL corpus
+    * (broadcast-probe brute force, the family's standing eval shape),
+    * each truth edge flagged caught iff the graph has it. Misses are
+    * exactly the cross-cell neighbors the quantizer hides — the number
+    * [[knnGraphRefined]]'s 2-hop expansion exists to recover. */
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") % GraphProbeMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+    val truth = graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), KnnGraphK)
+    val g = knnGraphEdges(spark, dir).select("src", "dst")
+    truth.join(g,
+        truth("qid") === g("src") && truth("vec_id") === g("dst"), "left")
+      .select(truth("qid").as("src"), truth("vec_id").as("dst"),
+        truth("cos_r"), truth("rn").as("truth_rn"),
+        when(g("src").isNotNull, 1).otherwise(0).as("caught"))
+      .orderBy("src", "truth_rn")
   }
 
   def knnBatch(spark: SparkSession, dir: String): DataFrame = {
@@ -1195,6 +1302,8 @@ object Similarity {
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
     "sim_knn_graph" -> (knnGraph _),
+    "sim_knn_descent" -> (knnDescent _),
+    "sim_knn_graph_recall" -> (knnGraphRecall _),
     "sim_range_search" -> (rangeSearch _),
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -1583,6 +1692,30 @@ object Similarity {
   /** The complete sim_ivf_topk SELECT — also embedded (as a nested-WITH
     * CTE body) in the recall-eval oracle, so the two stay identical by
     * construction. */
+  /** kNN-graph CTE prefix ending in `gk(src, dst, cos_r, rn)` — the
+    * within-cell top-[[KnnGraphK]] neighbor graph, shared by the graph,
+    * refinement, and recall oracles. */
+  private val knnGraphCtes: String =
+    s"""$cellAssignSql,
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, a.cell
+       |  FROM embeddings e JOIN assign a USING (vec_id)),
+       |gs AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst,
+       |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS n2b
+       |  FROM corpus x JOIN corpus y ON x.cell = y.cell AND x.vec_id <> y.vec_id,
+       |       UNNEST(range(1, len(x.embedding) + 1)) t(i)
+       |  GROUP BY x.vec_id, y.vec_id),
+       |gr AS (
+       |  SELECT src, dst, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY src
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                dst ASC) AS rn
+       |  FROM gs),
+       |gk AS (SELECT src, dst, cos_r, rn FROM gr WHERE rn <= $KnnGraphK)""".stripMargin
+
   private val ivfTopKSql: String =
     s"""$cellAssignSql,
        |corpus AS (
@@ -1910,26 +2043,70 @@ object Similarity {
          |FROM s WHERE round(dot / (sqrt(n2a) * sqrt(n2b)), 4) >= ${RangeThreshold}
          |ORDER BY cos_r DESC, vec_id ASC""".stripMargin,
     "sim_knn_graph" ->
-      s"""$cellAssignSql,
-         |corpus AS (
-         |  SELECT e.vec_id, e.embedding, a.cell
-         |  FROM embeddings e JOIN assign a USING (vec_id)),
-         |s AS (
-         |  SELECT x.vec_id AS src, y.vec_id AS dst,
-         |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot,
-         |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)) AS n2a,
-         |    sum(CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS n2b
-         |  FROM corpus x JOIN corpus y ON x.cell = y.cell AND x.vec_id <> y.vec_id,
-         |       UNNEST(range(1, len(x.embedding) + 1)) t(i)
-         |  GROUP BY x.vec_id, y.vec_id),
-         |r AS (
-         |  SELECT src, dst, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
-         |    row_number() OVER (PARTITION BY src
-         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
-         |                                dst ASC) AS rn
-         |  FROM s)
-         |SELECT src, dst, cos_r, rn FROM r WHERE rn <= $KnnGraphK
+      s"""$knnGraphCtes
+         |SELECT src, dst, cos_r, rn FROM gk
          |ORDER BY src, rn""".stripMargin,
+    "sim_knn_descent" -> {
+      // one unrolled NN-descent round: candidates from e{r-1}, exact
+      // rescoring, heap-rank back to k — the Spark loop's round verbatim
+      def round(r: Int): String =
+        s"""u$r AS (SELECT src, dst FROM e${r - 1}
+           |        UNION SELECT dst, src FROM e${r - 1}),
+           |h$r AS (SELECT a.src, b.dst FROM u$r a JOIN u$r b ON a.dst = b.src
+           |        WHERE a.src <> b.dst),
+           |c$r AS (SELECT DISTINCT src, dst FROM (
+           |          SELECT * FROM u$r UNION ALL SELECT * FROM h$r)),
+           |s$r AS (
+           |  SELECT c.src, c.dst,
+           |    sum(CAST(ex.embedding[ii] AS DOUBLE) * CAST(ey.embedding[ii] AS DOUBLE)) AS dot,
+           |    sum(CAST(ex.embedding[ii] AS DOUBLE) * CAST(ex.embedding[ii] AS DOUBLE)) AS n2a,
+           |    sum(CAST(ey.embedding[ii] AS DOUBLE) * CAST(ey.embedding[ii] AS DOUBLE)) AS n2b
+           |  FROM c$r c JOIN embeddings ex ON ex.vec_id = c.src
+           |             JOIN embeddings ey ON ey.vec_id = c.dst,
+           |       UNNEST(range(1, len(ex.embedding) + 1)) t(ii)
+           |  GROUP BY c.src, c.dst),
+           |r$r AS (
+           |  SELECT src, dst, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+           |    row_number() OVER (PARTITION BY src
+           |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+           |                                dst ASC) AS rn
+           |  FROM s$r),
+           |e$r AS (SELECT src, dst, cos_r, rn FROM r$r WHERE rn <= $KnnGraphK)""".stripMargin
+      s"""WITH nn0 AS (SELECT count(*) AS n FROM embeddings),
+         |e0 AS (
+         |  SELECT DISTINCT e.vec_id AS src,
+         |    (e.vec_id * 31 + j * 607) % nn0.n AS dst
+         |  FROM embeddings e, nn0, UNNEST(range(1, $KnnGraphK + 1)) t(j)
+         |  WHERE (e.vec_id * 31 + j * 607) % nn0.n <> e.vec_id
+         |    AND (e.vec_id * 31 + j * 607) % nn0.n IN (SELECT vec_id FROM embeddings)),
+         |${(1 to DescentRounds).map(round).mkString(",\n")}
+         |SELECT src, dst, cos_r, rn FROM e$DescentRounds
+         |ORDER BY src, rn""".stripMargin
+    },
+    "sim_knn_graph_recall" ->
+      s"""$knnGraphCtes,
+         |tq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id % $GraphProbeMod = 0),
+         |ts AS (
+         |  SELECT tq.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(tq.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(tq.qe[i] AS DOUBLE) * CAST(tq.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, tq, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> tq.qid
+         |  GROUP BY tq.qid, e.vec_id),
+         |tr AS (
+         |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                vec_id ASC) AS rn
+         |  FROM ts),
+         |tt AS (SELECT qid, vec_id, cos_r, rn FROM tr WHERE rn <= $KnnGraphK)
+         |SELECT tt.qid AS src, tt.vec_id AS dst, tt.cos_r,
+         |  CAST(tt.rn AS BIGINT) AS truth_rn,
+         |  CASE WHEN gk.src IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |FROM tt LEFT JOIN gk ON tt.qid = gk.src AND tt.vec_id = gk.dst
+         |ORDER BY src, truth_rn""".stripMargin,
     "sim_knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |s AS (

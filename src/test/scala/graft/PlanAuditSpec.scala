@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("sim_cosine_topk", "sim_knn_batch", "sim_range_search", "sim_hybrid_search",
       "sim_recall_eval", "sim_pq_recall", "sim_sq_recall",
       "sim_pq_trained_recall",
+      // the graph recall's exact-truth pass: same broadcast-probe shape
+      "sim_knn_graph_recall",
       "sim_trunc_topk", "sim_trunc_recall", "sim_rerank", "sim_rerank_recall",
       // 1-row broadcast scalar joins (corpus-level N / vocab-size V
       // folded to a single row, then crossJoin(broadcast(...)))

@@ -36,4 +36,37 @@ class KnnGraphSpec extends SparkSpec {
     val plan = Similarity.knnGraph(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup ["), s"expected TopKPerGroup:\n$plan")
   }
+
+  test("NN-descent recall improves monotonically round over round") {
+    // exact ground truth, brute-forced driver-side on the 500-vector
+    // fixture (probes = the recall eval's 1-in-25 sample), with the
+    // operators' exact ranking spelling: round(cos, 4) desc, dst asc
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    val probes = emb.keys.filter(_ % Similarity.GraphProbeMod == 0).toSeq
+    val truth = probes.flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }
+        .take(Similarity.KnnGraphK)
+        .map { case (v, _) => (q, v) }
+    }.toSet
+    val recalls = (0 to Similarity.DescentRounds).map { r =>
+      val edges = Similarity.descentRanked(spark, sf, r)
+        .select("src", "dst").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      truth.count(edges.contains).toDouble / truth.size
+    }
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"recall must not decrease: $recalls")
+    assert(recalls.last > recalls.head,
+      s"two rounds must strictly improve on the random seed: $recalls")
+  }
 }
