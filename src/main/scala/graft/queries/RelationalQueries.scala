@@ -592,7 +592,7 @@ object RelationalQueries {
   /** The SCD2 build's oracle CTE chain (change detection, run
     * numbering, run collapse, validity-range chaining) — shared between
     * the build and the point-in-time read so the two cannot desync. */
-  private val scd2ChainSql =
+  private[graft] val scd2ChainSql =
     """m AS (
       |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
       |    CASE WHEN lag(o_orderpriority) OVER w IS NULL

@@ -1083,7 +1083,56 @@ object StreamingOps {
       .orderBy("day")
   }
 
+  /** Event-time remap constants for [[streamScd2Enrich]]: the fixture's
+    * events live in 2024 while the orders dimension spans 1995–2001, so
+    * each event's dimension-lookup time is 1995-01-01 plus its epoch
+    * micros modulo ~6.3 years — deterministic integer arithmetic both
+    * engines spell identically, landing every lookup inside the
+    * dimension's era so every SCD2 run (not just the open-ended last
+    * one) gets exercised. */
+  val Scd2EpochUs = 788918400000000L // 1995-01-01T00:00:00Z in micros
+  val Scd2SpanUs = 200000000000000L  // ~6.34 years
+
+  /** Streaming enrichment against the SCD2 dimension AS-OF event time —
+    * the most common production stream-join shape: every event looks up
+    * the dimension VERSION valid at its (remapped) event time, i.e. the
+    * unique run whose [eff_from, eff_to) range covers it, via a
+    * stream-static LEFT join on the key plus the validity-range
+    * predicate (the static side is the registered `rel_scd2_runs` build
+    * — shared code, so enrichment can never drift from the dimension it
+    * reads — broadcast, as a dimension should be). Events with no
+    * covering run (user unknown to the dimension) survive as 'none' —
+    * a LEFT join because enrichment must never drop facts. Validity
+    * ranges partition each key's timeline, so the join is provably
+    * 1-row-per-event (no fact duplication). Complete-mode census per
+    * enriched priority; at 100 TB the dimension refreshes per batch via
+    * foreachBatch and the join stays broadcast. */
+  def streamScd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val dim = graft.queries.RelationalQueries.scd2Runs(spark, dir)
+      .select(col("o_custkey"), col("priority"),
+        // orders dates read as TIMESTAMP_NTZ; the LTZ cast is
+        // value-preserving under the pinned UTC session timezone
+        unix_micros(col("eff_from").cast("timestamp")).as("from_us"),
+        unix_micros(col("eff_to").cast("timestamp")).as("to_us"))
+    val ev = eventStream(spark, dir)
+      .select(col("user_id"),
+        (lit(Scd2EpochUs) + pmod(unix_micros(col("ts")), lit(Scd2SpanUs)))
+          .as("as_of_us"))
+    val joined = ev.join(broadcast(dim),
+      col("user_id") === col("o_custkey") &&
+        col("as_of_us") >= col("from_us") &&
+        (col("to_us").isNull || col("as_of_us") < col("to_us")),
+      "left_outer")
+    val agg = joined
+      .groupBy(coalesce(col("priority"), lit("none")).as("priority"))
+      .agg(count(lit(1)).as("n_events"),
+        min("as_of_us").as("min_us"), max("as_of_us").as("max_us"))
+    runToMemory(spark, agg).orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_scd2_enrich" -> (streamScd2Enrich _),
     "stream_dau_hll" -> (streamDauHll _),
     "stream_cms" -> (cmsSketch _),
     "stream_complete_counts" -> (completeCounts _),
@@ -1128,6 +1177,24 @@ object StreamingOps {
          |SELECT i, CAST($b AS BIGINT) AS b, count(*) AS c
          |FROM r GROUP BY i, b ORDER BY i, b""".stripMargin
     },
+    // the registered SCD2 build's CTE chain verbatim + the event-time
+    // remap, so the enrichment oracle reads the same dimension the
+    // batch build publishes
+    "stream_scd2_enrich" ->
+      s"""WITH ${graft.queries.RelationalQueries.scd2ChainSql},
+         |e AS (SELECT user_id,
+         |        $Scd2EpochUs + (epoch_us(ts) % $Scd2SpanUs) AS as_of_us
+         |      FROM events),
+         |j AS (
+         |  SELECT COALESCE(s.priority, 'none') AS priority, e.as_of_us
+         |  FROM e LEFT JOIN scd2 s
+         |    ON e.user_id = s.o_custkey
+         |   AND e.as_of_us >= epoch_us(s.eff_from)
+         |   AND (s.eff_to IS NULL OR e.as_of_us < epoch_us(s.eff_to)))
+         |SELECT priority, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(as_of_us) AS BIGINT) AS min_us,
+         |  CAST(max(as_of_us) AS BIGINT) AS max_us
+         |FROM j GROUP BY priority ORDER BY priority""".stripMargin,
     // the batch HLL oracle's CTEs verbatim, minus the exact-DAU join the
     // bounded-state monitor deliberately does not carry
     "stream_dau_hll" ->
