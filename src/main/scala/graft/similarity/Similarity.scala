@@ -213,6 +213,64 @@ object Similarity {
       Seq(("cos_r", false), ("dst", true)), KnnGraphK)
   }
 
+  /** Metadata predicate of the filtered search: label ≡ 0 (mod 3). */
+  val FilterLabelMod = 3
+
+  /** FILTERED vector search — top-k restricted to vectors satisfying a
+    * metadata predicate (the label filter), the shape every production
+    * vector store must serve ("nearest docs in THIS language/tenant").
+    * This is PRE-filtering: the predicate lands on the corpus scan
+    * (pushed to parquet) BEFORE scoring, so every query returns a full
+    * k from the eligible set. Same broadcast-query brute-force core as
+    * [[knnBatch]]; at scale the predicate rides the IVF/PQ candidate
+    * stream identically. */
+  def filteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val eligible = emb.filter(pmod(col("label"), lit(FilterLabelMod)) === 0)
+    val scored = eligible.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos_r", false), ("vec_id", true)), 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** The pre-vs-post filtering pitfall, quantified per query: POST-
+    * filtering (rank the unfiltered corpus, then apply the predicate to
+    * the top-k — what a naive ANN integration does) keeps only the
+    * eligible survivors of the unfiltered top-k and returns FEWER than
+    * k whenever ineligible vectors crowd the head, while pre-filtering
+    * ([[filteredKnn]]) always fills k from the eligible set. Report:
+    * per query, both counts and the deficit — the number that justifies
+    * filter-aware index traversal. */
+  def prePostFilter(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scoredAll = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+    val post = graft.plans.TopK.perGroup(scoredAll, Seq("qid"),
+        Seq(("cos_r", false), ("vec_id", true)), 3)
+      .filter(pmod(col("label"), lit(FilterLabelMod)) === 0)
+      .groupBy("qid").agg(count(lit(1)).as("n_post"))
+    val pre = filteredKnn(spark, dir)
+      .groupBy("qid").agg(count(lit(1)).as("n_pre"))
+    pre.join(post, Seq("qid"), "left_outer")
+      .select(col("qid"), col("n_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        (col("n_pre") - coalesce(col("n_post"), lit(0L))).as("deficit"))
+      .orderBy("qid")
+  }
+
   /** NN-descent improvement rounds run on the loop. */
   val DescentRounds = 2
 
@@ -1301,6 +1359,8 @@ object Similarity {
     "sim_ann_buckets" -> (annBuckets _),
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
+    "sim_filtered_knn" -> (filteredKnn _),
+    "sim_prepost_filter" -> (prePostFilter _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_knn_descent" -> (knnDescent _),
     "sim_knn_graph_recall" -> (knnGraphRecall _),
@@ -2046,6 +2106,54 @@ object Similarity {
       s"""$knnGraphCtes
          |SELECT src, dst, cos_r, rn FROM gk
          |ORDER BY src, rn""".stripMargin,
+    "sim_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |s AS (
+         |  SELECT q.qid, e.vec_id,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> q.qid AND e.label % $FilterLabelMod = 0
+         |  GROUP BY q.qid, e.vec_id),
+         |r AS (
+         |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                vec_id ASC) AS rn
+         |  FROM s)
+         |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    "sim_prepost_filter" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |s AS (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS n2a,
+         |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+         |  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+         |  WHERE e.vec_id <> q.qid
+         |  GROUP BY q.qid, e.vec_id, e.label),
+         |r AS (
+         |  SELECT qid, vec_id, label,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                vec_id ASC) AS rn
+         |  FROM s),
+         |post AS (SELECT qid, count(*) AS n_post FROM r
+         |         WHERE rn <= 3 AND label % $FilterLabelMod = 0 GROUP BY qid),
+         |rf AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+         |                                vec_id ASC) AS rn
+         |  FROM s WHERE label % $FilterLabelMod = 0),
+         |pre AS (SELECT qid, count(*) AS n_pre FROM rf WHERE rn <= 3 GROUP BY qid)
+         |SELECT pre.qid, CAST(n_pre AS BIGINT) AS n_pre,
+         |  CAST(COALESCE(n_post, 0) AS BIGINT) AS n_post,
+         |  CAST(n_pre - COALESCE(n_post, 0) AS BIGINT) AS deficit
+         |FROM pre LEFT JOIN post ON pre.qid = post.qid
+         |ORDER BY pre.qid""".stripMargin,
     "sim_knn_descent" -> {
       // one unrolled NN-descent round: candidates from e{r-1}, exact
       // rescoring, heap-rank back to k — the Spark loop's round verbatim

@@ -27,6 +27,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_pq_trained_recall",
       // the graph recall's exact-truth pass: same broadcast-probe shape
       "sim_knn_graph_recall",
+      // filtered search + its pre/post comparison: broadcast-query scans
+      "sim_filtered_knn", "sim_prepost_filter",
       "sim_trunc_topk", "sim_trunc_recall", "sim_rerank", "sim_rerank_recall",
       // 1-row broadcast scalar joins (corpus-level N / vocab-size V
       // folded to a single row, then crossJoin(broadcast(...)))
