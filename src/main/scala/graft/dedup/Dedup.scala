@@ -545,6 +545,43 @@ object Dedup {
       .orderBy("stage_no")
   }
 
+  /** Multi-granularity dedup LADDER — the report a curation team reads
+    * before choosing where to spend dedup budget: the same corpus
+    * measured at three granularities, each as (total units, distinct
+    * units, duplication %). Document-level exact dedup runs first; the
+    * finer granularities measure what SURVIVES it — line-level
+    * duplication (the C4 shape, [[graft.text.TextAnalysis.lineStream]])
+    * and word-8-gram span duplication (the exact-substring shape,
+    * [[graft.text.TextAnalysis.gramStream]]) — because at each rung the
+    * coarser dedup has already removed its share, the ladder shows the
+    * REMAINING redundancy finer tools would buy. Keep-first retention
+    * per granularity equals the distinct count, so every stage is one
+    * (count, countDistinct) aggregate over its unit stream: three scans,
+    * zero joins beyond the survivor semi-join, trivially 100 TB-safe.
+    * Streams are the registered operators' own (shared code), so the
+    * ladder cannot disagree with text_line_dedup / text_dup_spans. */
+  def dedupLadder(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val docs = Tables(spark, dir, "documents")
+    val kept = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val keptDocs = docs.join(kept, Seq("doc_id"))
+    def stage(no: Int, name: String, units: DataFrame): DataFrame =
+      units.agg(count(lit(1)).as("n_total"), countDistinct(col("u")).as("n_kept"))
+        .select(lit(no).as("stage_no"), lit(name).as("granularity"),
+          col("n_total"), col("n_kept"),
+          round(expr("cast((n_total - n_kept) * 100 as double) / n_total"), 4)
+            .as("dup_pct"))
+    stage(0, "doc", docs.select(md5(col("text")).as("u")))
+      .unionAll(stage(1, "line",
+        graft.text.TextAnalysis.lineStream(keptDocs)
+          .select(col("line_md5").as("u"))))
+      .unionAll(stage(2, "gram8",
+        graft.text.TextAnalysis.gramStream(keptDocs)
+          .select(col("gram").as("u"))))
+      .orderBy("stage_no")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with a coarse quantizer, compare pairs
     * ONLY within a cluster, and drop every vector that has a
@@ -720,6 +757,7 @@ object Dedup {
     "dedup_keep_served" -> (keepServed _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
+    "dedup_ladder" -> (dedupLadder _),
     "dedup_recall_eval" -> (recallEval _),
     "dedup_minhash_est" -> (minhashEstimate _),
     "dedup_incremental" -> (incrementalDedup _),
@@ -1102,6 +1140,32 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $ngramJacCtes
          |SELECT da, db, jac FROM jacp ORDER BY da, db""".stripMargin,
+    "dedup_ladder" ->
+      s"""WITH kept AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kd AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+         |du AS (SELECT md5(text) AS u FROM documents),
+         |ld AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kd),
+         |lu AS (
+         |  SELECT md5(array_to_string(list_slice(ws,
+         |    CAST(i * ${graft.text.TextAnalysis.LineWords} + 1 AS INTEGER),
+         |    CAST(i * ${graft.text.TextAnalysis.LineWords} + ${graft.text.TextAnalysis.LineWords} AS INTEGER)), ' ')) AS u
+         |  FROM ld, UNNEST(generate_series(0,
+         |    (len(ws) - 1) // ${graft.text.TextAnalysis.LineWords})) t(i)),
+         |gd AS (SELECT doc_id, string_split(text, ' ') AS w FROM kd
+         |       WHERE len(string_split(text, ' ')) >= ${graft.text.TextAnalysis.DupSpanN}),
+         |gu AS (
+         |  SELECT array_to_string(list_slice(w, i, i + ${graft.text.TextAnalysis.DupSpanN - 1}), ' ') AS u
+         |  FROM gd, UNNEST(range(1, len(w) - ${graft.text.TextAnalysis.DupSpanN - 2})) t(i)),
+         |s0 AS (SELECT 0 AS stage_no, 'doc' AS granularity,
+         |         count(*) AS n_total, count(DISTINCT u) AS n_kept FROM du),
+         |s1 AS (SELECT 1, 'line', count(*), count(DISTINCT u) FROM lu),
+         |s2 AS (SELECT 2, 'gram8', count(*), count(DISTINCT u) FROM gu),
+         |a AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |SELECT CAST(stage_no AS INTEGER) AS stage_no, granularity,
+         |  CAST(n_total AS BIGINT) AS n_total, CAST(n_kept AS BIGINT) AS n_kept,
+         |  round(CAST((n_total - n_kept) * 100 AS DOUBLE) / n_total, 4) AS dup_pct
+         |FROM a ORDER BY stage_no""".stripMargin,
     "dedup_containment" ->
       s"""WITH ${shingleCtes(mod = 1)},
          |op AS (

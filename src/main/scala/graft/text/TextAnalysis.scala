@@ -1569,14 +1569,18 @@ object TextAnalysis {
     * grouped exact distinct-count keyed on the gram, and a TakeOrdered
     * top-k — no self-join anywhere, so corpus growth costs one shuffle's
     * worth of n-gram rows, never pairs. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** Word [[DupSpanN]]-gram stream (doc_id, gram) over any (doc_id,
+    * text) frame — shared by the span census and the dedup ladder. */
+  private[graft] def gramStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= DupSpanN)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $DupSpanN), " +
           s"i -> array_join(slice(w, i + 1, $DupSpanN), ' '))")).as("gram"))
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    gramStream(Tables(spark, dir, "documents"))
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
@@ -1616,10 +1620,11 @@ object TextAnalysis {
     * line-pair product, the same bounded-join shape as dupCoverage. At
     * 100 TB both sides shuffle once on the line hash; keep-first is an
     * argmin, not a window sort. */
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    val lines = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** Aligned [[LineWords]]-word line stream (doc_id, line_idx, line_md5)
+    * over any (doc_id, text) frame — shared by [[lineDedup]] and the
+    * dedup ladder so the line granularity cannot drift. */
+  private[graft] def lineStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(expr(s"sequence(0, (size(ws) - 1) div $LineWords)"))
           .as("line_idx"))
@@ -1627,6 +1632,10 @@ object TextAnalysis {
         md5(array_join(
           expr(s"slice(ws, line_idx * $LineWords + 1, $LineWords)"), " "))
           .as("line_md5"))
+
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val lines = lineStream(Tables(spark, dir, "documents"))
     val key = col("doc_id") * LineKeyStride + col("line_idx")
     val keeper = lines.groupBy("line_md5").agg(min(key).as("keep_key"))
     lines.join(keeper, Seq("line_md5"))
