@@ -20,13 +20,15 @@ object ExactPercentiles {
   val Pcts: Seq[Int] = Seq(50, 90, 99)
 
   /** `h` must carry (`groupCol`, `valueCol`, `cnt`); returns one row per
-    * (group, pct) with the exact witness value. */
-  def readoff(h: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    * (group, pct) with the exact witness value. `pcts` defaults to the
+    * latency-report trio; the IQR outlier fence reads off quartiles. */
+  def readoff(h: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int] = Pcts): DataFrame = {
     val byVal = Window.partitionBy(groupCol).orderBy(valueCol)
     val whole = Window.partitionBy(groupCol)
     h.withColumn("cum", sum("cnt").over(byVal))
       .withColumn("n", sum("cnt").over(whole))
-      .withColumn("pct", explode(array(Pcts.map(p => lit(p)): _*)))
+      .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
       .filter(col("cum") - col("cnt") < expr("(n * pct + 99) div 100") &&
         col("cum") >= expr("(n * pct + 99) div 100"))
       .select(col(groupCol), col("pct"), col(valueCol))
@@ -35,8 +37,9 @@ object ExactPercentiles {
 
   /** DuckDB spelling of [[readoff]] over a histogram CTE `histSql`
     * producing (`groupCol`, `valueCol`, cnt). */
-  def sql(histSql: String, groupCol: String, valueCol: String): String = {
-    val vals = Pcts.map(p => s"($p)").mkString(", ")
+  def sql(histSql: String, groupCol: String, valueCol: String,
+      pcts: Seq[Int] = Pcts): String = {
+    val vals = pcts.map(p => s"($p)").mkString(", ")
     s"""WITH h AS (
        |$histSql),
        |c AS (

@@ -778,6 +778,41 @@ object EventQueries {
     * the model means are rounded to a 1e-6 grid and carried as exact
     * DECIMAL, so the |actual − pred| sums are order-independent; the
     * final MAE is one division. */
+  /** Tukey-fence IQR outlier detection per event type — the classic
+    * robust outlier gate (value outside [q1 − 1.5·IQR, q3 + 1.5·IQR]),
+    * kept EXACT end to end: quartiles come from the shared integer-rank
+    * read-off ([[graft.functions.ExactPercentiles]], the same spelling
+    * as the latency percentiles, here at p25/p75 over the floor-bucket
+    * histogram), and the fence test is cross-multiplied to integers —
+    * `2·v < 2·q1 − 3·IQR` — so no 1.5 ever materializes as a float and
+    * both engines classify every row identically. Plan: one grouped
+    * histogram (|types|·|buckets| rows), quartile windows over that tiny
+    * frame, then a broadcast of the 5-row fence table back onto one
+    * corpus scan. The fixture's value distribution is right-skewed:
+    * ~90 high outliers per type fire, zero low (spec-pinned shape). */
+  def outlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val b = Tables(spark, dir, "events")
+      .select(col("event_type"), floor(col("value")).cast("long").as("b"))
+    val hist = b.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+    val q = graft.functions.ExactPercentiles
+      .readoff(hist, "event_type", "b", Seq(25, 75))
+      .groupBy("event_type")
+      .agg(min(when(col("pct") === 25, col("b"))).as("q1"),
+        min(when(col("pct") === 75, col("b"))).as("q3"))
+    b.join(broadcast(q), Seq("event_type"))
+      .groupBy("event_type", "q1", "q3")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("b") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("b") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3, 1L)
+          .otherwise(0L)).as("n_high"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"), col("n_rows"),
+        col("n_low"), col("n_high"))
+      .orderBy("event_type")
+  }
+
   /** Trailing window depth of the dyadic EWMA — weights 2^(depth−1−k)
     * for lags k = 0..depth−1, normalized by 2^depth − 1. */
   val EwmaDepth = 8
@@ -1101,6 +1136,7 @@ object EventQueries {
     "ev_cuped" -> (cuped _),
     "ev_forecast_naive" -> (forecastNaive _),
     "ev_ewma" -> (ewma _),
+    "ev_outlier_iqr" -> (outlierIqr _),
     "ev_wow_growth" -> (wowGrowth _),
     "ev_growth_accounting" -> (growthAccounting _),
     "ev_experiment_srm" -> (experimentSrm _),
@@ -1395,6 +1431,28 @@ object EventQueries {
         |         (CAST(1.0 AS DOUBLE) - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) *
         |         (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)), 6)) > 1.96 AS significant
         |FROM c""".stripMargin,
+    "ev_outlier_iqr" -> {
+      val quart = graft.functions.ExactPercentiles.sql(
+        """  SELECT event_type, CAST(floor(value) AS BIGINT) AS b,
+          |    count(*) AS cnt
+          |  FROM events GROUP BY 1, 2""".stripMargin,
+        "event_type", "b", Seq(25, 75))
+      s"""WITH qr AS (SELECT * FROM (
+         |$quart
+         |)),
+         |qq AS (SELECT event_type,
+         |         min(CASE WHEN pct = 25 THEN b END) AS q1,
+         |         min(CASE WHEN pct = 75 THEN b END) AS q3
+         |       FROM qr GROUP BY event_type),
+         |bb AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS b FROM events)
+         |SELECT bb.event_type, q1, q3, q3 - q1 AS iqr,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN 2*b < 2*q1 - 3*(q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |  CAST(sum(CASE WHEN 2*b > 2*q3 + 3*(q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |FROM bb JOIN qq USING (event_type)
+         |GROUP BY bb.event_type, q1, q3
+         |ORDER BY bb.event_type""".stripMargin
+    },
     "ev_ewma" -> {
       val terms = (0 until EwmaDepth)
         .map(k => s"lag(cnt, $k) OVER w * ${1L << (EwmaDepth - 1 - k)}")

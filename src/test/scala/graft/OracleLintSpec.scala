@@ -51,7 +51,9 @@ class OracleLintSpec extends AnyFunSuite {
     // audit evidence is the r11 tri-SF certification (PASS 271/271 at
     // sf0.001/0.01/0.1, BENCH_NOTES round-11 closing addendum)
     "rel_cube", "rel_exact_median", "rel_percentiles_grouped",
-    "stream_latency_pctl", "rel_pagerank_iter",
+    // ev_outlier_iqr: the same ExactPercentiles window sums (rank
+    // comparisons, CTE-internal, never output); tri-SF green at add time
+    "stream_latency_pctl", "ev_outlier_iqr", "rel_pagerank_iter",
     "rel_pagerank_round2", "rel_pivot", "rel_q17_small_qty",
     "rel_q18_large_orders", "rel_q1_pricing", "rel_q20_excess_stock",
     "rel_rollup", "rel_skew_profile", "rel_unpivot",

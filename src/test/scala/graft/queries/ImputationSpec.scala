@@ -30,6 +30,25 @@ class ImputationSpec extends SparkSpec {
       (4L, Some(20.0)), (5L, Some(20.0))))
   }
 
+  test("IQR fence classifies a closed-form spike; no low outliers") {
+    import spark.implicits._
+    // values 1..8 plus a 100-spike: n=9, exact ranks ceil(9*25/100)=3
+    // -> q1=3, ceil(9*75/100)=7 -> q3=7, IQR=4; high fence v > 13
+    // catches only the spike, low fence v < -3 catches nothing.
+    val rows = (1 to 8).map(_.toDouble) :+ 100.0
+    val dir = graft.TempDirs.create("graft-iqr-spec").toString
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+      .select(col("event_id"), lit("2024-01-01 10:00:00").cast("timestamp").as("ts"),
+        col("event_id").as("user_id"), lit("view").as("event_type"),
+        col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.outlierIqr(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq((3L, 7L, 4L, 9L, 0L, 1L)))
+  }
+
   test("EWMA of a constant series is the constant; history gate holds") {
     import spark.implicits._
     // 12 hours of exactly 5 events each: rows only after 8 full hours,
