@@ -300,7 +300,7 @@ object Dedup {
     * list given as one direction ([[components]]'s engine; parameterized
     * so the convergence bound is testable on adversarial graph shapes).
     * Returns (rep, n_docs) per component. */
-  private[dedup] def componentClusters(pairsDf: DataFrame): DataFrame =
+  private[graft] def componentClusters(pairsDf: DataFrame): DataFrame =
     componentLabels(pairsDf)
       .groupBy(col("root").as("rep")).agg(count(lit(1)).as("n_docs"))
       .orderBy("rep")

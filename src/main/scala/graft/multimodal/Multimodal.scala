@@ -436,6 +436,26 @@ object Multimodal {
     bandedHashPairs(phashFrame(spark, dir), "phash", 4, 16)
   }
 
+  /** Asset CLUSTERS over the pHash near-dup pairs — the grouping step a
+    * multimodal curation pipeline runs after the pairwise sweep (pairs
+    * say "these two look alike"; dedup budgets and keep-one decisions
+    * need the transitive cluster): connected components over
+    * [[mediaPhashPairs]]' candidate edges via the dedup family's
+    * min-label-propagation + pointer-jumping engine (shared code —
+    * `graft.dedup.Dedup.componentClusters` — so cross-family cluster
+    * semantics cannot drift). Per cluster: the representative (min
+    * asset id) and member count. Same 100 TB posture as
+    * dedup_components: edges are banded/bucket-capped, the loop carries
+    * node-sized labels with per-round localCheckpoint. */
+  def phashComponents(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    graft.dedup.Dedup.componentClusters(
+        mediaPhashPairs(spark, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("rep"), col("n_docs").as("n_assets"))
+      .orderBy("rep")
+  }
+
   /** Perceptual near-dup candidate PAIRS: 4×12-bit banding of the aHash —
     * pigeonhole-complete for Hamming ≤ 3 (any two hashes within 3 bits
     * agree on at least one of 4 bands) — with the dedup family's
@@ -560,6 +580,7 @@ object Multimodal {
     "mm_ahash" -> (mediaAhash _),
     "mm_phash" -> (mediaPhash _),
     "mm_phash_pairs" -> (mediaPhashPairs _),
+    "mm_phash_components" -> (phashComponents _),
     "mm_ahash_pairs" -> (mediaAhashPairs _),
     "mm_meta" -> (mediaMeta _),
     "mm_frames" -> (mediaFrames _),
@@ -573,6 +594,27 @@ object Multimodal {
     * CHARACTERS in both engines and ascii() returns the code point of
     * the first character in both, so the spelling is non-ASCII safe.
     * Shared by the fingerprint and pair oracles. */
+  /** pHash candidate-pair CTE prefix ending in `pp(doc_a, doc_b,
+    * hamming)` — the banded/bucket-capped sweep, shared by the pair
+    * report and the cluster (components) oracle. Defined lazily: it
+    * interpolates [[phashCtes]], which is declared below. */
+  private lazy val phashPairCtes: String =
+    s"""$phashCtes,
+       |banded AS (
+       |  SELECT doc_id, phash, b AS band,
+       |    (phash // CAST(pow(2, 16 * b) AS BIGINT)) % 65536 AS key
+       |  FROM ph, UNNEST(range(0, 4)) t(b)),
+       |small AS (
+       |  SELECT band, key FROM banded GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
+       |capped AS (SELECT b.* FROM banded b JOIN small USING (band, key)),
+       |pp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= ${graft.dedup.Dedup.MaxHamming})""".stripMargin
+
   private val ahashCtes: String =
     s"""s AS (
        |  SELECT doc_id, j,
@@ -697,21 +739,22 @@ object Multimodal {
          |       count(*) OVER (PARTITION BY phash) AS n_same
          |FROM ph ORDER BY doc_id""".stripMargin,
     "mm_phash_pairs" ->
-      s"""WITH $phashCtes,
-         |banded AS (
-         |  SELECT doc_id, phash, b AS band,
-         |    (phash // CAST(pow(2, 16 * b) AS BIGINT)) % 65536 AS key
-         |  FROM ph, UNNEST(range(0, 4)) t(b)),
-         |small AS (
-         |  SELECT band, key FROM banded GROUP BY band, key
-         |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.Dedup.MaxBucket}),
-         |capped AS (SELECT b.* FROM banded b JOIN small USING (band, key))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-         |FROM capped a JOIN capped b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= ${graft.dedup.Dedup.MaxHamming}
+      s"""WITH $phashPairCtes
+         |SELECT doc_a, doc_b, hamming FROM pp
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_components" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pp
+         |  UNION ALL SELECT doc_b, doc_a FROM pp),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS root FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc)
+         |SELECT root AS rep, count(*) AS n_assets
+         |FROM (SELECT doc, min(root) AS root FROM reach GROUP BY doc)
+         |GROUP BY root ORDER BY rep""".stripMargin,
     "mm_ahash_pairs" ->
       s"""WITH $ahashCtes,
          |banded AS (
