@@ -213,6 +213,27 @@ object Similarity {
       Seq(("cos_r", false), ("dst", true)), KnnGraphK)
   }
 
+  /** IVF index-health report — the diagnostic that justifies (or
+    * schedules) retraining: per cell, its member count, corpus share,
+    * and skew factor n·|cells|/N (1.0 = perfectly balanced; a hot cell
+    * dominates probe latency because every query probing it scans its
+    * whole posting list, and a starved cell wastes a centroid). One
+    * grouped count over the assignment table plus two 1-row windows
+    * over the |cells|-sized frame — the shape of every index-stats
+    * endpoint. Shares [[cellAssignments]] with the whole IVF family. */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    cellAssignments(spark, dir)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_total", sum("n_vecs").over(w))
+      .withColumn("n_cells", count(lit(1)).over(w))
+      .select(col("cell"), col("n_vecs"),
+        round(expr("cast(n_vecs * 100 as double) / n_total"), 4).as("share_pct"),
+        round(expr("cast(n_vecs * n_cells as double) / n_total"), 4).as("skew"))
+      .orderBy("cell")
+  }
+
   /** Metadata predicate of the filtered search: label ≡ 0 (mod 3). */
   val FilterLabelMod = 3
 
@@ -1360,6 +1381,7 @@ object Similarity {
     "sim_ann_topk" -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_knn_batch" -> (knnBatch _),
     "sim_filtered_knn" -> (filteredKnn _),
+    "sim_ivf_stats" -> (ivfStats _),
     "sim_prepost_filter" -> (prePostFilter _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_knn_descent" -> (knnDescent _),
@@ -2106,6 +2128,16 @@ object Similarity {
       s"""$knnGraphCtes
          |SELECT src, dst, cos_r, rn FROM gk
          |ORDER BY src, rn""".stripMargin,
+    "sim_ivf_stats" ->
+      s"""$cellAssignSql,
+         |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |      FROM assign GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+         |               CAST(count(*) AS BIGINT) AS n_cells FROM g)
+         |SELECT cell, n_vecs,
+         |  round(CAST(n_vecs * 100 AS DOUBLE) / n_total, 4) AS share_pct,
+         |  round(CAST(n_vecs * n_cells AS DOUBLE) / n_total, 4) AS skew
+         |FROM g, tot ORDER BY cell""".stripMargin,
     "sim_filtered_knn" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
          |s AS (

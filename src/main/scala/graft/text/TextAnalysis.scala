@@ -171,6 +171,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Budgets the packing sweep evaluates (tokens per training chunk). */
+  val PackSweepBudgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L)
+
+  /** Packing-budget SWEEP — the tuning table behind choosing a training
+    * sequence length: for each candidate budget, the chunk count the
+    * corpus packs into, how many documents straddle a chunk boundary
+    * (each straddle is an attention-contamination site a masking
+    * strategy must handle), and the tail waste (capacity minus tokens,
+    * padding burned at each block's end). Offsets are computed ONCE
+    * (the same per-(source, block) running sum [[packSequences]] uses)
+    * and the 4-budget explode fans out AFTER aggregation inputs are
+    * block-sized — all exact integer arithmetic (`div`), one window
+    * pass plus two grouped aggregates regardless of budget count. */
+  def packSweep(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("source"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div $PackBlock").as("block"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    offs
+      .select(col("source"), col("block"), col("n_tokens"), col("start_off"),
+        explode(array(PackSweepBudgets.map(lit(_)): _*)).as("budget"))
+      .select(col("source"), col("block"), col("budget"), col("n_tokens"),
+        (expr("start_off div budget") =!=
+          expr("(start_off + n_tokens - 1) div budget")).cast("long")
+          .as("crossed"))
+      .groupBy("budget", "source", "block")
+      .agg(sum("n_tokens").as("t"), sum("crossed").as("x"))
+      .select(col("budget"), col("t"), col("x"),
+        expr("(t + budget - 1) div budget").as("chunks"))
+      .groupBy("budget")
+      .agg(sum("chunks").as("n_chunks"), sum("x").as("n_cross_docs"),
+        sum(expr("chunks * budget - t")).as("waste_tokens"),
+        sum("t").as("t_total"))
+      .select(col("budget"), col("n_chunks"), col("n_cross_docs"),
+        col("waste_tokens"),
+        round(expr(
+          "cast(waste_tokens * 100 as double) / (waste_tokens + t_total)"), 4)
+          .as("waste_pct"))
+      .orderBy("budget")
+  }
+
   /** Seed + shard count of the deterministic corpus shuffle. 16 shards
     * at fixture scale; a production run sizes shards to reader
     * parallelism — the layout below is shard-count-agnostic. */
@@ -1937,6 +1985,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_token_stats" -> (tokenStats _),
     "text_pack_sequences" -> (packSequences _),
+    "text_pack_sweep" -> (packSweep _),
     "text_shuffle_shards" -> (shuffleShards _),
     "text_inverted_index" -> (invertedIndex _),
     "text_contamination_ngram" -> (contaminationNgram _),
@@ -2440,6 +2489,42 @@ object TextAnalysis {
          |    AS BIGINT) AS pos,
          |  doc_id, skey
          |FROM s ORDER BY shard, pos""".stripMargin,
+    "text_pack_sweep" -> {
+      val budgets = PackSweepBudgets.map(b => s"($b)").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, doc_id // $PackBlock AS block,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, block, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source, block
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS start_off
+         |  FROM t),
+         |p AS (
+         |  SELECT source, block, CAST(b.budget AS BIGINT) AS budget, n_tokens,
+         |    CASE WHEN start_off // b.budget
+         |           <> (start_off + n_tokens - 1) // b.budget
+         |         THEN 1 ELSE 0 END AS crossed
+         |  FROM s, (VALUES $budgets) b(budget)),
+         |g AS (
+         |  SELECT budget, source, block,
+         |    CAST(sum(n_tokens) AS BIGINT) AS t,
+         |    CAST(sum(crossed) AS BIGINT) AS x
+         |  FROM p GROUP BY 1, 2, 3),
+         |c AS (SELECT budget, t, x, (t + budget - 1) // budget AS chunks FROM g),
+         |a AS (
+         |  SELECT budget,
+         |    CAST(sum(chunks) AS BIGINT) AS n_chunks,
+         |    CAST(sum(x) AS BIGINT) AS n_cross_docs,
+         |    CAST(sum(chunks * budget - t) AS BIGINT) AS waste_tokens,
+         |    CAST(sum(t) AS BIGINT) AS t_total
+         |  FROM c GROUP BY budget)
+         |SELECT budget, n_chunks, n_cross_docs, waste_tokens,
+         |  round(CAST(waste_tokens * 100 AS DOUBLE) / (waste_tokens + t_total), 4)
+         |    AS waste_pct
+         |FROM a ORDER BY budget""".stripMargin
+    },
     "text_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, doc_id // $PackBlock AS block,

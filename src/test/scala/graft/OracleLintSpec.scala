@@ -61,7 +61,11 @@ class OracleLintSpec extends AnyFunSuite {
     "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
     "text_bm25", "text_contamination_ngram", "text_entropy",
     "text_langid", "text_langid_eval", "text_len_histogram",
-    "text_pack_sequences", "text_quality", "text_quality_classifier",
+    // text_pack_sweep: the same CAST(COALESCE(sum OVER ...)) offset
+    // window as text_pack_sequences (cast sits outside the coalesce);
+    // every output sum is cast. Tri-SF green at add time (r11).
+    "text_pack_sequences", "text_pack_sweep",
+    "text_quality", "text_quality_classifier",
     "text_rare_ratio", "text_training_pairs"
   )
 
