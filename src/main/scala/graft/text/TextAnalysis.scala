@@ -171,6 +171,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** A line is boilerplate when it recurs in at least this many docs. */
+  val BoilerDf = 3
+
+  /** Boilerplate detection by line frequency — the C4-style filter that
+    * strips navigation chrome, cookie banners, and license footers: a
+    * line is boilerplate when it appears in ≥ [[BoilerDf]] DISTINCT
+    * documents (frequency-classification, a different decision than
+    * [[lineDedup]]'s keep-first — boilerplate drops EVERY occurrence
+    * including the first). Per doc: line count, boilerplate lines, and
+    * the boilerplate fraction — the per-doc trim/drop input. Same
+    * shared [[lineStream]]; the classifier table is one grouped
+    * distinct-count on the line hash, met by one hash-keyed equi-join
+    * bounded by the boilerplate vocabulary — linear at any scale. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val lines = lineStream(Tables(spark, dir, "documents"))
+    val boiler = lines.groupBy("line_md5")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BoilerDf).select("line_md5")
+    lines.join(boiler.withColumn("is_boiler", lit(1L)), Seq("line_md5"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        round(expr("cast(n_boiler * 100 as double) / n_lines"), 4)
+          .as("boiler_pct"))
+      .orderBy("doc_id")
+  }
+
   /** Budgets the packing sweep evaluates (tokens per training chunk). */
   val PackSweepBudgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L)
 
@@ -1962,6 +1991,7 @@ object TextAnalysis {
     "text_dup_spans" -> (dupSpans _),
     "text_dup_coverage" -> (dupCoverage _),
     "text_line_dedup" -> (lineDedup _),
+    "text_boilerplate" -> (boilerplate _),
     "text_entropy" -> (charEntropy _),
     "text_len_histogram" -> (lenHistogram _),
     "text_dsir_resample" -> (dsirResample _),
@@ -2210,6 +2240,24 @@ object TextAnalysis {
          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
          |FROM a WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT ${DupSpanTopK}""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |l AS (SELECT doc_id,
+         |        md5(array_to_string(list_slice(ws,
+         |          CAST(i * $LineWords + 1 AS INTEGER),
+         |          CAST(i * $LineWords + $LineWords AS INTEGER)), ' ')) AS line_md5
+         |      FROM d, UNNEST(generate_series(0, (len(ws) - 1) // $LineWords)) t(i)),
+         |b AS (SELECT line_md5 FROM l GROUP BY line_md5
+         |      HAVING count(DISTINCT doc_id) >= $BoilerDf),
+         |a AS (
+         |  SELECT l.doc_id, count(*) AS n_lines,
+         |    CAST(sum(CASE WHEN b.line_md5 IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler
+         |  FROM l LEFT JOIN b ON l.line_md5 = b.line_md5
+         |  GROUP BY l.doc_id)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, n_boiler,
+         |  round(CAST(n_boiler * 100 AS DOUBLE) / n_lines, 4) AS boiler_pct
+         |FROM a ORDER BY doc_id""".stripMargin,
     "text_line_dedup" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,

@@ -31,4 +31,27 @@ class LineDedupSpec extends SparkSpec {
       (2L, 2L, 2L, 0.0),
       (3L, 2L, 0L, 1.0)))
   }
+
+  test("boilerplate flags EVERY occurrence once the df threshold is met") {
+    import spark.implicits._
+    val banner = (1 to 12).map(i => s"cookie$i").mkString(" ")
+    def body(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    // banner in 3 docs (>= BoilerDf) -> flagged in ALL three, including
+    // the first occurrence keep-first dedup would have kept; a line in
+    // only 2 docs stays content.
+    val rare = body("r")
+    val docs = Seq(
+      (1L, s"$banner ${body("a")}"),
+      (2L, s"$banner $rare"),
+      (3L, s"$banner $rare"),
+      (4L, body("b")))
+    val dir = graft.TempDirs.create("graft-boiler-spec").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.boilerplate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 0L)))
+  }
 }
