@@ -91,11 +91,21 @@ object StreamingOps {
     * production job points it at the cluster DFS; the local harness
     * points it at the fastest durable-enough store it has. Registered
     * with [[graft.TempDirs]], so the exit sweep removes it. */
-  private lazy val ckptRoot: Option[java.nio.file.Path] = {
+  private var ckptRootCache: Option[java.nio.file.Path] = None
+
+  /** The root is SELF-HEALING, not a lazy val: `TempDirs.sweep()` may
+    * legitimately run mid-JVM (its spec proves the exit sweep without
+    * killing the process), deleting a previously-created root — a
+    * cached path would then fail every later streaming query's
+    * checkpoint creation. Re-create on first use after any sweep. */
+  private def ckptRoot: Option[java.nio.file.Path] = synchronized {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Some(graft.TempDirs.createIn(shm, "graft-ckpt"))
-    else None
+    if (!(Files.isDirectory(shm) && Files.isWritable(shm))) None
+    else {
+      ckptRootCache = ckptRootCache.filter(Files.isDirectory(_))
+        .orElse(Some(graft.TempDirs.createIn(shm, "graft-ckpt")))
+      ckptRootCache
+    }
   }
 
   /** Per-query-start checkpoint dir option (unique — checkpoints are

@@ -21,4 +21,16 @@ class TempDirsSpec extends AnyFunSuite {
     assert(!Files.exists(d2))
     TempDirs.sweep() // idempotent: nothing left to do, nothing thrown
   }
+
+  test("a streaming query still checkpoints after a mid-JVM sweep") {
+    // regression: the sweep deletes the streaming family's tmpfs
+    // checkpoint root; a cached root then fails every later query's
+    // per-query checkpoint dir (NoSuchFileException). The root must
+    // self-heal on next use.
+    TempDirs.sweep()
+    val rows = graft.streaming.StreamingOps
+      .completeCounts(TestSpark.spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+  }
 }
