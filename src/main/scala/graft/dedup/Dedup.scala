@@ -893,12 +893,6 @@ object Dedup {
        |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
        |  FROM mh GROUP BY doc_id, i // 2)""".stripMargin
 
-  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
-    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
-    * the connected-components oracle built on top of it. */
-  /** Exact bigram-Jaccard truth pairs as a CTE chain ending in
-    * `jacp(da, db, jac)` — shared by the dedup_ngram_jaccard and
-    * dedup_recall_eval oracles. */
   /** Shared shingle CTE prefix ending in `sh(doc_id, s)` + `n(doc_id, n)`
     * — the oracle mirror of [[sampledRareShingles]]. */
   private def shingleCtes(mod: Int = 50): String =
@@ -912,6 +906,9 @@ object Dedup {
        |sh AS (SELECT sh_all.* FROM sh_all JOIN rare USING (s)),
        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Exact bigram-Jaccard truth pairs as a CTE chain ending in
+    * `jacp(da, db, jac)` — shared by the dedup_ngram_jaccard and
+    * dedup_recall_eval oracles. */
   private def ngramJacCtes: String =
     s"""${shingleCtes()},
        |pairs AS (
@@ -944,6 +941,9 @@ object Dedup {
        |  FROM g${w}c a JOIN g${w}c b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
+    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
+    * the connected-components oracle built on top of it. */
   private def minhashCtes: String =
     s"""$bandsCtes,
        |small AS (

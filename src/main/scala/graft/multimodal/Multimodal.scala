@@ -370,12 +370,17 @@ object Multimodal {
     * the stub slices the text-as-payload fixture, arithmetic unchanged. */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    // frame layout in CHARACTERS, not bytes: the fingerprint samples
+    // code points (substring + the kernel's code-point walk), so a
+    // byte-offset grid would desynchronize slicing from sampling on any
+    // non-ASCII payload (a real decoder's byte offsets live at the
+    // codec boundary, before this text-as-payload stub)
     val frames = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
-        length(col("text").cast("binary")).cast("long").as("byte_len"))
-      .filter(col("byte_len") > 0)
+        length(col("text")).cast("long").as("char_len"))
+      .filter(col("char_len") > 0)
       .select(col("doc_id"), col("text"),
-        posexplode(expr(s"sequence(0L, byte_len - 1, ${FrameStep}L)")))
+        posexplode(expr(s"sequence(0L, char_len - 1, ${FrameStep}L)")))
       .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
         expr(s"substring(text, cast(col + 1 as int), ${FrameStep.toInt})")
           .as("frame"))
@@ -588,12 +593,6 @@ object Multimodal {
     "mm_resize" -> (mediaResize _),
     "mm_dedup" -> (mediaDedup _))
 
-  /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
-    * (= Spark length over the binary cast), so non-ASCII text matches. */
-  /** aHash oracle prefix ending in `h(doc_id, ahash)` — length() counts
-    * CHARACTERS in both engines and ascii() returns the code point of
-    * the first character in both, so the spelling is non-ASCII safe.
-    * Shared by the fingerprint and pair oracles. */
   /** pHash candidate-pair CTE prefix ending in `pp(doc_a, doc_b,
     * hamming)` — the banded/bucket-capped sweep, shared by the pair
     * report and the cluster (components) oracle. Defined lazily: it
@@ -615,6 +614,10 @@ object Multimodal {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.phash, b.phash)) <= ${graft.dedup.Dedup.MaxHamming})""".stripMargin
 
+  /** aHash oracle prefix ending in `h(doc_id, ahash)` — length() counts
+    * CHARACTERS in both engines and ascii() returns the code point of
+    * the first character in both, so the spelling is non-ASCII safe.
+    * Shared by the fingerprint and pair oracles. */
   private val ahashCtes: String =
     s"""s AS (
        |  SELECT doc_id, j,
@@ -667,6 +670,8 @@ object Multimodal {
        |  FROM ac JOIN med USING (doc_id) GROUP BY ac.doc_id)""".stripMargin
   }
 
+  /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
+    * (= Spark length over the binary cast), so non-ASCII text matches. */
   val oracles: Map[String, String] = Map(
     "mm_embed_stub" ->
       s"""WITH d AS (SELECT doc_id, strlen(text) AS byte_len FROM documents

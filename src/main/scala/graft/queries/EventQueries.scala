@@ -768,16 +768,6 @@ object EventQueries {
     * 2024-01-01..01-30; 24 train days, 6 test days). */
   val ForecastCutoff = "2024-01-25"
 
-  /** Seasonal-naive forecasting baseline + backtest: the hour-of-day
-    * profile fitted on the train days predicts each test (day, hour)
-    * cell, scored by MAE per hour — the sanity baseline every real
-    * forecasting deployment must beat, and the backtest harness shape
-    * (fit on a prefix, score on the holdout) is the actual deliverable.
-    * Scale: two aggregates over the hourly frame (|days|·24 rows after
-    * the first shuffle) and a 24-row broadcast model join. Determinism:
-    * the model means are rounded to a 1e-6 grid and carried as exact
-    * DECIMAL, so the |actual − pred| sums are order-independent; the
-    * final MAE is one division. */
   /** Tukey-fence IQR outlier detection per event type — the classic
     * robust outlier gate (value outside [q1 − 1.5·IQR, q3 + 1.5·IQR]),
     * kept EXACT end to end: quartiles come from the shared integer-rank
@@ -847,6 +837,16 @@ object EventQueries {
       .orderBy("hr")
   }
 
+  /** Seasonal-naive forecasting baseline + backtest: the hour-of-day
+    * profile fitted on the train days predicts each test (day, hour)
+    * cell, scored by MAE per hour — the sanity baseline every real
+    * forecasting deployment must beat, and the backtest harness shape
+    * (fit on a prefix, score on the holdout) is the actual deliverable.
+    * Scale: two aggregates over the hourly frame (|days|·24 rows after
+    * the first shuffle) and a 24-row broadcast model join. Determinism:
+    * the model means are rounded to a 1e-6 grid and carried as exact
+    * DECIMAL, so the |actual − pred| sums are order-independent; the
+    * final MAE is one division. */
   def forecastNaive(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val hourly = Tables(spark, dir, "events")

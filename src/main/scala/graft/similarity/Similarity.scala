@@ -164,17 +164,6 @@ object Similarity {
       .limit(RrfTopK)
   }
 
-  /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
-    * set (vec_id < 8). The shape is the scale path for "embed the eval
-    * set, find its neighbors in the corpus": corpus scan × broadcast
-    * queries, then per-query top-k via the bounded-heap
-    * [[graft.plans.TopKPerGroup]] operator — NOT a window row_number,
-    * whose physical plan sorts each query partition's ~|corpus| scored
-    * rows before discarding all but k. The operator's two-phase layout
-    * (map-side partial heap before the exchange) ships at most
-    * queries·k rows per input partition; with few queries and a huge
-    * corpus that is the difference between a fixed-size heap and a
-    * full sort of the scored frame. */
   /** Out-degree of the neighbor graph. */
   val KnnGraphK = 3
 
@@ -283,7 +272,13 @@ object Similarity {
         Seq(("cos_r", false), ("vec_id", true)), 3)
       .filter(pmod(col("label"), lit(FilterLabelMod)) === 0)
       .groupBy("qid").agg(count(lit(1)).as("n_post"))
-    val pre = filteredKnn(spark, dir)
+    // pre-filter ranking derived from the SAME scored frame (the oracle's
+    // shape too): filtering scoredAll before ranking is score-identical
+    // to filteredKnn, without a second corpus scan
+    val pre = graft.plans.TopK.perGroup(
+        scoredAll.filter(pmod(col("label"), lit(FilterLabelMod)) === 0)
+          .select("qid", "vec_id", "cos_r"),
+        Seq("qid"), Seq(("cos_r", false), ("vec_id", true)), 3)
       .groupBy("qid").agg(count(lit(1)).as("n_pre"))
     pre.join(post, Seq("qid"), "left_outer")
       .select(col("qid"), col("n_pre"),
@@ -393,6 +388,17 @@ object Similarity {
       .orderBy("src", "truth_rn")
   }
 
+  /** Batch k-NN join: top-3 cosine neighbors for EACH of a broadcast query
+    * set (vec_id < 8). The shape is the scale path for "embed the eval
+    * set, find its neighbors in the corpus": corpus scan × broadcast
+    * queries, then per-query top-k via the bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator — NOT a window row_number,
+    * whose physical plan sorts each query partition's ~|corpus| scored
+    * rows before discarding all but k. The operator's two-phase layout
+    * (map-side partial heap before the exchange) ships at most
+    * queries·k rows per input partition; with few queries and a huge
+    * corpus that is the difference between a fixed-size heap and a
+    * full sort of the scored frame. */
   def knnBatch(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))

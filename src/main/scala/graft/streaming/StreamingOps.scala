@@ -1127,7 +1127,10 @@ object StreamingOps {
         unix_micros(col("eff_to").cast("timestamp")).as("to_us"))
     val ev = eventStream(spark, dir)
       .select(col("user_id"),
-        (lit(Scd2EpochUs) + pmod(unix_micros(col("ts")), lit(Scd2SpanUs)))
+        // sign-preserving % on BOTH engines (not pmod): a corrupt
+        // pre-1970 timestamp maps before the era and enriches to
+        // 'none' identically, instead of forking the two sides
+        (lit(Scd2EpochUs) + unix_micros(col("ts")) % lit(Scd2SpanUs))
           .as("as_of_us"))
     val joined = ev.join(broadcast(dim),
       col("user_id") === col("o_custkey") &&

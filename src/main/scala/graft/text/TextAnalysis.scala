@@ -1665,16 +1665,6 @@ object TextAnalysis {
       .limit(DupSpanTopK)
   }
 
-  /** Per-document duplicated-span coverage — the DROP-DECISION input of
-    * exact-substring dedup (pipelines drop or trim docs whose duplicated
-    * fraction crosses a threshold; the census alone only names the
-    * spans). For every doc: its total [[DupSpanN]]-gram count, how many
-    * of those grams recur in ≥2 distinct docs corpus-wide, and the
-    * coverage ratio. The duplicated-gram set is reused from the census
-    * aggregation (distinct-doc reach ≥ 2) and meets the per-doc gram
-    * stream in ONE equi-join on the gram — linear in corpus tokens, the
-    * join's right side bounded by the duplicated vocabulary, never a
-    * doc-pair product. */
   /** Synthetic line width for [[lineDedup]]: the fixture corpus has no
     * newline delimiters, so "line" = a fixed 12-word aligned window —
     * the C4/RefinedWeb line-dedup shape with the delimiter made
@@ -1685,18 +1675,6 @@ object TextAnalysis {
   val LineWords = 12
   val LineKeyStride = 100000L
 
-  /** C4-style LINE-level exact dedup with keep-first semantics — the
-    * removal DECISION the dup-span census ([[dupCoverage]]) only
-    * measures: every aligned [[LineWords]]-word line hashes (md5, so the
-    * decision sits under the oracle hash), each distinct line text keeps
-    * exactly its first occurrence in (doc_id, line_idx) order, and every
-    * other occurrence is dropped. Per doc: line count, lines removed,
-    * retained fraction. Plan: one explode linear in corpus words, one
-    * grouped MIN on the line hash (the keeper table, |distinct lines|
-    * rows), one equi-join back on the hash — never a doc-pair or
-    * line-pair product, the same bounded-join shape as dupCoverage. At
-    * 100 TB both sides shuffle once on the line hash; keep-first is an
-    * argmin, not a window sort. */
   /** Aligned [[LineWords]]-word line stream (doc_id, line_idx, line_md5)
     * over any (doc_id, text) frame — shared by [[lineDedup]] and the
     * dedup ladder so the line granularity cannot drift. */
@@ -1710,6 +1688,18 @@ object TextAnalysis {
           expr(s"slice(ws, line_idx * $LineWords + 1, $LineWords)"), " "))
           .as("line_md5"))
 
+  /** C4-style LINE-level exact dedup with keep-first semantics — the
+    * removal DECISION the dup-span census ([[dupCoverage]]) only
+    * measures: every aligned [[LineWords]]-word line hashes (md5, so the
+    * decision sits under the oracle hash), each distinct line text keeps
+    * exactly its first occurrence in (doc_id, line_idx) order, and every
+    * other occurrence is dropped. Per doc: line count, lines removed,
+    * retained fraction. Plan: one explode linear in corpus words, one
+    * grouped MIN on the line hash (the keeper table, |distinct lines|
+    * rows), one equi-join back on the hash — never a doc-pair or
+    * line-pair product, the same bounded-join shape as dupCoverage. At
+    * 100 TB both sides shuffle once on the line hash; keep-first is an
+    * argmin, not a window sort. */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val lines = lineStream(Tables(spark, dir, "documents"))
@@ -1725,6 +1715,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document duplicated-span coverage — the DROP-DECISION input of
+    * exact-substring dedup (pipelines drop or trim docs whose duplicated
+    * fraction crosses a threshold; the census alone only names the
+    * spans). For every doc: its total [[DupSpanN]]-gram count, how many
+    * of those grams recur in ≥2 distinct docs corpus-wide, and the
+    * coverage ratio. The duplicated-gram set is reused from the census
+    * aggregation (distinct-doc reach ≥ 2) and meets the per-doc gram
+    * stream in ONE equi-join on the gram — linear in corpus tokens, the
+    * join's right side bounded by the duplicated vocabulary, never a
+    * doc-pair product. */
   def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val grams = Tables(spark, dir, "documents")

@@ -25,8 +25,10 @@ class DedupLadderSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Dedup.dedupLadder(spark, dir).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(got(0) == ("doc", 3L, 2L, math.rint(100.0 / 3 * 1e4) / 1e4))
+    def r4(x: Double): Double = // HALF_UP, matching Spark's round(x, 4)
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ("doc", 3L, 2L, r4(100.0 / 3)))
     assert(got(1) == ("line", 4L, 3L, 25.0))
-    assert(got(2) == ("gram8", 34L, 29L, math.rint(500.0 / 34 * 1e4) / 1e4))
+    assert(got(2) == ("gram8", 34L, 29L, r4(500.0 / 34)))
   }
 }

@@ -48,7 +48,10 @@ class KnnGraphSpec extends SparkSpec {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
-      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+      // HALF_UP like Spark's round(x, 4) — rint (half-even) would flip
+      // the truth ordering on an exact 4th-decimal tie
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val probes = emb.keys.filter(_ % Similarity.GraphProbeMod == 0).toSeq
     val truth = probes.flatMap { q =>
