@@ -991,6 +991,87 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_date", "o_orderkey")
   }
 
+  /** Price-volume decomposition periods (by ship year). */
+  val DecompY0 = 1996
+  val DecompY1 = 1997
+
+  /** Price-volume growth decomposition — the FP&A bridge every revenue
+    * review runs: each return-flag class's year-over-year revenue change
+    * split into a VOLUME effect (quantity change at old average price,
+    * (q₁−q₀)·p₀) and a PRICE effect (price change on new volume,
+    * q₁·(p₁−p₀)); the two provably sum to the delta, enforced by
+    * construction — price_effect is computed as delta − volume_effect,
+    * so the bridge closes exactly even in floating point. One scan with
+    * conditional aggregates (no self-join of periods); quantity and
+    * revenue sums ride exact DECIMAL so partition order cannot drift
+    * the doubles, and the only non-exact steps are the same
+    * fixed-order double expressions on both engines. */
+  def growthDecomp(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    def s(y: Int, c: Column) =
+      sum(when(year(col("l_shipdate")) === y, c).otherwise(lit(0))
+        .cast("decimal(18,2)"))
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(s(DecompY0, col("l_quantity")).as("q0"),
+        s(DecompY0, col("l_extendedprice")).as("r0"),
+        s(DecompY1, col("l_quantity")).as("q1"),
+        s(DecompY1, col("l_extendedprice")).as("r1"))
+      .select(col("flag"),
+        col("r0").cast("double").as("rev0"),
+        col("r1").cast("double").as("rev1"),
+        expr("cast(r1 - r0 as double)").as("delta"),
+        // a class absent from the base year has no old price to bridge
+        // from: pin NULL on both engines rather than an engine-specific
+        // inf/NaN rendering (the ev_anomaly degenerate-input contract)
+        expr("case when q0 = 0 then null else " +
+          "round(cast(q1 - q0 as double) * (cast(r0 as double) / cast(q0 as double)), 2) end")
+          .as("volume_effect"))
+      .select(col("flag"), col("rev0"), col("rev1"),
+        round(col("delta"), 2).as("delta"), col("volume_effect"),
+        round(col("delta") - col("volume_effect"), 2).as("price_effect"))
+      .orderBy("flag")
+  }
+
+  /** Apportionment budget (integer units) for the allocation report. */
+  val AllocBudget = 1000000L
+
+  /** Largest-remainder (Hamilton) apportionment — divide a fixed integer
+    * budget across order-priority classes proportional to their order
+    * counts so the allocations SUM TO THE BUDGET EXACTLY: each class
+    * gets floor(budget·nᵢ/N), and the leftover units (< #classes) go to
+    * the largest remainders (budget·nᵢ mod N, priority-asc tiebreak).
+    * Everything is exact BIGINT — the naive round(budget·share) spelling
+    * over- or under-spends by up to #classes/2 units and is exactly the
+    * bug this method exists to kill (Σ = budget is spec-pinned on
+    * adversarial weights). The remainder ranking is a window over the
+    * |classes|-sized aggregate, never the fact table. */
+  def budgetAllocation(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = Window.partitionBy()
+    val rk = Window.orderBy(
+      desc("rem"), asc("priority")) // deterministic largest-remainder order
+    counts
+      .withColumn("n_total", sum("n_orders").over(tot))
+      .select(col("priority"), col("n_orders"),
+        expr(s"($AllocBudget * n_orders) div n_total").as("base"),
+        expr(s"($AllocBudget * n_orders) % n_total").as("rem"),
+        col("n_total"))
+      .withColumn("rem_rank", row_number().over(rk))
+      .withColumn("residual",
+        lit(AllocBudget) - sum("base").over(tot))
+      .select(col("priority"), col("n_orders"),
+        (col("base") + when(col("rem_rank") <= col("residual"), 1L)
+          .otherwise(0L)).as("alloc"),
+        when(col("rem_rank") <= col("residual"), 1).otherwise(0)
+          .as("got_extra"))
+      .orderBy("priority")
+  }
+
   /** Incremental-refresh cutoff — MID-month on purpose, so January 2001
     * exists as a base partial AND a delta partial and the merge provably
     * combines two partials for one group (a month-boundary cutoff would
@@ -1776,6 +1857,8 @@ object RelationalQueries {
     "rel_reachability" -> (reachability _),
     "rel_mv_refresh" -> (mvRefresh _),
     "rel_locf_fill" -> (locfFill _),
+    "rel_growth_decomp" -> (growthDecomp _),
+    "rel_budget_alloc" -> (budgetAllocation _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_scd2_runs" -> (scd2Runs _),
@@ -2169,6 +2252,45 @@ object RelationalQueries {
          |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
          |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
          |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
+    "rel_growth_decomp" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag AS flag,
+         |    CAST(sum(CAST(CASE WHEN year(l_shipdate) = $DecompY0 THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q0,
+         |    CAST(sum(CAST(CASE WHEN year(l_shipdate) = $DecompY0 THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS r0,
+         |    CAST(sum(CAST(CASE WHEN year(l_shipdate) = $DecompY1 THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q1,
+         |    CAST(sum(CAST(CASE WHEN year(l_shipdate) = $DecompY1 THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS r1
+         |  FROM lineitem GROUP BY 1),
+         |b AS (
+         |  SELECT flag, CAST(r0 AS DOUBLE) AS rev0, CAST(r1 AS DOUBLE) AS rev1,
+         |    CAST(r1 - r0 AS DOUBLE) AS delta,
+         |    CASE WHEN q0 = 0 THEN NULL ELSE
+         |      round(CAST(q1 - q0 AS DOUBLE) * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 2)
+         |    END AS volume_effect
+         |  FROM a)
+         |SELECT flag, rev0, rev1, round(delta, 2) AS delta, volume_effect,
+         |  round(delta - volume_effect, 2) AS price_effect
+         |FROM b ORDER BY flag""".stripMargin,
+    "rel_budget_alloc" ->
+      s"""WITH c AS (
+         |  SELECT o_orderpriority AS priority, count(*) AS n_orders
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT c.*, CAST(sum(n_orders) OVER () AS BIGINT) AS n_total FROM c),
+         |f AS (
+         |  SELECT priority, n_orders,
+         |    ($AllocBudget * n_orders) // n_total AS base,
+         |    ($AllocBudget * n_orders) % n_total AS rem,
+         |    n_total
+         |  FROM t),
+         |r AS (
+         |  SELECT f.*,
+         |    row_number() OVER (ORDER BY rem DESC, priority ASC) AS rem_rank,
+         |    $AllocBudget - CAST(sum(base) OVER () AS BIGINT) AS residual
+         |  FROM f)
+         |SELECT priority, CAST(n_orders AS BIGINT) AS n_orders,
+         |  CAST(base + CASE WHEN rem_rank <= residual THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc,
+         |  CASE WHEN rem_rank <= residual THEN 1 ELSE 0 END AS got_extra
+         |FROM r ORDER BY priority""".stripMargin,
     "rel_locf_fill" ->
       """WITH s AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
