@@ -174,6 +174,40 @@ object EventQueries {
       .orderBy("user_id", "session_no")
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning number,
+    * via the classic sweep-line: every session contributes (+1 at
+    * first_us, −1 at last_us + 1), simultaneous points collapse to one
+    * NET delta per instant (which also makes the tie order a non-issue),
+    * and the running sum over the time-ordered point stream is the live
+    * concurrency; per day, the max and the earliest instant achieving
+    * it. Sessions come from the registered [[sessionize]] (shared code
+    * AND a shared oracle CTE chain, so the session definition cannot
+    * fork). The sweep frame is session-sized — 2 points per session,
+    * netted — and the global running sum is a prefix scan over it; at
+    * 100 TB that is a range-partitioned two-pass prefix sum, at
+    * fixture scale one window. A day's peak is measured at its
+    * state-change instants (a session straddling midnight counts in
+    * both days' points). */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val s = sessionize(spark, dir).select("first_us", "last_us")
+    val pts = s.select(col("first_us").as("t"), lit(1L).as("d"))
+      .unionAll(s.select((col("last_us") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("delta"))
+    val sweep = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = pts.withColumn("conc", sum("delta").over(sweep))
+      .select(to_date(timestamp_micros(col("t"))).as("day"),
+        col("t"), col("conc"))
+    val byDay = Window.partitionBy("day")
+    run.withColumn("peak", max("conc").over(byDay))
+      .filter(col("conc") === col("peak"))
+      .groupBy("day", "peak").agg(min("t").as("peak_at_us"))
+      .select(col("day"), col("peak"), col("peak_at_us"))
+      .orderBy("day")
+  }
+
   /** Lateness-bucket cap (minutes): everything ≥ this collapses into the
     * open-ended last bucket. */
   val LatenessCapMin = 10L
@@ -1162,7 +1196,8 @@ object EventQueries {
     "ev_lateness" -> (lateness _),
     "ev_watermark_tradeoff" -> (watermarkTradeoff _),
     "ev_reaggregate" -> (reaggregate _),
-    "ev_sessionize" -> (sessionize _))
+    "ev_sessionize" -> (sessionize _),
+    "ev_peak_concurrency" -> (peakConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "ev_experiment_srm" -> {
@@ -1697,19 +1732,46 @@ object EventQueries {
          |FROM b, d GROUP BY dm ORDER BY delay_min""".stripMargin,
     // identical lag/running-sum windowing in exact integer micros
     "ev_sessionize" ->
-      s"""WITH t AS (
-         |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
-         |f AS (
-         |  SELECT user_id, event_id, t_us,
-         |    CASE WHEN t_us - lag(t_us) OVER w > ${SessionGapUs} THEN 1 ELSE 0 END AS new_s
-         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
-         |s AS (
-         |  SELECT user_id, t_us,
-         |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
-         |  FROM f)
-         |SELECT user_id, session_no, count(*) AS n_events,
-         |       min(t_us) AS first_us, max(t_us) AS last_us
-         |FROM s GROUP BY user_id, session_no
-         |ORDER BY user_id, session_no""".stripMargin)
+      s"""WITH $sessionCtes
+         |SELECT user_id, session_no, n_events, first_us, last_us
+         |FROM sess ORDER BY user_id, session_no""".stripMargin,
+    "ev_peak_concurrency" ->
+      s"""WITH $sessionCtes,
+         |pt AS (
+         |  SELECT first_us AS t, 1 AS d FROM sess
+         |  UNION ALL SELECT last_us + 1, -1 FROM sess),
+         |np AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM pt GROUP BY t),
+         |rn AS (
+         |  SELECT t, CAST(sum(delta) OVER (ORDER BY t
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+         |  FROM np),
+         |dd AS (
+         |  SELECT CAST(date_trunc('day', make_timestamp(t)) AS DATE) AS day,
+         |         t, conc
+         |  FROM rn),
+         |pk AS (SELECT dd.*, max(conc) OVER (PARTITION BY day) AS peak FROM dd)
+         |SELECT day, CAST(peak AS BIGINT) AS peak,
+         |  CAST(min(t) AS BIGINT) AS peak_at_us
+         |FROM pk WHERE conc = peak
+         |GROUP BY day, peak ORDER BY day""".stripMargin)
+
+  /** Gap-session CTE chain ending in `sess(user_id, session_no,
+    * n_events, first_us, last_us)` — shared by the sessionize and
+    * peak-concurrency oracles so the session definition cannot fork. */
+  private def sessionCtes: String =
+    s"""t AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, t_us,
+       |    CASE WHEN t_us - lag(t_us) OVER w > ${SessionGapUs} THEN 1 ELSE 0 END AS new_s
+       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+       |s AS (
+       |  SELECT user_id, t_us,
+       |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM f),
+       |sess AS (
+       |  SELECT user_id, session_no, count(*) AS n_events,
+       |         min(t_us) AS first_us, max(t_us) AS last_us
+       |  FROM s GROUP BY user_id, session_no)""".stripMargin
 }

@@ -991,6 +991,41 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_date", "o_orderkey")
   }
 
+  /** ABC classification — Pareto analysis of part revenue: parts sorted
+    * by revenue descending, class A = the head covering the first 80% of
+    * cumulative revenue, B = the next 15%, C = the tail. The class
+    * boundaries are EXACT-DECIMAL comparisons (cum·100 ≤ total·80 on the
+    * un-divided sums), so no float share ever decides a boundary part
+    * and both engines cut identically — ties inside the running sum are
+    * impossible because the order (revenue desc, partkey asc) is total.
+    * Reported per class: part count, revenue, revenue share — the
+    * inventory-policy summary. The windows run over the |parts|-sized
+    * aggregate, and at 100 TB the global sort is a range partition of
+    * that aggregate, not of lineitem. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val perPart = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val cum = Window.orderBy(desc("rev"), asc("partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    perPart
+      .withColumn("cum_rev", sum("rev").over(cum))
+      .withColumn("total", sum("rev").over(tot))
+      .withColumn("abc",
+        when(col("cum_rev") * 100 <= col("total") * 80, "A")
+          .when(col("cum_rev") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev").cast("double").as("revenue"),
+        round(sum("rev").cast("double") * 100 /
+          max(col("total")).cast("double"), 4).as("rev_share_pct"))
+      .orderBy("abc")
+  }
+
   /** Price-volume decomposition periods (by ship year). */
   val DecompY0 = 1996
   val DecompY1 = 1997
@@ -1858,6 +1893,7 @@ object RelationalQueries {
     "rel_mv_refresh" -> (mvRefresh _),
     "rel_locf_fill" -> (locfFill _),
     "rel_growth_decomp" -> (growthDecomp _),
+    "rel_abc_analysis" -> (abcAnalysis _),
     "rel_budget_alloc" -> (budgetAllocation _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
@@ -2252,6 +2288,28 @@ object RelationalQueries {
          |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
          |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
          |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
+    "rel_abc_analysis" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, partkey ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+        |    sum(rev) OVER () AS total
+        |  FROM p),
+        |k AS (
+        |  SELECT rev, total,
+        |    CASE WHEN cum_rev * 100 <= total * 80 THEN 'A'
+        |         WHEN cum_rev * 100 <= total * 95 THEN 'B'
+        |         ELSE 'C' END AS abc
+        |  FROM c)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue,
+        |  round(CAST(sum(rev) AS DOUBLE) * 100 / CAST(max(total) AS DOUBLE), 4)
+        |    AS rev_share_pct
+        |FROM k GROUP BY abc ORDER BY abc""".stripMargin,
     "rel_growth_decomp" ->
       s"""WITH a AS (
          |  SELECT l_returnflag AS flag,

@@ -50,6 +50,11 @@ class OracleLintSpec extends AnyFunSuite {
     // comparisons, never output. These two postdate round 10; their
     // audit evidence is the r11 tri-SF certification (PASS 271/271 at
     // sf0.001/0.01/0.1, BENCH_NOTES round-11 closing addendum)
+    // rel_abc_analysis: the cum/total window sums range over `rev`,
+    // which the CTE defines as DECIMAL(38,2) (sum(DECIMAL) stays
+    // DECIMAL in DuckDB), and both are CTE-internal boundary
+    // comparisons; the output sums are cast. Tri-SF green at add time.
+    "rel_abc_analysis",
     "rel_cube", "rel_exact_median", "rel_percentiles_grouped",
     // ev_outlier_iqr: the same ExactPercentiles window sums (rank
     // comparisons, CTE-internal, never output); tri-SF green at add time
