@@ -44,6 +44,7 @@ object Formats {
           case "orc" => writer.orc(out)
           case "csv" => writer.option("header", "true").csv(out)
           case "json" => writer.json(out)
+          case "zstd" => writer.option("compression", "zstd").parquet(out)
         }
         marker.createNewFile()
       }
@@ -60,6 +61,19 @@ object Formats {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     pricingAgg(spark.read.orc(materialize(spark, dir, "orc")))
+  }
+
+  /** Parquet + ZSTD codec round-trip — the compression knob a 100 TB
+    * deployment actually turns (zstd trades a little CPU for markedly
+    * smaller scans than the snappy default): write the projection with
+    * `compression=zstd`, read it back, and the standard pricing
+    * aggregate must match the original table under the oracle hash.
+    * The spec pins that the codec was genuinely applied (the part files
+    * carry the .zstd.parquet suffix), so a silently-ignored option
+    * cannot masquerade as fidelity. */
+  def zstdRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    pricingAgg(spark.read.parquet(materialize(spark, dir, "zstd")))
   }
 
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -485,6 +499,7 @@ object Formats {
     "src_schema_evolution" -> (schemaEvolution _),
     "src_partitioned_scan" -> (partitionedScan _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
+    "src_zstd_roundtrip" -> (zstdRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_dsv2_scan" -> (dsv2Scan _))
@@ -560,6 +575,7 @@ object Formats {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
     "src_orc_roundtrip" -> pricingSql,
+    "src_zstd_roundtrip" -> pricingSql,
     "src_csv_roundtrip" -> pricingSql,
     "src_json_roundtrip" -> pricingSql,
     // the connector's arithmetic reproduced from range(): same Knuth

@@ -63,7 +63,10 @@ class OracleLintSpec extends AnyFunSuite {
     "rel_q18_large_orders", "rel_q1_pricing", "rel_q20_excess_stock",
     "rel_rollup", "rel_skew_profile", "rel_unpivot",
     "sim_rrf_fusion",
+    // src_zstd_roundtrip shares pricingSql with its three siblings
+    // (sum over the physically-DOUBLE l_quantity)
     "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+    "src_zstd_roundtrip",
     "text_bm25", "text_contamination_ngram", "text_entropy",
     "text_langid", "text_langid_eval", "text_len_histogram",
     // text_pack_sweep: the same CAST(COALESCE(sum OVER ...)) offset

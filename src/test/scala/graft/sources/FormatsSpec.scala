@@ -18,6 +18,18 @@ class FormatsSpec extends SparkSpec {
     assert(nLines == nDocs, s"text dump has $nLines lines for $nDocs docs")
   }
 
+  test("zstd round-trip really writes zstd part files") {
+    // run the registered query first so the artifact exists
+    assert(Formats.zstdRoundtrip(spark, sf).count() > 0)
+    val tag = sf.replaceAll("[^A-Za-z0-9.]", "_") // Formats.sfTag's spelling
+    val parts = Option(new java.io.File(s"/tmp/graft-src-zstd-$tag")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty, "no part files written")
+    assert(parts.forall(_.getName.endsWith(".zstd.parquet")),
+      s"codec option silently ignored: ${parts.map(_.getName).toSeq}")
+  }
+
   test("compaction collapses the 64-file fragment layout by >=8x, keeping rows") {
     val (frag, out) = Formats.compactionDirs(spark, sf)
     def parts(d: String): Int = Option(new java.io.File(d).listFiles())
