@@ -837,6 +837,31 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Longest consecutive-day activity streak per user — the engagement
+    * metric behind every "N-day streak" badge, via the classic
+    * gaps-and-islands identity: over each user's DISTINCT active days
+    * in order, day − row_number is CONSTANT exactly within a
+    * consecutive run, so grouping on that anchor date splits the
+    * timeline into islands with no self-join and no recursive walk.
+    * Per user: active days, distinct islands, and the longest streak.
+    * All date/integer arithmetic; one shuffle on user_id, windows over
+    * each user's |days| ≤ 30 rows. */
+  def activeStreak(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(byUser)))
+      .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
   /** Trailing window depth of the dyadic EWMA — weights 2^(depth−1−k)
     * for lags k = 0..depth−1, normalized by 2^depth − 1. */
   val EwmaDepth = 8
@@ -1197,7 +1222,8 @@ object EventQueries {
     "ev_watermark_tradeoff" -> (watermarkTradeoff _),
     "ev_reaggregate" -> (reaggregate _),
     "ev_sessionize" -> (sessionize _),
-    "ev_peak_concurrency" -> (peakConcurrency _))
+    "ev_peak_concurrency" -> (peakConcurrency _),
+    "ev_active_streak" -> (activeStreak _))
 
   val oracles: Map[String, String] = Map(
     "ev_experiment_srm" -> {
@@ -1735,6 +1761,21 @@ object EventQueries {
       s"""WITH $sessionCtes
          |SELECT user_id, session_no, n_events, first_us, last_us
          |FROM sess ORDER BY user_id, session_no""".stripMargin,
+    "ev_active_streak" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS INTEGER) AS anchor
+        |  FROM ud),
+        |i AS (SELECT user_id, anchor, count(*) AS len
+        |      FROM a GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_peak_concurrency" ->
       s"""WITH $sessionCtes,
          |pt AS (

@@ -991,6 +991,29 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_date", "o_orderkey")
   }
 
+  /** Calendar-dimension build — the most ubiquitous warehouse table:
+    * one row per day spanning the fact table's date range (derived from
+    * a 1-row min/max aggregate, so the spine always covers the data),
+    * with the standard attributes every BI join wants precomputed —
+    * year, quarter, month, day-of-month, ISO week, Sunday-first
+    * day-of-week (1..7, the [[trafficHeatmap]] convention), and the
+    * weekend flag. Generated by `sequence(min, max, 1 day)` — a spine
+    * that can never drift from the facts, where a hand-maintained
+    * calendar goes stale. Pure date arithmetic; |days| rows. */
+  def dateDim(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "orders")
+      .agg(min(col("o_orderdate")).cast("date").as("d0"),
+        max(col("o_orderdate")).cast("date").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .select(col("d"), year(col("d")).as("yr"), quarter(col("d")).as("qtr"),
+        month(col("d")).as("mo"), dayofmonth(col("d")).as("dom"),
+        weekofyear(col("d")).as("iso_wk"), dayofweek(col("d")).as("dow"))
+      .withColumn("is_weekend",
+        when(col("dow") === 1 || col("dow") === 7, 1).otherwise(0))
+      .orderBy("d")
+  }
+
   /** ABC classification — Pareto analysis of part revenue: parts sorted
     * by revenue descending, class A = the head covering the first 80% of
     * cumulative revenue, B = the next 15%, C = the tail. The class
@@ -1894,6 +1917,7 @@ object RelationalQueries {
     "rel_locf_fill" -> (locfFill _),
     "rel_growth_decomp" -> (growthDecomp _),
     "rel_abc_analysis" -> (abcAnalysis _),
+    "rel_date_dim" -> (dateDim _),
     "rel_budget_alloc" -> (budgetAllocation _),
     "rel_q18_large_orders" -> (q18LargeOrders _),
     "rel_merge_upsert" -> (mergeUpsert _),
@@ -2288,6 +2312,22 @@ object RelationalQueries {
          |  round(CAST(nb.n_baskets AS DOUBLE) * t.cnt / (i1.n_item * i2.n_item), 6) AS lift
          |FROM top t JOIN it i1 ON t.p1 = i1.pk JOIN it i2 ON t.p2 = i2.pk, nb
          |ORDER BY cnt DESC, p1 ASC, p2 ASC""".stripMargin,
+    "rel_date_dim" ->
+      """WITH r AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1
+        |  FROM orders),
+        |s AS (SELECT CAST(gs AS DATE) AS d
+        |      FROM r, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) t(gs))
+        |SELECT d, CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS yr,
+        |  CAST(EXTRACT(QUARTER FROM d) AS INTEGER) AS qtr,
+        |  CAST(EXTRACT(MONTH FROM d) AS INTEGER) AS mo,
+        |  CAST(EXTRACT(DAY FROM d) AS INTEGER) AS dom,
+        |  CAST(EXTRACT(WEEK FROM d) AS INTEGER) AS iso_wk,
+        |  CAST(EXTRACT(DOW FROM d) + 1 AS INTEGER) AS dow,
+        |  CASE WHEN EXTRACT(DOW FROM d) + 1 IN (1, 7) THEN 1 ELSE 0 END
+        |    AS is_weekend
+        |FROM s ORDER BY d""".stripMargin,
     "rel_abc_analysis" ->
       """WITH p AS (
         |  SELECT l_partkey AS partkey,
