@@ -171,6 +171,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Dataset card — the one-pager every corpus release ships, as a
+    * (metric, value) table: doc and whitespace-token counts, language
+    * and source cardinality, the exact-duplicate document percentage,
+    * and mean tokens per doc. ALL six metrics come from ONE aggregate
+    * pass over the corpus (count / sum / three countDistincts), melted
+    * to long form by the manual UNION ALL the unpivot family uses —
+    * no second scan, no join. Values ride exact integers until the two
+    * final divisions, rounded to 4 decimals on both engines. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val a = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+    def row(no: Int, name: String, v: Column) =
+      a.select(lit(no).as("metric_no"), lit(name).as("metric"),
+        round(v.cast("double"), 4).as("value"))
+    row(0, "n_docs", col("n_docs"))
+      .unionAll(row(1, "n_tokens", col("n_tokens")))
+      .unionAll(row(2, "n_langs", col("n_langs")))
+      .unionAll(row(3, "n_sources", col("n_sources")))
+      .unionAll(row(4, "doc_dup_pct",
+        expr("cast((n_docs - n_distinct) * 100 as double) / n_docs")))
+      .unionAll(row(5, "mean_doc_tokens",
+        expr("cast(n_tokens as double) / n_docs")))
+      .orderBy("metric_no")
+  }
+
   /** A line is boilerplate when it recurs in at least this many docs. */
   val BoilerDf = 3
 
@@ -1992,6 +2022,7 @@ object TextAnalysis {
     "text_dup_coverage" -> (dupCoverage _),
     "text_line_dedup" -> (lineDedup _),
     "text_boilerplate" -> (boilerplate _),
+    "text_dataset_card" -> (datasetCard _),
     "text_entropy" -> (charEntropy _),
     "text_len_histogram" -> (lenHistogram _),
     "text_dsir_resample" -> (dsirResample _),
@@ -2240,6 +2271,25 @@ object TextAnalysis {
          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ
          |FROM a WHERE n_docs >= 2
          |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT ${DupSpanTopK}""".stripMargin,
+    "text_dataset_card" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT md5(text)) AS n_distinct
+        |  FROM documents)
+        |SELECT metric_no, metric, value FROM (
+        |  SELECT 0 AS metric_no, 'n_docs' AS metric,
+        |    round(CAST(n_docs AS DOUBLE), 4) AS value FROM a
+        |  UNION ALL SELECT 1, 'n_tokens', round(CAST(n_tokens AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 2, 'n_langs', round(CAST(n_langs AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 3, 'n_sources', round(CAST(n_sources AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 4, 'doc_dup_pct',
+        |    round(CAST((n_docs - n_distinct) * 100 AS DOUBLE) / n_docs, 4) FROM a
+        |  UNION ALL SELECT 5, 'mean_doc_tokens',
+        |    round(CAST(n_tokens AS DOUBLE) / n_docs, 4) FROM a)
+        |ORDER BY metric_no""".stripMargin,
     "text_boilerplate" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |l AS (SELECT doc_id,
