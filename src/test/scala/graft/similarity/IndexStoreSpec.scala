@@ -1,0 +1,127 @@
+package graft.similarity
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Atomic cross-process publication (round 12): racing builders must
+  * collapse to one build, concurrent readers must never observe a torn
+  * artifact, and republication (sf change) must leave the superseded
+  * version intact for in-flight readers. */
+class IndexStoreSpec extends SparkSpec {
+
+  private def wipe(name: String): Unit = {
+    val link = Paths.get(IndexStore.Root, name)
+    Files.deleteIfExists(link)
+    Files.deleteIfExists(Paths.get(IndexStore.Root, s"$name.sf"))
+    val v = Paths.get(IndexStore.Root, ".v")
+    if (Files.exists(v)) {
+      val listing = Files.list(v)
+      try listing.forEach { p =>
+        if (p.getFileName.toString.startsWith(s"$name-")) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      } finally listing.close()
+    }
+  }
+
+  private def fixture(n: Int, tag: Long) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong * 31L + tag)).toDF("id", "v")
+  }
+
+  test("racing builders collapse to one build; every read is complete") {
+    val name = "spec_race"
+    wipe(name)
+    val builds = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    val results = (0 until 4).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[(Long, Long)]] {
+        def call(): Seq[(Long, Long)] = {
+          start.await()
+          val df = IndexStore.ensure(spark, "/tmp/sfA", name) {
+            builds.incrementAndGet()
+            fixture(200, 7L)
+          }
+          df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        }
+      })
+    }
+    start.countDown()
+    val rows = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // one winner builds; losers re-check under the lock and read its
+    // publication — and every thread sees the same complete 200 rows
+    assert(builds.get() == 1, s"expected 1 build, got ${builds.get()}")
+    val expected = (0 until 200).map(i => (i.toLong, i.toLong * 31L + 7L))
+    rows.foreach(r => assert(r == expected))
+  }
+
+  test("readers racing a republish never see a torn or mixed artifact") {
+    val name = "spec_swap"
+    wipe(name)
+    // publish version A (sf /tmp/sfA, tag 1), then hammer reads while a
+    // writer republishes for a different sf (tag 2). Every read must be
+    // all-tag-1 or all-tag-2, never a mixture or a partial row set.
+    IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L)).count()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.get() == null) {
+        // ensure() with EITHER sf never tears; use sfA so the reader
+        // only rebuilds if it beats the writer's lock (allowed), and
+        // validate shape + single-tag purity of whatever it got
+        val got = IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L))
+          .select(col("v") - col("id") * 31L).as("tag")
+          .distinct().collect().map(_.getLong(0)).toSeq
+        if (got.size != 1 || !Set(1L, 2L).contains(got.head))
+          torn.set(s"mixed/torn read: tags=$got")
+      }
+    })
+    reader.start()
+    (0 until 3).foreach { _ =>
+      IndexStore.ensure(spark, "/tmp/sfB", name)(fixture(300, 2L)).count()
+      IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L)).count()
+    }
+    stop.set(true)
+    reader.join(120000)
+    assert(torn.get() == null, torn.get())
+  }
+
+  test("sf change invalidates; unchanged sf serves the cached version") {
+    val name = "spec_sf"
+    wipe(name)
+    val builds = new AtomicInteger(0)
+    def run(sf: String, tag: Long) =
+      IndexStore.ensure(spark, sf, name) { builds.incrementAndGet(); fixture(10, tag) }
+        .agg(sum("v")).collect()(0).getLong(0)
+    val a1 = run("/tmp/sfA", 5L)
+    val a2 = run("/tmp/sfA", 999L) // stale build arg must NOT run
+    assert(builds.get() == 1 && a1 == a2, "warm serve must not rebuild")
+    val b = run("/tmp/sfB", 6L)
+    assert(builds.get() == 2 && b != a1, "sf change must rebuild")
+    assert(run("/tmp/sfA", 5L) == a1 && builds.get() == 3)
+  }
+
+  test("legacy non-symlink directory layout is migrated, not trusted") {
+    val name = "spec_legacy"
+    wipe(name)
+    // seed the pre-round-12 layout: plain dir + desyncable sidecar marker
+    val legacy = Paths.get(IndexStore.Root, name)
+    fixture(5, 111L).write.mode("overwrite").parquet(legacy.toString)
+    Files.writeString(Paths.get(IndexStore.Root, s"$name.sf"), "/tmp/sfA")
+    val got = IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(5, 42L))
+      .agg(sum("v")).collect()(0).getLong(0)
+    // rebuilt fresh (tag 42), published as a symlink, sidecar gone
+    assert(got == (0 until 5).map(i => i * 31L + 42L).sum)
+    assert(Files.isSymbolicLink(legacy))
+    assert(!Files.exists(Paths.get(IndexStore.Root, s"$name.sf")))
+  }
+}

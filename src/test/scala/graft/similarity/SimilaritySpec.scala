@@ -427,7 +427,12 @@ class SimilaritySpec extends SparkSpec {
     // must invalidate (the stale-index guard)
     val warm = ivfRows(Similarity.ivfServedTopK(spark, sf))
     assert(warm == ivfRows(Similarity.ivfTrainedTopK(spark, sf)))
-    val marker = root.resolve("ivf_assign.sf")
+    // round 12: the sf marker lives INSIDE the published version dir
+    // (reached through the atomic symlink), never as a desyncable sidecar
+    val link = root.resolve("ivf_assign")
+    assert(java.nio.file.Files.isSymbolicLink(link),
+      "published artifact must be an atomic symlink, not a mutable dir")
+    val marker = link.toRealPath().resolve(IndexStore.SfMarker)
     assert(java.nio.file.Files.readString(marker).trim ==
       java.nio.file.Paths.get(sf).normalize().toString)
   }
