@@ -74,6 +74,38 @@ object Bench {
     * (the r10 window) must qualify as loaded. */
   val LoadedSampleThreshold = 1.5
 
+  /** Bounded quiet-window gate (round 13): before any timing starts, the
+    * bench POLLS loadavg until the window is actually quiet instead of
+    * merely stamping that it wasn't. Three committed records in a row
+    * (r10 load 3.03, r11 load_warn, r12 load 2.29) measured someone
+    * else's work; waiting out a transient spike costs minutes once,
+    * mis-stamping a round's official number costs a whole round. The
+    * wait is BOUNDED — past the deadline the run proceeds (refusing
+    * would leave the driver with no record at all) and the stamped
+    * `load_before`/`quiet_wait_sec` make the contention self-identifying. */
+  val QuietDeadlineSec = 300
+  val QuietPollSec = 10
+
+  /** Poll `sample` until it drops below [[LoadedSampleThreshold]] or
+    * `deadlineSec` of waiting elapses. Returns (finalLoad, waitedSec).
+    * A negative sample (unreadable /proc/loadavg) exits immediately —
+    * an unknown load must not burn the full deadline. Injectable clock
+    * and sampler so the spec can drive it without sleeping. */
+  private[graft] def awaitQuietWindow(sample: () => Double,
+      deadlineSec: Int = QuietDeadlineSec, pollSec: Int = QuietPollSec,
+      sleep: Long => Unit = Thread.sleep): (Double, Int) = {
+    var waited = 0
+    var load = sample()
+    while (load >= LoadedSampleThreshold && waited < deadlineSec) {
+      System.err.println(f"[bench] load $load%.2f >= $LoadedSampleThreshold; " +
+        s"waiting for a quiet window (${waited}s/${deadlineSec}s)")
+      sleep(pollSec * 1000L)
+      waited += pollSec
+      load = sample()
+    }
+    (load, waited)
+  }
+
   private def loadAvg(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split(" ")(0).toDouble
@@ -157,7 +189,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val priors = loadPriors(sfDir)
-    val loadBefore = loadAvg()
+    val (loadBefore, quietWait) = awaitQuietWindow(() => loadAvg())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -217,6 +249,7 @@ object Bench {
     val provenance =
       s""""load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)}""" +
         (if (loadWarn) ""","load_warn":true""" else "") +
+        (if (quietWait > 0) s""","quiet_wait_sec":$quietWait""" else "") +
         s""","n_retried":${retried.size}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

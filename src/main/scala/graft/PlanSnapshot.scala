@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.PlanDigest
+
+/** Regenerates the committed plan-digest ledger (`PLAN_SNAPSHOT.json`):
+  * one [[graft.plans.PlanDigest]] line per batch query at the pinned sf.
+  * Run after an INTENTIONAL plan change, eyeball the git diff (exactly
+  * the queries you meant to touch, exactly the features you meant to
+  * move), and commit the new snapshot next to the code change —
+  * `PlanSnapshotSpec` gates that nothing ELSE moved.
+  *
+  * `sbt "runMain graft.PlanSnapshot"` */
+object PlanSnapshot {
+
+  /** The sf the ledger is pinned at. Join-strategy choice is stats-driven,
+    * so digests are only comparable at the sf they were taken at; 0.001
+    * matches PlanAuditSpec (plans there are cheap to build, and the
+    * OPERATOR SET — unlike runtime partition counts — is what the digest
+    * keeps). */
+  val PinnedSf = "/root/testdata/sf0.001"
+
+  val SnapshotPath = "PLAN_SNAPSHOT.json"
+
+  /** Streaming builders EXECUTE a stream inside (runToMemory) and return
+    * a memory-sink scan — their stateful plans are asserted in the
+    * streaming specs, not snapshotted here. */
+  def skip(name: String): Boolean =
+    name.startsWith("stream_") || name == "tw_q2_stream_top_emoji"
+
+  def digests(spark: SparkSession): Seq[(String, String)] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { name =>
+      name -> PlanDigest.of(SparkEntry.queries(name)(spark, PinnedSf))
+    }
+
+  def render(ds: Seq[(String, String)]): String =
+    ds.map { case (n, d) => s"""  "$n": "$d"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.writeString(Paths.get(SnapshotPath), render(digests(spark)))
+    println(s"wrote $SnapshotPath")
+    spark.stop()
+  }
+}

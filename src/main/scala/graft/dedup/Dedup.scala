@@ -968,7 +968,13 @@ object Dedup {
       |    CAST(sum(CASE WHEN dotj >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM d GROUP BY vec_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // a DEF, not a val: serve-query oracles embed IndexStore.duckdbScan,
+  // which resolves the artifact symlink to its current immutable version.
+  // That resolution must happen when oracle_sql.json is WRITTEN (after
+  // every build/republish in the run), not at object-init time -- a val
+  // freezes the pre-rebuild version, which the GC grace window still
+  // keeps on disk, and the oracle silently compares a stale artifact.
+  def oracles: Map[String, String] = Map(
     // both the per-geometry CTE chains and the result rows are GENERATED
     // from SweepBandWidths — the same constant the Spark side iterates —
     // so editing the sweep geometries can never silently desync kernel

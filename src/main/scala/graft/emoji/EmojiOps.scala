@@ -61,6 +61,31 @@ object EmojiOps {
     token.rlike(QuirkEmojiClass) &&
       !token.contains("(") && !token.contains(")") && !token.contains("|")
 
+  /** Grapheme-cluster census classes (round 13 — the first upgrade a real
+    * emoji-analytics user asks for; the reference pptx slide 7 scopes ZWJ
+    * sequences OUT of its code-point census, so this is a superset query
+    * next to [[extractEmojis]], not a fidelity change). A maximal emoji
+    * grapheme cluster is either a regional-indicator PAIR (a flag) or a
+    * base pictograph carrying any run of skin-tone modifiers / VS-16,
+    * extended through any number of ZWJ joints (👩‍💻, 👨‍👩‍👧, 🙏🏽,
+    * ❤️‍🔥 each count ONCE). The base class extends the reference's three
+    * blocks with Misc-Symbols/Dingbats, Transport, and Symbols-Ext-A so
+    * ZWJ families built from them stay whole. The pattern text is valid
+    * in BOTH Java regex (Spark) and RE2 (the DuckDB oracle): code-point
+    * classes, greedy quantifiers, non-capturing groups, leftmost-first
+    * alternation. */
+  val GraphemeBase: String =
+    "[\\x{2600}-\\x{27BF}\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}" +
+      "\\x{1F680}-\\x{1F6FF}\\x{1F900}-\\x{1F9FF}\\x{1FA70}-\\x{1FAFF}]"
+  val GraphemeMod: String = "[\\x{1F3FB}-\\x{1F3FF}\\x{FE0F}]"
+  val GraphemeCluster: String =
+    s"(?:[\\x{1F1E6}-\\x{1F1FF}]{2})|" +
+      s"(?:$GraphemeBase$GraphemeMod*(?:\\x{200D}$GraphemeBase$GraphemeMod*)*)"
+
+  /** Maximal emoji grapheme clusters, in order (see [[GraphemeCluster]]). */
+  def extractEmojiClusters(text: Column): Column =
+    regexp_extract_all(text, lit(GraphemeCluster), lit(0))
+
   /** q3's word pipeline (reference q3:167-168,173-174): strip whitespace /
     * control / invisible characters, then keep alphanumeric' words.
     * [[WordNoise]] is the reference's literal Java class (with its `&&`

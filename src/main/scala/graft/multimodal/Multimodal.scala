@@ -260,6 +260,33 @@ object Multimodal {
     decodeHeaders(media).toDF().orderBy("doc_id")
   }
 
+  /** Format x width-bucket census over the REAL header decode — the
+    * corpus-profile report a multimodal training pipeline runs first
+    * ("what formats and resolutions am I holding?"). Same decode path as
+    * [[mediaHeaders]] (synthesize → [[decodeHeaders]] byte walk → stub
+    * fallback), then a grouped rollup: row counts, dimension extrema, and
+    * byte totals per (fmt, floor(width/100)). The oracle re-derives every
+    * cell from the synthesis arithmetic, so a parser that misreads a
+    * single header shifts a bucket count and hash-mismatches. Scale
+    * shape: one mapPartitions decode (the codec boundary) feeding a
+    * partial-agg groupBy on a low-cardinality key — map-side combine
+    * collapses the shuffle to ~|fmt x buckets| rows per partition
+    * regardless of corpus size. */
+  def mediaHeaderCensus(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, synthesizeHeader(id)))
+    decodeHeaders(media).toDF()
+      .groupBy(col("fmt"), floor(col("width") / lit(100)).as("w_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("width").as("min_w"), max("width").as("max_w"),
+        min("height").as("min_h"), max("height").as("max_h"),
+        sum("byte_len").as("bytes"))
+      .orderBy("fmt", "w_bucket")
+  }
+
   /** Frame-sampling plumbing: each payload yields one row per fixed-stride
     * "frame" (stub boundaries every FrameStep bytes — a real video decoder
     * would emit keyframe offsets here). The generator shape (posexplode of
@@ -582,6 +609,7 @@ object Multimodal {
     "mm_phash_served" -> (mediaPhashServed _),
     "mm_embed_stub" -> (mediaEmbed _),
     "mm_headers" -> (mediaHeaders _),
+    "mm_header_census" -> (mediaHeaderCensus _),
     "mm_ahash" -> (mediaAhash _),
     "mm_phash" -> (mediaPhash _),
     "mm_phash_pairs" -> (mediaPhashPairs _),
@@ -672,7 +700,13 @@ object Multimodal {
 
   /** Oracle mirrors the stub arithmetic; DuckDB strlen counts UTF-8 bytes
     * (= Spark length over the binary cast), so non-ASCII text matches. */
-  val oracles: Map[String, String] = Map(
+  // a DEF, not a val: serve-query oracles embed IndexStore.duckdbScan,
+  // which resolves the artifact symlink to its current immutable version.
+  // That resolution must happen when oracle_sql.json is WRITTEN (after
+  // every build/republish in the run), not at object-init time — a val
+  // freezes the pre-rebuild version, which the GC grace window still
+  // keeps on disk, and the oracle silently compares a stale artifact.
+  def oracles: Map[String, String] = Map(
     "mm_embed_stub" ->
       s"""WITH d AS (SELECT doc_id, strlen(text) AS byte_len FROM documents
          |           WHERE text IS NOT NULL),
@@ -733,6 +767,31 @@ object Multimodal {
         |      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END
         |  END AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the census oracle rolls the same per-doc arithmetic up by
+    // (fmt, floor(width/100)): one wrong header parse shifts a cell
+    "mm_header_census" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 3
+        |      WHEN 0 THEN 33 + doc_id % 17
+        |      WHEN 1 THEN 37 + doc_id % 13
+        |      ELSE 10 + doc_id % 29 END AS BIGINT) AS byte_len,
+        |    CAST(CASE doc_id % 3
+        |      WHEN 2 THEN 64 + (10 + doc_id % 29) % 577
+        |      ELSE 1 + doc_id % 1000 END AS BIGINT) AS width,
+        |    CAST(CASE doc_id % 3
+        |      WHEN 2 THEN 64 + ((10 + doc_id % 29) * 31) % 417
+        |      ELSE 1 + (doc_id * 7) % 800 END AS BIGINT) AS height,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+        |      ELSE CASE (10 + doc_id % 29) % 3
+        |        WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END
+        |    END AS fmt
+        |  FROM documents)
+        |SELECT fmt, CAST(floor(width / 100.0) AS BIGINT) AS w_bucket,
+        |  count(*) AS n, min(width) AS min_w, max(width) AS max_w,
+        |  min(height) AS min_h, max(height) AS max_h,
+        |  CAST(sum(byte_len) AS BIGINT) AS bytes
+        |FROM h GROUP BY fmt, w_bucket ORDER BY fmt, w_bucket""".stripMargin,
     "mm_ahash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, ahash,

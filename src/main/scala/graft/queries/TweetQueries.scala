@@ -112,6 +112,21 @@ object TweetQueries {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token"))
 
+  /** Grapheme-cluster census (round 13, SURVEY §2.3 upgrade): maximal
+    * emoji clusters — ZWJ families, skin-tone/VS-16 runs, flag RI pairs —
+    * counted WHOLE, next to the code-point census ([[topEmoji]]) that
+    * decomposes them. 👨‍👩‍👧 is one row here, three rows there; the
+    * fixture corpus carries both ZWJ families and bare modifiers, so the
+    * two censuses provably diverge. Same plan shape as every census:
+    * scan → extract-all → explode → one hash-agg shuffle → small sort. */
+  def topEmojiGrapheme(spark: SparkSession, dir: String): DataFrame =
+    tweets(spark, dir)
+      .select(col("data.text").as("text"))
+      .filter(col("text").isNotNull)
+      .select(explode(EmojiOps.extractEmojiClusters(col("text"))).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("cluster"))
+
   /** The strict census at bench scale: same plan as [[topEmoji]], over the
     * deterministic 100k-tweet generated corpus (TweetCorpus) — the entry
     * that actually measures the tokenizer instead of session overhead. */
@@ -270,6 +285,7 @@ object TweetQueries {
     "tw_q1_top_emoji" -> (topEmoji _),
     "tw_q1_least_emoji" -> (leastEmoji _),
     "tw_q1_top_emoji_quirk" -> (topEmojiQuirk _),
+    "tw_q1_grapheme" -> (topEmojiGrapheme _),
     "tw_q1_top_emoji_scaled" -> (topEmojiScaled _),
     "tw_q1_emoji_grin" -> specificEmoji("^😀$") _,   // 😀 U+1F600
     "tw_q1_emoji_fire" -> specificEmoji("^🔥$") _,   // 🔥 U+1F525
@@ -322,6 +338,14 @@ object TweetQueries {
          |WHERE regexp_matches(token, '[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F900}-\\x{1F9FF}()|]')
          |  AND NOT contains(token, '(') AND NOT contains(token, ')') AND NOT contains(token, '|')
          |GROUP BY token ORDER BY cnt DESC, token""".stripMargin,
+    // the cluster pattern is ONE shared literal (EmojiOps.GraphemeCluster),
+    // valid in both Java regex and RE2 — the census and its oracle can
+    // never drift apart on the pattern text
+    "tw_q1_grapheme" ->
+      s"""SELECT cluster, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_extract_all(data.text, '${EmojiOps.GraphemeCluster}')) AS cluster
+         |  FROM $tweetsSql WHERE data.text IS NOT NULL)
+         |GROUP BY cluster ORDER BY cnt DESC, cluster""".stripMargin,
     "tw_q1_top_emoji_scaled" ->
       s"""SELECT emoji, count(*) AS cnt FROM (
          |  SELECT unnest(regexp_extract_all(data.text, '$EmojiClassSql')) AS emoji

@@ -28,21 +28,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot commit:
   *
   *  - every build lands in a fresh immutable VERSION directory
-  *    (`Root/.v/<name>-<token>`), with the scale-factor marker written
-  *    INSIDE it (`_GRAFT_SF`, underscore-prefixed so both Spark and the
-  *    oracle's `*.parquet` glob ignore it) — marker and data live or die
-  *    together, they can never desync;
+  *    (`Root/.v/<name>/<token>` — a per-name subdirectory, so no other
+  *    artifact's GC can ever match this name by prefix), with the
+  *    scale-factor marker written INSIDE it (`_GRAFT_SF`,
+  *    underscore-prefixed so both Spark and the oracle's `*.parquet`
+  *    glob ignore it) — marker and data live or die together, they can
+  *    never desync;
   *  - `Root/<name>` is a SYMLINK to the current version, replaced via
   *    temp-link + atomic `rename(2)` — readers see the old complete
   *    version or the new complete version, never a mixture;
   *  - readers resolve the link ONCE and scan the immutable real path, so
-  *    a republish mid-scan cannot swap files under them;
+  *    a republish mid-scan cannot swap files under them; the DuckDB
+  *    oracle's scan SQL is likewise generated against the RESOLVED
+  *    version path, so Spark and the oracle provably read the same
+  *    snapshot;
   *  - writers serialize through a per-name advisory file lock (plus a
   *    JVM-level monitor, since POSIX file locks are per-process) and
   *    re-check under the lock, so racing builders collapse to one build;
-  *  - the lock holder garbage-collects versions it just superseded,
-  *    KEEPING the immediately previous one — an in-flight reader that
-  *    resolved the link before the swap finishes its scan untouched.
+  *  - the lock holder garbage-collects superseded versions, KEEPING the
+  *    immediately previous one unconditionally AND any version younger
+  *    than [[GcGraceMs]] — an in-flight reader that resolved the link
+  *    even TWO republishes ago finishes its scan untouched, because a
+  *    version only becomes collectable once it has been superseded for
+  *    longer than any realistic scan.
   *
   * A build that dies mid-write leaves an unpublished version directory and
   * an untouched link: readers never see it, and the next writer GCs it.
@@ -59,6 +67,11 @@ object IndexStore {
   /** Marker file inside each version directory recording the sf dir the
     * artifact was built from (underscore prefix = ignored by scans). */
   val SfMarker = "_GRAFT_SF"
+
+  /** Superseded versions younger than this are never GC'd, so a reader
+    * that resolved the link before the swap — even one that defers its
+    * scan across a further republish — keeps its files. Spec-tunable. */
+  @volatile private[similarity] var GcGraceMs: Long = 10L * 60L * 1000L
 
   /** POSIX file locks are held per-process: a second thread in the same
     * JVM hitting the same lock file throws OverlappingFileLockException
@@ -110,6 +123,42 @@ object IndexStore {
     spark.read.parquet(real.toString)
   }
 
+  /** Unconditional versioned COMMIT of a new published version of `name`
+    * — the write half of the snapshot protocol generalized beyond
+    * build-once artifacts (round 13, the table-format MERGE/overwrite
+    * path): the streaming MERGE sink and the snapshot-reader land every
+    * micro-batch / table version through this, so a concurrent reader
+    * (same JVM or another process) always resolves either the previous
+    * complete version or the new complete version, never a mixture or a
+    * half-written directory. Serializes with [[ensure]] writers through
+    * the same per-name monitor + advisory file lock; superseded versions
+    * follow the same grace-window GC. The in-version marker records
+    * `tag` (the commit's logical version), not an sf dir — a name is
+    * either ensure-managed or commit-managed, never both. Returns the
+    * immutable version path just published. */
+  def commit(name: String, tag: String)(build: => DataFrame): Path = {
+    val monitor = jvmLocks.computeIfAbsent(name, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(versionsDir)
+      val lockFile = Paths.get(Root, s".lock-$name")
+      val ch = FileChannel.open(lockFile,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try buildAndPublish(name, tag, build)
+        finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Read the currently published version of `name`: resolve the link
+    * ONCE, scan the immutable real path — the read half of the snapshot
+    * protocol (a commit racing this read cannot swap files mid-scan,
+    * and the GC grace keeps the resolved version alive well past any
+    * realistic scan). */
+  def readCurrent(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(linkPath(name).toRealPath().toString)
+
   /** Must hold the per-name lock. Builds a fresh version, publishes it
     * with an atomic link swap, GCs superseded versions (keeping the one
     * just replaced for in-flight readers). Returns the new real path. */
@@ -126,7 +175,8 @@ object IndexStore {
       deleteRecursively(link)
     Files.deleteIfExists(Paths.get(Root, s"$name.sf")) // legacy sidecar
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val version = versionsDir.resolve(s"$name-$token")
+    val version = versionsDir.resolve(name).resolve(token)
+    Files.createDirectories(version.getParent)
     build.write.mode("overwrite").parquet(version.toString)
     Files.writeString(version.resolve(SfMarker), want)
     // atomic publish: temp symlink + rename over the old link
@@ -135,17 +185,41 @@ object IndexStore {
     Files.createSymbolicLink(tmpLink, version)
     Files.move(tmpLink, link, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // GC: every version of this name except the new one and its immediate
-    // predecessor (an in-flight reader may still be scanning that one)
-    val keep = Set(version) ++ previous
-    try {
-      val listing = Files.list(versionsDir)
-      try listing.forEach { p =>
-        if (p.getFileName.toString.startsWith(s"$name-") && !keep.contains(p))
-          deleteRecursively(p)
-      } finally listing.close()
-    } catch { case NonFatal(_) => () } // GC is best-effort, never fatal
+    gcSuperseded(name, version, previous)
     version
+  }
+
+  /** Best-effort GC of superseded versions of `name`. Keeps the freshly
+    * published version, the immediately previous one (an in-flight reader
+    * may be scanning it), and anything younger than [[GcGraceMs]] (a
+    * deferred reader two republishes behind keeps its files until no
+    * realistic scan can still hold them). Keep-set membership is by FILE
+    * NAME, not full path, so symlinked ancestors (/tmp → /private/tmp)
+    * can't defeat the comparison. Also sweeps the pre-round-13 flat
+    * layout (`.v/<name>-<8hex>-<3hex>` — the token shape is matched
+    * exactly, so a sibling artifact whose name merely starts with `name-`
+    * can never be caught). */
+  private def gcSuperseded(name: String, version: Path,
+      previous: Option[Path]): Unit = {
+    val keepNames = Set(version.getFileName.toString) ++
+      previous.map(_.getFileName.toString)
+    val now = System.currentTimeMillis()
+    def expired(p: Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis >= GcGraceMs
+      catch { case NonFatal(_) => false }
+    def sweep(dir: Path, matches: Path => Boolean): Unit =
+      if (Files.isDirectory(dir)) try {
+        val listing = Files.list(dir)
+        try listing.forEach { p =>
+          if (matches(p) && !keepNames.contains(p.getFileName.toString) &&
+              expired(p))
+            deleteRecursively(p)
+        } finally listing.close()
+      } catch { case NonFatal(_) => () } // GC is best-effort, never fatal
+    sweep(versionsDir.resolve(name), _ => true)
+    val legacy = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "-[0-9a-f]{8}-[0-9a-f]{3}")
+    sweep(versionsDir, p => legacy.matcher(p.getFileName.toString).matches())
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -156,8 +230,16 @@ object IndexStore {
   }
 
   /** DuckDB spelling of an artifact scan (the oracle side of the split).
-    * The glob runs through the published symlink, which resolves to one
-    * complete immutable version. */
-  def duckdbScan(name: String): String =
-    s"read_parquet('$Root/$name/*.parquet')"
+    * The symlink is resolved HERE, at SQL-generation time, so the oracle's
+    * glob-list and file-open both hit one immutable version directory —
+    * the same snapshot Spark scanned — and can never straddle a swap. */
+  def duckdbScan(name: String): String = {
+    val link = linkPath(name)
+    val target =
+      try {
+        if (Files.isSymbolicLink(link)) link.toRealPath().toString
+        else link.toString
+      } catch { case NonFatal(_) => link.toString }
+    s"read_parquet('$target/*.parquet')"
+  }
 }

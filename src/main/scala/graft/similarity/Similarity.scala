@@ -1950,7 +1950,13 @@ object Similarity {
          |  FROM adc)
          |SELECT qid, vec_id, dot, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // a DEF, not a val: serve-query oracles embed IndexStore.duckdbScan,
+  // which resolves the artifact symlink to its current immutable version.
+  // That resolution must happen when oracle_sql.json is WRITTEN (after
+  // every build/republish in the run), not at object-init time -- a val
+  // freezes the pre-rebuild version, which the GC grace window still
+  // keeps on disk, and the oracle silently compares a stale artifact.
+  def oracles: Map[String, String] = Map(
     "sim_ivf_pq" ->
       s"""$cellAssignSql,
          |probe AS (

@@ -488,7 +488,62 @@ object Formats {
       .orderBy("source")
   }
 
+  /** Transactional snapshot target (round 13, VERDICT r12 #7 — the
+    * manifest-snapshot protocol generalized from the trained-index store):
+    * a writer lands three GROWING versions of a keyed table through
+    * `IndexStore.commit` (immutable version dir + atomic symlink swap +
+    * grace GC — the essence of a Delta/Iceberg snapshot commit), while a
+    * concurrent reader thread hammers `readCurrent` the whole time. Every
+    * read must be ONE complete version — a single `version` tag and that
+    * version's exact row count — or the query throws and the correctness
+    * gate goes red; the registered result is the final snapshot, whose
+    * oracle recomputes version 3 (= the full events table) from the base
+    * table. At 100 TB the writer is a MERGE/OVERWRITE transaction and the
+    * reader is any concurrent job: the guarantee under test — no torn,
+    * mixed, or half-committed scans, ever — is the one a table format
+    * exists to provide. */
+  def snapshotReader(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.similarity.IndexStore
+    val name = "snap_user_counts"
+    val ev = Tables(spark, dir, "events").select(col("user_id"), col("event_id"))
+    def version(v: Int): DataFrame =
+      ev.filter(col("event_id") % 3 < v)          // v=3 ⇒ the whole table
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .withColumn("version", lit(v.toLong))
+    val expected = (1 to 3).map(v => v.toLong -> version(v).count()).toMap
+    val first = IndexStore.commit(name, "v1")(version(1))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.get() == null) {
+        try {
+          val snap = IndexStore.readCurrent(spark, name)
+            .groupBy("version").agg(count(lit(1)).as("n")).collect()
+          if (snap.length != 1)
+            torn.set(s"mixed versions in one read: ${snap.mkString(", ")}")
+          else if (expected(snap(0).getLong(0)) != snap(0).getLong(1))
+            torn.set(s"incomplete version ${snap(0).getLong(0)}: " +
+              s"${snap(0).getLong(1)} rows, expected ${expected(snap(0).getLong(0))}")
+        } catch { case e: Throwable => torn.set(s"reader threw: $e") }
+      }
+    })
+    reader.start()
+    val last =
+      try { IndexStore.commit(name, "v2")(version(2)); IndexStore.commit(name, "v3")(version(3)) }
+      finally { stop.set(true); reader.join(120000) }
+    if (torn.get() != null)
+      throw new IllegalStateException(s"snapshot isolation violated: ${torn.get()}")
+    // the deferred-read guarantee rides along: version 1, resolved before
+    // two further commits, must still scan completely (GC grace)
+    val v1 = spark.read.parquet(first.toString).count()
+    if (v1 != expected(1L))
+      throw new IllegalStateException(s"deferred v1 scan saw $v1 of ${expected(1L)} rows")
+    spark.read.parquet(last.toString).orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_snapshot_reader" -> (snapshotReader _),
     "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
@@ -514,6 +569,11 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // final snapshot = version 3 = the per-user census of the WHOLE table
+    "src_snapshot_reader" ->
+      """SELECT user_id, count(*) AS n_events, CAST(3 AS BIGINT) AS version
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "src_compaction" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -460,13 +460,21 @@ object StreamingOps {
     * the `rel_merge_upsert` classification — key on both sides → the row
     * with the GREATER (ts, event_id) wins (a conditional update, so the
     * apply is CDC-correct and order-independent, not latest-batch-wins);
-    * batch-only → insert; target-only → keep. The merged state lands as a
-    * NEW versioned parquet directory — a job never overwrites the files
-    * it is lazily reading, which is exactly the copy-on-write protocol
-    * Delta/Iceberg implement with a transaction log; at 100 TB this
-    * foreachBatch body becomes `MERGE INTO target USING batch` against
-    * such a table format and the plan inside is unchanged (the target
-    * side additionally prunes to touched partitions). State is
+    * batch-only → insert; target-only → keep. The merged state lands
+    * through `IndexStore.commit` (round 13): an immutable version
+    * directory published by atomic symlink swap under the per-name lock
+    * — a job never overwrites the files it is lazily reading, and a
+    * concurrent reader (this JVM or another process, via
+    * `IndexStore.readCurrent("merge_target")`) always sees one complete
+    * version. That is exactly the copy-on-write + snapshot-commit
+    * protocol Delta/Iceberg implement with a transaction log; at 100 TB
+    * this foreachBatch body becomes `MERGE INTO target USING batch`
+    * against such a table format and the plan inside is unchanged (the
+    * target side additionally prunes to touched partitions). The chain
+    * pointer stays run-local (each run starts from an EMPTY target — a
+    * cross-run pointer would leak another scale factor's users into the
+    * oracle comparison), but every version is externally published.
+    * State is
     * keyed-dimension-sized (|users|), never |events|; no row transits the
     * driver. Final state must equal the batch argmax per user over the
     * whole table — the cross-engine oracle. */
@@ -474,7 +482,6 @@ object StreamingOps {
     Engine.tune(spark)
     val feed = timeSplitFeed(spark, dir, n = 3)
     val schema = eventsSchema(spark, dir)
-    val targetRoot = graft.TempDirs.create("graft-merge-target")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try {
@@ -484,9 +491,10 @@ object StreamingOps {
       val events = Tables.normalizeEvents(stream)
         .select(col("user_id"), col("event_type"), col("value"),
           col("ts"), col("event_id"))
-      // driver-side version pointer (the stand-in for a table format's
-      // transaction log); foreachBatch bodies run serially on the driver
-      var current: Option[String] = None
+      // run-local version pointer (fresh target per run); the PUBLICATION
+      // of each version is IndexStore.commit's atomic symlink protocol.
+      // foreachBatch bodies run serially on the driver
+      var current: Option[java.nio.file.Path] = None
       var nextV = 0L
       val q = events.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -498,7 +506,7 @@ object StreamingOps {
           // the persisted target carries the output names (last_*); map it
           // back to the event shape the merge classifier joins on
           val cur = current match {
-            case Some(d) => s.read.parquet(d)
+            case Some(d) => s.read.parquet(d.toString)
               .select(col("user_id"), col("last_type").as("event_type"),
                 col("last_value").as("value"), col("last_ts").as("ts"),
                 col("last_event_id").as("event_id"))
@@ -519,9 +527,8 @@ object StreamingOps {
               when(takeB, col("b_value")).otherwise(col("t_value")).as("last_value"),
               when(takeB, col("b_ts")).otherwise(col("t_ts")).as("last_ts"),
               when(takeB, col("b_event_id")).otherwise(col("t_event_id")).as("last_event_id"))
-          val next = targetRoot.resolve(s"v$nextV").toString
-          merged.write.mode("overwrite").parquet(next)
-          current = Some(next)
+          current = Some(graft.similarity.IndexStore
+            .commit("merge_target", s"batch-$nextV")(merged))
           nextV += 1
         }
         .options(ckptOption)
@@ -533,7 +540,8 @@ object StreamingOps {
         s"streaming merge ran $dataBatches data-carrying micro-batches, " +
           "expected >= 3 (the upsert must prove itself across triggers)")
       spark.read.parquet(current.getOrElse(
-        throw new IllegalStateException("streaming merge produced no target version")))
+        throw new IllegalStateException("streaming merge produced no target version"))
+        .toString)
         .orderBy("user_id")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }

@@ -2150,7 +2150,13 @@ object TextAnalysis {
          |ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  // a DEF, not a val: serve-query oracles embed IndexStore.duckdbScan,
+  // which resolves the artifact symlink to its current immutable version.
+  // That resolution must happen when oracle_sql.json is WRITTEN (after
+  // every build/republish in the run), not at object-init time -- a val
+  // freezes the pre-rebuild version, which the GC grace window still
+  // keeps on disk, and the oracle silently compares a stale artifact.
+  def oracles: Map[String, String] = Map(
     "text_vocab_growth" ->
       s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
          |tk AS (

@@ -158,4 +158,38 @@ class BenchSpec extends AnyFunSuite {
     val (tf, _, okf, _) = Bench.measureOne("q_dead", runs = 2, None, () => (0.3, false))
     assert(tf == 0.3 && !okf)
   }
+
+  test("awaitQuietWindow: a quiet start returns immediately, zero wait") {
+    var slept = 0L
+    val (load, waited) = Bench.awaitQuietWindow(() => 0.8,
+      deadlineSec = 300, pollSec = 10, sleep = ms => slept += ms)
+    assert(load == 0.8 && waited == 0 && slept == 0L)
+  }
+
+  test("awaitQuietWindow: waits out a transient spike, stamps the quiet load") {
+    // load decays 3.0 → 2.1 → 1.6 → 1.2; the gate must poll through the
+    // loaded samples and return the first sub-threshold one
+    val samples = Iterator(3.0, 2.1, 1.6, 1.2)
+    var slept = 0L
+    val (load, waited) = Bench.awaitQuietWindow(() => samples.next(),
+      deadlineSec = 300, pollSec = 10, sleep = ms => slept += ms)
+    assert(load == 1.2, "must return the first quiet sample")
+    assert(waited == 30 && slept == 30000L, "three 10 s polls")
+  }
+
+  test("awaitQuietWindow: the deadline bounds the wait — a loaded box still runs") {
+    var slept = 0L
+    val (load, waited) = Bench.awaitQuietWindow(() => 5.0,
+      deadlineSec = 60, pollSec = 10, sleep = ms => slept += ms)
+    assert(load == 5.0, "the final (still-loaded) sample is what gets stamped")
+    assert(waited == 60 && slept == 60000L, "exactly the deadline, then proceed")
+  }
+
+  test("awaitQuietWindow: unreadable loadavg (-1) exits immediately") {
+    var slept = 0L
+    val (load, waited) = Bench.awaitQuietWindow(() => -1.0,
+      deadlineSec = 300, pollSec = 10, sleep = ms => slept += ms)
+    assert(load == -1.0 && waited == 0 && slept == 0L,
+      "an unknown load must not burn the deadline")
+  }
 }

@@ -46,6 +46,41 @@ class EmojiOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  private def clusters(s: String): Seq[String] =
+    Seq(s).toDF("text")
+      .select(EmojiOps.extractEmojiClusters(col("text")).as("c"))
+      .as[Seq[String]].head()
+
+  test("grapheme clusters: ZWJ families, modifier runs, VS-16, flags stay whole") {
+    // hand-built ZWJ corpus (VERDICT r12 #5): every sequence one cluster
+    val family = "👨" + Zwj + "👩" + Zwj + "👧"
+    assert(clusters(family) == Seq(family), "3-member ZWJ family is ONE cluster")
+    val coder = "👩" + Zwj + "💻"
+    assert(clusters(s"pair $coder here") == Seq(coder))
+    assert(clusters("👍🏽") == Seq("👍🏽"), "skin tone rides its base")
+    val heartFire = "❤️" + Zwj + "🔥"
+    assert(clusters(heartFire) == Seq(heartFire), "VS-16 + ZWJ extend the cluster")
+    val flagBr = "🇧🇷" // regional indicators B+R
+    assert(clusters(s"go $flagBr!") == Seq(flagBr), "flag = RI pair, one cluster")
+    // adjacent clusters split between, never inside
+    assert(clusters(family + coder) == Seq(family, coder))
+    // three RIs: leftmost pair is a flag, the odd one out matches nothing
+    val riC = "🇨"
+    assert(clusters(flagBr + riC) == Seq(flagBr))
+    // the code-point census DECOMPOSES the same corpus — the two censuses
+    // provably measure different things
+    assert(extract(family) == Seq("👨", "👩", "👧"))
+    assert(extract(coder) == Seq("👩", "💻"))
+  }
+
+  test("grapheme clusters: bare modifiers and plain emoji degrade gracefully") {
+    // a lone skin-tone char (fixture reality: ' 🏽😀') is its own cluster
+    assert(clusters(" 🏽😀") == Seq("🏽", "😀"))
+    // glued plain emoji stay separate clusters (no ZWJ between them)
+    assert(clusters("😀😀🔥") == Seq("😀", "😀", "🔥"))
+    assert(clusters("no emoji") == Seq.empty)
+  }
+
   test("quirk pipeline: RegexSpace no-ops on valid pairs, so glued runs stay glued") {
     // Reference behavior on the JVM (verified outside Spark too): T2's
     // lone-surrogate pattern cannot match inside a valid surrogate pair,

@@ -87,6 +87,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2) == MediaMeta(3L, stub.byte_len, stub.width, stub.height, stub.fmt))
   }
 
+  test("parseImageHeader reads committed real-file fixtures (round 13)") {
+    // fixtures/media holds REAL container bytes committed to the repo: a
+    // fully valid zlib-compressed 3x2 RGB PNG and a baseline-JPEG header
+    // stream (SOI→APP0→DQT→SOF0→DHT→SOS→EOI). The parser must read the
+    // dimensions out of genuine files, not just the spec's hand-rolled
+    // byte arrays.
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/media/rgb_3x2.png"))
+    assert(Multimodal.parseImageHeader(png)
+      .map(m => (m.width, m.height, m.fmt)) == Some((3L, 2L, "png")))
+    val jpg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/media/gray_5x4.jpg"))
+    assert(Multimodal.parseImageHeader(jpg)
+      .map(m => (m.width, m.height, m.fmt)) == Some((5L, 4L, "jpg")))
+  }
+
+  test("header census equals the per-doc decode rolled up; real parse ≠ stub") {
+    val dir = "/root/testdata/sf0.001"
+    val census = Multimodal.mediaHeaderCensus(spark, dir)
+    val rolled = Multimodal.mediaHeaders(spark, dir)
+      .groupBy(col("fmt"), floor(col("width") / lit(100)).as("w_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("width").as("min_w"), max("width").as("max_w"),
+        min("height").as("min_h"), max("height").as("max_h"),
+        sum("byte_len").as("bytes"))
+    assert(census.exceptAll(rolled).isEmpty && rolled.exceptAll(census).isEmpty)
+    // the registered path must be exercising the REAL parser: for image
+    // payloads (doc_id % 3 < 2) the parsed dims come from header bytes and
+    // disagree with what the stub would fabricate from the byte length
+    val perDoc = Multimodal.mediaHeaders(spark, dir)
+      .filter(col("doc_id") % 3 < 2).collect()
+    assert(perDoc.nonEmpty)
+    val stubDisagrees = perDoc.count { r =>
+      val stub = Multimodal.decodeStub(
+        Multimodal.synthesizeHeader(r.getLong(0)))
+      stub.width != r.getLong(2) || stub.height != r.getLong(3)
+    }
+    assert(stubDisagrees > 0, "real parse must not be reproducible by the stub")
+  }
+
   test("stub decode: non-ASCII payloads measure UTF-8 bytes, not characters") {
     val r = Seq((1L, "😀")).toDF("doc_id", "text")
       .select(length(col("text").cast("binary")).cast("long").as("n"))

@@ -13,20 +13,29 @@ import org.apache.spark.sql.functions._
   * version intact for in-flight readers. */
 class IndexStoreSpec extends SparkSpec {
 
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   private def wipe(name: String): Unit = {
     val link = Paths.get(IndexStore.Root, name)
     Files.deleteIfExists(link)
     Files.deleteIfExists(Paths.get(IndexStore.Root, s"$name.sf"))
+    // per-name version subdirectory (round 13 layout) — an exact-path
+    // delete, so no prefix-collision hazard with sibling artifact names
+    rmTree(Paths.get(IndexStore.Root, ".v", name))
+    // legacy flat layout: `<name>-<8hex>-<3hex>` token shape only
     val v = Paths.get(IndexStore.Root, ".v")
+    val legacy = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "-[0-9a-f]{8}-[0-9a-f]{3}")
     if (Files.exists(v)) {
       val listing = Files.list(v)
       try listing.forEach { p =>
-        if (p.getFileName.toString.startsWith(s"$name-")) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        }
+        if (legacy.matcher(p.getFileName.toString).matches()) rmTree(p)
       } finally listing.close()
     }
   }
@@ -77,22 +86,70 @@ class IndexStoreSpec extends SparkSpec {
       while (!stop.get() && torn.get() == null) {
         // ensure() with EITHER sf never tears; use sfA so the reader
         // only rebuilds if it beats the writer's lock (allowed), and
-        // validate shape + single-tag purity of whatever it got
-        val got = IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L))
-          .select(col("v") - col("id") * 31L).as("tag")
-          .distinct().collect().map(_.getLong(0)).toSeq
-        if (got.size != 1 || !Set(1L, 2L).contains(got.head))
-          torn.set(s"mixed/torn read: tags=$got")
+        // validate shape + single-tag purity of whatever it got. A read
+        // that THROWS (the GC-race failure mode this test exists to
+        // catch) is itself a torn read — record it, don't die silently.
+        try {
+          val got = IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L))
+            .select(col("v") - col("id") * 31L).as("tag")
+            .distinct().collect().map(_.getLong(0)).toSeq
+          if (got.size != 1 || !Set(1L, 2L).contains(got.head))
+            torn.set(s"mixed/torn read: tags=$got")
+        } catch {
+          case e: Throwable => torn.set(s"reader threw: $e")
+        }
       }
     })
     reader.start()
-    (0 until 3).foreach { _ =>
-      IndexStore.ensure(spark, "/tmp/sfB", name)(fixture(300, 2L)).count()
-      IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L)).count()
+    try {
+      (0 until 3).foreach { _ =>
+        IndexStore.ensure(spark, "/tmp/sfB", name)(fixture(300, 2L)).count()
+        IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(300, 1L)).count()
+      }
+    } finally {
+      stop.set(true)
+      reader.join(120000)
     }
-    stop.set(true)
-    reader.join(120000)
-    assert(torn.get() == null, torn.get())
+    assert(torn.get() == null, String.valueOf(torn.get()))
+  }
+
+  test("a deferred reader two republishes behind keeps its files (GC grace)") {
+    val name = "spec_grace"
+    wipe(name)
+    // resolve version 1 lazily — the DataFrame holds the immutable real
+    // path but defers its scan until after TWO republishes land
+    val deferred = IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(50, 1L))
+    IndexStore.ensure(spark, "/tmp/sfB", name)(fixture(50, 2L)).count()
+    IndexStore.ensure(spark, "/tmp/sfC", name)(fixture(50, 3L)).count()
+    // version 1 is no longer `previous`, but it is younger than the GC
+    // grace window, so the deferred scan still finds every file
+    val got = deferred.agg(sum("v")).collect()(0).getLong(0)
+    assert(got == (0 until 50).map(i => i * 31L + 1L).sum)
+    // the oracle's scan SQL is pinned to the RESOLVED immutable version
+    // path, not the live symlink — Spark and DuckDB read the same snapshot
+    val sql = IndexStore.duckdbScan(name)
+    assert(sql.contains("/.v/"), sql)
+  }
+
+  test("expired superseded versions are GC'd; current + previous survive") {
+    val name = "spec_gc"
+    wipe(name)
+    val saved = IndexStore.GcGraceMs
+    IndexStore.GcGraceMs = 0L // everything superseded is immediately expired
+    try {
+      IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(10, 1L)).count()
+      IndexStore.ensure(spark, "/tmp/sfB", name)(fixture(10, 2L)).count()
+      IndexStore.ensure(spark, "/tmp/sfC", name)(fixture(10, 3L)).count()
+      val dir = Paths.get(IndexStore.Root, ".v", name)
+      val listing = Files.list(dir)
+      val n = try listing.count() finally listing.close()
+      assert(n == 2, s"expected current + previous, got $n versions")
+      // the previous version is kept UNCONDITIONALLY (keep-set by file
+      // name), even with a zero grace window
+      val current = Paths.get(IndexStore.Root, name).toRealPath()
+      assert(Files.readString(current.resolve(IndexStore.SfMarker)).trim
+        == "/tmp/sfC")
+    } finally IndexStore.GcGraceMs = saved
   }
 
   test("sf change invalidates; unchanged sf serves the cached version") {
