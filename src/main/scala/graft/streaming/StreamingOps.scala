@@ -499,34 +499,15 @@ object StreamingOps {
       val q = events.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val s = batch.sparkSession
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-          val latest = batch.withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1).drop("rk")
+          val latest = latestPerKey(batch.toDF())
           // the persisted target carries the output names (last_*); map it
           // back to the event shape the merge classifier joins on
           val cur = current match {
-            case Some(d) => s.read.parquet(d.toString)
-              .select(col("user_id"), col("last_type").as("event_type"),
-                col("last_value").as("value"), col("last_ts").as("ts"),
-                col("last_event_id").as("event_id"))
+            case Some(d) => targetAsEvents(s.read.parquet(d.toString))
             case None => s.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), latest.schema)
           }
-          val t = cur.select(cur.columns.map(c => col(c).as("t_" + c)).toSeq: _*)
-          val b = latest.select(latest.columns.map(c => col(c).as("b_" + c)).toSeq: _*)
-          // conditional update: the batch row wins only when the key is
-          // new OR its (ts, event_id) is strictly newer than the target's
-          val takeB = col("t_user_id").isNull ||
-            (struct(col("b_ts"), col("b_event_id")) >
-              struct(col("t_ts"), col("t_event_id")))
-          val merged = t.join(b, col("t_user_id") === col("b_user_id"), "full_outer")
-            .select(
-              coalesce(col("b_user_id"), col("t_user_id")).as("user_id"),
-              when(takeB, col("b_event_type")).otherwise(col("t_event_type")).as("last_type"),
-              when(takeB, col("b_value")).otherwise(col("t_value")).as("last_value"),
-              when(takeB, col("b_ts")).otherwise(col("t_ts")).as("last_ts"),
-              when(takeB, col("b_event_id")).otherwise(col("t_event_id")).as("last_event_id"))
+          val merged = mergeClassify(cur, latest)
           current = Some(graft.similarity.IndexStore
             .commit("merge_target", s"batch-$nextV")(merged))
           nextV += 1
@@ -544,6 +525,50 @@ object StreamingOps {
         .toString)
         .orderBy("user_id")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Batch-side rank pushdown of the MERGE source: the newest row per
+    * user_id by (ts, event_id) — batch-sized, never target-sized. */
+  private[graft] def latestPerKey(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    batch.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  /** Persisted-target (last_*) shape → the event shape the classifier
+    * joins on. */
+  private[graft] def targetAsEvents(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("last_type").as("event_type"),
+      col("last_value").as("value"), col("last_ts").as("ts"),
+      col("last_event_id").as("event_id"))
+
+  /** One MERGE application (the foreachBatch body's core, extracted for
+    * the chaos/idempotence specs): upsert event-shaped `latest` rows into
+    * event-shaped `cur`, the batch row winning only when the key is new
+    * OR its (ts, event_id) is STRICTLY newer. Because the comparison is
+    * strict, the apply is
+    *  - IDEMPOTENT under re-delivery: foreachBatch is at-least-once (a
+    *    crash between the sink's commit and the checkpoint's means the
+    *    same batch id replays), and re-applying a batch to a target that
+    *    already absorbed it changes nothing — strictly-newer can never
+    *    fire twice for the same row;
+    *  - ORDER-INSENSITIVE across batches: CDC events arriving shuffled
+    *    converge to the same final state (the per-key argmax).
+    * Both properties are pinned in ChaosSpec. */
+  private[graft] def mergeClassify(cur: DataFrame, latest: DataFrame): DataFrame = {
+    val t = cur.select(cur.columns.map(c => col(c).as("t_" + c)).toSeq: _*)
+    val b = latest.select(latest.columns.map(c => col(c).as("b_" + c)).toSeq: _*)
+    val takeB = col("t_user_id").isNull ||
+      (struct(col("b_ts"), col("b_event_id")) >
+        struct(col("t_ts"), col("t_event_id")))
+    t.join(b, col("t_user_id") === col("b_user_id"), "full_outer")
+      .select(
+        coalesce(col("b_user_id"), col("t_user_id")).as("user_id"),
+        when(takeB, col("b_event_type")).otherwise(col("t_event_type")).as("last_type"),
+        when(takeB, col("b_value")).otherwise(col("t_value")).as("last_value"),
+        when(takeB, col("b_ts")).otherwise(col("t_ts")).as("last_ts"),
+        when(takeB, col("b_event_id")).otherwise(col("t_event_id")).as("last_event_id"))
   }
 
   /** Cache of prepared multi-file feed directories, keyed by source dir —

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // "local[4, 2]": 4 threads, maxFailures=2 — ChaosSpec injects a
+      // task failure and asserts the retried job's result is identical;
+      // deterministic failures still fail (both attempts throw)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
