@@ -251,14 +251,23 @@ object Multimodal {
     * skip, or drops the fallback hash-mismatches. Scale shape: one
     * mapPartitions over the scan — the codec boundary, where imperative
     * per-record work belongs. */
-  def mediaHeaders(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared decode pipeline of the header surface: synthesize the
+    * deterministic container payload per doc, parse it back through the
+    * real byte-walk (stub fallback for the opaque third). ONE source for
+    * [[mediaHeaders]] and [[mediaHeaderCensus]] — MultimodalSpec asserts
+    * the census equals this rolled up, and sharing the pipeline makes
+    * that equality structural, not coincidental. */
+  private def decodedHeaders(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     import spark.implicits._
     val media = Tables(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .map(id => MediaRecord(id, synthesizeHeader(id)))
-    decodeHeaders(media).toDF().orderBy("doc_id")
+    decodeHeaders(media).toDF()
   }
+
+  def mediaHeaders(spark: SparkSession, dir: String): DataFrame =
+    decodedHeaders(spark, dir).orderBy("doc_id")
 
   /** Format x width-bucket census over the REAL header decode — the
     * corpus-profile report a multimodal training pipeline runs first
@@ -273,12 +282,7 @@ object Multimodal {
     * collapses the shuffle to ~|fmt x buckets| rows per partition
     * regardless of corpus size. */
   def mediaHeaderCensus(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    import spark.implicits._
-    val media = Tables(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .map(id => MediaRecord(id, synthesizeHeader(id)))
-    decodeHeaders(media).toDF()
+    decodedHeaders(spark, dir)
       .groupBy(col("fmt"), floor(col("width") / lit(100)).as("w_bucket"))
       .agg(count(lit(1)).as("n"),
         min("width").as("min_w"), max("width").as("max_w"),

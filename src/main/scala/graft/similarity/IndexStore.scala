@@ -46,11 +46,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    JVM-level monitor, since POSIX file locks are per-process) and
   *    re-check under the lock, so racing builders collapse to one build;
   *  - the lock holder garbage-collects superseded versions, KEEPING the
-  *    immediately previous one unconditionally AND any version younger
-  *    than [[GcGraceMs]] — an in-flight reader that resolved the link
-  *    even TWO republishes ago finishes its scan untouched, because a
-  *    version only becomes collectable once it has been superseded for
-  *    longer than any realistic scan.
+  *    immediately previous one unconditionally AND any version
+  *    superseded less than [[GcGraceMs]] ago (each version's mtime is
+  *    re-stamped the moment it stops being current) — an in-flight
+  *    reader that resolved the link even TWO republishes ago finishes
+  *    its scan untouched, because a version only becomes collectable
+  *    once it has been superseded for longer than any realistic scan.
   *
   * A build that dies mid-write leaves an unpublished version directory and
   * an untouched link: readers never see it, and the next writer GCs it.
@@ -68,9 +69,11 @@ object IndexStore {
     * artifact was built from (underscore prefix = ignored by scans). */
   val SfMarker = "_GRAFT_SF"
 
-  /** Superseded versions younger than this are never GC'd, so a reader
-    * that resolved the link before the swap — even one that defers its
-    * scan across a further republish — keeps its files. Spec-tunable. */
+  /** Versions superseded less than this long ago are never GC'd (age is
+    * measured from SUPERSESSION — mtime re-stamped at swap time — never
+    * from build time), so a reader that resolved the link before the
+    * swap — even one that defers its scan across a further republish —
+    * keeps its files. Spec-tunable. */
   @volatile private[similarity] var GcGraceMs: Long = 10L * 60L * 1000L
 
   /** POSIX file locks are held per-process: a second thread in the same
@@ -105,22 +108,32 @@ object IndexStore {
     val want = Paths.get(dir).normalize().toString
     val fast = try published(name, want) catch { case NonFatal(_) => None }
     val real = fast.getOrElse {
-      val monitor = jvmLocks.computeIfAbsent(name, _ => new Object)
-      monitor.synchronized {
-        Files.createDirectories(versionsDir)
-        val lockFile = Paths.get(Root, s".lock-$name")
-        val ch = FileChannel.open(lockFile,
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock() // blocks until any cross-process writer finishes
-          try {
-            // the loser of the race finds the winner's publication here
-            published(name, want).getOrElse(buildAndPublish(name, want, build))
-          } finally lock.release()
-        } finally ch.close()
+      withPerNameLock(name) {
+        // the loser of the race finds the winner's publication here
+        published(name, want).getOrElse(buildAndPublish(name, want, build))
       }
     }
     spark.read.parquet(real.toString)
+  }
+
+  /** The writer-side critical section: same-JVM writers serialize on the
+    * per-name monitor, cross-process writers on the advisory file lock
+    * (blocking until any other process's writer finishes). ONE
+    * implementation — [[ensure]] and [[commit]] must never drift on the
+    * locking protocol. */
+  private def withPerNameLock[A](name: String)(body: => A): A = {
+    val monitor = jvmLocks.computeIfAbsent(name, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(versionsDir)
+      val lockFile = Paths.get(Root, s".lock-$name")
+      val ch = FileChannel.open(lockFile,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body
+        finally lock.release()
+      } finally ch.close()
+    }
   }
 
   /** Unconditional versioned COMMIT of a new published version of `name`
@@ -136,20 +149,8 @@ object IndexStore {
     * `tag` (the commit's logical version), not an sf dir — a name is
     * either ensure-managed or commit-managed, never both. Returns the
     * immutable version path just published. */
-  def commit(name: String, tag: String)(build: => DataFrame): Path = {
-    val monitor = jvmLocks.computeIfAbsent(name, _ => new Object)
-    monitor.synchronized {
-      Files.createDirectories(versionsDir)
-      val lockFile = Paths.get(Root, s".lock-$name")
-      val ch = FileChannel.open(lockFile,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try buildAndPublish(name, tag, build)
-        finally lock.release()
-      } finally ch.close()
-    }
-  }
+  def commit(name: String, tag: String)(build: => DataFrame): Path =
+    withPerNameLock(name) { buildAndPublish(name, tag, build) }
 
   /** Read the currently published version of `name`: resolve the link
     * ONCE, scan the immutable real path — the read half of the snapshot
@@ -185,20 +186,33 @@ object IndexStore {
     Files.createSymbolicLink(tmpLink, version)
     Files.move(tmpLink, link, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // stamp SUPERSESSION time on the outgoing version: the grace window
+    // must measure "how long since this stopped being current", not "how
+    // long since it was built" — a version current for an hour would
+    // otherwise be born-expired and GC'd the moment it falls two
+    // republishes behind, mid-scan for any reader that just resolved it
+    previous.foreach { p =>
+      try Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case NonFatal(_) => () }
+    }
     gcSuperseded(name, version, previous)
     version
   }
 
   /** Best-effort GC of superseded versions of `name`. Keeps the freshly
     * published version, the immediately previous one (an in-flight reader
-    * may be scanning it), and anything younger than [[GcGraceMs]] (a
-    * deferred reader two republishes behind keeps its files until no
-    * realistic scan can still hold them). Keep-set membership is by FILE
-    * NAME, not full path, so symlinked ancestors (/tmp → /private/tmp)
-    * can't defeat the comparison. Also sweeps the pre-round-13 flat
-    * layout (`.v/<name>-<8hex>-<3hex>` — the token shape is matched
-    * exactly, so a sibling artifact whose name merely starts with `name-`
-    * can never be caught). */
+    * may be scanning it), and anything SUPERSEDED less than [[GcGraceMs]]
+    * ago (a deferred reader two republishes behind keeps its files until
+    * no realistic scan can still hold them) — each version's mtime is
+    * re-stamped at the moment it stops being current (see
+    * [[buildAndPublish]]), so the age check measures supersession, not
+    * build time. Keep-set membership is by FILE NAME, not full path, so
+    * symlinked ancestors (/tmp → /private/tmp) can't defeat the
+    * comparison. Also sweeps the pre-round-13 flat layout
+    * (`.v/<name>-<8hex>-<3hex>` — the token shape is matched exactly, so
+    * a sibling artifact whose name merely starts with `name-` can never
+    * be caught). */
   private def gcSuperseded(name: String, version: Path,
       previous: Option[Path]): Unit = {
     val keepNames = Set(version.getFileName.toString) ++
@@ -222,7 +236,7 @@ object IndexStore {
     sweep(versionsDir, p => legacy.matcher(p.getFileName.toString).matches())
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(f => Files.deleteIfExists(f))

@@ -13,13 +13,10 @@ import org.apache.spark.sql.functions._
   * version intact for in-flight readers. */
 class IndexStoreSpec extends SparkSpec {
 
+  // cleanup uses the PRODUCTION delete the protocol itself relies on
   private def rmTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      IndexStore.deleteRecursively(p)
 
   private def wipe(name: String): Unit = {
     val link = Paths.get(IndexStore.Root, name)
@@ -129,6 +126,26 @@ class IndexStoreSpec extends SparkSpec {
     // path, not the live symlink — Spark and DuckDB read the same snapshot
     val sql = IndexStore.duckdbScan(name)
     assert(sql.contains("/.v/"), sql)
+  }
+
+  test("grace measures SUPERSESSION, not build time: an old current version " +
+      "is not born-expired when it falls two republishes behind") {
+    val name = "spec_grace_age"
+    wipe(name)
+    IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(20, 1L)).count()
+    // simulate a version that has been CURRENT for 20 minutes (mtime far
+    // in the past); without supersession re-stamping, two republishes
+    // would GC it instantly — mid-scan for any reader that just resolved it
+    val v1 = Paths.get(IndexStore.Root, name).toRealPath()
+    Files.setLastModifiedTime(v1,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 20L * 60L * 1000L))
+    val deferred = IndexStore.ensure(spark, "/tmp/sfA", name)(fixture(20, 1L))
+    IndexStore.ensure(spark, "/tmp/sfB", name)(fixture(20, 2L)).count()
+    IndexStore.ensure(spark, "/tmp/sfC", name)(fixture(20, 3L)).count()
+    assert(Files.exists(v1), "v1 was superseded seconds ago — grace must hold")
+    assert(deferred.agg(sum("v")).collect()(0).getLong(0)
+      == (0 until 20).map(i => i * 31L + 1L).sum)
   }
 
   test("expired superseded versions are GC'd; current + previous survive") {

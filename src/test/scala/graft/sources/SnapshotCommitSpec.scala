@@ -17,12 +17,7 @@ class SnapshotCommitSpec extends SparkSpec {
   private def wipe(name: String): Unit = {
     Files.deleteIfExists(Paths.get(IndexStore.Root, name))
     val v = Paths.get(IndexStore.Root, ".v", name)
-    if (Files.exists(v)) {
-      val walk = Files.walk(v)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    if (Files.exists(v)) IndexStore.deleteRecursively(v)
   }
 
   private def tagged(n: Int, tag: Long) = {
