@@ -206,11 +206,11 @@ object StreamingOps {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else spark.conf.unset(providerKey)
     try {
-      val saveMode = if (mode == "append") "append" else "overwrite"
+      val complete = mode == "complete"
       val q = streamed.writeStream
         .outputMode(mode)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode(saveMode).parquet(out)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          writeBatchIdempotent(out, batch.toDF(), id, complete)
         }
         .options(ckptOption)
         .start()
@@ -223,10 +223,10 @@ object StreamingOps {
       // an empty stream (append mode, no finalized rows) writes no file;
       // reading the bare dir would die with an unrelated schema-inference
       // error, so return a typed empty frame with the streamed schema
-      val wroteAny = Files.list(java.nio.file.Paths.get(out))
+      val wroteAny = Files.walk(java.nio.file.Paths.get(out))
       val hasData = try wroteAny.anyMatch(p => p.toString.endsWith(".parquet"))
         finally wroteAny.close()
-      if (hasData) spark.read.parquet(out)
+      if (hasData) readBatchDirs(spark, out)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema)
     } finally {
@@ -237,6 +237,27 @@ object StreamingOps {
       }
     }
   }
+
+  /** Replay-idempotent file-sink write (round 13 — foreachBatch is
+    * at-least-once, and the previous `mode("append")` spelling would
+    * duplicate every row of a batch replayed after a crash between the
+    * sink write and the checkpoint commit). Complete mode overwrites the
+    * whole directory (naturally idempotent); append mode lands each
+    * batch in its own batch-id-keyed subdirectory via OVERWRITE, so a
+    * replay rewrites its own directory instead of appending a second
+    * copy — the file-sink analog of mergeClassify's strictly-newer
+    * condition, and exactly how a production job makes a blob-store
+    * sink exactly-once without a transaction log. ChaosSpec pins the
+    * double-invocation no-op. */
+  private[graft] def writeBatchIdempotent(out: String, batch: DataFrame,
+      id: Long, complete: Boolean): Unit =
+    if (complete) batch.write.mode("overwrite").parquet(out)
+    else batch.write.mode("overwrite").parquet(s"$out/batch-$id")
+
+  /** Read a [[writeBatchIdempotent]] output tree (flat part files in
+    * complete mode, batch-id subdirectories in append mode) as one scan. */
+  private[graft] def readBatchDirs(spark: SparkSession, out: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(out)
 
   /** Static-then-stream schema bootstrap (reference S3, q2:95-97). The
     * nanosecond-timestamp normalization (Tables.normalizeEvents) applies on

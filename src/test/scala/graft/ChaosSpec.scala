@@ -91,6 +91,21 @@ class ChaosSpec extends SparkSpec {
     assert(u1.getString(1) == "buy", s"user 1 must keep the ts=250 row, got $u1")
   }
 
+  test("file sink: a replayed append batch rewrites itself, never duplicates") {
+    val out = graft.TempDirs.create("chaos-filesink").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b1 = Seq((3L, "c")).toDF("id", "s")
+    StreamingOps.writeBatchIdempotent(out, b0, 0L, complete = false)
+    StreamingOps.writeBatchIdempotent(out, b1, 1L, complete = false)
+    // at-least-once: batch 1 replays after a crash between write and
+    // checkpoint commit — it must overwrite its own directory, not append
+    StreamingOps.writeBatchIdempotent(out, b1, 1L, complete = false)
+    val got = StreamingOps.readBatchDirs(spark, out)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"replay must be a no-op, got $got")
+  }
+
   test("a commit whose build throws leaves the published snapshot untouched") {
     import graft.similarity.IndexStore
     val name = "chaos_commit"
