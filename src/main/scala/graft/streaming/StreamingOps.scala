@@ -284,6 +284,40 @@ object StreamingOps {
     runToMemory(spark, agg).orderBy("event_type")
   }
 
+  /** State-store introspection (round 13) — Spark's state data source,
+    * the production ops/debugging tool: read a checkpoint's state store
+    * back as a DataFrame WITHOUT running the streaming query. A
+    * complete-mode grouped count runs over the event feed to a fresh
+    * checkpoint; the registered result is then scanned straight out of
+    * the checkpoint's state files via `format("statestore")` — key
+    * struct, aggregation buffer, one row per state entry. The DuckDB
+    * oracle recomputes the counts from the base table, so the
+    * cross-engine gate covers the CHECKPOINT BYTES: a state codec
+    * regression, a lost state partition, or a buffer-schema drift
+    * hash-mismatches. At 100 TB this is how an on-call engineer answers
+    * "what is in this job's state right now" — a bounded scan of the
+    * state files, no replay, no code change to the job. */
+  def stateReader(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ckpt = graft.TempDirs.create("graft-state-read").toString
+    val agg = eventStream(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val raw = spark.read.format("statestore").load(ckpt)
+    // key carries the group column; the value struct carries the agg
+    // buffer — its single field is the count, addressed positionally so
+    // Spark's internal buffer-field naming can't break the query
+    val flat = raw.select(col("key.*"), col("value.*"))
+    val bufCol = flat.columns.last
+    flat.select(col("event_type"), col(bufCol).cast("long").as("cnt"))
+      .orderBy("event_type")
+  }
+
   /** Watermarked tumbling 1-hour window aggregation over the event stream.
     * Complete output here (finite source, oracle-checkable); the
     * append-mode bounded-state variant is exercised in the test suite. */
@@ -1203,6 +1237,7 @@ object StreamingOps {
     "stream_dau_hll" -> (streamDauHll _),
     "stream_cms" -> (cmsSketch _),
     "stream_complete_counts" -> (completeCounts _),
+    "stream_state_reader" -> (stateReader _),
     "stream_hourly_counts" -> (hourlyCounts _),
     "stream_dq_gate" -> (streamDqGate _),
     "stream_latency_pctl" -> (streamLatencyPctl _),
@@ -1233,6 +1268,11 @@ object StreamingOps {
     "stream_anomaly" -> graft.queries.EventQueries.oracles("ev_anomaly"),
     "stream_lateness" -> graft.queries.EventQueries.oracles("ev_lateness"),
     "stream_complete_counts" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the state files must hold exactly the batch recompute: the oracle
+    // covers the checkpoint bytes the statestore reader scanned
+    "stream_state_reader" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_cms" -> {

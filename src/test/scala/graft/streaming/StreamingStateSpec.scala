@@ -347,4 +347,17 @@ class StreamingStateSpec extends SparkSpec {
       case None => spark.conf.unset(providerKey)
     }
   }
+
+  test("statestore reader: checkpoint state equals the stream's own emission") {
+    val dir = "/root/testdata/sf0.001"
+    // the state files read back by format(\"statestore\") must carry
+    // exactly what the complete-mode stream emitted — the ops tool and
+    // the job can never disagree about what the job's state holds
+    val fromState = graft.streaming.StreamingOps.stateReader(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fromStream = graft.streaming.StreamingOps.completeCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromState == fromStream)
+    assert(fromState.nonEmpty)
+  }
 }
