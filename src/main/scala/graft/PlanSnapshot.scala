@@ -35,7 +35,7 @@ object PlanSnapshot {
   def skip(name: String): Boolean =
     name.startsWith("stream_") ||
       name.startsWith("tw_q2_stream") ||
-      name == "src_snapshot_reader"
+      name.startsWith("src_snapshot_")
 
   def digests(spark: SparkSession): Seq[(String, String)] =
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { name =>

@@ -160,6 +160,33 @@ object IndexStore {
   def readCurrent(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(linkPath(name).toRealPath().toString)
 
+  /** TIME TRAVEL one step back: the version that was current immediately
+    * before the published one — GC keeps the predecessor unconditionally,
+    * and supersession re-stamps mtimes, so "non-current with the newest
+    * mtime" is exactly the previous snapshot (a table format's
+    * `VERSION AS OF current-1`). None when `name` has a single version. */
+  def previousVersion(name: String): Option[Path] = {
+    val cur =
+      try Some(linkPath(name).toRealPath().getFileName.toString)
+      catch { case NonFatal(_) => None }
+    val home = versionsDir.resolve(name)
+    if (!Files.isDirectory(home)) None
+    else {
+      val listing = Files.list(home)
+      val candidates =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.toList
+        } finally listing.close()
+      candidates
+        .filterNot(p => cur.contains(p.getFileName.toString))
+        .sortBy(p =>
+          try Files.getLastModifiedTime(p).toMillis
+          catch { case NonFatal(_) => Long.MinValue })
+        .lastOption
+    }
+  }
+
   /** Must hold the per-name lock. Builds a fresh version, publishes it
     * with an atomic link swap, GCs superseded versions (keeping the one
     * just replaced for in-flight readers). Returns the new real path. */

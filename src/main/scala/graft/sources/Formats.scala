@@ -502,15 +502,23 @@ object Formats {
     * reader is any concurrent job: the guarantee under test — no torn,
     * mixed, or half-committed scans, ever — is the one a table format
     * exists to provide. */
+  /** One logical version of the growing per-user census the snapshot
+    * queries commit: `v` thirds of the events table (v=3 ⇒ all of it),
+    * tagged with its version number. Shared by [[snapshotReader]] and
+    * [[snapshotHistory]] so their committed content — and their oracles'
+    * arithmetic — can never drift apart. */
+  private def userCensusVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"))
+      .filter(col("event_id") % 3 < v)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .withColumn("version", lit(v.toLong))
+
   def snapshotReader(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     import graft.similarity.IndexStore
     val name = "snap_user_counts"
-    val ev = Tables(spark, dir, "events").select(col("user_id"), col("event_id"))
-    def version(v: Int): DataFrame =
-      ev.filter(col("event_id") % 3 < v)          // v=3 ⇒ the whole table
-        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-        .withColumn("version", lit(v.toLong))
+    def version(v: Int): DataFrame = userCensusVersion(spark, dir, v)
     val expected = (1 to 3).map(v => v.toLong -> version(v).count()).toMap
     val first = IndexStore.commit(name, "v1")(version(1))
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -542,8 +550,36 @@ object Formats {
     spark.read.parquet(last.toString).orderBy("user_id")
   }
 
+  /** Snapshot TIME TRAVEL (round 13): the commit protocol keeps the
+    * superseded predecessor (GC grace + unconditional previous-keep), so
+    * `VERSION AS OF current-1` is a directory read, no log replay. Three
+    * growing versions land through `IndexStore.commit`; the registered
+    * result is current ∪ previous, each tagged — the oracle re-derives
+    * both snapshots' content from the base table, so a GC that eats the
+    * predecessor, a mis-stamped supersession time, or a previousVersion
+    * that resolves the wrong directory all hash-mismatch. At 100 TB this
+    * is the audit/rollback read every table format sells. */
+  def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.similarity.IndexStore
+    val name = "snap_history"
+    (1 to 3).foreach(v =>
+      IndexStore.commit(name, s"v$v")(userCensusVersion(spark, dir, v)))
+    val current = IndexStore.readCurrent(spark, name)
+      .withColumn("snap", lit("current"))
+    val prevPath = IndexStore.previousVersion(name).getOrElse(
+      throw new IllegalStateException(
+        "time travel lost the predecessor: no previous version on disk"))
+    val previous = spark.read.parquet(prevPath.toString)
+      .withColumn("snap", lit("previous"))
+    current.unionByName(previous)
+      .select(col("snap"), col("user_id"), col("n_events"), col("version"))
+      .orderBy("snap", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_snapshot_reader" -> (snapshotReader _),
+    "src_snapshot_history" -> (snapshotHistory _),
     "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
@@ -569,6 +605,20 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // current = version 3 (whole table), previous = version 2 (two
+    // thirds) — both re-derived from the base table, covering the kept
+    // predecessor's bytes and previousVersion's resolution
+    "src_snapshot_history" ->
+      """WITH cur AS (
+        |  SELECT 'current' AS snap, user_id, count(*) AS n_events,
+        |         CAST(3 AS BIGINT) AS version
+        |  FROM events GROUP BY user_id),
+        |prev AS (
+        |  SELECT 'previous' AS snap, user_id, count(*) AS n_events,
+        |         CAST(2 AS BIGINT) AS version
+        |  FROM events WHERE event_id % 3 < 2 GROUP BY user_id)
+        |SELECT * FROM cur UNION ALL SELECT * FROM prev
+        |ORDER BY snap, user_id""".stripMargin,
     // final snapshot = version 3 = the per-user census of the WHOLE table
     "src_snapshot_reader" ->
       """SELECT user_id, count(*) AS n_events, CAST(3 AS BIGINT) AS version

@@ -77,6 +77,24 @@ class SnapshotCommitSpec extends SparkSpec {
       "the deferred v1 scan must still see all of v1, untouched by GC")
   }
 
+  test("previousVersion time-travels exactly one commit back") {
+    val name = "snapcommit_tt"
+    wipe(name)
+    assert(IndexStore.previousVersion(name).isEmpty, "no versions yet")
+    IndexStore.commit(name, "t1")(tagged(10, 1L))
+    assert(IndexStore.previousVersion(name).isEmpty, "one version has no predecessor")
+    IndexStore.commit(name, "t2")(tagged(10, 2L))
+    IndexStore.commit(name, "t3")(tagged(10, 3L))
+    val prev = IndexStore.previousVersion(name).get
+    val tags = spark.read.parquet(prev.toString)
+      .select("tag").distinct().collect().map(_.getLong(0)).toSeq
+    assert(tags == Seq(2L), s"previous must be exactly t2, got tags=$tags")
+    // and the current read is untouched by the time travel
+    val cur = IndexStore.readCurrent(spark, name)
+      .select("tag").distinct().collect().map(_.getLong(0)).toSeq
+    assert(cur == Seq(3L))
+  }
+
   test("src_snapshot_reader: final snapshot equals the direct full-table census") {
     val dir = "/root/testdata/sf0.001"
     val got = Formats.snapshotReader(spark, dir)
