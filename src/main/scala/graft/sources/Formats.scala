@@ -577,9 +577,54 @@ object Formats {
       .orderBy("snap", "user_id")
   }
 
+  /** Z-order clustering census (round 13) — the multi-dimensional layout
+    * technique behind OPTIMIZE ZORDER BY: bucket two scan dims into 16
+    * range cells each, interleave the bucket bits into an 8-bit z-value,
+    * and chunk the table into 16 "files" by z prefix. The census reports
+    * per-file min/max of BOTH dims next to the same chunking done
+    * linearly by orderkey: the z layout bounds every file to ~¼ of the
+    * partkey range × ¼ of the suppkey range SIMULTANEOUSLY (so a
+    * predicate on either dim skips ~¾ of the files), while the linear
+    * layout leaves both dims' spans at the full range in every file —
+    * the reason z-ordering exists. All integer arithmetic (bucket = div,
+    * bit = div/mod), so the DuckDB oracle re-derives every cell exactly;
+    * the extrema ride a broadcast 1-row frame (whitelisted bounded
+    * product). At 100 TB the chunking column feeds
+    * `repartitionByRange(zval)` before the write and the report reads
+    * the format's file-stats — the arithmetic is unchanged. */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    val ext = li.agg(max("l_partkey").as("maxp"), max("l_suppkey").as("maxs"),
+      max("l_orderkey").as("maxo"))
+    // keys are 0-based in the generated tables: bucket k*16 div (max+1)
+    // keeps every bucket in [0,15] with no negative arithmetic (whose
+    // div/mod semantics differ between engines)
+    val b = li.crossJoin(broadcast(ext))
+      .withColumn("bxx", expr("CAST((l_partkey * 16) div (maxp + 1) AS INT)"))
+      .withColumn("byy", expr("CAST((l_suppkey * 16) div (maxs + 1) AS INT)"))
+    val z = b.withColumn("zv", expr(
+      """(bxx % 2) * 1 + (byy % 2) * 2 +
+        |((bxx div 2) % 2) * 4 + ((byy div 2) % 2) * 8 +
+        |((bxx div 4) % 2) * 16 + ((byy div 4) % 2) * 32 +
+        |((bxx div 8) % 2) * 64 + ((byy div 8) % 2) * 128""".stripMargin))
+    def census(df: org.apache.spark.sql.DataFrame, layout: String,
+        file: org.apache.spark.sql.Column) =
+      df.groupBy(lit(layout).as("layout"), file.cast("int").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+          min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
+    census(z, "zorder", expr("zv div 16"))
+      .unionByName(census(b, "linear",
+        expr("(l_orderkey * 16) div (maxo + 1)")))
+      .orderBy("layout", "file_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_snapshot_reader" -> (snapshotReader _),
     "src_snapshot_history" -> (snapshotHistory _),
+    "src_zorder_cluster" -> (zorderCluster _),
     "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
@@ -605,6 +650,39 @@ object Formats {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical bucket/interleave/chunk arithmetic in RE2-free SQL —
+    // one wrong bit weight or an off-by-one bucket shifts a cell extremum
+    "src_zorder_cluster" ->
+      """WITH ext AS (
+        |  SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs,
+        |         max(l_orderkey) AS maxo
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_partkey, l_suppkey, l_orderkey,
+        |    CAST((l_partkey * 16) // (maxp + 1) AS INT) AS bxx,
+        |    CAST((l_suppkey * 16) // (maxs + 1) AS INT) AS byy,
+        |    CAST((l_orderkey * 16) // (maxo + 1) AS INT) AS lf
+        |  FROM lineitem, ext),
+        |z AS (
+        |  SELECT *,
+        |    (bxx % 2) * 1 + (byy % 2) * 2 +
+        |    ((bxx // 2) % 2) * 4 + ((byy // 2) % 2) * 8 +
+        |    ((bxx // 4) % 2) * 16 + ((byy // 4) % 2) * 32 +
+        |    ((bxx // 8) % 2) * 64 + ((byy // 8) % 2) * 128 AS zv
+        |  FROM b),
+        |zc AS (
+        |  SELECT 'zorder' AS layout, CAST(zv // 16 AS INT) AS file_id,
+        |    count(*) AS n_rows,
+        |    min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+        |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+        |  FROM z GROUP BY file_id),
+        |lc AS (
+        |  SELECT 'linear' AS layout, lf AS file_id, count(*) AS n_rows,
+        |    min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+        |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+        |  FROM b GROUP BY lf)
+        |SELECT * FROM zc UNION ALL SELECT * FROM lc
+        |ORDER BY layout, file_id""".stripMargin,
     // current = version 3 (whole table), previous = version 2 (two
     // thirds) — both re-derived from the base table, covering the kept
     // predecessor's bytes and previousVersion's resolution

@@ -30,6 +30,38 @@ class FormatsSpec extends SparkSpec {
       s"codec option silently ignored: ${parts.map(_.getName).toSeq}")
   }
 
+  test("z-order layout bounds BOTH dims per file; the linear layout does not") {
+    import org.apache.spark.sql.functions._
+    val rows = Formats.zorderCluster(spark, sf).collect()
+    val (zf, lf) = rows.partition(_.getString(0) == "zorder")
+    assert(zf.nonEmpty && lf.nonEmpty)
+    val ext = graft.Tables(spark, sf, "lineitem")
+      .agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+    val (maxp, maxs) = (ext.getLong(0), ext.getLong(1))
+    // a z file fixes the top 2 bucket bits of each dim → its span is ≤ ~¼
+    // of the range on BOTH dims simultaneously (plus bucket-width slack);
+    // this is the data-skipping guarantee the layout exists to provide
+    // columns: layout(0), file_id(1), n_rows(2), min_p(3), max_p(4),
+    //          min_s(5), max_s(6)
+    val (pBound, sBound) =
+      ((maxp + 1) / 4 + (maxp + 1) / 16 + 2, (maxs + 1) / 4 + (maxs + 1) / 16 + 2)
+    zf.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) <= pBound,
+        s"z file ${r.getInt(1)} partkey span ${r.getLong(4) - r.getLong(3)} > $pBound")
+      assert(r.getLong(6) - r.getLong(5) <= sBound,
+        s"z file ${r.getInt(1)} suppkey span ${r.getLong(6) - r.getLong(5)} > $sBound")
+    }
+    // the linear layout pays for it: partkeys land ~uniformly in every
+    // orderkey chunk, so the average partkey span stays near-full-range
+    val lSpans = lf.map(r => r.getLong(4) - r.getLong(3))
+    assert(lSpans.sum / lSpans.length > maxp / 2,
+      s"linear layout partkey spans unexpectedly tight: ${lSpans.toSeq}")
+    // row conservation: both layouts chunk the same table
+    val (zRows, lRows) = (zf.map(_.getLong(2)).sum, lf.map(_.getLong(2)).sum)
+    assert(zRows == lRows && zRows > 0,
+      s"layouts disagree on row count: $zRows vs $lRows")
+  }
+
   test("compaction collapses the 64-file fragment layout by >=8x, keeping rows") {
     val (frag, out) = Formats.compactionDirs(spark, sf)
     def parts(d: String): Int = Option(new java.io.File(d).listFiles())
