@@ -69,6 +69,12 @@ object IndexStore {
     * artifact was built from (underscore prefix = ignored by scans). */
   val SfMarker = "_GRAFT_SF"
 
+  /** Lineage marker inside each version directory: the directory NAME of
+    * the version it superseded (absent for a first version). This is the
+    * snapshot log's parent pointer — [[previousVersion]] follows it
+    * instead of guessing from directory listings. */
+  val PrevMarker = "_GRAFT_PREV"
+
   /** Versions superseded less than this long ago are never GC'd (age is
     * measured from SUPERSESSION — mtime re-stamped at swap time — never
     * from build time), so a reader that resolved the link before the
@@ -160,32 +166,27 @@ object IndexStore {
   def readCurrent(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(linkPath(name).toRealPath().toString)
 
-  /** TIME TRAVEL one step back: the version that was current immediately
-    * before the published one — GC keeps the predecessor unconditionally,
-    * and supersession re-stamps mtimes, so "non-current with the newest
-    * mtime" is exactly the previous snapshot (a table format's
-    * `VERSION AS OF current-1`). None when `name` has a single version. */
-  def previousVersion(name: String): Option[Path] = {
-    val cur =
-      try Some(linkPath(name).toRealPath().getFileName.toString)
-      catch { case NonFatal(_) => None }
-    val home = versionsDir.resolve(name)
-    if (!Files.isDirectory(home)) None
-    else {
-      val listing = Files.list(home)
-      val candidates =
-        try {
-          import scala.jdk.CollectionConverters._
-          listing.iterator().asScala.toList
-        } finally listing.close()
-      candidates
-        .filterNot(p => cur.contains(p.getFileName.toString))
-        .sortBy(p =>
-          try Files.getLastModifiedTime(p).toMillis
-          catch { case NonFatal(_) => Long.MinValue })
-        .lastOption
-    }
-  }
+  /** TIME TRAVEL one step back (`VERSION AS OF current-1`): resolve the
+    * link ONCE to the current immutable version, then follow the
+    * [[PrevMarker]] written INSIDE it at publish time — explicit lineage,
+    * exactly what a table format's snapshot log records. No directory
+    * heuristics: an unpublished orphan from a build that died mid-write
+    * can never be returned (it is in no version's lineage), a commit
+    * racing this read cannot confuse it (the marker lives inside the one
+    * immutable version we resolved), and filesystem timestamp
+    * granularity is irrelevant. None when the resolved version has no
+    * predecessor on disk (single version, or the predecessor aged out of
+    * the GC grace). */
+  def previousVersion(name: String): Option[Path] =
+    try {
+      val cur = linkPath(name).toRealPath()
+      val marker = cur.resolve(PrevMarker)
+      if (!Files.exists(marker)) None
+      else {
+        val prev = cur.getParent.resolve(Files.readString(marker).trim)
+        if (Files.isDirectory(prev)) Some(prev) else None
+      }
+    } catch { case NonFatal(_) => None }
 
   /** Must hold the per-name lock. Builds a fresh version, publishes it
     * with an atomic link swap, GCs superseded versions (keeping the one
@@ -207,6 +208,10 @@ object IndexStore {
     Files.createDirectories(version.getParent)
     build.write.mode("overwrite").parquet(version.toString)
     Files.writeString(version.resolve(SfMarker), want)
+    // parent pointer BEFORE publication: lineage is part of the version's
+    // immutable content, so it can never desync from the swap
+    previous.foreach(p =>
+      Files.writeString(version.resolve(PrevMarker), p.getFileName.toString))
     // atomic publish: temp symlink + rename over the old link
     val tmpLink = Paths.get(Root, s".lnk-$name-$token")
     Files.deleteIfExists(tmpLink)

@@ -588,22 +588,27 @@ object Formats {
     * layout leaves both dims' spans at the full range in every file —
     * the reason z-ordering exists. All integer arithmetic (bucket = div,
     * bit = div/mod), so the DuckDB oracle re-derives every cell exactly;
-    * the extrema ride a broadcast 1-row frame (whitelisted bounded
-    * product). At 100 TB the chunking column feeds
+    * the extrema are one bounded driver row folded into literals. At
+    * 100 TB the chunking column feeds
     * `repartitionByRange(zval)` before the write and the report reads
     * the format's file-stats — the arithmetic is unchanged. */
   def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
-    val ext = li.agg(max("l_partkey").as("maxp"), max("l_suppkey").as("maxs"),
-      max("l_orderkey").as("maxo"))
+    // the three extrema are ONE bounded row — collected once to literals
+    // (the merges-artifact / convergence-scalar class of driver read), so
+    // the two layout censuses each cost one fact scan instead of each
+    // re-running the extrema job and a broadcast product
+    val ext = li.agg(max("l_partkey"), max("l_suppkey"), max("l_orderkey"))
+      .collect()(0)
+    val (maxp, maxs, maxo) = (ext.getLong(0), ext.getLong(1), ext.getLong(2))
     // keys are 0-based in the generated tables: bucket k*16 div (max+1)
     // keeps every bucket in [0,15] with no negative arithmetic (whose
     // div/mod semantics differ between engines)
-    val b = li.crossJoin(broadcast(ext))
-      .withColumn("bxx", expr("CAST((l_partkey * 16) div (maxp + 1) AS INT)"))
-      .withColumn("byy", expr("CAST((l_suppkey * 16) div (maxs + 1) AS INT)"))
+    val b = li
+      .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+      .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
     val z = b.withColumn("zv", expr(
       """(bxx % 2) * 1 + (byy % 2) * 2 +
         |((bxx div 2) % 2) * 4 + ((byy div 2) % 2) * 8 +
@@ -617,7 +622,7 @@ object Formats {
           min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
     census(z, "zorder", expr("zv div 16"))
       .unionByName(census(b, "linear",
-        expr("(l_orderkey * 16) div (maxo + 1)")))
+        expr(s"(l_orderkey * 16) div (${maxo + 1}L)")))
       .orderBy("layout", "file_id")
   }
 

@@ -275,13 +275,20 @@ object StreamingOps {
     Tables.normalizeEvents(stream)
   }
 
+  /** The shared per-type count aggregation over the event stream — ONE
+    * definition for [[completeCounts]] (the emission) and [[stateReader]]
+    * (the checkpoint-state introspection), so the spec-pinned equality
+    * between what the job emits and what its state holds is structural,
+    * never maintained by parallel edits. */
+  private def eventTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+
   /** Complete-mode grouped count over the event stream (A6 parity: state
     * retained, full result re-emitted per micro-batch). */
   def completeCounts(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val agg = eventStream(spark, dir)
-      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-    runToMemory(spark, agg).orderBy("event_type")
+    runToMemory(spark, eventTypeCounts(spark, dir)).orderBy("event_type")
   }
 
   /** State-store introspection (round 13) — Spark's state data source,
@@ -300,9 +307,7 @@ object StreamingOps {
   def stateReader(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val ckpt = graft.TempDirs.create("graft-state-read").toString
-    val agg = eventStream(spark, dir)
-      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-    val q = agg.writeStream.outputMode("complete")
+    val q = eventTypeCounts(spark, dir).writeStream.outputMode("complete")
       .format("noop")
       .option("checkpointLocation", ckpt)
       .start()

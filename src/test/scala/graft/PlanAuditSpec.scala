@@ -69,9 +69,7 @@ class PlanAuditSpec extends SparkSpec {
       "mm_phash_topk", "mm_phash_served",
       // 1-row broadcast scalars: the max-week censoring bound and the
       // corpus token total joining vocab-sized frames
-      "ev_growth_accounting", "text_collocations",
-      // the z-order census's 1-row extrema frame against the fact scan
-      "src_zorder_cluster")
+      "ev_growth_accounting", "text_collocations")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)

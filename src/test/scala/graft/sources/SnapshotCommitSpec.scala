@@ -85,7 +85,15 @@ class SnapshotCommitSpec extends SparkSpec {
     assert(IndexStore.previousVersion(name).isEmpty, "one version has no predecessor")
     IndexStore.commit(name, "t2")(tagged(10, 2L))
     IndexStore.commit(name, "t3")(tagged(10, 3L))
+    // an unpublished orphan (a build that died mid-write) must be
+    // invisible to time travel — lineage is explicit, never inferred
+    // from directory listings or mtimes
+    val orphan = Paths.get(IndexStore.Root, ".v", name, "zzzz-orphan")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-00000.parquet"), "torn garbage")
     val prev = IndexStore.previousVersion(name).get
+    assert(prev.getFileName.toString != "zzzz-orphan",
+      "previousVersion followed a directory heuristic into an orphan")
     val tags = spark.read.parquet(prev.toString)
       .select("tag").distinct().collect().map(_.getLong(0)).toSeq
     assert(tags == Seq(2L), s"previous must be exactly t2, got tags=$tags")
