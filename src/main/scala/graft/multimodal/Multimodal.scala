@@ -243,14 +243,6 @@ object Multimodal {
     }
   }
 
-  /** The REAL header decode on the registered (oracle-gated) surface:
-    * payloads synthesized per doc by [[synthesizeHeader]], parsed back by
-    * [[decodeHeaders]] (PNG-IHDR / JPEG-SOF byte walk, stub fallback for
-    * the opaque third). The oracle recomputes every field from doc_id
-    * arithmetic, so a parser that misreads an offset, forgets a segment
-    * skip, or drops the fallback hash-mismatches. Scale shape: one
-    * mapPartitions over the scan — the codec boundary, where imperative
-    * per-record work belongs. */
   /** Shared decode pipeline of the header surface: synthesize the
     * deterministic container payload per doc, parse it back through the
     * real byte-walk (stub fallback for the opaque third). ONE source for

@@ -39,7 +39,10 @@ object PlanDigest {
     "Expand",                    // grouping sets / rollup / cube
     "FileScan",                  // number of distinct scans in the plan
     "InMemoryTableScan",
-    "TopKPerGroupExec")          // the custom bounded-heap operator
+    // the custom bounded-heap operator and its map-side partial —
+    // TreeNode.nodeName strips the "Exec" suffix, so these are the names
+    // that actually appear in plan text (a "...Exec" entry never matches)
+    "TopKPerGroup", "TopKPerGroupPartial")
 
   private val line = """^[\s+:\-]*(?:\*\(\d+\)\s+)?([A-Za-z][A-Za-z0-9]*)""".r
 
