@@ -183,8 +183,17 @@ object IndexStore {
       val marker = cur.resolve(PrevMarker)
       if (!Files.exists(marker)) None
       else {
-        val prev = cur.getParent.resolve(Files.readString(marker).trim)
-        if (Files.isDirectory(prev)) Some(prev) else None
+        val prevName = Files.readString(marker).trim
+        // the marker names a sibling under .v/<name>/ — except for the
+        // first post-migration publish, whose recorded predecessor is a
+        // pre-round-13 FLAT-layout directory living at .v/<name>-<token>;
+        // fall back to resolving against .v/ so that lineage step still
+        // works while any legacy predecessor survives its GC grace
+        val prev = cur.getParent.resolve(prevName)
+        val resolved =
+          if (Files.isDirectory(prev)) Some(prev)
+          else Some(versionsDir.resolve(prevName)).filter(Files.isDirectory(_))
+        resolved
       }
     } catch { case NonFatal(_) => None }
 

@@ -184,6 +184,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(run("/tmp/sfA", 5L) == a1 && builds.get() == 3)
   }
 
+  test("time travel resolves a legacy flat-layout predecessor (ADVICE r13): " +
+      "the first post-migration publish still has a previous version") {
+    val name = "spec_prev_legacy"
+    wipe(name)
+    // seed the pre-round-13 FLAT layout: the published version lives at
+    // .v/<name>-<8hex>-<3hex> with the link pointing straight at it
+    val legacyVersion = Paths.get(IndexStore.Root, ".v", s"$name-deadbeef-abc")
+    fixture(7, 3L).write.mode("overwrite").parquet(legacyVersion.toString)
+    Files.writeString(legacyVersion.resolve(IndexStore.SfMarker), "legacy")
+    val link = Paths.get(IndexStore.Root, name)
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, legacyVersion)
+    // first post-migration commit records the flat dir as its predecessor;
+    // the PrevMarker name then resolves under .v/, not .v/<name>/
+    IndexStore.commit(name, "v2")(fixture(7, 4L))
+    val prev = IndexStore.previousVersion(name)
+    assert(prev.contains(legacyVersion.toRealPath()) ||
+      prev.contains(legacyVersion),
+      s"expected fallback to the flat-layout predecessor, got $prev")
+    // and the kept predecessor's bytes are still scannable
+    assert(spark.read.parquet(prev.get.toString)
+      .agg(sum("v")).collect()(0).getLong(0)
+      == (0 until 7).map(i => i * 31L + 3L).sum)
+  }
+
   test("legacy non-symlink directory layout is migrated, not trusted") {
     val name = "spec_legacy"
     wipe(name)

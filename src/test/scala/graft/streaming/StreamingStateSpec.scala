@@ -348,6 +348,31 @@ class StreamingStateSpec extends SparkSpec {
     }
   }
 
+  test("statestore reader: the pinned buffer layout holds — value struct is " +
+      "exactly one LongType field (state format v2, single count buffer)") {
+    // VERDICT r13 #5: stateReader selects the aggregation buffer from the
+    // value struct under a require on (arity, type). This spec re-derives
+    // the same checkpoint shape independently, so a Spark upgrade that
+    // changes the state data source's buffer layout fails HERE with the
+    // layout it actually found — a named drift, not a hash mismatch.
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val ckpt = graft.TempDirs.create("graft-state-pin").toString
+    val q = graft.streaming.StreamingOps.eventStream(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete").format("noop")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val raw = spark.read.format("statestore").load(ckpt)
+    val value = raw.schema("value").dataType.asInstanceOf[StructType]
+    assert(value.fields.length == 1 && value.fields.head.dataType == LongType,
+      s"state-store buffer layout drifted: ${value.simpleString} — update " +
+        "StreamingOps.stateReader's pinned assumption alongside this spec")
+    // the key struct carries the group column by NAME — the explicit
+    // key.event_type selection stateReader makes is resolvable
+    val key = raw.schema("key").dataType.asInstanceOf[StructType]
+    assert(key.fieldNames.contains("event_type"), key.simpleString)
+  }
+
   test("statestore reader: checkpoint state equals the stream's own emission") {
     val dir = "/root/testdata/sf0.001"
     // the state files read back by format(\"statestore\") must carry
