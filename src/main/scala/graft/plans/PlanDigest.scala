@@ -42,7 +42,24 @@ object PlanDigest {
     // the custom bounded-heap operator and its map-side partial —
     // TreeNode.nodeName strips the "Exec" suffix, so these are the names
     // that actually appear in plan text (a "...Exec" entry never matches)
-    "TopKPerGroup", "TopKPerGroupPartial")
+    "TopKPerGroup", "TopKPerGroupPartial",
+    // streaming state operators (round 14, VERDICT r13 #2): where state
+    // sits in the micro-batch plan IS the scale structure of a streaming
+    // query — how many stores it opens per trigger, whether dedup state
+    // precedes or follows the watermark, whether a join keeps two-sided
+    // state. Captured from the last micro-batch's executed plan.
+    "StateStoreSave", "StateStoreRestore",
+    "SessionWindowStateStoreSave", "SessionWindowStateStoreRestore",
+    "FlatMapGroupsWithState", "TransformWithState",
+    "StreamingSymmetricHashJoin",
+    "StreamingDeduplicate", "StreamingDeduplicateWithinWatermark",
+    "EventTimeWatermark")
+
+  /** Digest of a raw executed-plan string — the streaming path, where the
+    * plan is captured from the micro-batch execution rather than a
+    * DataFrame ([[graft.streaming.StreamingOps.lastExecutedPlan]]). */
+  def ofPlanString(plan: String): String =
+    counts(plan).toSeq.sorted.map { case (k, n) => s"$k=$n" }.mkString(" ")
 
   private val line = """^[\s+:\-]*(?:\*\(\d+\)\s+)?([A-Za-z][A-Za-z0-9]*)""".r
 
@@ -56,6 +73,5 @@ object PlanDigest {
   /** Canonical one-line digest, e.g.
     * `Exchange=2 FileScan=1 HashAggregate=2 Sort=1`. */
   def of(df: DataFrame): String =
-    counts(df.queryExecution.executedPlan.toString)
-      .toSeq.sorted.map { case (k, n) => s"$k=$n" }.mkString(" ")
+    ofPlanString(df.queryExecution.executedPlan.toString)
 }

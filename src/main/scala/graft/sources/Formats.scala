@@ -592,28 +592,38 @@ object Formats {
     * 100 TB the chunking column feeds
     * `repartitionByRange(zval)` before the write and the report reads
     * the format's file-stats — the arithmetic is unchanged. */
+  /** The three lineitem key extrema as ONE bounded driver row (the
+    * merges-artifact / convergence-scalar class of driver read) — folded
+    * into literals so each downstream layout census costs one fact scan
+    * instead of re-running the extrema job and a broadcast product. */
+  private def keyExtrema(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val ext = Tables(spark, dir, "lineitem")
+      .agg(max("l_partkey"), max("l_suppkey"), max("l_orderkey"))
+      .collect()(0)
+    (ext.getLong(0), ext.getLong(1), ext.getLong(2))
+  }
+
+  /** 8-bit interleave of the two 4-bit bucket columns `bxx`/`byy` — the
+    * z-value. Shared by the census and the physical layout writer so the
+    * clustering they report/produce can never drift apart. */
+  private val ZvExpr =
+    """(bxx % 2) * 1 + (byy % 2) * 2 +
+      |((bxx div 2) % 2) * 4 + ((byy div 2) % 2) * 8 +
+      |((bxx div 4) % 2) * 16 + ((byy div 4) % 2) * 32 +
+      |((bxx div 8) % 2) * 64 + ((byy div 8) % 2) * 128""".stripMargin
+
   def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
-    // the three extrema are ONE bounded row — collected once to literals
-    // (the merges-artifact / convergence-scalar class of driver read), so
-    // the two layout censuses each cost one fact scan instead of each
-    // re-running the extrema job and a broadcast product
-    val ext = li.agg(max("l_partkey"), max("l_suppkey"), max("l_orderkey"))
-      .collect()(0)
-    val (maxp, maxs, maxo) = (ext.getLong(0), ext.getLong(1), ext.getLong(2))
+    val (maxp, maxs, maxo) = keyExtrema(spark, dir)
     // keys are 0-based in the generated tables: bucket k*16 div (max+1)
     // keeps every bucket in [0,15] with no negative arithmetic (whose
     // div/mod semantics differ between engines)
     val b = li
       .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
       .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
-    val z = b.withColumn("zv", expr(
-      """(bxx % 2) * 1 + (byy % 2) * 2 +
-        |((bxx div 2) % 2) * 4 + ((byy div 2) % 2) * 8 +
-        |((bxx div 4) % 2) * 16 + ((byy div 4) % 2) * 32 +
-        |((bxx div 8) % 2) * 64 + ((byy div 8) % 2) * 128""".stripMargin))
+    val z = b.withColumn("zv", expr(ZvExpr))
     def census(df: org.apache.spark.sql.DataFrame, layout: String,
         file: org.apache.spark.sql.Column) =
       df.groupBy(lit(layout).as("layout"), file.cast("int").as("file_id"))
@@ -626,10 +636,109 @@ object Formats {
       .orderBy("layout", "file_id")
   }
 
+  /** Writes lineitem (partkey, suppkey, quantity) to TWO physical
+    * multi-file layouts once per sf dir (marker guarded): `zorder/`
+    * chunked by z-value prefix, `linear/` chunked by orderkey range —
+    * the exact chunkings [[zorderCluster]] reports on. Each chunk lands
+    * as ONE parquet file in its own `file_id=N` directory: the
+    * `repartition(col)` puts every chunk's rows in a single task, so the
+    * partitioned write emits exactly one file per chunk. This is the
+    * `repartitionByRange`-before-write the census's scale note promises,
+    * made deterministic (range-sampler boundaries would vary run to
+    * run; the explicit `file_id` is exact integer arithmetic both
+    * engines reproduce). */
+  private def zorderLayouts(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#zlayout", {
+      val out = s"/tmp/graft-src-zlayout-${sfTag(dir)}"
+      val marker = new File(out, "_COMPLETE")
+      if (!marker.exists()) {
+        val (maxp, maxs, maxo) = keyExtrema(spark, dir)
+        val b = Tables(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity"))
+          .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+          .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
+        def write(df: DataFrame, fileId: String, sub: String): Unit =
+          df.withColumn("file_id", expr(fileId))
+            .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
+            .repartition(col("file_id"))
+            .write.mode("overwrite").partitionBy("file_id")
+            .parquet(s"$out/$sub")
+        write(b.withColumn("zv", expr(ZvExpr)), "zv div 16", "zorder")
+        write(b, s"(l_orderkey * 16) div (${maxo + 1}L)", "linear")
+        marker.createNewFile()
+      }
+      out
+    })
+
+  /** The per-file min/max STATS MANIFEST over a written layout — exactly
+    * what a table format's metadata layer stores per data file — built
+    * once per (layout, sf dir) and published through the snapshot
+    * protocol ([[graft.similarity.IndexStore.ensure]]): immutable
+    * version + atomic swap, so a republish can never tear a reader's
+    * prune-then-scan. `_metadata.file_path` keys the stats to the
+    * PHYSICAL file, not the logical chunk. */
+  private def zorderManifest(spark: SparkSession, dir: String,
+      layout: String): DataFrame = {
+    val base = zorderLayouts(spark, dir)
+    graft.similarity.IndexStore.ensure(spark, dir, s"zstats_$layout") {
+      spark.read.parquet(s"$base/$layout")
+        .select(col("_metadata.file_path").as("path"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy("path")
+        .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+          min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
+          count(lit(1)).as("n_rows"))
+    }
+  }
+
+  /** DEMONSTRATED z-order file skipping (round 14, VERDICT r13 #1 — the
+    * census's missing second half): a two-dimensional predicate
+    * (partkey in the bottom quarter AND suppkey in the bottom quarter)
+    * is answered by consulting the stats manifest FIRST — a file is
+    * opened only when its [min,max] box on BOTH dims overlaps the
+    * predicate box (bucket arithmetic on the mins; the buckets are
+    * monotone, so bucket(min) < 4 IS the overlap test for a
+    * bottom-quarter range) — then scanning only the qualifying files.
+    * Under the z layout the quadrant cell (0,0) is one file: 1 of 16
+    * opened. Under the linear layout every orderkey chunk spans both
+    * full key ranges: all files opened. The registered row per layout is
+    * (files_total, files_read, n_rows, sum_qty); the oracle recomputes
+    * the aggregate UNPRUNED from the base table — equality proves the
+    * prune lost no rows — and re-derives both file counts from the same
+    * bucket arithmetic, so opening even one file too many (or too few)
+    * hash-mismatches. The manifest collect is bounded by the file count
+    * (16/layout); at 100 TB it is the format's metadata scan — small by
+    * construction — while the data scan stays distributed. */
+  def zorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val (maxp, maxs, _) = keyExtrema(spark, dir)
+    val sides = Seq("linear", "zorder").map { layout =>
+      val man = zorderManifest(spark, dir, layout)
+        .select("path", "min_p", "min_s").collect()
+      val qualifying = man.filter { r =>
+        r.getLong(1) * 16 / (maxp + 1) < 4 && r.getLong(2) * 16 / (maxs + 1) < 4
+      }.map(_.getString(0)).toIndexedSeq
+      require(qualifying.nonEmpty,
+        s"$layout manifest pruned ALL ${man.length} files — stats broken")
+      spark.read.parquet(qualifying: _*)
+        .filter(expr(s"((l_partkey * 16) div (${maxp + 1}L)) < 4") &&
+          expr(s"((l_suppkey * 16) div (${maxs + 1}L)) < 4"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(lit(layout).as("layout"),
+          lit(man.length.toLong).as("files_total"),
+          lit(qualifying.length.toLong).as("files_read"),
+          col("n_rows"), col("sum_qty"))
+    }
+    sides.reduce(_ unionByName _).orderBy("layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_snapshot_reader" -> (snapshotReader _),
     "src_snapshot_history" -> (snapshotHistory _),
     "src_zorder_cluster" -> (zorderCluster _),
+    "src_zorder_skipping" -> (zorderSkipping _),
     "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
@@ -688,6 +797,45 @@ object Formats {
         |  FROM b GROUP BY lf)
         |SELECT * FROM zc UNION ALL SELECT * FROM lc
         |ORDER BY layout, file_id""".stripMargin,
+    // the aggregate is recomputed UNPRUNED (pruning must lose nothing);
+    // the file counts re-derive from the bucket arithmetic: a z chunk is
+    // one (partkey-quadrant, suppkey-quadrant) cell — exactly one cell
+    // overlaps the bottom-quarter×bottom-quarter predicate box — while a
+    // linear chunk qualifies via its per-chunk min buckets, which at any
+    // SF cover both bottom quarters in every chunk
+    "src_zorder_skipping" ->
+      """WITH ext AS (
+        |  SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs,
+        |         max(l_orderkey) AS maxo
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_quantity,
+        |    CAST((l_partkey * 16) // (maxp + 1) AS INT) AS bxx,
+        |    CAST((l_suppkey * 16) // (maxs + 1) AS INT) AS byy,
+        |    (l_orderkey * 16) // (maxo + 1) AS lf
+        |  FROM lineitem, ext),
+        |q AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM b WHERE bxx < 4 AND byy < 4),
+        |zc AS (
+        |  SELECT (bxx // 4) * 4 + (byy // 4) AS cell,
+        |         min(bxx) AS mbx, min(byy) AS mby
+        |  FROM b GROUP BY 1),
+        |lc AS (
+        |  SELECT lf, min(bxx) AS mbx, min(byy) AS mby FROM b GROUP BY lf)
+        |SELECT 'linear' AS layout,
+        |  CAST((SELECT count(*) FROM lc) AS BIGINT) AS files_total,
+        |  CAST((SELECT count(*) FROM lc WHERE mbx < 4 AND mby < 4) AS BIGINT)
+        |    AS files_read,
+        |  n_rows, sum_qty FROM q
+        |UNION ALL
+        |SELECT 'zorder' AS layout,
+        |  CAST((SELECT count(*) FROM zc) AS BIGINT) AS files_total,
+        |  CAST((SELECT count(*) FROM zc WHERE mbx < 4 AND mby < 4) AS BIGINT)
+        |    AS files_read,
+        |  n_rows, sum_qty FROM q
+        |ORDER BY layout""".stripMargin,
     // current = version 3 (whole table), previous = version 2 (two
     // thirds) — both re-derived from the base table, covering the kept
     // predecessor's bytes and previousVersion's resolution

@@ -115,6 +115,35 @@ object StreamingOps {
     ckptRoot.map(r => "checkpointLocation" ->
       Files.createTempDirectory(r, "q").toString).toMap
 
+  /** Executed physical plan of the LAST micro-batch drained through this
+    * module — the streaming half of the plan ledger (round 14, VERDICT
+    * r13 #2). Batch digests can't see a streaming query's state-operator
+    * placement (StateStoreSave vs session-window stores vs stream-join
+    * state) — exactly the structure that determines state size and
+    * per-trigger cost at scale — so [[graft.PlanSnapshot]] reads this
+    * after executing each registered streaming query. Introspection uses
+    * the runtime's own classes and is best-effort: a failure leaves ""
+    * rather than failing the query. */
+  @volatile private[graft] var lastExecutedPlan: String = ""
+
+  /** Drain `q` to completion, capture its final executed plan for the
+    * ledger, then stop it — the one way every stream in this module ends
+    * (capture sits BEFORE stop so the execution is still current). */
+  private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      q.processAllAvailable()
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+        val exec = q match {
+          case w: StreamingQueryWrapper => Some(w.streamingQuery)
+          case s: StreamExecution => Some(s)
+          case _ => None
+        }
+        exec.flatMap(se => Option(se.lastExecution))
+          .foreach(e => lastExecutedPlan = e.executedPlan.toString)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    } finally q.stop()
+
   /** Hard cap on rows a memory sink may hand the driver. The memory sink
     * is inherently driver-side (fine for aggregate-sized results, which is
     * all the verified surface emits); this guard turns a future
@@ -157,8 +186,7 @@ object StreamingOps {
         .queryName(name)
         .options(ckptOption)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      drainAndStop(q)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       if (dataBatches < minDataBatches) throw new IllegalStateException(
         s"streaming query ran $dataBatches data-carrying micro-batches, " +
@@ -214,8 +242,7 @@ object StreamingOps {
         }
         .options(ckptOption)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      drainAndStop(q)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       if (dataBatches < minDataBatches) throw new IllegalStateException(
         s"streaming query ran $dataBatches data-carrying micro-batches, " +
@@ -311,8 +338,7 @@ object StreamingOps {
       .format("noop")
       .option("checkpointLocation", ckpt)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    drainAndStop(q)
     val raw = spark.read.format("statestore").load(ckpt)
     // key carries the group column; the value struct carries the agg
     // buffer. State format v2 (the default since Spark 2.4) stores ONLY
@@ -513,8 +539,7 @@ object StreamingOps {
           }
           .option("checkpointLocation", ckpt)
           .start()
-        try q.processAllAvailable()
-        finally q.stop()
+        drainAndStop(q)
         q.recentProgress.map(_.numInputRows).sum
       }
       admit(slices.head)
@@ -593,8 +618,7 @@ object StreamingOps {
         }
         .options(ckptOption)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      drainAndStop(q)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       if (dataBatches < 3) throw new IllegalStateException(
         s"streaming merge ran $dataBatches data-carrying micro-batches, " +

@@ -4,18 +4,23 @@ import scala.jdk.CollectionConverters._
 
 import graft.plans.PlanDigest
 
-/** Plan-regression ledger gate (round 13): every batch query's physical
-  * plan must carry exactly the operator-count digest committed in
-  * `PLAN_SNAPSHOT.json`. A join-strategy flip (broadcast → sort-merge),
-  * a new shuffle, a dropped pushdown that adds an Exchange, or an extra
-  * Generate changes the digest and fails HERE with the query and feature
-  * named — the correctness gate can't see those, and at 100 TB they are
-  * the regressions that matter. Intentional changes: regenerate via
-  * `sbt "runMain graft.PlanSnapshot"`, check the git diff moves exactly
-  * what you meant to move, commit the snapshot with the code. */
+/** Plan-regression ledger gate (round 13; streaming coverage round 14):
+  * every query's physical plan must carry exactly the operator-count
+  * digest committed in `PLAN_SNAPSHOT.json` — batch queries through
+  * their executed plan, streaming queries through the last micro-batch's
+  * executed plan (state-operator placement included). A join-strategy
+  * flip (broadcast → sort-merge), a new shuffle, a dropped pushdown that
+  * adds an Exchange, an extra Generate, or a state store that moves
+  * across the watermark changes the digest and fails HERE with the query
+  * and feature named — the correctness gate can't see those, and at
+  * 100 TB they are the regressions that matter. Intentional changes:
+  * regenerate via `sbt "runMain graft.PlanSnapshot"`, check the git diff
+  * moves exactly what you meant to move, commit the snapshot with the
+  * code. */
 class PlanSnapshotSpec extends SparkSpec {
 
-  test("every batch query's plan digest matches the committed snapshot") {
+  test("every query's plan digest matches the committed snapshot " +
+      "(batch plans + streaming micro-batch state plans)") {
     val path = java.nio.file.Paths.get(PlanSnapshot.SnapshotPath)
     assert(java.nio.file.Files.exists(path),
       s"missing ${PlanSnapshot.SnapshotPath} — run `sbt \"runMain graft.PlanSnapshot\"`")

@@ -62,6 +62,34 @@ class FormatsSpec extends SparkSpec {
       s"layouts disagree on row count: $zRows vs $lRows")
   }
 
+  test("manifest-driven skipping: z-order opens a strict subset of files, " +
+      "linear opens all of them, and the prune loses no rows") {
+    val rows = Formats.zorderSkipping(spark, sf).collect()
+    val z = rows.find(_.getString(0) == "zorder").get
+    val l = rows.find(_.getString(0) == "linear").get
+    // columns: layout(0), files_total(1), files_read(2), n_rows(3), sum_qty(4)
+    assert(z.getLong(2) < z.getLong(1),
+      s"z-order read ${z.getLong(2)} of ${z.getLong(1)} files — no skipping")
+    assert(z.getLong(2) * 4 <= z.getLong(1),
+      s"z-order skipping too weak: ${z.getLong(2)} of ${z.getLong(1)} files")
+    assert(l.getLong(2) == l.getLong(1),
+      s"linear layout skipped files (${l.getLong(2)} of ${l.getLong(1)}): " +
+        "an orderkey chunk should span both full key ranges")
+    // both layouts must return the SAME query answer, and it must equal
+    // the unpruned recompute from the base table — pruning lost nothing
+    assert(z.getLong(3) == l.getLong(3) && z.getLong(4) == l.getLong(4))
+    val ext = graft.Tables(spark, sf, "lineitem")
+      .agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+    val (maxp, maxs) = (ext.getLong(0), ext.getLong(1))
+    val full = graft.Tables(spark, sf, "lineitem")
+      .filter(expr(s"((l_partkey * 16) div (${maxp + 1}L)) < 4") &&
+        expr(s"((l_suppkey * 16) div (${maxs + 1}L)) < 4"))
+      .agg(count(lit(1)), sum(col("l_quantity")).cast("long")).collect()(0)
+    assert(z.getLong(3) == full.getLong(0),
+      s"pruned read saw ${z.getLong(3)} rows, unpruned ${full.getLong(0)}")
+    assert(z.getLong(4) == full.getLong(1))
+  }
+
   test("compaction collapses the 64-file fragment layout by >=8x, keeping rows") {
     val (frag, out) = Formats.compactionDirs(spark, sf)
     def parts(d: String): Int = Option(new java.io.File(d).listFiles())
