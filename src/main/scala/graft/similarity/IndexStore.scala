@@ -154,9 +154,18 @@ object IndexStore {
     * follow the same grace-window GC. The in-version marker records
     * `tag` (the commit's logical version), not an sf dir — a name is
     * either ensure-managed or commit-managed, never both. Returns the
-    * immutable version path just published. */
-  def commit(name: String, tag: String)(build: => DataFrame): Path =
-    withPerNameLock(name) { buildAndPublish(name, tag, build) }
+    * immutable version path just published.
+    *
+    * @param graceMs GC grace for THIS name's superseded versions. The
+    *        default suits build-once artifacts; a HIGH-FREQUENCY
+    *        committer (the streaming MERGE sink lands one version per
+    *        micro-batch) passes a short grace so a run's version chain
+    *        doesn't pile up one full table copy per trigger on disk
+    *        (ADVICE r13) — the immediately previous version is still
+    *        kept unconditionally, so the swap-safety story is unchanged. */
+  def commit(name: String, tag: String, graceMs: Long = GcGraceMs)
+      (build: => DataFrame): Path =
+    withPerNameLock(name) { buildAndPublish(name, tag, build, graceMs) }
 
   /** Read the currently published version of `name`: resolve the link
     * ONCE, scan the immutable real path — the read half of the snapshot
@@ -201,7 +210,7 @@ object IndexStore {
     * with an atomic link swap, GCs superseded versions (keeping the one
     * just replaced for in-flight readers). Returns the new real path. */
   private def buildAndPublish(name: String, want: String,
-      build: => DataFrame): Path = {
+      build: => DataFrame, graceMs: Long = GcGraceMs): Path = {
     val link = linkPath(name)
     val previous: Option[Path] =
       if (Files.isSymbolicLink(link))
@@ -237,7 +246,7 @@ object IndexStore {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       catch { case NonFatal(_) => () }
     }
-    gcSuperseded(name, version, previous)
+    gcSuperseded(name, version, previous, graceMs)
     version
   }
 
@@ -255,12 +264,12 @@ object IndexStore {
     * a sibling artifact whose name merely starts with `name-` can never
     * be caught). */
   private def gcSuperseded(name: String, version: Path,
-      previous: Option[Path]): Unit = {
+      previous: Option[Path], graceMs: Long = GcGraceMs): Unit = {
     val keepNames = Set(version.getFileName.toString) ++
       previous.map(_.getFileName.toString)
     val now = System.currentTimeMillis()
     def expired(p: Path): Boolean =
-      try now - Files.getLastModifiedTime(p).toMillis >= GcGraceMs
+      try now - Files.getLastModifiedTime(p).toMillis >= graceMs
       catch { case NonFatal(_) => false }
     def sweep(dir: Path, matches: Path => Boolean): Unit =
       if (Files.isDirectory(dir)) try {

@@ -517,7 +517,11 @@ object Formats {
   def snapshotReader(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     import graft.similarity.IndexStore
-    val name = "snap_user_counts"
+    // SF-SCOPED name (ADVICE r13): the reader compares row counts against
+    // THIS run's expected map — a concurrent driver process at another
+    // scale factor committing under the same name would otherwise hand it
+    // a complete-but-differently-sized version and red the gate spuriously
+    val name = s"snap_user_counts_${sfTag(dir)}"
     def version(v: Int): DataFrame = userCensusVersion(spark, dir, v)
     val expected = (1 to 3).map(v => v.toLong -> version(v).count()).toMap
     val first = IndexStore.commit(name, "v1")(version(1))
@@ -562,7 +566,7 @@ object Formats {
   def snapshotHistory(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     import graft.similarity.IndexStore
-    val name = "snap_history"
+    val name = s"snap_history_${sfTag(dir)}" // sf-scoped, same ADVICE r13 reason
     (1 to 3).foreach(v =>
       IndexStore.commit(name, s"v$v")(userCensusVersion(spark, dir, v)))
     val current = IndexStore.readCurrent(spark, name)

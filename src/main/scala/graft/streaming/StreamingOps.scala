@@ -569,7 +569,7 @@ object StreamingOps {
     * directory published by atomic symlink swap under the per-name lock
     * — a job never overwrites the files it is lazily reading, and a
     * concurrent reader (this JVM or another process, via
-    * `IndexStore.readCurrent("merge_target")`) always sees one complete
+    * `IndexStore.readCurrent` of the sf-scoped target name) always sees one complete
     * version. That is exactly the copy-on-write + snapshot-commit
     * protocol Delta/Iceberg implement with a transaction log; at 100 TB
     * this foreachBatch body becomes `MERGE INTO target USING batch`
@@ -597,7 +597,15 @@ object StreamingOps {
           col("ts"), col("event_id"))
       // run-local version pointer (fresh target per run); the PUBLICATION
       // of each version is IndexStore.commit's atomic symlink protocol.
-      // foreachBatch bodies run serially on the driver
+      // foreachBatch bodies run serially on the driver. The name is
+      // SF-SCOPED (ADVICE r13): two driver processes at different scale
+      // factors (bench + verify) must not interleave the published link
+      // a cross-process readCurrent would resolve; the commit grace is
+      // short because this name takes one commit PER MICRO-BATCH — the
+      // default 10-minute grace would pile up a full target copy per
+      // trigger per run on disk (the previous version is still always
+      // kept, so the swap-safety guarantee is unchanged)
+      val target = "merge_target_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       var current: Option[java.nio.file.Path] = None
       var nextV = 0L
       val q = events.writeStream.outputMode("append")
@@ -613,7 +621,7 @@ object StreamingOps {
           }
           val merged = mergeClassify(cur, latest)
           current = Some(graft.similarity.IndexStore
-            .commit("merge_target", s"batch-$nextV")(merged))
+            .commit(target, s"batch-$nextV", graceMs = 60000L)(merged))
           nextV += 1
         }
         .options(ckptOption)

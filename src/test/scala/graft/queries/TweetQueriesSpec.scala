@@ -73,4 +73,15 @@ class TweetQueriesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(sorted == Seq("b", "a"))
   }
+
+  test("SQL-string entry path: the parsed census carries the identical " +
+      "plan digest as its DSL twin (round 14, VERDICT r13 #4)") {
+    val dir = "/root/testdata/sf0.001"
+    val dsl = graft.plans.PlanDigest.of(TweetQueries.topEmoji(spark, dir))
+    val sql = graft.plans.PlanDigest.of(TweetQueries.topEmojiViaSql(spark, dir))
+    assert(sql == dsl,
+      s"SQL-authored plan diverged from the DSL plan:\n  dsl: $dsl\n  sql: $sql")
+    // and the catalog surface really resolved through a temp view
+    assert(spark.catalog.tableExists("graft_tweets"))
+  }
 }
