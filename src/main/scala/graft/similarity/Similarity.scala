@@ -1021,7 +1021,7 @@ object Similarity {
   /** Exact integer sub-distance of every vector to every codeword in
     * every subspace — the corpus rows feed [[pqCodes]] encoding; a
     * query's rows ARE its asymmetric-distance lookup table. */
-  private def pqSubDists(spark: SparkSession, dir: String, m: Int): DataFrame = {
+  private[similarity] def pqSubDists(spark: SparkSession, dir: String, m: Int): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
     // quantized components, tagged with their subspace (dim-range block)
@@ -1183,7 +1183,7 @@ object Similarity {
   }
 
   /** ADC ranking: LUT-sum per (query, candidate), bounded-heap top-k. */
-  private def pqAdcTopK(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+  private[similarity] def pqAdcTopK(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
     val adc = codes.join(broadcast(lut),
         col("c_sub") === col("q_sub") && col("code") === col("q_code"))
       .filter(col("vec_id") =!= col("qid"))
