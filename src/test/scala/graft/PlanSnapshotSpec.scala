@@ -64,5 +64,18 @@ class PlanSnapshotSpec extends SparkSpec {
     // Sort vs SortMergeJoin vs SortAggregate never alias each other
     val s = PlanDigest.counts("+- Sort [a ASC]\n+- SortAggregate(key=[a])\n+- SortMergeJoin [a], [b]")
     assert(s == Map("Sort" -> 1, "SortAggregate" -> 1, "SortMergeJoin" -> 1))
+    // streaming state operators (round 14) parse out of a micro-batch plan,
+    // and the dedup variants never alias each other
+    val m = PlanDigest.counts(
+      """*(4) HashAggregate(keys=[k], functions=[count(1)])
+        |+- StateStoreSave [k], state info [ checkpoint = x ], Complete
+        |   +- *(3) HashAggregate(keys=[k], functions=[merge_count(1)])
+        |      +- StateStoreRestore [k], state info [ checkpoint = x ]
+        |         +- StreamingDeduplicateWithinWatermark [k]
+        |            +- EventTimeWatermark ts: timestamp, 10 minutes
+        |""".stripMargin)
+    assert(m == Map("HashAggregate" -> 2, "StateStoreSave" -> 1,
+      "StateStoreRestore" -> 1, "StreamingDeduplicateWithinWatermark" -> 1,
+      "EventTimeWatermark" -> 1), m.toString)
   }
 }
