@@ -114,6 +114,30 @@ class SnapshotCommitSpec extends SparkSpec
     assert(cur == Seq(3L))
   }
 
+  test("schema evolution across commits: each version keeps its own schema, " +
+      "and the evolved read unions them with null back-fill") {
+    val name = "snapcommit_schema"
+    wipe(name)
+    IndexStore.commit(name, "t1")(tagged(10, 1L))
+    IndexStore.commit(name, "t2")(
+      tagged(10, 2L).withColumn("extra", col("id") * 2))
+    // the current snapshot carries the widened schema; time travel hands
+    // back the predecessor under ITS schema — a table format never
+    // rewrites history to evolve it
+    val cur = IndexStore.readCurrent(spark, name)
+    assert(cur.columns.toSeq == Seq("id", "tag", "extra"), cur.columns.toSeq)
+    val prev = spark.read.parquet(IndexStore.previousVersion(name).get.toString)
+    assert(prev.columns.toSeq == Seq("id", "tag"), prev.columns.toSeq)
+    // the evolution read: union by NAME with missing columns null-filled
+    // (exactly what a format's schema-merge read does)
+    val both = cur.unionByName(prev, allowMissingColumns = true)
+    assert(both.count() == 20)
+    assert(both.filter(col("extra").isNull).count() == 10,
+      "pre-evolution rows must surface the new column as null")
+    assert(both.filter(col("tag") === 2L && col("extra") =!= col("id") * 2)
+      .count() == 0)
+  }
+
   test("src_snapshot_reader: final snapshot equals the direct full-table census") {
     val dir = "/root/testdata/sf0.001"
     val got = Formats.snapshotReader(spark, dir)
