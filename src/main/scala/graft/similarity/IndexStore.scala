@@ -203,8 +203,7 @@ object IndexStore {
     * predecessor on disk (single version, or the predecessor aged out of
     * the GC grace). */
   def previousVersion(name: String): Option[Path] =
-    try {
-      val cur = currentVersion(name).getOrElse(return None)
+    try currentVersion(name).flatMap { cur =>
       val marker = cur.resolve(PrevMarker)
       if (!Files.exists(marker)) None
       else {

@@ -31,8 +31,33 @@ trait SnapshotPointer {
     * was GC'd by an outside force); never throws. */
   def resolve(root: Path, name: String): Option[Path]
 
-  /** Atomically repoint `name` at the (complete, on-disk) `version`. */
+  /** Atomically repoint `name` at the (complete, on-disk) `version`.
+    * Implementations also REMOVE the other spelling's stale pointer
+    * (see [[SnapshotPointer.dropOtherForms]]): a deployment that
+    * switches implementations must cold-start (resolve None → rebuild),
+    * never silently serve the version the abandoned pointer form still
+    * names. */
   def swap(root: Path, name: String, version: Path): Unit
+}
+
+object SnapshotPointer {
+  /** Best-effort removal of every OTHER pointer spelling for `name` —
+    * called by each impl's swap after installing its own pointer, so
+    * the most recent swap is authoritative under EITHER resolver. Only
+    * pointer forms are touched (a symlink, a `.ptr` file); a legacy
+    * real directory at the link path is the publisher's migration
+    * concern, not a pointer. */
+  private[similarity] def dropOtherForms(root: Path, name: String,
+      keep: SnapshotPointer): Unit = {
+    try {
+      if (keep ne PosixSymlinkPointer) {
+        val link = root.resolve(name)
+        if (Files.isSymbolicLink(link)) Files.deleteIfExists(link)
+      }
+      if (keep ne ManifestFilePointer)
+        Files.deleteIfExists(root.resolve(s"$name.ptr"))
+    } catch { case NonFatal(_) => () }
+  }
 }
 
 /** Default pointer: `root/<name>` is a SYMLINK to the current version,
@@ -54,6 +79,7 @@ object PosixSymlinkPointer extends SnapshotPointer {
     Files.createSymbolicLink(tmpLink, version)
     Files.move(tmpLink, root.resolve(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    SnapshotPointer.dropOtherForms(root, name, keep = this)
   }
 }
 
@@ -83,5 +109,6 @@ object ManifestFilePointer extends SnapshotPointer {
     Files.writeString(tmp, version.toRealPath().toString)
     Files.move(tmp, ptrPath(root, name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    SnapshotPointer.dropOtherForms(root, name, keep = this)
   }
 }

@@ -138,6 +138,34 @@ class SnapshotCommitSpec extends SparkSpec
       .count() == 0)
   }
 
+  test("switching pointer implementations never serves a stale version: " +
+      "each swap drops the other spelling's pointer, so the abandoned " +
+      "form resolves None (cold start), not old data") {
+    import graft.similarity.{ManifestFilePointer, PosixSymlinkPointer}
+    val name = "snapcommit_ptrswitch"
+    wipe(name)
+    try {
+      // v1 published under POSIX; then the deployment switches to the
+      // manifest pointer and publishes v2
+      IndexStore.pointer = PosixSymlinkPointer
+      IndexStore.commit(name, "t1")(tagged(10, 1L))
+      IndexStore.pointer = ManifestFilePointer
+      IndexStore.commit(name, "t2")(tagged(10, 2L))
+      // switching BACK to POSIX must not resolve the stale symlink to v1
+      // — the manifest swap deleted it; the reader cold-starts instead
+      // of silently serving the superseded version
+      IndexStore.pointer = PosixSymlinkPointer
+      assert(IndexStore.currentVersion(name).isEmpty,
+        "stale symlink survived the manifest swap — a pointer-impl " +
+          "switch would silently serve the old version")
+      // and the reverse: a POSIX publish drops the stale .ptr
+      IndexStore.commit(name, "t3")(tagged(10, 3L))
+      IndexStore.pointer = ManifestFilePointer
+      assert(IndexStore.currentVersion(name).isEmpty,
+        "stale .ptr survived the POSIX swap")
+    } finally IndexStore.pointer = pointerImpl
+  }
+
   test("src_snapshot_reader: final snapshot equals the direct full-table census") {
     val dir = "/root/testdata/sf0.001"
     val got = Formats.snapshotReader(spark, dir)
