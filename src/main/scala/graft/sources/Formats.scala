@@ -628,16 +628,69 @@ object Formats {
       .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
       .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
     val z = b.withColumn("zv", expr(ZvExpr))
-    def census(df: org.apache.spark.sql.DataFrame, layout: String,
-        file: org.apache.spark.sql.Column) =
-      df.groupBy(lit(layout).as("layout"), file.cast("int").as("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
-          min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
-    census(z, "zorder", expr("zv div 16"))
-      .unionByName(census(b, "linear",
-        expr(s"(l_orderkey * 16) div (${maxo + 1}L)")))
+    censusPair(z, "zorder" -> "zv div 16",
+      "linear" -> s"(l_orderkey * 16) div (${maxo + 1}L)")
+  }
+
+  /** Per-file min/max census of both scan dims under TWO chunkings at
+    * once: each row fans out to its (layout, file_id) pair via one
+    * Generate, so the comparison costs ONE fact scan and ONE shuffle
+    * instead of a scan + aggregate per layout (round 14 — at 100 TB the
+    * second scan was the whole cost of the diagnostic). */
+  private def censusPair(df: DataFrame, a: (String, String),
+      b: (String, String)): DataFrame =
+    df.select(col("l_partkey"), col("l_suppkey"),
+        explode(array(
+          struct(lit(a._1).as("layout"), expr(a._2).cast("int").as("file_id")),
+          struct(lit(b._1).as("layout"), expr(b._2).cast("int").as("file_id"))))
+          .as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+        min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
       .orderBy("layout", "file_id")
+
+  /** Hilbert-curve clustering census (round 14 superset — the layout
+    * comparison a data-layout engineer actually runs before choosing a
+    * clustering key): the same 16×16 bucket grid as [[zorderCluster]],
+    * indexed by the order-4 HILBERT curve (four unrolled
+    * quadrant/rotate rounds, pure integer arithmetic both engines
+    * reproduce exactly) next to the same grid under the z-curve — BOTH
+    * chunked into 24-cell files, deliberately UNALIGNED with the curves'
+    * power-of-4 block structure, because that is where the curves
+    * differ: real files are sized by bytes, not by subsquare counts. A
+    * z-chunk that straddles a z-jump spans diagonally-distant quadrants
+    * (bounding boxes up to 96 grid cells here), while the Hilbert curve
+    * has no jumps — every contiguous range is edge-connected, boxes stay
+    * ≤ 32 cells (FormatsSpec pins the ratio). Tighter per-file boxes are
+    * directly fewer files opened per range predicate at 100 TB; z-order
+    * keeps the simpler write path (bit interleave vs rotation rounds) —
+    * this census is the measured trade-off between them. */
+  def hilbertCluster(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val (maxp, maxs, _) = keyExtrema(spark, dir)
+    var b = li
+      .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+      .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
+      .withColumn("zv", expr(ZvExpr))
+      .withColumn("hx", col("bxx")).withColumn("hy", col("byy"))
+      .withColumn("hd", lit(0))
+    // xy2d, order 4: per round take the quadrant (Gray-coded: the
+    // (3·rx)⊕ry term, spelled 3·rx + ry − 2·rx·ry so both engines share
+    // one arithmetic form), then reflect+swap into the subsquare's frame
+    Seq(8, 4, 2, 1).foreach { s =>
+      b = b
+        .withColumn("rx", expr(s"CAST((hx div $s) % 2 AS INT)"))
+        .withColumn("ry", expr(s"CAST((hy div $s) % 2 AS INT)"))
+        .withColumn("hd", expr(s"hd + $s * $s * (3 * rx + ry - 2 * rx * ry)"))
+        .withColumn("nx", expr("CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END"))
+        .withColumn("hy", expr("CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END"))
+        .withColumn("hx", col("nx"))
+        .drop("nx", "rx", "ry")
+    }
+    censusPair(b, "hilbert" -> "hd div 24", "zorder24" -> "zv div 24")
   }
 
   /** Writes lineitem (partkey, suppkey, quantity) to TWO physical
@@ -743,6 +796,7 @@ object Formats {
     "src_snapshot_history" -> (snapshotHistory _),
     "src_zorder_cluster" -> (zorderCluster _),
     "src_zorder_skipping" -> (zorderSkipping _),
+    "src_hilbert_cluster" -> (hilbertCluster _),
     "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_csv_malformed" -> (csvMalformed _),
@@ -800,6 +854,64 @@ object Formats {
         |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
         |  FROM b GROUP BY lf)
         |SELECT * FROM zc UNION ALL SELECT * FROM lc
+        |ORDER BY layout, file_id""".stripMargin,
+    // the same four xy2d rounds in SQL: each CTE takes the quadrant and
+    // rotates into the subsquare frame; one wrong rotation case or a
+    // mis-weighted quadrant shifts a file's extrema and hash-mismatches
+    "src_hilbert_cluster" ->
+      """WITH ext AS (
+        |  SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+        |b0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST((l_partkey * 16) // (maxp + 1) AS INT) AS bxx,
+        |    CAST((l_suppkey * 16) // (maxs + 1) AS INT) AS byy
+        |  FROM lineitem, ext),
+        |z0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    (bxx % 2) * 1 + (byy % 2) * 2 +
+        |    ((bxx // 2) % 2) * 4 + ((byy // 2) % 2) * 8 +
+        |    ((bxx // 4) % 2) * 16 + ((byy // 4) % 2) * 32 +
+        |    ((bxx // 8) % 2) * 64 + ((byy // 8) % 2) * 128 AS zv,
+        |    bxx AS hx, byy AS hy, 0 AS hd
+        |  FROM b0),
+        |r8 AS (
+        |  SELECT l_partkey, l_suppkey, zv,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END AS hy,
+        |    hd + 64 * (3 * rx + ry - 2 * rx * ry) AS hd
+        |  FROM (SELECT *, CAST((hx // 8) % 2 AS INT) AS rx,
+        |               CAST((hy // 8) % 2 AS INT) AS ry FROM z0) t8),
+        |r4 AS (
+        |  SELECT l_partkey, l_suppkey, zv,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END AS hy,
+        |    hd + 16 * (3 * rx + ry - 2 * rx * ry) AS hd
+        |  FROM (SELECT *, CAST((hx // 4) % 2 AS INT) AS rx,
+        |               CAST((hy // 4) % 2 AS INT) AS ry FROM r8) t4),
+        |r2 AS (
+        |  SELECT l_partkey, l_suppkey, zv,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END AS hy,
+        |    hd + 4 * (3 * rx + ry - 2 * rx * ry) AS hd
+        |  FROM (SELECT *, CAST((hx // 2) % 2 AS INT) AS rx,
+        |               CAST((hy // 2) % 2 AS INT) AS ry FROM r4) t2),
+        |r1 AS (
+        |  SELECT l_partkey, l_suppkey, zv,
+        |    hd + (3 * (hx % 2) + (hy % 2) - 2 * (hx % 2) * (hy % 2)) AS hd
+        |  FROM r2),
+        |hc AS (
+        |  SELECT 'hilbert' AS layout, CAST(hd // 24 AS INT) AS file_id,
+        |    count(*) AS n_rows,
+        |    min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+        |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+        |  FROM r1 GROUP BY file_id),
+        |zc AS (
+        |  SELECT 'zorder24' AS layout, CAST(zv // 24 AS INT) AS file_id,
+        |    count(*) AS n_rows,
+        |    min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+        |    min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+        |  FROM r1 GROUP BY file_id)
+        |SELECT * FROM hc UNION ALL SELECT * FROM zc
         |ORDER BY layout, file_id""".stripMargin,
     // the aggregate is recomputed UNPRUNED (pruning must lose nothing);
     // the file counts re-derive from the bucket arithmetic: a z chunk is

@@ -62,6 +62,35 @@ class FormatsSpec extends SparkSpec {
       s"layouts disagree on row count: $zRows vs $lRows")
   }
 
+  test("hilbert chunks stay edge-connected where z chunks jump: at the " +
+      "UNALIGNED 24-cell file size, hilbert bounding boxes are tighter") {
+    val rows = Formats.hilbertCluster(spark, sf).collect()
+    val ext = graft.Tables(spark, sf, "lineitem")
+      .agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+    val (maxp, maxs) = (ext.getLong(0), ext.getLong(1))
+    def bucket(v: Long, maxv: Long): Long = v * 16 / (maxv + 1)
+    // columns: layout(0), file_id(1), n_rows(2), min_p(3), max_p(4),
+    //          min_s(5), max_s(6) — box area in GRID CELLS per file
+    def areas(layout: String): Seq[Long] =
+      rows.filter(_.getString(0) == layout).map { r =>
+        (bucket(r.getLong(4), maxp) - bucket(r.getLong(3), maxp) + 1) *
+          (bucket(r.getLong(6), maxs) - bucket(r.getLong(5), maxs) + 1)
+      }.toSeq
+    val (h, z) = (areas("hilbert"), areas("zorder24"))
+    assert(h.nonEmpty && z.nonEmpty)
+    // the z-jump: a 24-cell z chunk can straddle quadrant boundaries and
+    // box out to 96 cells; the jump-free hilbert curve stays <= 32
+    assert(h.max * 2 <= z.max,
+      s"hilbert max box ${h.max} cells vs z ${z.max} — the locality " +
+        "advantage this layout exists for is gone")
+    assert(h.sum.toDouble / h.size < z.sum.toDouble / z.size,
+      s"hilbert avg box ${h.sum.toDouble / h.size} not tighter than " +
+        s"z ${z.sum.toDouble / z.size}")
+    // row conservation: both layouts chunk the same table
+    val n = (l: String) => rows.filter(_.getString(0) == l).map(_.getLong(2)).sum
+    assert(n("hilbert") == n("zorder24") && n("hilbert") > 0)
+  }
+
   test("manifest-driven skipping: z-order opens a strict subset of files, " +
       "linear opens all of them, and the prune loses no rows") {
     val rows = Formats.zorderSkipping(spark, sf).collect()
