@@ -47,6 +47,69 @@ class SummaryProcessor
   }
 }
 
+/** Event-time GAP SESSIONIZATION through the full `transformWithState`
+  * API surface (round 14): `ListState` buffers the open session's event
+  * times, a registered EVENT-TIME TIMER (tracked in a `ValueState` so it
+  * can be moved) closes the session when the watermark passes its
+  * gap-extended end, and sessions split by an in-stream gap close inline
+  * as their successor arrives. The feed is time-ordered (the
+  * [[StreamingOps]] time-split discipline), so arriving events never
+  * predate buffered state; within a batch the iterator is sorted before
+  * folding. Emission is deterministic: every session except a user's
+  * final open one closes inline, and the final one closes iff the
+  * terminal watermark (max event time, delay 0) passes its end + gap —
+  * exactly the rule the DuckDB oracle replays. */
+class GapSessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionRow] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var times: ListState[Long] = _
+  @transient private var timer: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    times = getHandle.getListState[Long]("times",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    timer = getHandle.getValueState[Long]("timer",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def session(user: Long, buf: Seq[Long]): SessionRow =
+    SessionRow(user, buf.size.toLong, buf.head, buf.last)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[SessionRow] = {
+    val incoming = rows.map(r => micros(r._2)).toArray.sorted
+    var buf = times.get().toVector
+    val closed = Vector.newBuilder[SessionRow]
+    incoming.foreach { t =>
+      if (buf.nonEmpty && t - buf.last > gapUs) {
+        closed += session(user, buf)
+        buf = Vector.empty
+      }
+      buf = buf :+ t
+    }
+    times.clear()
+    times.put(buf.toArray)
+    // move the close timer to the (possibly new) session end + gap
+    if (timer.exists()) getHandle.deleteTimer(timer.get())
+    val expiryMs = (buf.last + gapUs) / 1000L
+    getHandle.registerTimer(expiryMs)
+    timer.update(expiryMs)
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+    val buf = times.get().toVector
+    times.clear()
+    timer.clear()
+    if (buf.nonEmpty) Iterator.single(session(user, buf)) else Iterator.empty
+  }
+}
+
 /** Structured Streaming equivalents of the reference's streaming surface
   * (SURVEY.md §2.1 S2/S3, §2.5 A6, §2.6 O5, K2): file-stream source with a
   * statically-bootstrapped schema, complete-mode stateful aggregation, and
@@ -881,6 +944,45 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Gap of the [[GapSessionProcessor]] sessions (µs): 12 hours against
+    * the fixture's ~7.7 h median per-user inter-event gap, so most users
+    * split into several sessions AND most sessions close inline — both
+    * paths of the processor carry registered weight. */
+  private val TwsGapUs = 12L * 3600L * 1000000L
+
+  /** Event-time gap sessions via `transformWithState` + LIST state +
+    * event-time TIMERS (round 14 — the half of the Spark 4 arbitrary-
+    * state API [[twsSummary]] doesn't touch): sessions split by >12 h
+    * gaps; a session closes inline when its successor arrives, or by
+    * its registered timer when the terminal watermark (delay 0 ⇒ max
+    * event time) passes its end + gap — so each user's final session
+    * emits iff the data itself proves it over. The oracle sessionizes
+    * the batch table with the identical gap rule and the identical
+    * terminal-watermark emission filter (millisecond-floored, matching
+    * the timer's unit). Multi-trigger contract: ≥3 data batches, so
+    * ListState provably carries across triggers and timers fire
+    * mid-stream, not just at the end. */
+  def twsTimerSessions(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val sessions = Tables.normalizeEvents(stream)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new GapSessionProcessor(TwsGapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(spark, sessions.toDF(), mode = "append",
+        minDataBatches = 3, rocksDb = true)
+      .orderBy("user_id", "first_us")
+  }
+
   /** [[SummaryProcessor]] driven through `transformWithState` — the
     * Spark 4 successor to `mapGroupsWithState`. Same input, same
     * closed-form oracle as [[sessionSummary]]: the old and new
@@ -1303,6 +1405,7 @@ object StreamingOps {
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
+    "stream_tws_timers" -> (twsTimerSessions _),
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
@@ -1427,6 +1530,30 @@ object StreamingOps {
       """SELECT user_id, count(*) AS n_events,
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical gap rule + identical terminal-watermark emission filter
+    // (ms-floored, the timer's unit): a user's final session emits iff
+    // max-event-time passes its end + gap
+    "stream_tws_timers" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |mx AS (SELECT max(t) AS mt FROM e),
+        |s AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(t) AS first_us, max(t) AS last_us
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, n_events, first_us, last_us
+        |FROM sess, mx
+        |WHERE (last_us + 43200000000) // 1000 <= mt // 1000
+        |ORDER BY user_id, first_us""".stripMargin,
     "stream_dedup_types" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin,
     // delay > fixture span -> no state expiry -> exact global distinct

@@ -385,4 +385,37 @@ class StreamingStateSpec extends SparkSpec {
     assert(fromState == fromStream)
     assert(fromState.nonEmpty)
   }
+
+  test("transformWithState timers: sessions close by BOTH paths — inline on " +
+      "the successor's arrival AND by event-time timer at the watermark") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingOps.twsTimerSessions(spark, dir).collect()
+    assert(got.nonEmpty)
+    // per-user final sessions can ONLY be emitted by the timer path (no
+    // successor ever arrives to close them inline); the gap rule says a
+    // final session emits iff max-event-time passes its end + 12 h. The
+    // fixture spans 30 days of ~7.7 h-median gaps, so both outcomes exist:
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val maxT = e.agg(max("t")).collect()(0).getLong(0)
+    val lastPerUser = e.groupBy("user_id").agg(max("t").as("lastT")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gap = 12L * 3600L * 1000000L
+    val timerClosed = lastPerUser.filter { case (_, t) =>
+      (t + gap) / 1000L <= maxT / 1000L }
+    assert(timerClosed.nonEmpty, "no user's final session was timer-eligible")
+    assert(timerClosed.size < lastPerUser.size,
+      "every final session closed — the still-open path is untested")
+    // every timer-eligible final session IS in the emitted set (the row
+    // whose last_us equals that user's max event time), and no
+    // still-open session leaked
+    val emittedFinals = got.filter(r => lastPerUser(r.getLong(0)) == r.getLong(3))
+      .map(_.getLong(0)).toSet
+    assert(emittedFinals == timerClosed.keySet,
+      s"timer emissions diverge: emitted ${emittedFinals.size}, " +
+        s"eligible ${timerClosed.size}")
+    // and inline closes exist too: more sessions than timer emissions
+    assert(got.length > emittedFinals.size)
+  }
 }
