@@ -418,4 +418,76 @@ class StreamingStateSpec extends SparkSpec {
     // and inline closes exist too: more sessions than timer emissions
     assert(got.length > emittedFinals.size)
   }
+
+  test("transformWithState ListState AND registered timers survive a " +
+      "checkpoint restart exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val dir = graft.TempDirs.create("graft-tws-restart")
+    val cp = graft.TempDirs.create("graft-tws-restart-cp").toString
+    val gapUs = 30L * 60L * 1000000L // 30-minute session gap
+    // slice A: user 1 has an OPEN 2-event session (timer at 10:35),
+    // user 2 an open 1-event session (timer at 10:31)
+    FileFeeder.feed(dir, Seq(Seq(
+      eventLine("2024-01-01T10:00:00Z", 1),
+      eventLine("2024-01-01T10:05:00Z", 1),
+      eventLine("2024-01-01T10:01:00Z", 2))), prefix = "b0")
+    val static = spark.read.json(dir.toString)
+    def sessions() = spark.readStream.schema(static.schema).json(dir.toString)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new GapSessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the memory sink rejects checkpoint recovery; foreachBatch is the
+      // recoverable sink, collecting emissions into a driver-side buffer
+      val emitted = new scala.collection.concurrent.TrieMap[(Long, Long, Long), Long]()
+      def start() = sessions().writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => emitted.put(
+            (r.getLong(0), r.getLong(2), r.getLong(3)), r.getLong(1)))
+        }
+        .option("checkpointLocation", cp).start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // nothing closes in run 1: both timers sit past the 10:05 watermark
+      assert(emitted.isEmpty, s"premature emissions: $emitted")
+
+      // while the query is DOWN: user 1's next event lands past the gap
+      // (must close the RECOVERED 2-event session inline), and user 3's
+      // late-day event pushes the watermark past both pending timers
+      FileFeeder.feed(dir, Seq(Seq(
+        eventLine("2024-01-01T12:00:00Z", 1),
+        eventLine("2024-01-01T13:30:00Z", 3))), prefix = "b1")
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val got = emitted.toSeq
+          .sortBy { case ((u, first, _), _) => (u, first) }
+          .map { case ((u, _, _), n) => (u, n) }
+        // user 1 session 1: BOTH pre-restart events — ListState recovered
+        //   from the checkpoint, closed inline by the 12:00 arrival;
+        // user 1 session 2 (12:00) + user 2 session (10:01): closed by
+        //   TIMERS registered before/after the restart — the timer set
+        //   recovered from the checkpoint and fired at watermark 13:30;
+        // user 3: still open (timer 14:00 > watermark), withheld
+        assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)),
+          s"restart emissions diverged: $got")
+        // exactly-once: the resumed run ingested ONLY the new file
+        assert(q2.recentProgress.map(_.numInputRows).sum == 2)
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
