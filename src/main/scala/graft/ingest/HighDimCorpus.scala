@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   *   noise(i, j)    = ((i * 1315423911 + j * 2654435761) % 1000) / 1000 * 0.08
   *   x(i, j)        = centroid + noise                        ∈ [0, 1.08)
   * }}}
-  * Two labels' centroids differ by the SAME residue step on every
-  * coordinate (Δ = (Δl·31) mod 13, at least 2/13 ≈ 0.154 for labels
-  * < 13 — which is why `labels` must stay below 13: l and l+13 would
-  * alias to one centroid), while the noise stays under 0.08 per
-  * coordinate — clusters are separable by a wide squared-distance
-  * margin, so recall/purity against brute-force truth measure the
-  * INDEX, not an unlearnable corpus.
+  * Separability is an AGGREGATE property, not a per-coordinate one:
+  * with D = (Δl·31) mod 13, a coordinate pair's centroid distance is
+  * D/13 or (13−D)/13 depending on where j's offset wraps — the
+  * per-coordinate minimum is min(D, 13−D)/13, which can be as low as
+  * 1/13 ≈ 0.077 (labels 0 ↔ 5 have D = 12), BELOW the 0.08 noise
+  * amplitude. But the complementary fraction of coordinates carries
+  * the large max(D, 13−D)/13 step (≥ 7/13 when the min is 1/13), so
+  * the squared distance summed over d coordinates dwarfs the noise's
+  * d·0.08² — that aggregate margin, not any per-coordinate bound, is
+  * what makes recall/purity against brute-force truth measure the
+  * INDEX, not an unlearnable corpus. (`labels` must stay ≤ 13: l and
+  * l+13 would alias to one centroid, Δ distance exactly 0.)
   */
 object HighDimCorpus {
 

@@ -93,9 +93,14 @@ class GapSessionProcessor(gapUs: Long)
     }
     times.clear()
     times.put(buf.toArray)
-    // move the close timer to the (possibly new) session end + gap
+    // move the close timer to the (possibly new) session end + gap.
+    // CEILING to the ms (timers are ms-granular, the gap rule above is
+    // µs-exact): a floored timer could fire in the boundary millisecond
+    // and close a session that a successor arriving later in the same ms
+    // (still within gapUs) should have extended. The oracle mirrors the
+    // ceiling in its terminal-watermark emission filter.
     if (timer.exists()) getHandle.deleteTimer(timer.get())
-    val expiryMs = (buf.last + gapUs) / 1000L
+    val expiryMs = (buf.last + gapUs + 999L) / 1000L
     getHandle.registerTimer(expiryMs)
     timer.update(expiryMs)
     closed.result().iterator
@@ -958,8 +963,9 @@ object StreamingOps {
     * event time) passes its end + gap — so each user's final session
     * emits iff the data itself proves it over. The oracle sessionizes
     * the batch table with the identical gap rule and the identical
-    * terminal-watermark emission filter (millisecond-floored, matching
-    * the timer's unit). Multi-trigger contract: ≥3 data batches, so
+    * terminal-watermark emission filter (millisecond-CEILED, matching
+    * the timer's ceil-registered unit — a floored timer could fire a µs
+    * early in its boundary ms). Multi-trigger contract: ≥3 data batches, so
     * ListState provably carries across triggers and timers fire
     * mid-stream, not just at the end. */
   def twsTimerSessions(spark: SparkSession, dir: String): DataFrame = {
@@ -1531,8 +1537,8 @@ object StreamingOps {
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical gap rule + identical terminal-watermark emission filter
-    // (ms-floored, the timer's unit): a user's final session emits iff
-    // max-event-time passes its end + gap
+    // (ms-CEILED, matching the processor's ceil-registered timer): a
+    // user's final session emits iff max-event-time passes its end + gap
     "stream_tws_timers" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         |mx AS (SELECT max(t) AS mt FROM e),
@@ -1552,7 +1558,7 @@ object StreamingOps {
         |  FROM g GROUP BY user_id, sid)
         |SELECT user_id, n_events, first_us, last_us
         |FROM sess, mx
-        |WHERE (last_us + 43200000000) // 1000 <= mt // 1000
+        |WHERE (last_us + 43200000000 + 999) // 1000 <= mt // 1000
         |ORDER BY user_id, first_us""".stripMargin,
     "stream_dedup_types" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin,
