@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import scala.util.control.NonFatal
+
+/** Per-query physical byte counters (round 15, VERDICT r14 #1): shuffle
+  * write bytes, spilled bytes (memory + disk), and input bytes read,
+  * summed over every task the query's jobs ran. Unlike wall time these
+  * are LOAD-INVARIANT — an identical plan on identical data produces
+  * (near-)identical counters no matter what else the box is doing — so
+  * they are the scale signal background load cannot pollute, and the
+  * anti-stall retry can distinguish "the plan changed" from "the machine
+  * was busy". */
+final case class IoBytes(shuffle: Long, spill: Long, input: Long)
+object IoBytes { val zero: IoBytes = IoBytes(0L, 0L, 0L) }
+
+/** Accumulates task-level metrics across all jobs on the session; the
+  * bench snapshots the running totals around each attempt and diffs.
+  * Thread-safe (listener-bus delivery is single-threaded per queue, but
+  * the bench reads from the main thread). */
+private[graft] class TaskBytesListener extends SparkListener {
+  private val shuffleW = new java.util.concurrent.atomic.AtomicLong
+  private val spilled = new java.util.concurrent.atomic.AtomicLong
+  private val inputR = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) {
+      shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      inputR.addAndGet(m.inputMetrics.bytesRead)
+    }
+  }
+  def snapshot(): IoBytes = IoBytes(shuffleW.get, spilled.get, inputR.get)
+}
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are materialized through the `noop` batch
@@ -29,7 +60,14 @@ import scala.util.control.NonFatal
   *    [[Bench.MaxRetries]] extra attempts, min over all successes) — a
   *    transient stall must not stand as the query's recorded time; the
   *    retried names are listed in the detail file (`retried`), and
-  *    `n_retried` rides the stdout line.
+  *    `n_retried` rides the stdout line;
+  *  - (round 15) every query also records LOAD-INVARIANT byte counters —
+  *    shuffle-write, spilled (mem+disk), input-read — via a
+  *    [[TaskBytesListener]] ([[IoBytes]], `queries_bytes` in the detail
+  *    file). The retry trigger now requires BOTH time-over-3×-prior AND
+  *    byte drift ([[Bench.ioDrift]]); a time excursion with matching
+  *    bytes is recorded under `load_noise` instead of burning retries
+  *    under the very load that caused it.
   */
 object Bench {
 
@@ -111,6 +149,36 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case NonFatal(_) => -1.0 }
 
+  /** Drain the async listener bus so [[TaskBytesListener]]'s totals cover
+    * every task of the jobs that just ran. `LiveListenerBus.waitUntilEmpty`
+    * is `private[spark]` (public at the bytecode level), so this goes
+    * through reflection; if the internal shape ever changes, a short sleep
+    * stands in — the counters would at worst attribute a trailing task to
+    * the next query, never lose it. */
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(10000L))
+      ()
+    } catch { case NonFatal(_) => Thread.sleep(100) }
+
+  /** Is `cur` vs `prior` a REAL drift in a load-invariant byte counter?
+    * Identical plans reproduce these counters to within partition-count
+    * jitter, so the band is generous (1.5× either direction) with a 1 MiB
+    * absolute floor — a counter that never leaves the KB range (tiny
+    * shuffles, zero spill) cannot drift meaningfully. */
+  private[graft] def bytesDrift(cur: Long, prior: Long): Boolean = {
+    val hi = cur.max(prior); val lo = cur.min(prior)
+    hi >= (1L << 20) && hi.toDouble > 1.5 * lo.max(1L).toDouble
+  }
+
+  /** Plan-shape drift between two byte records: shuffle or input moved.
+    * Spill is deliberately EXCLUDED — it depends on memory pressure, i.e.
+    * on the very background load the counters exist to factor out. */
+  private[graft] def ioDrift(cur: IoBytes, prior: IoBytes): Boolean =
+    bytesDrift(cur.shuffle, prior.shuffle) || bytesDrift(cur.input, prior.input)
+
   /** Per-query priors from the last BENCH_DETAIL.json (committed each
     * round): the `queries` map only, and only when that record was taken
     * at the SAME scale factor — an sf0.001 detail file must not make every
@@ -147,16 +215,65 @@ object Bench {
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
     } catch { case NonFatal(_) => Map.empty }
 
+  /** Byte-counter priors from the last committed BENCH_DETAIL.json
+    * (`queries_bytes`, round 15) — same SF gate and failure discipline as
+    * [[loadPriors]]. Absent on pre-round-15 detail files, in which case the
+    * retry trigger falls back to time-only (never blocks the run). */
+  private[graft] def loadBytesPriors(sfDir: String,
+      detailPath: String = "BENCH_DETAIL.json"): Map[String, IoBytes] =
+    try {
+      import scala.jdk.CollectionConverters._
+      def norm(p: String): String =
+        java.nio.file.Paths.get(p).normalize().toString
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(detailPath)))
+      val recordedSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      val qb = root.get("queries_bytes")
+      val failedThen: Set[String] = Option(root.get("failed"))
+        .filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(Set.empty)
+      if (norm(recordedSf) != norm(sfDir) || qb == null || !qb.isObject)
+        Map.empty
+      else qb.fields().asScala
+        .filter(e => e.getValue.isObject && !failedThen.contains(e.getKey))
+        .map { e =>
+          def n(k: String): Long =
+            Option(e.getValue.get(k)).filter(_.isNumber).map(_.asLong()).getOrElse(0L)
+          e.getKey -> IoBytes(n("shuffle"), n("spill"), n("input"))
+        }.toMap
+    } catch { case NonFatal(_) => Map.empty }
+
+  /** One timed execution: wall seconds, success flag, and the task-level
+    * byte counters the run produced. */
+  private[graft] final case class Attempt(sec: Double, ok: Boolean,
+      bytes: IoBytes = IoBytes.zero)
+
+  /** One query's final measurement: min/max over successful runs, the byte
+    * counters of the min-time successful run, the retry count, and whether
+    * a time-over-prior excursion was classified as pure load noise (bytes
+    * unchanged → no retry burned, the name rides the detail file). */
+  private[graft] final case class Measured(sec: Double, secMax: Double,
+      ok: Boolean, retries: Int, bytes: IoBytes, loadNoise: Boolean)
+
   /** Measure one query: `runs` timed attempts, then the anti-stall retry
-    * loop — a warm min more than 3× the committed same-SF prior is a
-    * machine-state artifact until it survives up to [[MaxRetries]]
-    * re-measurements. Returns (minOkTime, maxOkTime, allOk, nRetries).
-    * Extracted from main so a spec can drive it with a fake attempt and
-    * prove the retry actually fires (round 8's never did). */
+    * loop. Round 15 (VERDICT r14 #1): the >3×-prior trigger now requires
+    * BOTH legs when a byte prior exists — wall time over 3× the committed
+    * same-SF prior AND a drift in a load-invariant byte counter
+    * ([[ioDrift]]: shuffle-write or input bytes moved >1.5×). Bytes
+    * unchanged means the plan did the same physical work and the slow
+    * clock is background load; re-measuring under the same load proves
+    * nothing (r13 sim_pca and r14 sim/dedup both burned retries exactly
+    * this way), so the excursion is recorded as `loadNoise` instead.
+    * Without a byte prior (first round after the format change) the
+    * time-only trigger stands. Extracted from main so a spec can drive it
+    * with a fake attempt and prove each branch fires (round 8's never
+    * did). */
   private[graft] def measureOne(name: String, runs: Int,
-      prior: Option[Double], attempt: () => (Double, Boolean),
-      loaded: Boolean = false)
-      : (Double, Double, Boolean, Int) = {
+      prior: Option[Double], attempt: () => Attempt,
+      loaded: Boolean = false,
+      bytesPrior: Option[IoBytes] = None): Measured = {
     // sub-second-prior queries take one extra base sample (two when the
     // window started loaded — see SubSecondPrior/LoadedSampleThreshold)
     val extra = if (prior.exists(_ < SubSecondPrior)) (if (loaded) 2 else 1) else 0
@@ -167,21 +284,33 @@ object Bench {
     // shrink the headline total; only when every run failed does the
     // (worst) failure time stand in, so breakage still costs, never
     // pays. ANY failed run marks the query not-ok (flaky is not ok).
-    def minOk(a: Seq[(Double, Boolean)]): Option[Double] =
-      Some(a.collect { case (s, true) => s }).filter(_.nonEmpty).map(_.min)
+    def minOkAttempt(a: Seq[Attempt]): Option[Attempt] =
+      Some(a.filter(_.ok)).filter(_.nonEmpty).map(_.minBy(_.sec))
+    def timeTripped: Boolean = prior.exists(p =>
+      minOkAttempt(attempts).exists(a => a.sec > 3 * p && a.sec > RetryFloorSec))
+    def bytesAgree: Boolean = bytesPrior.exists(bp =>
+      minOkAttempt(attempts).exists(a => !ioDrift(a.bytes, bp)))
     var retries = 0
-    while (retries < MaxRetries &&
-        prior.exists(p => minOk(attempts).exists(t => t > 3 * p && t > RetryFloorSec))) {
-      System.err.println(f"[bench] $name: ${minOk(attempts).get}%.3f s > " +
-        s"3x prior ${prior.get}; re-running")
+    var loadNoise = false
+    while (retries < MaxRetries && timeTripped && !bytesAgree) {
+      System.err.println(f"[bench] $name: ${minOkAttempt(attempts).get.sec}%.3f s > " +
+        s"3x prior ${prior.get} with byte drift (or no byte prior); re-running")
       attempts :+= attempt()
       retries += 1
     }
-    val anySuccess = attempts.exists(_._2)
-    val t = minOk(attempts).getOrElse(attempts.map(_._1).max)
-    val tMax = if (anySuccess) attempts.collect { case (s, true) => s }.max
-               else attempts.map(_._1).max
-    (t, tMax, attempts.forall(_._2), retries)
+    if (timeTripped && bytesAgree && retries == 0) {
+      loadNoise = true
+      System.err.println(f"[bench] $name: ${minOkAttempt(attempts).get.sec}%.3f s > " +
+        s"3x prior ${prior.get} but byte counters match the prior — " +
+        "load noise, not a plan change; no retry")
+    }
+    val anySuccess = attempts.exists(_.ok)
+    val best = minOkAttempt(attempts)
+    val t = best.map(_.sec).getOrElse(attempts.map(_.sec).max)
+    val tMax = if (anySuccess) attempts.filter(_.ok).map(_.sec).max
+               else attempts.map(_.sec).max
+    Measured(t, tMax, attempts.forall(_.ok), retries,
+      best.map(_.bytes).getOrElse(IoBytes.zero), loadNoise)
   }
 
   def main(args: Array[String]): Unit = {
@@ -189,12 +318,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val priors = loadPriors(sfDir)
+    val bytesPriors = loadBytesPriors(sfDir)
     val (loadBefore, quietWait) = awaitQuietWindow(() => loadAvg())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    val byteCounter = new TaskBytesListener
+    spark.sparkContext.addSparkListener(byteCounter)
     // ERROR, not WARN: shutdown-time WARN spam (e.g. DAGScheduler "Failed
     // to cancel job group") lands in the driver's 4 KB stdout tail right
     // around the JSON line and crowds it out
@@ -211,7 +343,11 @@ object Bench {
     val measured = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        def attempt(): (Double, Boolean) = {
+        def attempt(): Attempt = {
+          // the byte delta brackets the attempt; the bus is drained on both
+          // sides so a previous query's straggler events never bleed in
+          drainListenerBus(spark.sparkContext)
+          val before = byteCounter.snapshot()
           val t0 = System.nanoTime()
           val runOk =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -219,18 +355,24 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
             }
-          ((System.nanoTime() - t0) / 1e9, runOk)
+          val sec = (System.nanoTime() - t0) / 1e9
+          drainListenerBus(spark.sparkContext)
+          val after = byteCounter.snapshot()
+          Attempt(sec, runOk, IoBytes(after.shuffle - before.shuffle,
+            after.spill - before.spill, after.input - before.input))
         }
-        val (t, tMax, ok, retries) =
-          measureOne(name, runs, priors.get(name), () => attempt(),
-            loaded = loadBefore > LoadedSampleThreshold)
-        (name, t, tMax, ok, retries)
+        val m = measureOne(name, runs, priors.get(name), () => attempt(),
+          loaded = loadBefore > LoadedSampleThreshold,
+          bytesPrior = bytesPriors.get(name))
+        (name, m)
       }
     val loadAfter = loadAvg()
-    val results = measured.map { case (n, t, _, _, _) => (n, t) }
-    val maxima = measured.map { case (n, _, m, _, _) => (n, m) }
-    val failed = measured.collect { case (n, _, _, false, _) => n }
-    val retried = measured.collect { case (n, _, _, _, r) if r > 0 => n }
+    val results = measured.map { case (n, m) => (n, m.sec) }
+    val maxima = measured.map { case (n, m) => (n, m.secMax) }
+    val bytes = measured.map { case (n, m) => (n, m.bytes) }
+    val failed = measured.collect { case (n, m) if !m.ok => n }
+    val retried = measured.collect { case (n, m) if m.retries > 0 => n }
+    val loadNoise = measured.collect { case (n, m) if m.loadNoise => n }
     // The driver retains only a ~4 KB stdout tail and parses the JSON line
     // from it. A full per-query map no longer fits (106 queries × ~28 chars
     // ≈ 4.9 KB — BENCH_r03/r04 recorded parsed:null for exactly this), so
@@ -250,13 +392,20 @@ object Bench {
       s""""load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)}""" +
         (if (loadWarn) ""","load_warn":true""" else "") +
         (if (quietWait > 0) s""","quiet_wait_sec":$quietWait""" else "") +
-        s""","n_retried":${retried.size}"""
+        s""","n_retried":${retried.size}""" +
+        (if (loadNoise.nonEmpty) s""","n_load_noise":${loadNoise.size}""" else "")
+    def jbytes(m: Seq[(String, IoBytes)]): String =
+      m.map { case (k, b) =>
+        "\"" + k + s"""":{"shuffle":${b.shuffle},"spill":${b.spill},"input":${b.input}}"""
+      }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},""" +
         s""""queries_max":${jmap(maxima)},""" +
+        s""""queries_bytes":${jbytes(bytes)},""" +
         s""""n_failed":${failed.size},"failed":${jnames(failed)},""" +
-        s""""retried":${jnames(retried)},$provenance,"sf":"$sfDir","runs":$runs}""")
+        s""""retried":${jnames(retried)},"load_noise":${jnames(loadNoise)},""" +
+        s"""$provenance,"sf":"$sfDir","runs":$runs}""")
     def line(k: Int): String = {
       val slowest = results.sortBy(-_._2).take(k)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},""" +

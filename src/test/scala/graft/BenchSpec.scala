@@ -73,21 +73,21 @@ class BenchSpec extends AnyFunSuite {
   test("measureOne retries a run >3x over its prior and keeps the better min") {
     // first two attempts stall at 10 s, the retry lands at 1.0 s
     val times = Iterator(10.0, 10.0, 1.0, 1.0)
-    val (t, _, ok, retries) =
+    val m =
       Bench.measureOne("q_stalled", runs = 2, prior = Some(1.0),
-        attempt = () => (times.next(), true))
-    assert(retries >= 1, "the >3x-over-prior trigger must fire")
-    assert(t == 1.0, "min over all successful attempts including retries")
-    assert(ok)
+        attempt = () => Bench.Attempt(times.next(), true))
+    assert(m.retries >= 1, "the >3x-over-prior trigger must fire")
+    assert(m.sec == 1.0, "min over all successful attempts including retries")
+    assert(m.ok)
   }
 
   test("measureOne does not retry without a prior or within 3x") {
-    val (t1, _, _, r1) =
-      Bench.measureOne("q_noprior", runs = 1, prior = None, () => (9.0, true))
-    assert(r1 == 0 && t1 == 9.0)
-    val (t2, _, _, r2) =
-      Bench.measureOne("q_inband", runs = 1, prior = Some(4.0), () => (9.0, true))
-    assert(r2 == 0 && t2 == 9.0)
+    val m1 =
+      Bench.measureOne("q_noprior", runs = 1, prior = None, () => Bench.Attempt(9.0, true))
+    assert(m1.retries == 0 && m1.sec == 9.0)
+    val m2 =
+      Bench.measureOne("q_inband", runs = 1, prior = Some(4.0), () => Bench.Attempt(9.0, true))
+    assert(m2.retries == 0 && m2.sec == 9.0)
   }
 
   test("measureOne takes an extra base run for sub-second priors (min-of-3)") {
@@ -95,25 +95,25 @@ class BenchSpec extends AnyFunSuite {
     // (quiet) sample sets the min without spending any retry
     var calls = 0
     val times = Iterator(3.2, 3.1, 0.45)
-    val (t, _, ok, retries) =
+    val m =
       Bench.measureOne("q_subsec", runs = 2, prior = Some(0.4),
-        attempt = () => { calls += 1; (times.next(), true) })
+        attempt = () => { calls += 1; Bench.Attempt(times.next(), true) })
     assert(calls == 3, "sub-second prior must add one base run")
-    assert(t == 0.45 && retries == 0 && ok)
+    assert(m.sec == 0.45 && m.retries == 0 && m.ok)
   }
 
   test("measureOne retry floor: sub-second jitter never burns a retry") {
     // 3x over a 0.2 s prior but still under RetryFloorSec → jitter, no retry
-    val (t, _, _, r) =
+    val m =
       Bench.measureOne("q_jitter", runs = 1, prior = Some(0.2),
-        attempt = () => (0.8, true))
-    assert(r == 0 && t == 0.8)
+        attempt = () => Bench.Attempt(0.8, true))
+    assert(m.retries == 0 && m.sec == 0.8)
     // a REAL stall against the same prior (seconds, over the floor) retries
     val seq = Iterator(5.0, 5.0, 0.21, 0.21)
-    val (t2, _, _, r2) =
+    val m2 =
       Bench.measureOne("q_stall", runs = 1, prior = Some(0.2),
-        attempt = () => (seq.next(), true))
-    assert(r2 >= 1 && t2 == 0.21)
+        attempt = () => Bench.Attempt(seq.next(), true))
+    assert(m2.retries >= 1 && m2.sec == 0.21)
   }
 
   test("measureOne retry floor covers the r10 contended band (1.0-1.4 s)") {
@@ -121,42 +121,104 @@ class BenchSpec extends AnyFunSuite {
     // at 1.0-1.4 s under load_before 3.03 — over 3x prior AND over the old
     // 1.0 s floor. The 1.5 s floor classifies that band as jitter.
     for (noisy <- Seq(1.01, 1.19, 1.41)) {
-      val (t, _, _, r) =
+      val m =
         Bench.measureOne("q_r10_band", runs = 1, prior = Some(0.3),
-          attempt = () => (noisy, true))
-      assert(r == 0, s"a $noisy s measurement must not burn a retry")
-      assert(t == noisy)
+          attempt = () => Bench.Attempt(noisy, true))
+      assert(m.retries == 0, s"a $noisy s measurement must not burn a retry")
+      assert(m.sec == noisy)
     }
     // but a multi-second stall against the same prior still trips it
     // (sub-second prior → 2 base samples; both must stall for the min to)
     val seq = Iterator(4.0, 4.0, 0.31)
-    val (t3, _, _, r2) =
+    val m3 =
       Bench.measureOne("q_real_stall", runs = 1, prior = Some(0.3),
-        attempt = () => (seq.next(), true))
-    assert(r2 >= 1 && t3 == 0.31)
+        attempt = () => Bench.Attempt(seq.next(), true))
+    assert(m3.retries >= 1 && m3.sec == 0.31)
   }
 
   test("measureOne: loaded window adds a fourth base sample for sub-second priors") {
     var calls = 0
     val times = Iterator(2.2, 2.1, 2.0, 0.4)
-    val (t, _, ok, retries) =
+    val m =
       Bench.measureOne("q_loaded", runs = 2, prior = Some(0.4),
-        attempt = () => { calls += 1; (times.next(), true) }, loaded = true)
+        attempt = () => { calls += 1; Bench.Attempt(times.next(), true) }, loaded = true)
     assert(calls == 4, "loaded window + sub-second prior must take 4 base samples")
-    assert(t == 0.4 && retries == 0 && ok)
+    assert(m.sec == 0.4 && m.retries == 0 && m.ok)
     // loaded window does NOT add samples for multi-second priors
     var calls2 = 0
     Bench.measureOne("q_big", runs = 2, prior = Some(3.0),
-      attempt = () => { calls2 += 1; (3.1, true) }, loaded = true)
+      attempt = () => { calls2 += 1; Bench.Attempt(3.1, true) }, loaded = true)
     assert(calls2 == 2)
   }
 
   test("measureOne: failed runs never undercut successes; all-fail costs worst time") {
-    val seq = Iterator((0.05, false), (5.0, true))
-    val (t, _, ok, _) = Bench.measureOne("q_flaky", runs = 2, None, () => seq.next())
-    assert(t == 5.0 && !ok)
-    val (tf, _, okf, _) = Bench.measureOne("q_dead", runs = 2, None, () => (0.3, false))
-    assert(tf == 0.3 && !okf)
+    val seq = Iterator(Bench.Attempt(0.05, false), Bench.Attempt(5.0, true))
+    val m = Bench.measureOne("q_flaky", runs = 2, None, () => seq.next())
+    assert(m.sec == 5.0 && !m.ok)
+    val mf = Bench.measureOne("q_dead", runs = 2, None, () => Bench.Attempt(0.3, false))
+    assert(mf.sec == 0.3 && !mf.ok)
+  }
+
+  // ---- round 15: load-invariant byte counters gate the retry ----
+
+  test("retry is SUPPRESSED when bytes match the prior (load noise, not a plan change)") {
+    // 4x over the time prior, but shuffle/input counters identical to the
+    // committed byte prior — the r13/r14 failure mode: wall clock polluted
+    // by background load while the plan did the same physical work
+    val b = IoBytes(shuffle = 50L << 20, spill = 0L, input = 200L << 20)
+    var calls = 0
+    val m = Bench.measureOne("q_loadnoise", runs = 2, prior = Some(2.0),
+      attempt = () => { calls += 1; Bench.Attempt(8.0, true, b) },
+      bytesPrior = Some(b))
+    assert(m.retries == 0, "matching bytes must suppress the retry")
+    assert(m.loadNoise, "the excursion must be classified as load noise")
+    assert(calls == 2 && m.sec == 8.0 && m.ok)
+    assert(m.bytes == b)
+  }
+
+  test("retry FIRES when time excursion comes with byte drift (real plan change)") {
+    // shuffle bytes 3x the prior → the plan physically changed; the retry
+    // must run (and here confirms the new cost is real)
+    val prior = IoBytes(shuffle = 50L << 20, spill = 0L, input = 200L << 20)
+    val drifted = prior.copy(shuffle = 150L << 20)
+    val m = Bench.measureOne("q_regressed", runs = 2, prior = Some(2.0),
+      attempt = () => Bench.Attempt(8.0, true, drifted),
+      bytesPrior = Some(prior))
+    assert(m.retries >= 1, "byte drift + time excursion must retry")
+    assert(!m.loadNoise)
+  }
+
+  test("without a byte prior the time-only trigger stands (format migration)") {
+    val times = Iterator(8.0, 8.0, 1.0, 1.0)
+    val m = Bench.measureOne("q_nobytes", runs = 2, prior = Some(1.0),
+      attempt = () => Bench.Attempt(times.next(), true), bytesPrior = None)
+    assert(m.retries >= 1 && m.sec == 1.0)
+  }
+
+  test("bytesDrift: 1.5x band with a 1 MiB floor; ioDrift ignores spill") {
+    assert(!Bench.bytesDrift(100L << 10, 900L << 10), "sub-MiB wiggle is not drift")
+    assert(!Bench.bytesDrift(10L << 20, 12L << 20), "within 1.5x is not drift")
+    assert(Bench.bytesDrift(10L << 20, 20L << 20), "2x over a MiB is drift")
+    assert(Bench.bytesDrift(20L << 20, 10L << 20), "drift is direction-symmetric")
+    assert(Bench.bytesDrift(5L << 20, 0L), "appearing from zero is drift")
+    val a = IoBytes(10L << 20, 0L, 100L << 20)
+    assert(!Bench.ioDrift(a.copy(spill = 500L << 20), a),
+      "spill is load-dependent and must not count as plan drift")
+    assert(Bench.ioDrift(a.copy(input = 300L << 20), a), "input drift counts")
+  }
+
+  test("loadBytesPriors parses queries_bytes at the same sf, rejects others") {
+    withDetailFile(
+      """{"queries":{"q_a":1.0},"queries_bytes":{"q_a":{"shuffle":100,"spill":0,"input":200}},""" +
+        """"sf":"/root/testdata/sf0.1"}""") { p =>
+      assert(Bench.loadBytesPriors("/root/testdata/sf0.1", p) ==
+        Map("q_a" -> IoBytes(100L, 0L, 200L)))
+      assert(Bench.loadBytesPriors("/root/testdata/sf0.01", p).isEmpty)
+    }
+    // pre-round-15 detail files have no queries_bytes → empty, never throws
+    withDetailFile("""{"queries":{"q_a":1.0},"sf":"/root/testdata/sf0.1"}""") { p =>
+      assert(Bench.loadBytesPriors("/root/testdata/sf0.1", p).isEmpty)
+    }
   }
 
   test("awaitQuietWindow: a quiet start returns immediately, zero wait") {
