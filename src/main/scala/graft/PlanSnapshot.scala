@@ -25,13 +25,6 @@ object PlanSnapshot {
 
   val SnapshotPath = "PLAN_SNAPSHOT.json"
 
-  /** The snapshot-isolation stresses are not snapshotted:
-    * src_snapshot_reader/_history run versioned commits plus a hammering
-    * reader thread just to return a trivial final read; their protocol is
-    * asserted in SnapshotCommitSpec, and re-running the commit storm per
-    * ledger regeneration buys no plan signal. */
-  def skip(name: String): Boolean = name.startsWith("src_snapshot_")
-
   /** Queries whose builder EXECUTES a stream and returns a sink scan: the
     * returned DataFrame's digest carries none of the stream's operators,
     * so the ledger digests the last micro-batch's EXECUTED plan instead
@@ -41,16 +34,25 @@ object PlanSnapshot {
   def streaming(name: String): Boolean =
     name.startsWith("stream_") || name.startsWith("tw_q2_stream")
 
+  /** All digests are taken under [[graft.similarity.IndexStore.nonPublishing]]
+    * (round 15, VERDICT r14 #2): ensure-backed `*_served` artifacts and the
+    * snapshot-protocol stresses resolve their CURRENT published versions
+    * instead of rebuilding, so a ledger regeneration (or PlanSnapshotSpec
+    * in `sbt test`) never swaps artifacts under a concurrent verify/bench
+    * session at another scale factor — and src_snapshot_reader/_history
+    * digest their pure-scan read plans instead of being skipped. */
   def digests(spark: SparkSession): Seq[(String, String)] =
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).map { name =>
-      if (streaming(name)) {
-        graft.streaming.StreamingOps.lastExecutedPlan = ""
-        SparkEntry.queries(name)(spark, PinnedSf) // runs the stream(s)
-        val plan = graft.streaming.StreamingOps.lastExecutedPlan
-        require(plan.nonEmpty, s"$name executed no capturable micro-batch plan")
-        name -> PlanDigest.ofPlanString(plan)
-      } else
-        name -> PlanDigest.of(SparkEntry.queries(name)(spark, PinnedSf))
+    graft.similarity.IndexStore.nonPublishing {
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        if (streaming(name)) {
+          graft.streaming.StreamingOps.lastExecutedPlan = ""
+          SparkEntry.queries(name)(spark, PinnedSf) // runs the stream(s)
+          val plan = graft.streaming.StreamingOps.lastExecutedPlan
+          require(plan.nonEmpty, s"$name executed no capturable micro-batch plan")
+          name -> PlanDigest.ofPlanString(plan)
+        } else
+          name -> PlanDigest.of(SparkEntry.queries(name)(spark, PinnedSf))
+      }
     }
 
   def render(ds: Seq[(String, String)]): String =

@@ -101,6 +101,30 @@ object IndexStore {
     * first, cross-process writers on the file lock. */
   private val jvmLocks = new ConcurrentHashMap[String, Object]()
 
+  /** NON-PUBLISHING resolve mode (round 15, VERDICT r14 #2): within
+    * `nonPublishing { ... }`, [[ensure]] resolves whatever version is
+    * CURRENTLY published — regardless of which sf dir built it — instead
+    * of rebuilding on a marker mismatch, and the snapshot-stress queries
+    * return their pure-scan read plans instead of re-running their commit
+    * storms. This is the plan-ledger path: a plan DIGEST needs the read
+    * plan's operator shape (sf-independent), not fresh data, and a ledger
+    * regeneration must never swap artifacts under a concurrent
+    * verify/bench session at another scale factor. Only when NOTHING is
+    * published does the build still run (first generation on a clean
+    * /tmp — there is no published version a concurrent reader could be
+    * scanning). */
+  @volatile private var nonPublishingMode = false
+
+  /** Is the non-publishing resolve mode active? Queried by the
+    * snapshot-protocol stress queries to substitute their pure read
+    * plans for the commit storm under the plan ledger. */
+  def nonPublishingActive: Boolean = nonPublishingMode
+
+  def nonPublishing[A](body: => A): A = {
+    nonPublishingMode = true
+    try body finally nonPublishingMode = false
+  }
+
   private def rootPath: Path = Paths.get(Root)
   private def versionsDir: Path = Paths.get(Root, ".v")
   private def linkPath(name: String): Path = Paths.get(Root, name)
@@ -126,6 +150,14 @@ object IndexStore {
   def ensure(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val want = Paths.get(dir).normalize().toString
+    if (nonPublishingMode) {
+      // ledger path: scan the current version whatever sf built it; fall
+      // through to a real (publishing) build only when nothing exists
+      currentVersion(name) match {
+        case Some(real) => return spark.read.parquet(real.toString)
+        case None => ()
+      }
+    }
     val fast = try published(name, want) catch { case NonFatal(_) => None }
     val real = fast.getOrElse {
       withPerNameLock(name) {

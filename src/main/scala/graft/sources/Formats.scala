@@ -522,6 +522,14 @@ object Formats {
     // scale factor committing under the same name would otherwise hand it
     // a complete-but-differently-sized version and red the gate spuriously
     val name = s"snap_user_counts_${sfTag(dir)}"
+    // Plan-ledger path (round 15, VERDICT r14 #2): under the non-publishing
+    // resolve mode the REGISTERED plan — the final pure scan of the current
+    // published snapshot — digests without re-running the commit storm,
+    // whose isolation assertions live in the correctness gate and
+    // SnapshotCommitSpec, not the ledger. Falls through (and publishes
+    // once) only when nothing is on disk yet.
+    if (IndexStore.nonPublishingActive && IndexStore.currentVersion(name).isDefined)
+      return IndexStore.readCurrent(spark, name).orderBy("user_id")
     def version(v: Int): DataFrame = userCensusVersion(spark, dir, v)
     val expected = (1 to 3).map(v => v.toLong -> version(v).count()).toMap
     val first = IndexStore.commit(name, "v1")(version(1))
@@ -567,8 +575,15 @@ object Formats {
     Engine.tune(spark)
     import graft.similarity.IndexStore
     val name = s"snap_history_${sfTag(dir)}" // sf-scoped, same ADVICE r13 reason
-    (1 to 3).foreach(v =>
-      IndexStore.commit(name, s"v$v")(userCensusVersion(spark, dir, v)))
+    // ledger path (round 15): the current∪previous read digests from the
+    // versions already on disk — no re-commit under a live session; see
+    // snapshotReader. The unconditional previous-keep guarantees the
+    // predecessor survives as long as the current version does.
+    if (!(IndexStore.nonPublishingActive &&
+        IndexStore.currentVersion(name).isDefined &&
+        IndexStore.previousVersion(name).isDefined))
+      (1 to 3).foreach(v =>
+        IndexStore.commit(name, s"v$v")(userCensusVersion(spark, dir, v)))
     val current = IndexStore.readCurrent(spark, name)
       .withColumn("snap", lit("current"))
     val prevPath = IndexStore.previousVersion(name).getOrElse(

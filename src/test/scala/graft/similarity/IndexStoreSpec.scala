@@ -200,6 +200,31 @@ class IndexStoreSpec extends SparkSpec
     assert(run("/tmp/sfA", 5L) == a1 && builds.get() == 3)
   }
 
+  test("nonPublishing resolves the current version across an sf mismatch " +
+      "without rebuilding; builds only when nothing is published (r15)") {
+    val name = "spec_nonpub"
+    wipe(name)
+    val builds = new AtomicInteger(0)
+    def run(sf: String, tag: Long) =
+      IndexStore.ensure(spark, sf, name) { builds.incrementAndGet(); fixture(10, tag) }
+        .agg(sum("v")).collect()(0).getLong(0)
+    // clean slate: non-publishing mode still builds (nothing a concurrent
+    // reader could be scanning) and publishes once
+    val first = IndexStore.nonPublishing { run("/tmp/sfA", 5L) }
+    assert(builds.get() == 1)
+    val published = IndexStore.currentVersion(name).get
+    // sf MISMATCH under non-publishing: serve the current version as-is —
+    // no rebuild, no pointer swap (a concurrent sfA session keeps its data)
+    val served = IndexStore.nonPublishing { run("/tmp/sfB", 999L) }
+    assert(builds.get() == 1, "non-publishing must not rebuild on sf change")
+    assert(served == first, "must serve the published (sfA) content")
+    assert(IndexStore.currentVersion(name).get == published,
+      "the pointer must not move under non-publishing mode")
+    // outside the mode the same sf change rebuilds as always
+    val b = run("/tmp/sfB", 6L)
+    assert(builds.get() == 2 && b != first)
+  }
+
   if (pointerImpl eq PosixSymlinkPointer)
   test("time travel resolves a legacy flat-layout predecessor (ADVICE r13): " +
       "the first post-migration publish still has a previous version") {
