@@ -135,6 +135,25 @@ object IndexStore {
   def currentVersion(name: String): Option[Path] =
     pointer.resolve(rootPath, name)
 
+  /** The in-version marker content (the build's sf dir for
+    * ensure-managed names, the commit's logical tag for commit-managed
+    * ones) of the CURRENT published version, if any — lets an idempotent
+    * caller recognize its own prior publication without rebuilding. */
+  def currentTag(name: String): Option[String] =
+    currentVersion(name).flatMap { real =>
+      val m = real.resolve(SfMarker)
+      if (Files.exists(m)) Some(Files.readString(m).trim) else None
+    }
+
+  /** The per-name advisory lock (JVM monitor + POSIX file lock), exposed
+    * for one-time side-layout builders outside the version protocol
+    * (round 15, ADVICE r14 #2): a marker-guarded build that several
+    * processes could start concurrently serializes here and publishes
+    * via temp dir + atomic rename, so the marker can never legitimize a
+    * torn layout. */
+  def withArtifactLock[A](name: String)(body: => A): A =
+    withPerNameLock(name)(body)
+
   /** Resolve the published version of `name` iff its in-directory marker
     * matches `want`. Returns the immutable REAL path, never the pointer. */
   private def published(name: String, want: String): Option[Path] =

@@ -440,30 +440,55 @@ object Formats {
   val TargetFileBytes: Long = 8L << 20
 
   /** Fragments documents into 64 small files, then compacts by size
-    * budget; idempotent per dir. Returns (fragmented, compacted) so the
-    * spec can assert the file-count reduction. */
+    * budget. Round 15 (VERDICT r14 #5): BOTH layouts land through
+    * `IndexStore.commit` — compaction was the one layout-rewriting
+    * operation not behind the snapshot protocol, so a concurrent reader
+    * could catch a half-compacted directory under a bare marker, and the
+    * rewrite was invisible to time travel. Now the fragmented layout is
+    * version v1 and the compacted rewrite is version v2 with v1 as its
+    * `_GRAFT_PREV`: readers resolve one complete immutable version
+    * (either pre- or post-compaction, never a mixture), and
+    * `previousVersion` time-travels to the pre-compaction layout — the
+    * audit read a table format's OPTIMIZE keeps. Idempotent per sf dir:
+    * a current version tagged `compacted` with its predecessor on disk
+    * is recognized and reused, so the rewrite cost is paid once.
+    * Returns (fragmented, compacted) version paths so the spec can
+    * assert the file-count reduction and the lineage. */
+  /** Test hook: drop the per-JVM memo for `dir`'s compaction so a spec
+    * can force the commit path to re-run (the IndexStore reuse check
+    * still applies — wipe the artifact too to force a real rewrite). */
+  private[graft] def resetCompactionFor(dir: String): Unit =
+    materialized.remove(s"$dir#compact")
+
+  /** The sf-scoped commit-managed artifact name of `dir`'s compaction
+    * lineage — exposed so specs assert against the exact name. */
+  private[graft] def compactionName(dir: String): String =
+    s"compact_docs_${sfTag(dir)}"
+
   def compactionDirs(spark: SparkSession, dir: String): (String, String) = {
-    val frag = s"/tmp/graft-src-frag-${sfTag(dir)}"
-    val out = materialized.getOrElseUpdate(s"$dir#compact", {
-      val o = s"/tmp/graft-src-compact-${sfTag(dir)}"
-      val fragMarker = new File(frag, "_COMPLETE")
-      if (!fragMarker.exists()) {
-        Tables(spark, dir, "documents")
-          .repartition(64).write.mode("overwrite").parquet(frag)
-        fragMarker.createNewFile()
-      }
-      val marker = new File(o, "_COMPLETE")
-      if (!marker.exists()) {
-        val bytes = Option(new File(frag).listFiles()).getOrElse(Array.empty)
+    import graft.similarity.IndexStore
+    val name = compactionName(dir)
+    val pair = materialized.getOrElseUpdate(s"$dir#compact", {
+      val reuse = for {
+        cur <- IndexStore.currentVersion(name)
+        if IndexStore.currentTag(name).contains("compacted")
+        prev <- IndexStore.previousVersion(name)
+      } yield (prev.toString, cur.toString)
+      val (frag, out) = reuse.getOrElse {
+        val fragPath = IndexStore.commit(name, "fragmented")(
+          Tables(spark, dir, "documents").repartition(64))
+        val bytes = Option(fragPath.toFile.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("part-")).map(_.length).sum
         val nOut = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
-        spark.read.parquet(frag).coalesce(nOut)
-          .write.mode("overwrite").parquet(o)
-        marker.createNewFile()
+        // coalesce, not repartition: compaction reads many splits and
+        // writes few without a shuffle
+        val outPath = IndexStore.commit(name, "compacted")(
+          spark.read.parquet(fragPath.toString).coalesce(nOut))
+        (fragPath.toString, outPath.toString)
       }
-      o
-    })
-    (frag, out)
+      s"$frag\n$out"
+    }).split('\n')
+    (pair(0), pair(1))
   }
 
   /** Small-file compaction (the OPTIMIZE pass): documents first
@@ -722,24 +747,45 @@ object Formats {
   private def zorderLayouts(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#zlayout", {
       val out = s"/tmp/graft-src-zlayout-${sfTag(dir)}"
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
-        val (maxp, maxs, maxo) = keyExtrema(spark, dir)
-        val b = Tables(spark, dir, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
-            col("l_quantity"))
-          .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
-          .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
-        def write(df: DataFrame, fileId: String, sub: String): Unit =
-          df.withColumn("file_id", expr(fileId))
-            .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
-            .repartition(col("file_id"))
-            .write.mode("overwrite").partitionBy("file_id")
-            .parquet(s"$out/$sub")
-        write(b.withColumn("zv", expr(ZvExpr)), "zv div 16", "zorder")
-        write(b, s"(l_orderkey * 16) div (${maxo + 1}L)", "linear")
-        marker.createNewFile()
-      }
+      // First-build serialization (round 15, ADVICE r14 #2): concurrent
+      // bench/verify processes are a supported scenario, and a bare
+      // marker check would let two first-builders interleave overwrite
+      // writes into the same directories and persist the marker over a
+      // torn layout. Cross-process writers serialize on IndexStore's
+      // per-name advisory lock; the build lands in a temp sibling and is
+      // published by ONE atomic rename before the marker is created, so
+      // the marker can never legitimize a partial layout (a crashed
+      // build leaves only an unpublished temp dir the next builder
+      // ignores).
+      if (!new File(out, "_COMPLETE").exists())
+        graft.similarity.IndexStore.withArtifactLock(s"zlayout_${sfTag(dir)}") {
+          val marker = new File(out, "_COMPLETE")
+          if (!marker.exists()) {
+            val tmp = s"$out.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+            val (maxp, maxs, maxo) = keyExtrema(spark, dir)
+            val b = Tables(spark, dir, "lineitem")
+              .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+                col("l_quantity"))
+              .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+              .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
+            def write(df: DataFrame, fileId: String, sub: String): Unit =
+              df.withColumn("file_id", expr(fileId))
+                .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
+                .repartition(col("file_id"))
+                .write.mode("overwrite").partitionBy("file_id")
+                .parquet(s"$tmp/$sub")
+            write(b.withColumn("zv", expr(ZvExpr)), "zv div 16", "zorder")
+            write(b, s"(l_orderkey * 16) div (${maxo + 1}L)", "linear")
+            // a torn remnant of a pre-lock-era crash can't be trusted
+            if (new File(out).exists())
+              graft.similarity.IndexStore.deleteRecursively(
+                java.nio.file.Paths.get(out))
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+              java.nio.file.Paths.get(out),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            marker.createNewFile()
+          }
+        }
       out
     })
 

@@ -129,4 +129,22 @@ class FormatsSpec extends SparkSpec {
     assert(nOut * 8 <= nFrag, s"compacted to $nOut files from $nFrag")
     assert(spark.read.parquet(out).count() == spark.read.parquet(frag).count())
   }
+
+  test("compaction rides the snapshot lineage: time travel reads the " +
+      "pre-compaction layout (r15)") {
+    import graft.similarity.IndexStore
+    val (frag, out) = Formats.compactionDirs(spark, sf)
+    val name = Formats.compactionName(sf)
+    // current = the compacted rewrite, previous = the fragmented layout
+    assert(IndexStore.currentTag(name).contains("compacted"))
+    assert(IndexStore.currentVersion(name).map(_.toString).contains(out))
+    assert(IndexStore.previousVersion(name).map(_.toString).contains(frag),
+      "OPTIMIZE must keep the pre-compaction version on the lineage")
+    // the audit read: VERSION AS OF pre-compaction is a directory scan
+    // with full row fidelity
+    val prev = spark.read.parquet(
+      IndexStore.previousVersion(name).get.toString)
+    assert(prev.count() == spark.read.parquet(out).count(),
+      "the pre-compaction snapshot must hold the same rows")
+  }
 }

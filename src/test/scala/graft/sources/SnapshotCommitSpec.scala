@@ -166,6 +166,40 @@ class SnapshotCommitSpec extends SparkSpec
     } finally IndexStore.pointer = pointerImpl
   }
 
+  test("a reader racing compaction always sees one complete layout, " +
+      "pre- or post-rewrite (r15, VERDICT r14 #5)") {
+    val dir = "/root/testdata/sf0.001"
+    val name = Formats.compactionName(dir)
+    wipe(name)
+    Formats.resetCompactionFor(dir)
+    val expected = graft.Tables(spark, dir, "documents").count()
+    val stop = new AtomicBoolean(false)
+    val torn = new AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.get() == null) {
+        try {
+          val n = IndexStore.readCurrent(spark, name).count()
+          if (n != expected)
+            torn.set(s"torn compaction read: $n of $expected rows")
+        } catch {
+          // before the first commit there is nothing to read — not a tear
+          case e: IllegalStateException
+            if String.valueOf(e.getMessage).contains("no published version") => ()
+          case e: Throwable => torn.set(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    val (frag, out) =
+      try Formats.compactionDirs(spark, dir)
+      finally { stop.set(true); reader.join(120000) }
+    assert(torn.get() == null, String.valueOf(torn.get()))
+    // the rewrite is a snapshot commit: current = compacted,
+    // previous = the fragmented layout it replaced
+    assert(IndexStore.currentVersion(name).map(_.toString).contains(out))
+    assert(IndexStore.previousVersion(name).map(_.toString).contains(frag))
+  }
+
   test("src_snapshot_reader: final snapshot equals the direct full-table census") {
     val dir = "/root/testdata/sf0.001"
     val got = Formats.snapshotReader(spark, dir)
