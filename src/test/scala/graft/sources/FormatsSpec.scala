@@ -130,6 +130,19 @@ class FormatsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == spark.read.parquet(frag).count())
   }
 
+  test("hilbert skipping opens strictly fewer files than the 24-cell z " +
+      "layout for the center window, losing no rows (r15)") {
+    val rows = Formats.hilbertSkipping(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = rows("hilbert24"); val z = rows("zorder24")
+    assert(h.getLong(1) == z.getLong(1), "same chunk count per layout")
+    assert(h.getLong(2) < z.getLong(2),
+      s"hilbert must open fewer files: ${h.getLong(2)} vs ${z.getLong(2)}")
+    assert(h.getLong(2) < h.getLong(1), "hilbert must actually skip files")
+    // identical aggregate either way: the prune lost nothing on either side
+    assert(h.getLong(3) == z.getLong(3) && h.getLong(4) == z.getLong(4))
+  }
+
   test("compaction rides the snapshot lineage: time travel reads the " +
       "pre-compaction layout (r15)") {
     import graft.similarity.IndexStore
