@@ -238,15 +238,26 @@ object StreamingOps {
       mode: String = "complete", minDataBatches: Int = 0,
       maxRows: Long = MaxSinkRows,
       stateParts: String = StreamShufflePartitions,
-      rocksDb: Boolean = DefaultRocksDb): DataFrame = {
+      rocksDb: Boolean = DefaultRocksDb,
+      changelog: Boolean = false): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
+    // RocksDB CHANGELOG checkpointing (round 15, VERDICT r14 #4): each
+    // commit uploads the delta since the last commit instead of a full
+    // SST snapshot (snapshots move to a background cadence) — at 100 TB
+    // state this is the difference between shipping the whole store per
+    // trigger and shipping what changed. Scoped per query like the
+    // provider, restored after.
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = spark.conf.getOption(changelogKey)
     spark.conf.set("spark.sql.shuffle.partitions", stateParts)
     if (rocksDb) spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else spark.conf.unset(providerKey)
+    if (changelog) spark.conf.set(changelogKey, "true")
     try {
       val q = streamed.writeStream
         .outputMode(mode)
@@ -273,6 +284,10 @@ object StreamingOps {
       prevProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(changelogKey, p)
+        case None => spark.conf.unset(changelogKey)
       }
     }
   }
@@ -968,7 +983,25 @@ object StreamingOps {
     * early in its boundary ms). Multi-trigger contract: ≥3 data batches, so
     * ListState provably carries across triggers and timers fire
     * mid-stream, not just at the end. */
-  def twsTimerSessions(spark: SparkSession, dir: String): DataFrame = {
+  def twsTimerSessions(spark: SparkSession, dir: String): DataFrame =
+    twsTimerSessionsImpl(spark, dir, changelog = false)
+
+  /** [[twsTimerSessions]] under RocksDB CHANGELOG checkpointing (round
+    * 15, VERDICT r14 #4): the same list-state + event-time-timer
+    * sessionization with
+    * `stateStore.rocksdb.changelogCheckpointing.enabled=true`, so each
+    * trigger commits the state DELTA instead of uploading full SST
+    * snapshots — at 100 TB state the difference between shipping the
+    * store and shipping what changed. The oracle is IDENTICAL to
+    * `stream_tws_timers`: the checkpoint format must never change the
+    * emissions. StreamingStateSpec additionally proves the checkpoint
+    * dir carries `.changelog` files and that a restart recovers from
+    * them. */
+  def twsTimerChangelog(spark: SparkSession, dir: String): DataFrame =
+    twsTimerSessionsImpl(spark, dir, changelog = true)
+
+  private def twsTimerSessionsImpl(spark: SparkSession, dir: String,
+      changelog: Boolean): DataFrame = {
     Engine.tune(spark)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -985,7 +1018,7 @@ object StreamingOps {
       .transformWithState(new GapSessionProcessor(TwsGapUs),
         TimeMode.EventTime(), OutputMode.Append())
     runToMemory(spark, sessions.toDF(), mode = "append",
-        minDataBatches = 3, rocksDb = true)
+        minDataBatches = 3, rocksDb = true, changelog = changelog)
       .orderBy("user_id", "first_us")
   }
 
@@ -1412,6 +1445,7 @@ object StreamingOps {
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
     "stream_tws_timers" -> (twsTimerSessions _),
+    "stream_tws_changelog" -> (twsTimerChangelog _),
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
@@ -1423,6 +1457,30 @@ object StreamingOps {
     "stream_anomaly" -> (streamAnomaly _),
     "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _))
+
+  /** Shared by `stream_tws_timers` and `stream_tws_changelog` — the gap
+    * sessionization with the ms-ceiled terminal-watermark filter. */
+  private val TwsTimersOracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |mx AS (SELECT max(t) AS mt FROM e),
+      |s AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER w IS NULL
+      |           OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |g AS (
+      |  SELECT user_id, t,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |         min(t) AS first_us, max(t) AS last_us
+      |  FROM g GROUP BY user_id, sid)
+      |SELECT user_id, n_events, first_us, last_us
+      |FROM sess, mx
+      |WHERE (last_us + 43200000000 + 999) // 1000 <= mt // 1000
+      |ORDER BY user_id, first_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // streaming/batch duality BY CONSTRUCTION: the oracle is literally
@@ -1539,27 +1597,10 @@ object StreamingOps {
     // identical gap rule + identical terminal-watermark emission filter
     // (ms-CEILED, matching the processor's ceil-registered timer): a
     // user's final session emits iff max-event-time passes its end + gap
-    "stream_tws_timers" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
-        |mx AS (SELECT max(t) AS mt FROM e),
-        |s AS (
-        |  SELECT user_id, t,
-        |    CASE WHEN lag(t) OVER w IS NULL
-        |           OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-        |g AS (
-        |  SELECT user_id, t,
-        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
-        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
-        |  FROM s),
-        |sess AS (
-        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |         min(t) AS first_us, max(t) AS last_us
-        |  FROM g GROUP BY user_id, sid)
-        |SELECT user_id, n_events, first_us, last_us
-        |FROM sess, mx
-        |WHERE (last_us + 43200000000 + 999) // 1000 <= mt // 1000
-        |ORDER BY user_id, first_us""".stripMargin,
+    "stream_tws_timers" -> TwsTimersOracle,
+    // IDENTICAL oracle on purpose: changelog checkpointing changes how
+    // state reaches the checkpoint, never what the query emits
+    "stream_tws_changelog" -> TwsTimersOracle,
     "stream_dedup_types" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin,
     // delay > fixture span -> no state expiry -> exact global distinct
