@@ -831,6 +831,27 @@ object StreamingOps {
       feed.toString
     })
 
+  /** [[timeSplitFeed]] for the DOCUMENTS table (round 15): slices by
+    * doc_id range into `n` feed files, so the curation stream drains the
+    * corpus over `n` triggers — the online-ingest arrival shape. */
+  private def docsSplitFeed(spark: SparkSession, dir: String, n: Int): String =
+    feedDirs.getOrElseUpdate(s"$dir#docs$n", {
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      val feed = graft.TempDirs.create("graft-feed-docs")
+      val tmp = feed.resolve(".tmp")
+      raw.repartitionByRange(n, col("doc_id")).write.parquet(tmp.toString)
+      val parts = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val dst = feed.resolve(f"b$i%04d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+      feed.toString
+    })
+
   /** ARRIVAL-order sibling of [[timeSplitFeed]]: slices by event_id range
     * instead of event time, so the stream replays the batch table's
     * arrival order (event_id) across triggers — what a lateness monitor
@@ -999,6 +1020,68 @@ object StreamingOps {
     * them. */
   def twsTimerChangelog(spark: SparkSession, dir: String): DataFrame =
     twsTimerSessionsImpl(spark, dir, changelog = true)
+
+  /** Streaming CURATION FUNNEL (round 15, VERDICT r14 #7) — the online
+    * dual of the batch `pipeline_curation` funnel's streaming-expressible
+    * stages, the ingest shape an LLM data pipeline actually runs while
+    * data arrives: per-row QUALITY GATE (the stateless scalar mirror of
+    * the batch tokens()+groupBy gate — same thresholds, single-sourced
+    * from [[graft.text.TextAnalysis]]), then EXACT DEDUP of the
+    * gate-passing texts via `dropDuplicatesWithinWatermark` on the
+    * content hash (delay past the feed span ⇒ exact global distinct, the
+    * `stream_dedup_wm` discipline; at 100 TB the delay is the dedup
+    * horizon that BOUNDS the state), with each trigger's newly-admitted
+    * survivors appended through `foreachBatch` — the per-trigger
+    * retention ledger. A parallel complete-mode census over the same
+    * feed carries the raw/quality stage counts that live upstream of the
+    * dedup operator. The registered result is the funnel's cumulative
+    * stage rows; the ORACLE is the batch funnel's own CTEs
+    * (qualityPassSql + the distinct-md5 count), so batch/stream duality
+    * is by construction — fuzzy dedup (an LSH self-join) and the split
+    * stage stay batch-side, exactly the stages a production funnel also
+    * defers to its periodic batch compaction. Multi-trigger contract:
+    * the corpus drains over ≥3 data batches on both streams. */
+  def streamCuration(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.text.TextAnalysis.{QualityMinTokens, QualityMaxTokens, QualityStops}
+    val feed = docsSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def docs() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val stopsList = QualityStops.map(s => s"'$s'").mkString(", ")
+    def gated(df: DataFrame): DataFrame = df
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt",
+        expr(s"size(filter(toks, x -> x IN ($stopsList)))"))
+      // stop_cnt/n_tokens < 0.5 in exact integer form (2*stop < n)
+      .withColumn("quality",
+        when(col("n_tokens").between(QualityMinTokens, QualityMaxTokens) &&
+          col("stop_cnt") * 2 < col("n_tokens"), 1L).otherwise(0L))
+    // stage 0+1: raw/quality census — upstream of the dedup state
+    val counts = runToMemory(spark,
+      gated(docs()).groupBy()
+        .agg(count(lit(1)).as("n_raw"), sum("quality").as("n_quality")),
+      mode = "complete", minDataBatches = 3)
+    // stage 2: bounded-state exact dedup of the gate-passing texts;
+    // per-trigger survivors land as append batch dirs (retention ledger)
+    val survivors = runToFiles(spark,
+      gated(docs()).filter(col("quality") === 1L)
+        .select(md5(col("text")).as("h"))
+        .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withWatermark("ingest_ts", "365 days")
+        .dropDuplicatesWithinWatermark("h")
+        .select("h"),
+      mode = "append", minDataBatches = 3)
+    counts.select(lit(0).as("stage_no"), lit("raw").as("stage"),
+        col("n_raw").cast("long").as("n_docs"))
+      .unionAll(counts.select(lit(1).as("stage_no"), lit("quality").as("stage"),
+        col("n_quality").cast("long").as("n_docs")))
+      .unionAll(survivors.agg(count(lit(1)).as("n")).select(
+        lit(2).as("stage_no"), lit("exact_dedup").as("stage"),
+        col("n").cast("long").as("n_docs")))
+      .orderBy("stage_no")
+  }
 
   private def twsTimerSessionsImpl(spark: SparkSession, dir: String,
       changelog: Boolean): DataFrame = {
@@ -1446,6 +1529,7 @@ object StreamingOps {
     "stream_tws_summary" -> (twsSummary _),
     "stream_tws_timers" -> (twsTimerSessions _),
     "stream_tws_changelog" -> (twsTimerChangelog _),
+    "stream_curation" -> (streamCuration _),
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
@@ -1601,6 +1685,17 @@ object StreamingOps {
     // IDENTICAL oracle on purpose: changelog checkpointing changes how
     // state reaches the checkpoint, never what the query emits
     "stream_tws_changelog" -> TwsTimersOracle,
+    // the batch funnel's own CTEs (duality by construction): raw count,
+    // the shared quality gate, distinct content hashes among the passing
+    "stream_curation" ->
+      s"""WITH q1 AS (${graft.text.TextAnalysis.qualityPassSql})
+         |SELECT 0 AS stage_no, 'raw' AS stage,
+         |       (SELECT count(*) FROM documents) AS n_docs
+         |UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q1)
+         |UNION ALL SELECT 2, 'exact_dedup',
+         |  (SELECT count(DISTINCT md5(d.text))
+         |   FROM documents d JOIN q1 USING (doc_id))
+         |ORDER BY stage_no""".stripMargin,
     "stream_dedup_types" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""".stripMargin,
     // delay > fixture span -> no state expiry -> exact global distinct

@@ -176,4 +176,22 @@ class StreamingDualitySpec extends SparkSpec {
     assert(merged == Seq((1L, "purchase", 7L), (2L, "signup", 6L)),
       "older batch row must not overwrite newer target state; new key must insert")
   }
+
+  test("streaming curation funnel equals the batch funnel's shared stages " +
+      "on the same corpus (r15)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamCuration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // the batch funnel's raw/quality/exact_dedup rows are the ground
+    // truth — duality by construction, not by re-derivation
+    val batch = graft.dedup.Dedup.curationFunnel(spark, dir).collect()
+      .filter(_.getInt(0) <= 2)
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"stream funnel $streamed diverged from batch funnel $batch")
+    // and the funnel actually filters: each stage retains no more than
+    // its predecessor, and the gate/dedup each did real work at this sf
+    val n = streamed.map(_._3)
+    assert(n(0) >= n(1) && n(1) >= n(2))
+  }
 }
