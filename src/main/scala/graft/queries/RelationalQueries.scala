@@ -45,6 +45,38 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** [[q1Pricing]] authored as a SQL STRING over a registered temp view
+    * (round 15, VERDICT r14 #8 — `tw_q1_sql_entry` proved the parser
+    * surface costs nothing on the §2 shape; this pins it on the
+    * relational side, where real users actually write SQL): parser →
+    * analyzer → catalog resolution end-to-end, same oracle as the DSL
+    * twin, and TpchShapesSpec pins plan-DIGEST equality — both author
+    * the same logical plan, so the SQL surface is free at any scale.
+    * `1.0D` keeps the literals DOUBLE (bare `1.0` parses as DECIMAL in
+    * SQL, which would change the decimal arithmetic the DSL twin does
+    * with double literals). */
+  def q1PricingViaSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1.0D - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1.0D - l_discount AS DECIMAL(8,2)) *
+        |           CAST(1.0D + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+        |  sum(l_quantity) / count(1) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(1) AS avg_disc,
+        |  count(1) AS count_order
+        |FROM graft_lineitem
+        |WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   // ---- TPC-H Q3 analog: customer ⋈ orders ⋈ lineitem, top-10 revenue.
   // customer side is filter-reduced then broadcast by AQE; the orders ⋈
   // lineitem join shuffles on the order key. Top-k = TakeOrderedAndProject,
@@ -1940,6 +1972,7 @@ object RelationalQueries {
     "rel_window_ntile" -> (windowNtile _),
     "rel_arg_extremes" -> (argExtremes _),
     "rel_q1_pricing" -> (q1Pricing _),
+    "rel_q1_sql_entry" -> (q1PricingViaSql _),
     "rel_q3_topk" -> (q3TopK _),
     "rel_q5_region_rev" -> (q5RegionRevenue _),
     "rel_q6_rev_filter" -> (q6RevenueFilter _),
@@ -1961,6 +1994,22 @@ object RelationalQueries {
        |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem),
        |d AS (SELECT part, count(*) AS deg FROM e GROUP BY part),
        |c AS (SELECT supp, $PrScale // deg AS c FROM e JOIN d USING (part))""".stripMargin
+
+  /** Shared by `rel_q1_pricing` and its SQL-string twin `rel_q1_sql_entry`. */
+  private val Q1PricingOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2)) * CAST(CAST(1.0 AS DOUBLE) + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "rel_percentiles_grouped" -> graft.functions.ExactPercentiles.sql(
@@ -2598,20 +2647,10 @@ object RelationalQueries {
         |  ON o.o_orderdate >= e.ts - INTERVAL 1 DAY
         | AND o.o_orderdate <= e.ts + INTERVAL 1 DAY
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
-    "rel_q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2)) * CAST(CAST(1.0 AS DOUBLE) + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
-        |  sum(l_quantity) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_q1_pricing" -> Q1PricingOracle,
+    // IDENTICAL oracle: the SQL-string entry authors the same logical
+    // plan as the DSL twin (digest-equality pinned in TpchShapesSpec)
+    "rel_q1_sql_entry" -> Q1PricingOracle,
     "rel_q3_topk" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue

@@ -130,4 +130,14 @@ class TpchShapesSpec extends SparkSpec {
       .map(_._2).toSet
     assert(reported.subsetOf(dominant))
   }
+
+  test("relational SQL-string entry: rel_q1_sql_entry carries the identical " +
+      "plan digest as the DSL q1Pricing (round 15, VERDICT r14 #8)") {
+    val dsl = graft.plans.PlanDigest.of(RelationalQueries.q1Pricing(spark, sf))
+    val sql = graft.plans.PlanDigest.of(RelationalQueries.q1PricingViaSql(spark, sf))
+    assert(sql == dsl,
+      s"SQL-authored plan diverged from the DSL plan:\n  dsl: $dsl\n  sql: $sql")
+    // and the catalog surface really resolved through a temp view
+    assert(spark.catalog.tableExists("graft_lineitem"))
+  }
 }
