@@ -30,7 +30,12 @@ object PlanSnapshot {
     * so the ledger digests the last micro-batch's EXECUTED plan instead
     * (captured by [[graft.streaming.StreamingOps]] at drain time) — the
     * state-operator placement is exactly the scale-relevant structure
-    * (round 14, VERDICT r13 #2). */
+    * (round 14, VERDICT r13 #2). A foreachBatch sink contributes only its
+    * source scan to that plan — its merge/commit work runs as separate
+    * batch jobs — so builders doing real plan-shaped work per batch also
+    * record the last batch frame's plan
+    * ([[graft.streaming.StreamingOps.lastForeachBatchPlan]], round 15,
+    * ADVICE r14 #3) and both are digested together. */
   def streaming(name: String): Boolean =
     name.startsWith("stream_") || name.startsWith("tw_q2_stream")
 
@@ -46,10 +51,13 @@ object PlanSnapshot {
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
         if (streaming(name)) {
           graft.streaming.StreamingOps.lastExecutedPlan = ""
+          graft.streaming.StreamingOps.lastForeachBatchPlan = ""
           SparkEntry.queries(name)(spark, PinnedSf) // runs the stream(s)
           val plan = graft.streaming.StreamingOps.lastExecutedPlan
           require(plan.nonEmpty, s"$name executed no capturable micro-batch plan")
-          name -> PlanDigest.ofPlanString(plan)
+          val batchPlan = graft.streaming.StreamingOps.lastForeachBatchPlan
+          name -> PlanDigest.ofPlanString(
+            if (batchPlan.isEmpty) plan else plan + "\n" + batchPlan)
         } else
           name -> PlanDigest.of(SparkEntry.queries(name)(spark, PinnedSf))
       }

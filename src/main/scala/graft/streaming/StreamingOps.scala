@@ -194,6 +194,17 @@ object StreamingOps {
     * rather than failing the query. */
   @volatile private[graft] var lastExecutedPlan: String = ""
 
+  /** The last foreachBatch BODY plan (round 15, ADVICE r14 #3): a
+    * foreachBatch sink's merge/commit work runs as separate batch jobs
+    * the captured micro-batch plan never sees — for `stream_merge_upsert`
+    * the micro-batch plan is just the source FileScan, while the actual
+    * scale structure (the per-batch rank pushdown Window, the
+    * target⋈batch full-outer join) lives here. Builders whose foreachBatch
+    * does real plan-shaped work record the batch frame's plan into this
+    * var (last batch wins); [[graft.PlanSnapshot]] digests it together
+    * with the micro-batch plan. */
+  @volatile private[graft] var lastForeachBatchPlan: String = ""
+
   /** Drain `q` to completion, capture its final executed plan for the
     * ledger, then stop it — the one way every stream in this module ends
     * (capture sits BEFORE stop so the execution is still current). */
@@ -703,6 +714,11 @@ object StreamingOps {
               new java.util.ArrayList[org.apache.spark.sql.Row](), latest.schema)
           }
           val merged = mergeClassify(cur, latest)
+          // ledger visibility (ADVICE r14 #3): the merge's plan shape —
+          // rank-pushdown Window + target⋈batch full-outer join — exists
+          // only in these foreachBatch jobs, never in the micro-batch plan
+          try lastForeachBatchPlan = merged.queryExecution.executedPlan.toString
+          catch { case scala.util.control.NonFatal(_) => () }
           current = Some(graft.similarity.IndexStore
             .commit(target, s"batch-$nextV", graceMs = 60000L)(merged))
           nextV += 1
