@@ -45,6 +45,13 @@ class OracleLintSpec extends AnyFunSuite {
     // the output sums are cast. Tri-SF green at add time (r11).
     "mm_ahash", "mm_ahash_pairs", "mm_scene_cuts",
     "pipeline_curation", "pipeline_pretrain", "pipeline_rag",
+    // stream_curation reuses pipeline_curation's qualityPassSql CTE —
+    // its stop-count sum is CTE-internal (a WHERE comparison, never
+    // output). Tri-SF green at add time (r15).
+    "stream_curation",
+    // rel_q1_sql_entry shares rel_q1_pricing's oracle verbatim (the
+    // bare sum is over the physically-DOUBLE l_quantity)
+    "rel_q1_sql_entry",
     // rel_percentiles_grouped / stream_latency_pctl: same class as
     // rel_exact_median — the window sums are CTE-internal rank
     // comparisons, never output. These two postdate round 10; their
