@@ -30,25 +30,70 @@ object Formats {
   private def sfTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** One-time LOCKED materialization of a fixed-path side artifact
+    * (round 15, generalizing the ADVICE r14 layout fix to every
+    * marker-guarded builder in this module): concurrent bench/verify
+    * processes are a supported scenario, and a bare marker check would
+    * let two first-builders interleave writes into the same directory
+    * and persist the marker over a torn result. Cross-process writers
+    * serialize on IndexStore's per-name advisory lock; `write` lands
+    * the artifact in a temp sibling, which ONE atomic rename publishes
+    * before the marker is created — the marker can never legitimize a
+    * partial directory, and a crashed build leaves only an unpublished
+    * temp dir the next builder ignores. The fast path (marker present)
+    * costs one stat, no lock. */
+  private def buildOnce(out: String)(write: String => Unit): String = {
+    if (!new File(out, "_COMPLETE").exists())
+      graft.similarity.IndexStore.withArtifactLock(s"bld_${new File(out).getName}") {
+        val marker = new File(out, "_COMPLETE")
+        if (!marker.exists()) {
+          val tmp = s"$out.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+          write(tmp)
+          // a torn remnant of a pre-lock-era crash can't be trusted
+          if (new File(out).exists())
+            graft.similarity.IndexStore.deleteRecursively(
+              java.nio.file.Paths.get(out))
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(out),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // the marker carries a unique BUILD ID: derived artifacts (the
+          // stats manifests) key their ensure on it, so a layout rebuild
+          // — same sf, new part-file names — invalidates them instead of
+          // leaving them pointing at deleted files (see [[buildId]])
+          java.nio.file.Files.writeString(marker.toPath,
+            java.util.UUID.randomUUID().toString.take(12))
+        }
+      }
+    out
+  }
+
+  /** The build identity of a [[buildOnce]] artifact — the marker's
+    * content ("" for a legacy empty marker, which still forces one
+    * manifest rebuild on first contact because the ensure key changes
+    * shape). Derived artifacts append this to their ensure `dir` key:
+    * two builds of the same layout at the same sf are DIFFERENT
+    * artifacts (their file names differ), and a manifest must never
+    * outlive the exact build it indexed. */
+  private def buildId(out: String): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_COMPLETE")).trim
+    catch { case scala.util.control.NonFatal(_) => "" }
+
   /** Writes the lineitem projection as `fmt` once per (dir, fmt). */
   private def materialize(spark: SparkSession, dir: String, fmt: String): String =
     materialized.getOrElseUpdate(s"$dir#$fmt", {
-      val out = s"/tmp/graft-src-$fmt-${sfTag(dir)}"
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-$fmt-${sfTag(dir)}") { tmp =>
         val proj = Tables(spark, dir, "lineitem")
           .select(col("l_returnflag"), col("l_linestatus"),
             col("l_quantity"), col("l_extendedprice"))
         val writer = proj.write.mode("overwrite")
         fmt match {
-          case "orc" => writer.orc(out)
-          case "csv" => writer.option("header", "true").csv(out)
-          case "json" => writer.json(out)
-          case "zstd" => writer.option("compression", "zstd").parquet(out)
+          case "orc" => writer.orc(tmp)
+          case "csv" => writer.option("header", "true").csv(tmp)
+          case "json" => writer.json(tmp)
+          case "zstd" => writer.option("compression", "zstd").parquet(tmp)
         }
-        marker.createNewFile()
       }
-      out
     })
 
   private def pricingAgg(df: DataFrame): DataFrame =
@@ -116,14 +161,10 @@ object Formats {
     * lands its output in so downstream jobs prune whole partitions. */
   private def materializePartitioned(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#part", {
-      val out = s"/tmp/graft-src-part-${sfTag(dir)}"
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-part-${sfTag(dir)}") { tmp =>
         Tables(spark, dir, "documents").write.mode("overwrite")
-          .partitionBy("lang").parquet(out)
-        marker.createNewFile()
+          .partitionBy("lang").parquet(tmp)
       }
-      out
     })
 
   /** Partitioned-layout round-trip: write documents partitioned by lang,
@@ -149,16 +190,12 @@ object Formats {
     * would demonstrate nothing). */
   private def materializeLangDim(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#langdim", {
-      val out = s"/tmp/graft-src-langdim-${sfTag(dir)}"
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-langdim-${sfTag(dir)}") { tmp =>
         Tables(spark, dir, "documents").select(col("lang")).distinct()
           .withColumn("tier",
             when(col("lang").isin("en", "zh"), "major").otherwise("minor"))
-          .coalesce(1).write.mode("overwrite").parquet(out)
-        marker.createNewFile()
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
       }
-      out
     })
 
   /** Dynamic partition pruning: the lang-partitioned fact joined to a
@@ -188,19 +225,15 @@ object Formats {
     * every long-lived ingest dataset develops. */
   private def materializeEvolved(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#evolve", {
-      val out = s"/tmp/graft-src-evolve-${sfTag(dir)}"
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-evolve-${sfTag(dir)}") { tmp =>
         val docs = Tables(spark, dir, "documents")
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .write.mode("overwrite").parquet(s"$out/b1")
+          .write.mode("overwrite").parquet(s"$tmp/b1")
         docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
-          .write.mode("overwrite").parquet(s"$out/b2")
-        marker.createNewFile()
+          .write.mode("overwrite").parquet(s"$tmp/b2")
       }
-      out
     })
 
   /** Schema-evolution read: `mergeSchema=true` unions the two batches'
@@ -321,20 +354,16 @@ object Formats {
     * dir-independent arithmetic, like [[dsv2Scan]]'s connector rows). */
   private def materializeMalformed(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#malformed", {
-      val out = s"/tmp/graft-src-malformed-${sfTag(dir)}"
-      new File(out).mkdirs()
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-malformed-${sfTag(dir)}") { tmp =>
+        new File(tmp).mkdirs()
         val lines = (0 until MalformedRows).map { i =>
           if (i % MalformedEvery == 0) s"x$i,t$i,notanumber"
           else s"$i,t$i,${i * 3L}"
         }
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(out, "data.csv"),
+          java.nio.file.Paths.get(tmp, "data.csv"),
           scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
-        marker.createNewFile()
       }
-      out
     })
 
   /** PERMISSIVE-mode malformed-record accounting — the ingest posture a
@@ -368,20 +397,16 @@ object Formats {
     * numeric). Same arithmetic content, so the oracle is shared-shape. */
   private def materializeMalformedJson(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#malformedjson", {
-      val out = s"/tmp/graft-src-malformedjson-${sfTag(dir)}"
-      new File(out).mkdirs()
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-malformedjson-${sfTag(dir)}") { tmp =>
+        new File(tmp).mkdirs()
         val lines = (0 until MalformedRows).map { i =>
           if (i % MalformedEvery == 0) s"""{"id": $i, "tag": "t$i", "va"""
           else s"""{"id": $i, "tag": "t$i", "val": ${i * 3L}}"""
         }
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(out, "data.json"),
+          java.nio.file.Paths.get(tmp, "data.json"),
           scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
-        marker.createNewFile()
       }
-      out
     })
 
   /** [[csvMalformed]]'s JSON twin: PERMISSIVE NDJSON ingestion with
@@ -409,14 +434,10 @@ object Formats {
     * FormatsSpec), so lines round-trip 1:1 with documents. */
   private def materializeText(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#text", {
-      val out = s"/tmp/graft-src-text-${sfTag(dir)}"
-      val marker = new File(out, "_COMPLETE")
-      if (!marker.exists()) {
+      buildOnce(s"/tmp/graft-src-text-${sfTag(dir)}") { tmp =>
         Tables(spark, dir, "documents").select(col("text"))
-          .write.mode("overwrite").text(out)
-        marker.createNewFile()
+          .write.mode("overwrite").text(tmp)
       }
-      out
     })
 
   /** Raw-text round-trip: `spark.read.text` over the one-doc-per-line
@@ -459,6 +480,13 @@ object Formats {
     * still applies — wipe the artifact too to force a real rewrite). */
   private[graft] def resetCompactionFor(dir: String): Unit =
     materialized.remove(s"$dir#compact")
+
+  /** Test hook: drop the per-JVM layout memos for `dir` so a spec can
+    * simulate a fresh process rebuilding a wiped physical layout. */
+  private[graft] def resetLayoutsFor(dir: String): Unit = {
+    materialized.remove(s"$dir#zlayout")
+    materialized.remove(s"$dir#hlayout")
+  }
 
   /** The sf-scoped commit-managed artifact name of `dir`'s compaction
     * lineage — exposed so specs assert against the exact name. */
@@ -756,47 +784,24 @@ object Formats {
     * engines reproduce). */
   private def zorderLayouts(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#zlayout", {
-      val out = s"/tmp/graft-src-zlayout-${sfTag(dir)}"
-      // First-build serialization (round 15, ADVICE r14 #2): concurrent
-      // bench/verify processes are a supported scenario, and a bare
-      // marker check would let two first-builders interleave overwrite
-      // writes into the same directories and persist the marker over a
-      // torn layout. Cross-process writers serialize on IndexStore's
-      // per-name advisory lock; the build lands in a temp sibling and is
-      // published by ONE atomic rename before the marker is created, so
-      // the marker can never legitimize a partial layout (a crashed
-      // build leaves only an unpublished temp dir the next builder
-      // ignores).
-      if (!new File(out, "_COMPLETE").exists())
-        graft.similarity.IndexStore.withArtifactLock(s"zlayout_${sfTag(dir)}") {
-          val marker = new File(out, "_COMPLETE")
-          if (!marker.exists()) {
-            val tmp = s"$out.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-            val (maxp, maxs, maxo) = keyExtrema(spark, dir)
-            val b = Tables(spark, dir, "lineitem")
-              .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
-                col("l_quantity"))
-              .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
-              .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
-            def write(df: DataFrame, fileId: String, sub: String): Unit =
-              df.withColumn("file_id", expr(fileId))
-                .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
-                .repartition(col("file_id"))
-                .write.mode("overwrite").partitionBy("file_id")
-                .parquet(s"$tmp/$sub")
-            write(b.withColumn("zv", expr(ZvExpr)), "zv div 16", "zorder")
-            write(b, s"(l_orderkey * 16) div (${maxo + 1}L)", "linear")
-            // a torn remnant of a pre-lock-era crash can't be trusted
-            if (new File(out).exists())
-              graft.similarity.IndexStore.deleteRecursively(
-                java.nio.file.Paths.get(out))
-            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-              java.nio.file.Paths.get(out),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            marker.createNewFile()
-          }
-        }
-      out
+      // locked + atomically-published first build (ADVICE r14 #2) — see
+      // [[buildOnce]]
+      buildOnce(s"/tmp/graft-src-zlayout-${sfTag(dir)}") { tmp =>
+        val (maxp, maxs, maxo) = keyExtrema(spark, dir)
+        val b = Tables(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity"))
+          .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+          .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
+        def write(df: DataFrame, fileId: String, sub: String): Unit =
+          df.withColumn("file_id", expr(fileId))
+            .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
+            .repartition(col("file_id"))
+            .write.mode("overwrite").partitionBy("file_id")
+            .parquet(s"$tmp/$sub")
+        write(b.withColumn("zv", expr(ZvExpr)), "zv div 16", "zorder")
+        write(b, s"(l_orderkey * 16) div (${maxo + 1}L)", "linear")
+      }
     })
 
   /** The per-file min/max STATS MANIFEST over a written layout — exactly
@@ -811,11 +816,17 @@ object Formats {
     layoutManifest(spark, dir, zorderLayouts(spark, dir), layout)
 
   /** The stats manifest over `base/$layout`, published once per
-    * (layout, sf dir) through the snapshot protocol — shared by the
-    * z-order/linear harness and the Hilbert harness (round 15). */
+    * (layout, sf dir, layout BUILD) through the snapshot protocol —
+    * shared by the z-order/linear harness and the Hilbert harness
+    * (round 15). The ensure key appends the layout's [[buildId]]: a
+    * manifest indexes one specific set of physical files, so a layout
+    * rebuild at the same sf (new part-file names) must invalidate it —
+    * a manifest that outlives its build prunes against paths that no
+    * longer exist. FormatsSpec pins the rebuild-coherence. */
   private def layoutManifest(spark: SparkSession, dir: String,
       base: String, layout: String): DataFrame =
-    graft.similarity.IndexStore.ensure(spark, dir, s"zstats_$layout") {
+    graft.similarity.IndexStore.ensure(spark,
+        s"$dir@${buildId(base)}", s"zstats_$layout") {
       spark.read.parquet(s"$base/$layout")
         .select(col("_metadata.file_path").as("path"),
           col("l_partkey"), col("l_suppkey"))
@@ -875,36 +886,22 @@ object Formats {
     * the curves' power-of-4 blocks: that is where the curves differ. */
   private def hilbertLayouts(spark: SparkSession, dir: String): String =
     materialized.getOrElseUpdate(s"$dir#hlayout", {
-      val out = s"/tmp/graft-src-hlayout-${sfTag(dir)}"
-      if (!new File(out, "_COMPLETE").exists())
-        graft.similarity.IndexStore.withArtifactLock(s"hlayout_${sfTag(dir)}") {
-          val marker = new File(out, "_COMPLETE")
-          if (!marker.exists()) {
-            val tmp = s"$out.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-            val (maxp, maxs, _) = keyExtrema(spark, dir)
-            val b = withHilbertDistance(Tables(spark, dir, "lineitem")
-              .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-              .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
-              .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
-              .withColumn("zv", expr(ZvExpr)))
-            def write(df: DataFrame, fileId: String, sub: String): Unit =
-              df.withColumn("file_id", expr(fileId))
-                .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
-                .repartition(col("file_id"))
-                .write.mode("overwrite").partitionBy("file_id")
-                .parquet(s"$tmp/$sub")
-            write(b, "hd div 24", "hilbert24")
-            write(b, "zv div 24", "zorder24")
-            if (new File(out).exists())
-              graft.similarity.IndexStore.deleteRecursively(
-                java.nio.file.Paths.get(out))
-            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-              java.nio.file.Paths.get(out),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            marker.createNewFile()
-          }
-        }
-      out
+      buildOnce(s"/tmp/graft-src-hlayout-${sfTag(dir)}") { tmp =>
+        val (maxp, maxs, _) = keyExtrema(spark, dir)
+        val b = withHilbertDistance(Tables(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+          .withColumn("bxx", expr(s"CAST((l_partkey * 16) div (${maxp + 1}L) AS INT)"))
+          .withColumn("byy", expr(s"CAST((l_suppkey * 16) div (${maxs + 1}L) AS INT)"))
+          .withColumn("zv", expr(ZvExpr)))
+        def write(df: DataFrame, fileId: String, sub: String): Unit =
+          df.withColumn("file_id", expr(fileId))
+            .select("l_partkey", "l_suppkey", "l_quantity", "file_id")
+            .repartition(col("file_id"))
+            .write.mode("overwrite").partitionBy("file_id")
+            .parquet(s"$tmp/$sub")
+        write(b, "hd div 24", "hilbert24")
+        write(b, "zv div 24", "zorder24")
+      }
     })
 
   /** DEMONSTRATED Hilbert file skipping (round 15, VERDICT r14 #6 —

@@ -143,6 +143,25 @@ class FormatsSpec extends SparkSpec {
     assert(h.getLong(3) == z.getLong(3) && h.getLong(4) == z.getLong(4))
   }
 
+  test("stats manifests follow a layout REBUILD (r15): wiping and " +
+      "rebuilding the physical layout invalidates the published manifest") {
+    val before = Formats.hilbertSkipping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    // simulate an operator /tmp cleanup that takes the side layout but
+    // not the index store, followed by a fresh process: the layout
+    // rebuilds with NEW part-file names, and a manifest keyed only by sf
+    // would keep pruning against the deleted old files (PATH_NOT_FOUND)
+    val layout = new java.io.File(s"/tmp/graft-src-hlayout-" +
+      sf.replaceAll("[^A-Za-z0-9.]", "_"))
+    assert(layout.isDirectory, "the first run must have built the layout")
+    graft.similarity.IndexStore.deleteRecursively(layout.toPath)
+    Formats.resetLayoutsFor(sf)
+    val after = Formats.hilbertSkipping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(after == before,
+      s"rebuilt layout must re-derive the same skipping census: $after vs $before")
+  }
+
   test("compaction rides the snapshot lineage: time travel reads the " +
       "pre-compaction layout (r15)") {
     import graft.similarity.IndexStore
