@@ -1804,13 +1804,19 @@ object Similarity {
        |  FROM gs),
        |gk AS (SELECT src, dst, cos_r, rn FROM gr WHERE rn <= $KnnGraphK)""".stripMargin
 
-  private val ivfTopKSql: String =
+  private val ivfTopKSql: String = ivfTopKSqlFor("vec_id < 4")
+
+  /** The IVF retrieval oracle, parameterized by the QUERY predicate —
+    * shared by the batch `sim_ivf_topk` (`vec_id < 4`) and the
+    * streaming serve `stream_ann_serve` (round 15; the modulus query
+    * set, so every trigger of the id-range feed carries queries). */
+  private[graft] def ivfTopKSqlFor(queryPred: String): String =
     s"""$cellAssignSql,
        |corpus AS (
        |  SELECT e.vec_id, e.embedding, a.cell
        |  FROM embeddings e JOIN assign a USING (vec_id)),
        |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
-       |      FROM corpus WHERE vec_id < 4),
+       |      FROM corpus WHERE $queryPred),
        |s AS (
        |  SELECT q.qid, c.vec_id,
        |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,

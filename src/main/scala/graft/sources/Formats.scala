@@ -541,6 +541,62 @@ object Formats {
       .orderBy("source")
   }
 
+  /** The deterministic right-to-be-forgotten set: every 97th user. A
+    * real request list arrives as a table; the modulus stands in so the
+    * DuckDB oracle re-derives the set exactly. */
+  val ForgetModulus = 97L
+
+  /** DELETE PROPAGATION through the snapshot protocol (round 15
+    * superset — the GDPR / right-to-be-forgotten shape every lakehouse
+    * runs): the keyed event projection is committed as version `full`,
+    * then the forget-set's rows are removed by ANTI-JOIN rewrite and
+    * the result committed as version `forgotten` with `full` as its
+    * `_GRAFT_PREV`. Readers racing the delete resolve one complete
+    * version (the snapshot guarantee); the registered census runs over
+    * the CURRENT version, and its oracle recomputes from the base table
+    * with the forget predicate — so a row that survived the delete, a
+    * lost innocent row, or a census over the wrong version all
+    * hash-mismatch. FormatsSpec pins the protocol half the oracle can't
+    * see: zero forgotten users in current, the pre-delete version still
+    * on the lineage for audit. COMPLIANCE NOTE (the part that matters
+    * at 100 TB): the predecessor version IS the deletion's audit trail
+    * and also still contains the data — production sets this name's GC
+    * grace to the compliance window, after which the superseded full
+    * version is collected and the deletion becomes physical; here the
+    * default grace keeps it visible to the spec. The anti-join rewrite
+    * is the whole-table spelling; a partitioned deployment prunes the
+    * rewrite to the files whose stats overlap the forget keys (the
+    * [[zorderSkipping]] manifest mechanism), which is exactly how
+    * deletion vectors / OPTIMIZE-style rewrites bound the cost. */
+  def forgetUser(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.similarity.IndexStore
+    val name = s"forget_events_${sfTag(dir)}"
+    def events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val reuse = for {
+      cur <- IndexStore.currentVersion(name)
+      if IndexStore.currentTag(name).contains("forgotten")
+      _ <- IndexStore.previousVersion(name)
+    } yield cur
+    val current = reuse.getOrElse {
+      val full = IndexStore.commit(name, "full")(events)
+      // the forget list as a TABLE (the request shape), anti-joined —
+      // never a NOT IN subquery that would re-scan per row
+      val forget = events.select(col("user_id"))
+        .filter(col("user_id") % ForgetModulus === 0).distinct()
+      IndexStore.commit(name, "forgotten")(
+        spark.read.parquet(full.toString)
+          .join(broadcast(forget), Seq("user_id"), "left_anti"))
+    }
+    spark.read.parquet(current.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .orderBy("event_type")
+  }
+
   /** Transactional snapshot target (round 13, VERDICT r12 #7 — the
     * manifest-snapshot protocol generalized from the trained-index store):
     * a writer lands three GROWING versions of a keyed table through
@@ -957,6 +1013,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_snapshot_reader" -> (snapshotReader _),
     "src_snapshot_history" -> (snapshotHistory _),
+    "src_forget_user" -> (forgetUser _),
     "src_zorder_cluster" -> (zorderCluster _),
     "src_zorder_skipping" -> (zorderSkipping _),
     "src_hilbert_skipping" -> (hilbertSkipping _),
@@ -1202,6 +1259,15 @@ object Formats {
         |  FROM events WHERE event_id % 3 < 2 GROUP BY user_id)
         |SELECT * FROM cur UNION ALL SELECT * FROM prev
         |ORDER BY snap, user_id""".stripMargin,
+    // census over the post-delete snapshot: the oracle recomputes it
+    // from the base table under the forget predicate, so a surviving
+    // forgotten row or a lost innocent one hash-mismatches
+    "src_forget_user" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+         |FROM events WHERE user_id % $ForgetModulus <> 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // final snapshot = version 3 = the per-user census of the WHOLE table
     "src_snapshot_reader" ->
       """SELECT user_id, count(*) AS n_events, CAST(3 AS BIGINT) AS version

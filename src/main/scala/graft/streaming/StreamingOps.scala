@@ -847,6 +847,27 @@ object StreamingOps {
       feed.toString
     })
 
+  /** [[timeSplitFeed]] for the EMBEDDINGS table (round 15): slices by
+    * vec_id range into `n` feed files — the arrival shape of an online
+    * vector-search query stream. */
+  private def embSplitFeed(spark: SparkSession, dir: String, n: Int): String =
+    feedDirs.getOrElseUpdate(s"$dir#emb$n", {
+      val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      val feed = graft.TempDirs.create("graft-feed-emb")
+      val tmp = feed.resolve(".tmp")
+      raw.repartitionByRange(n, col("vec_id")).write.parquet(tmp.toString)
+      val parts = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val dst = feed.resolve(f"b$i%04d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+      feed.toString
+    })
+
   /** [[timeSplitFeed]] for the DOCUMENTS table (round 15): slices by
     * doc_id range into `n` feed files, so the curation stream drains the
     * corpus over `n` triggers — the online-ingest arrival shape. */
@@ -1036,6 +1057,71 @@ object StreamingOps {
     * them. */
   def twsTimerChangelog(spark: SparkSession, dir: String): DataFrame =
     twsTimerSessionsImpl(spark, dir, changelog = true)
+
+  /** Modulus of the streaming serve's query set: `vec_id % 100 == 7`
+    * spreads queries across the id-range feed, so EVERY trigger carries
+    * retrieval work (5 queries at the 500-vector SFs, 20 at sf0.1). */
+  private val AnnServeQueryMod = 100L
+
+  /** STREAMING ANN SERVE (round 15 superset) — the online face of the
+    * build/serve split: queries ARRIVE as a stream, and each trigger's
+    * batch is answered against the static IVF index through
+    * `foreachBatch` — join the batch's vec_ids to the precomputed
+    * (vec_id, cell) assignment, probe only the matching cells
+    * (`cell === qcell` equi-join, query side broadcast — candidate cost
+    * is |cell| per query, never the corpus), rank through the bounded-heap
+    * [[graft.plans.TopKPerGroup]], append the trigger's results. This is
+    * what a vector-search service DOES per request batch; the corpus ⋈
+    * assignment serving state is computed once and cached across
+    * triggers (an executor-resident index at scale — rebuilding the
+    * quantizer per trigger would be the classic serving bug). The
+    * registered result is all triggers' rankings; the oracle is the
+    * SAME parameterized IVF SQL as the batch `sim_ivf_topk`, over this
+    * query set — streaming arrival must not change a single ranking.
+    * The retrieval plan reaches the ledger via
+    * [[lastForeachBatchPlan]]. */
+  def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val feed = embSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    // the serving state: corpus with its IVF cell, built once, cached
+    // across triggers (bounded: |corpus| rows of id+vector+cell)
+    val corpus = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(graft.similarity.Similarity.cellAssignments(spark, dir), Seq("vec_id"))
+      .persist()
+    val out = graft.TempDirs.create("graft-ann-serve").toString
+    try {
+      corpus.count() // materialize the index before the stream starts
+      val queries = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .filter(col("vec_id") % AnnServeQueryMod === 7)
+        .select(col("vec_id"))
+      val q = queries.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val qside = corpus.join(batch.toDF(), Seq("vec_id"))
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("cell").as("qcell"))
+          val scored = corpus.join(broadcast(qside), col("cell") === col("qcell"))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              round(graft.functions.VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+          val topk = graft.plans.TopK.perGroup(scored, Seq("qid"),
+            Seq(("cos_r", false), ("vec_id", true)), 3)
+          try lastForeachBatchPlan = topk.queryExecution.executedPlan.toString
+          catch { case scala.util.control.NonFatal(_) => () }
+          writeBatchIdempotent(out, topk, id, complete = false)
+        }
+        .options(ckptOption)
+        .start()
+      drainAndStop(q)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 3) throw new IllegalStateException(
+        s"streaming serve ran $dataBatches data-carrying micro-batches, " +
+          "expected >= 3 (queries must arrive across triggers)")
+      readBatchDirs(spark, out).orderBy("qid", "rn")
+    } finally corpus.unpersist()
+  }
 
   /** Streaming CURATION FUNNEL (round 15, VERDICT r14 #7) — the online
     * dual of the batch `pipeline_curation` funnel's streaming-expressible
@@ -1546,6 +1632,7 @@ object StreamingOps {
     "stream_tws_timers" -> (twsTimerSessions _),
     "stream_tws_changelog" -> (twsTimerChangelog _),
     "stream_curation" -> (streamCuration _),
+    "stream_ann_serve" -> (streamAnnServe _),
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
@@ -1701,6 +1788,10 @@ object StreamingOps {
     // IDENTICAL oracle on purpose: changelog checkpointing changes how
     // state reaches the checkpoint, never what the query emits
     "stream_tws_changelog" -> TwsTimersOracle,
+    // the parameterized batch IVF oracle over the streaming query set:
+    // arrival as a stream must not change a single ranking
+    "stream_ann_serve" ->
+      graft.similarity.Similarity.ivfTopKSqlFor("vec_id % 100 = 7"),
     // the batch funnel's own CTEs (duality by construction): raw count,
     // the shared quality gate, distinct content hashes among the passing
     "stream_curation" ->

@@ -143,6 +143,24 @@ class FormatsSpec extends SparkSpec {
     assert(h.getLong(3) == z.getLong(3) && h.getLong(4) == z.getLong(4))
   }
 
+  test("delete propagation (r15): the current snapshot holds zero " +
+      "forgotten users; the pre-delete version stays on the lineage for audit") {
+    import graft.similarity.IndexStore
+    Formats.forgetUser(spark, sf).collect() // ensures both versions
+    val name = "forget_events_" + sf.replaceAll("[^A-Za-z0-9.]", "_")
+    assert(IndexStore.currentTag(name).contains("forgotten"))
+    val cur = spark.read.parquet(IndexStore.currentVersion(name).get.toString)
+    assert(cur.filter(col("user_id") % Formats.ForgetModulus === 0).count() == 0,
+      "a forgotten user's rows survived the delete")
+    // audit read: the predecessor still carries the deleted rows (until
+    // the compliance-window GC collects it)
+    val prev = spark.read.parquet(IndexStore.previousVersion(name).get.toString)
+    val forgotten = prev.filter(col("user_id") % Formats.ForgetModulus === 0).count()
+    assert(forgotten > 0, "the fixture must actually exercise the delete")
+    assert(prev.count() == cur.count() + forgotten,
+      "the rewrite must remove exactly the forget-set rows, nothing else")
+  }
+
   test("stats manifests follow a layout REBUILD (r15): wiping and " +
       "rebuilding the physical layout invalidates the published manifest") {
     val before = Formats.hilbertSkipping(spark, sf).collect()

@@ -177,6 +177,32 @@ class StreamingDualitySpec extends SparkSpec {
       "older batch row must not overwrite newer target state; new key must insert")
   }
 
+  test("streaming ANN serve equals the batch retrieval over the same " +
+      "query set (r15): arrival order changes no ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamAnnServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // batch twin from the same building blocks: corpus + assignment,
+    // the same query predicate, same probe join, same bounded-heap rank
+    val corpus = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(graft.similarity.Similarity.cellAssignments(spark, dir), Seq("vec_id"))
+    val q = corpus.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
+    val scored = corpus.join(broadcast(q), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.VectorOps.cosine("embedding", "qe"), 4).as("cos_r"))
+    val batch = graft.plans.TopK.perGroup(scored, Seq("qid"),
+        Seq(("cos_r", false), ("vec_id", true)), 3)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(streamed == batch,
+      s"streamed rankings diverged from batch (${streamed.size} vs ${batch.size} rows)")
+    assert(streamed.nonEmpty && streamed.map(_._1).distinct.size >= 3,
+      "the query set must span several queries across the feed")
+  }
+
   test("streaming curation funnel equals the batch funnel's shared stages " +
       "on the same corpus (r15)") {
     val dir = "/root/testdata/sf0.001"
