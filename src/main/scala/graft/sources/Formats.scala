@@ -597,6 +597,86 @@ object Formats {
       .orderBy("event_type")
   }
 
+  /** The pruned delete's forget range: the 1/32nd-of-key-space bucket
+    * CONTAINING THE MAX USER (`(maxu*32) div (maxu+1)` — always
+    * populated at every sf, unlike a fixed top bucket on the sf0.001
+    * fixture's 15-user grid). A range, not a modulus, so it overlaps
+    * exactly one of the 16 user-bucket files and the file-granular
+    * prune has something to prove; both engines derive the same bucket
+    * from the same extremum. */
+  def forgetBucket32(maxu: Long): Long = maxu * 32 / (maxu + 1)
+
+  /** FILE-GRANULAR copy-on-write DELETE (round 15 superset — the
+    * production spelling [[forgetUser]]'s doc promises): the event
+    * projection lives as 16 user-bucketed files; a forget request for a
+    * user-id RANGE consults the bucket arithmetic (≙ the per-file stats
+    * manifest) and REWRITES ONLY the one file whose range overlaps —
+    * every other file is carried into the new layout by HARDLINK, the
+    * local spelling of a table-format manifest that re-references the
+    * previous version's unchanged data files. This is how a deletion at
+    * 100 TB costs O(files containing the keys), not O(table): the
+    * registered row reports (files_total, files_rewritten) next to the
+    * post-delete census, the oracle re-derives all of it from the
+    * bucket arithmetic and the forget predicate (rewriting one file too
+    * many or too few hash-mismatches), and FormatsSpec pins the
+    * physical claim the oracle can't see — untouched files in the new
+    * layout are the SAME inodes as the old one's, and the rewritten
+    * bucket holds exactly its kept rows. */
+  def forgetPruned(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val maxu = Tables(spark, dir, "events")
+      .agg(max("user_id")).collect()(0).getLong(0)
+    val base = buildOnce(s"/tmp/graft-src-ufull-${sfTag(dir)}") { tmp =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("ub", expr(s"CAST((user_id * 16) div (${maxu + 1}L) AS INT)"))
+        .repartition(col("ub"))
+        .write.mode("overwrite").partitionBy("ub").parquet(tmp)
+    }
+    val fb32 = forgetBucket32(maxu)
+    val forgetPred = s"(user_id * 32) div (${maxu + 1}L) = $fb32"
+    // the per-chunk stats (the manifest): min/max user id per bucket
+    // file, ONE metadata-sized pass — the rewrite decision is the same
+    // monotone-bucket overlap test the skipping harnesses run, so a
+    // chunk is rewritten iff its stats box can contain forget-range rows
+    val stats = spark.read.parquet(base)
+      .groupBy("ub").agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def overlaps(lo: Long, hi: Long): Boolean =
+      hi * 32 / (maxu + 1) >= fb32 && lo * 32 / (maxu + 1) <= fb32
+    val rewriteSet = stats.collect { case (b, lo, hi) if overlaps(lo, hi) => b }.toSet
+    val pruned = buildOnce(s"/tmp/graft-src-uforgot-${sfTag(dir)}") { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      val chunks = Option(new File(base).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("ub=")).sortBy(_.getName)
+      chunks.foreach { d =>
+        val bucket = d.getName.stripPrefix("ub=").toInt
+        val dst = java.nio.file.Paths.get(tmp, d.getName)
+        if (rewriteSet.contains(bucket)) {
+          spark.read.parquet(d.toString)
+            .filter(expr(s"NOT ($forgetPred)"))
+            .coalesce(1).write.mode("overwrite").parquet(dst.toString)
+        } else {
+          java.nio.file.Files.createDirectories(dst)
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("part-"))
+            .foreach(f => java.nio.file.Files.createLink(
+              dst.resolve(f.getName), f.toPath))
+        }
+      }
+    }
+    // report: the rewrite-prune counts next to the post-delete census;
+    // the oracle re-derives every column (stats test included)
+    spark.read.parquet(pruned)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .select(lit(stats.length.toLong).as("files_total"),
+        lit(rewriteSet.size.toLong).as("files_rewritten"),
+        col("n_rows"), col("n_users"), col("sum_val"))
+  }
+
   /** Transactional snapshot target (round 13, VERDICT r12 #7 — the
     * manifest-snapshot protocol generalized from the trained-index store):
     * a writer lands three GROWING versions of a keyed table through
@@ -1014,6 +1094,7 @@ object Formats {
     "src_snapshot_reader" -> (snapshotReader _),
     "src_snapshot_history" -> (snapshotHistory _),
     "src_forget_user" -> (forgetUser _),
+    "src_forget_pruned" -> (forgetPruned _),
     "src_zorder_cluster" -> (zorderCluster _),
     "src_zorder_skipping" -> (zorderSkipping _),
     "src_hilbert_skipping" -> (hilbertSkipping _),
@@ -1268,6 +1349,28 @@ object Formats {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
          |FROM events WHERE user_id % $ForgetModulus <> 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the prune test re-derived from per-bucket extrema (the manifest),
+    // the census from the forget predicate: one file too many or too
+    // few rewritten, or one row lost/kept wrongly, hash-mismatches
+    "src_forget_pruned" ->
+      s"""WITH ext AS (SELECT max(user_id) AS maxu FROM events),
+         |b AS (SELECT user_id, value,
+         |        CAST((user_id * 16) // (maxu + 1) AS INT) AS ub,
+         |        CAST((user_id * 32) // (maxu + 1) AS INT) AS ub32
+         |      FROM events, ext),
+         |st AS (SELECT ub, min(user_id) AS lo, max(user_id) AS hi
+         |       FROM b GROUP BY ub),
+         |fb AS (SELECT (maxu * 32) // (maxu + 1) AS fb32 FROM ext),
+         |rw AS (SELECT st.ub FROM st, ext, fb
+         |       WHERE (hi * 32) // (maxu + 1) >= fb32
+         |         AND (lo * 32) // (maxu + 1) <= fb32),
+         |kept AS (SELECT b.* FROM b, fb WHERE ub32 <> fb32)
+         |SELECT CAST((SELECT count(*) FROM st) AS BIGINT) AS files_total,
+         |  CAST((SELECT count(*) FROM rw) AS BIGINT) AS files_rewritten,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+         |FROM kept""".stripMargin,
     // final snapshot = version 3 = the per-user census of the WHOLE table
     "src_snapshot_reader" ->
       """SELECT user_id, count(*) AS n_events, CAST(3 AS BIGINT) AS version

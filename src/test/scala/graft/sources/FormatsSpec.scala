@@ -161,6 +161,41 @@ class FormatsSpec extends SparkSpec {
       "the rewrite must remove exactly the forget-set rows, nothing else")
   }
 
+  test("pruned delete (r15): untouched bucket files are carried by " +
+      "HARDLINK, only the overlapping bucket is rewritten") {
+    val row = Formats.forgetPruned(spark, sf).collect()(0)
+    assert(row.getLong(1) == 1L,
+      s"exactly one bucket overlaps the forget range, got ${row.getLong(1)}")
+    assert(row.getLong(0) >= 14L, "the fixture must populate (nearly) all buckets")
+    val maxu = graft.Tables(spark, sf, "events")
+      .agg(max("user_id")).collect()(0).getLong(0)
+    val fb32 = Formats.forgetBucket32(maxu)
+    val rewrittenUb = (fb32 / 2).toInt
+    val tag = sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = new java.io.File(s"/tmp/graft-src-ufull-$tag")
+    val pruned = new java.io.File(s"/tmp/graft-src-uforgot-$tag")
+    def parts(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    // an untouched bucket: same physical inode in both layouts (the
+    // local spelling of manifest file-reuse — the delete never copied it)
+    val untouched = parts(new java.io.File(base, "ub=0"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { f =>
+      val twin = new java.io.File(new java.io.File(pruned, "ub=0"), f.getName)
+      assert(twin.exists, s"carried file missing: ${twin}")
+      assert(java.nio.file.Files.isSameFile(f.toPath, twin.toPath),
+        "untouched bucket must be hardlinked, not copied")
+    }
+    // the rewritten bucket: fresh file(s), and zero forget-range rows
+    val rewritten = new java.io.File(pruned, s"ub=$rewrittenUb")
+    assert(parts(rewritten).forall(f =>
+      !parts(new java.io.File(base, s"ub=$rewrittenUb")).exists(_.getName == f.getName)),
+      "the overlapping bucket must be a fresh rewrite")
+    val survivors = spark.read.parquet(rewritten.toString)
+      .filter(expr(s"(user_id * 32) div (${maxu + 1}L) = $fb32"))
+    assert(survivors.count() == 0, "forget-range rows survived the rewrite")
+  }
+
   test("stats manifests follow a layout REBUILD (r15): wiping and " +
       "rebuilding the physical layout invalidates the published manifest") {
     val before = Formats.hilbertSkipping(spark, sf).collect()
