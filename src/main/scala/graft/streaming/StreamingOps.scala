@@ -676,7 +676,36 @@ object StreamingOps {
     * keyed-dimension-sized (|users|), never |events|; no row transits the
     * driver. Final state must equal the batch argmax per user over the
     * whole table — the cross-engine oracle. */
-  def mergeUpsertStream(spark: SparkSession, dir: String): DataFrame = {
+  def mergeUpsertStream(spark: SparkSession, dir: String): DataFrame =
+    mergedFinalState(spark, dir, "merge_target_").orderBy("user_id")
+
+  /** Tombstone type of the CDC-delete stream: an 'error' event is the
+    * user's deletion record. A real CDC feed carries an explicit op
+    * column; the fixture type stands in so the oracle re-derives it. */
+  val CdcTombstoneType = "error"
+
+  /** CDC DELETE through the merge sink (round 15 superset — completes
+    * the upsert sink to full CRUD): [[CdcTombstoneType]] events are
+    * tombstones — a user whose NEWEST event (by ts, event_id) is a
+    * tombstone is absent from the served view. The state keeps the
+    * per-user argmax row INCLUDING tombstones and only the READ VIEW
+    * filters them: physically deleting the key on tombstone arrival
+    * would let an older, late-replayed upsert RESURRECT it (the classic
+    * CDC resurrection bug — the strictly-newer guard needs the
+    * tombstone's ordering info to stay in state; at-least-once
+    * foreachBatch replays make this a real arrival order, not a
+    * theoretical one). StreamingDualitySpec pins the resurrection
+    * guard; at compaction time a production target drops tombstones
+    * older than the replay horizon — the same supersession-grace idea
+    * the snapshot GC runs. Oracle: the batch argmax per user minus
+    * tombstoned users. */
+  def cdcDeleteStream(spark: SparkSession, dir: String): DataFrame =
+    mergedFinalState(spark, dir, "cdc_target_")
+      .filter(col("last_type") =!= CdcTombstoneType)
+      .orderBy("user_id")
+
+  private def mergedFinalState(spark: SparkSession, dir: String,
+      targetPrefix: String): DataFrame = {
     Engine.tune(spark)
     val feed = timeSplitFeed(spark, dir, n = 3)
     val schema = eventsSchema(spark, dir)
@@ -699,7 +728,7 @@ object StreamingOps {
       // default 10-minute grace would pile up a full target copy per
       // trigger per run on disk (the previous version is still always
       // kept, so the swap-safety guarantee is unchanged)
-      val target = "merge_target_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val target = targetPrefix + dir.replaceAll("[^A-Za-z0-9.]", "_")
       var current: Option[java.nio.file.Path] = None
       var nextV = 0L
       val q = events.writeStream.outputMode("append")
@@ -733,7 +762,6 @@ object StreamingOps {
       spark.read.parquet(current.getOrElse(
         throw new IllegalStateException("streaming merge produced no target version"))
         .toString)
-        .orderBy("user_id")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -1626,6 +1654,7 @@ object StreamingOps {
     "stream_hourly_files" -> (hourlyCountsFiles _),
     "stream_restart_recovery" -> (restartRecovery _),
     "stream_merge_upsert" -> (mergeUpsertStream _),
+    "stream_cdc_delete" -> (cdcDeleteStream _),
     "stream_hourly_append" -> (hourlyAppend _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
@@ -1759,6 +1788,17 @@ object StreamingOps {
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the argmax per user MINUS tombstoned users: a user whose newest
+    // event is the tombstone type is absent from the served view
+    "stream_cdc_delete" ->
+      s"""SELECT user_id, event_type AS last_type, value AS last_value,
+         |       ts AS last_ts, event_id AS last_event_id
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> '$CdcTombstoneType'
+         |ORDER BY user_id""".stripMargin,
     // Same aggregate as stream_hourly_counts, but only the windows the
     // watermark closed: end <= ms-floored max event time - 10 min (the
     // tie case end == watermark IS emitted; pinned empirically).

@@ -177,6 +177,34 @@ class StreamingDualitySpec extends SparkSpec {
       "older batch row must not overwrite newer target state; new key must insert")
   }
 
+  test("CDC delete: a late-replayed older upsert cannot RESURRECT a " +
+      "tombstoned key (r15) — the tombstone's ordering info stays in state") {
+    import spark.implicits._
+    def evs(rows: (Long, String, Double, String, Long)*) =
+      rows.toDF("user_id", "event_type", "value", "tss", "event_id")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("tss").cast("timestamp").as("ts"), col("event_id"))
+    // state after the tombstone batch: user 1's newest row IS the tombstone
+    val afterTombstone = StreamingOps.mergeClassify(
+      evs((1L, "view", 1.0, "2024-01-01 10:00:00", 1L)),
+      StreamingOps.latestPerKey(
+        evs((1L, StreamingOps.CdcTombstoneType, 0.0, "2024-01-01 12:00:00", 5L))))
+    // a LATE batch replays an OLDER upsert (at-least-once delivery);
+    // the strictly-newer rule must keep the tombstone, not the replay
+    val afterReplay = StreamingOps.mergeClassify(
+      StreamingOps.targetAsEvents(afterTombstone),
+      StreamingOps.latestPerKey(
+        evs((1L, "purchase", 9.0, "2024-01-01 11:00:00", 3L))))
+    val row = afterReplay.collect()
+    assert(row.length == 1 &&
+      row(0).getString(1) == StreamingOps.CdcTombstoneType,
+      s"older replay resurrected a tombstoned key: ${row.toSeq}")
+    // and the read view serves nothing for that user
+    assert(afterReplay
+      .filter(col("last_type") =!= StreamingOps.CdcTombstoneType)
+      .count() == 0)
+  }
+
   test("streaming ANN serve equals the batch retrieval over the same " +
       "query set (r15): arrival order changes no ranking") {
     val dir = "/root/testdata/sf0.001"
