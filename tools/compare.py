@@ -12,7 +12,20 @@ both canonical digests, both rowcounts) BEFORE deciding on the second
 result. The round-14 close saw a first compare land 309/310 and five
 re-compares of the same dump land 310/310 with no way to name the
 flaky query or the flaky leg; now a transient names itself on first
-occurrence."""
+occurrence.
+
+Adoption policy (r16, ADVICE r15): a recompare PASS is adopted ONLY
+when the transient is attributable — the SPARK leg's digest moved (a
+concurrent Spark writer re-dumping the outdir is a real scenario) and
+the ORACLE leg's did not. DuckDB re-executing a deterministic oracle
+against immutable parquet must not change, so changed_leg=oracle (or
+a verdict flip with NO digest movement, which would mean the compare
+itself is nondeterministic) stays FAIL. And the escape hatch is
+bounded: more than MAX_TRANSIENT_ADOPTIONS adopted passes in one run
+fail the run by name — a systematically flaky dump must not pass at
+p^2 instead of p."""
+
+MAX_TRANSIENT_ADOPTIONS = 2
 import sys, json, glob, math, hashlib
 import duckdb
 import pyarrow.parquet as pq
@@ -117,6 +130,7 @@ def compare_once(name):
     return ok, '; '.join(why), leg_digest(sdf), leg_digest(odf), len(sdf), len(odf)
 
 npass = nfail = 0
+adopted = []
 for name in sorted(oracle):
     if only and name not in only: continue
     ok, why, sd1, od1, sr1, or1 = compare_once(name)
@@ -126,16 +140,31 @@ for name in sorted(oracle):
         ok2, why2, sd2, od2, sr2, or2 = compare_once(name)
         changed = [leg for leg, a, b in
                    [('spark', sd1, sd2), ('oracle', od1, od2)] if a != b]
+        attributable = changed == ['spark']
         print(f'{name}: TRANSIENT-CHECK first=FAIL({why}) '
               f'recompare={"PASS" if ok2 else f"FAIL({why2})"} '
               f'changed_leg={",".join(changed) if changed else "none"} '
+              f'{"" if attributable or not ok2 else "UNATTRIBUTABLE->FAIL "}'
               f'spark_digest={sd1}->{sd2} oracle_digest={od1}->{od2} '
               f'spark_rows={sr1}->{sr2} oracle_rows={or1}->{or2}')
-        ok, why = ok2, why2
+        if ok2 and attributable:
+            adopted.append(name)
+            ok, why = ok2, why2
+        elif ok2:
+            # oracle leg moved (deterministic SQL over immutable parquet
+            # must not) or neither digest moved: the PASS is not adoptable
+            ok, why = False, f'recompare PASS rejected (changed_leg=' \
+                f'{",".join(changed) if changed else "none"}); first: {why}'
+        else:
+            ok, why = ok2, why2
     if ok: npass += 1
     else:
         nfail += 1
         print(f'{name}: FAIL ({why})')
+if len(adopted) > MAX_TRANSIENT_ADOPTIONS:
+    print(f'TOO MANY TRANSIENT ADOPTIONS ({len(adopted)} > '
+          f'{MAX_TRANSIENT_ADOPTIONS}): {",".join(adopted)} — failing the run')
+    nfail += len(adopted)
 if npass + nfail == 0:
     # a typo'd --only filter or an empty dump must not read as success
     print('NO QUERIES COMPARED (bad name filter or empty outdir)')
