@@ -125,6 +125,51 @@ object IndexStore {
     try body finally nonPublishingMode = false
   }
 
+  /** Escape hatch for a nonPublishing caller that found the SERVED
+    * artifact unusable (round 16, ADVICE r15: under the ledger's resolve
+    * mode [[ensure]] may hand back another build's manifest whose
+    * recorded file paths no longer exist — nothing usable is being
+    * served, so publishing a fresh build is strictly better than
+    * crashing the ledger run). Restores the prior mode; the flag is a
+    * process-wide volatile, which is sound because the ledger runs
+    * queries sequentially on one thread. */
+  private[graft] def withPublishing[A](body: => A): A = {
+    val prev = nonPublishingMode
+    nonPublishingMode = false
+    try body finally nonPublishingMode = prev
+  }
+
+  /** PHYSICAL version GC of `name` under the caller's grace (round 16,
+    * VERDICT r15 #3 — the compliance-window reclaim): every version
+    * that is not current and has been superseded for at least `graceMs`
+    * is unlinked — INCLUDING the immediately previous one, which the
+    * commit-time GC keeps unconditionally for in-flight readers. This
+    * is the deliberate second phase of a GDPR delete: after the
+    * compliance window the superseded `full` version must stop
+    * physically existing, not merely stop being served. `graceMs = 0`
+    * means "the window has elapsed" (age is measured from supersession
+    * — mtime re-stamped at swap time). Serializes with writers on the
+    * per-name lock; returns the number of versions remaining on disk
+    * (current included). */
+  def gc(name: String, graceMs: Long): Int = withPerNameLock(name) {
+    val keep = currentVersion(name).map(_.getFileName.toString).toSet
+    val dir = versionsDir.resolve(name)
+    val now = System.currentTimeMillis()
+    var remaining = 0
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      try listing.forEach { p =>
+        val superseded = !keep.contains(p.getFileName.toString)
+        val expired =
+          try now - Files.getLastModifiedTime(p).toMillis >= graceMs
+          catch { case NonFatal(_) => false }
+        if (superseded && expired) deleteRecursively(p)
+        else remaining += 1
+      } finally listing.close()
+    }
+    remaining
+  }
+
   private def rootPath: Path = Paths.get(Root)
   private def versionsDir: Path = Paths.get(Root, ".v")
   private def linkPath(name: String): Path = Paths.get(Root, name)
@@ -170,9 +215,13 @@ object IndexStore {
       (build: => DataFrame): DataFrame = {
     val want = Paths.get(dir).normalize().toString
     if (nonPublishingMode) {
-      // ledger path: scan the current version whatever sf built it; fall
-      // through to a real (publishing) build only when nothing exists
-      currentVersion(name) match {
+      // ledger path: prefer the version whose marker matches THIS key
+      // (right sf + right build — its recorded content is valid by
+      // construction); only when no match is published, scan whatever is
+      // current (plan shape is key-independent). Fall through to a real
+      // (publishing) build only when nothing exists at all.
+      val matched = try published(name, want) catch { case NonFatal(_) => None }
+      matched.orElse(currentVersion(name)) match {
         case Some(real) => return spark.read.parquet(real.toString)
         case None => ()
       }

@@ -646,7 +646,13 @@ object Formats {
     def overlaps(lo: Long, hi: Long): Boolean =
       hi * 32 / (maxu + 1) >= fb32 && lo * 32 / (maxu + 1) <= fb32
     val rewriteSet = stats.collect { case (b, lo, hi) if overlaps(lo, hi) => b }.toSet
-    val pruned = buildOnce(s"/tmp/graft-src-uforgot-${sfTag(dir)}") { tmp =>
+    // the derived layout's path carries the BASE's build id (round 16,
+    // ADVICE r15): uforgot hardlinks the base's part files, so a base
+    // rebuild (same sf, new inodes) must invalidate it — a reused pruned
+    // layout over a rebuilt base would keep hardlinks to orphaned inodes
+    // and break the inode-identity property FormatsSpec pins
+    val pruned = buildOnce(
+        s"/tmp/graft-src-uforgot-${sfTag(dir)}-${buildId(base)}") { tmp =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
       val chunks = Option(new File(base).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("ub=")).sortBy(_.getName)
@@ -675,6 +681,64 @@ object Formats {
       .select(lit(stats.length.toLong).as("files_total"),
         lit(rewriteSet.size.toLong).as("files_rewritten"),
         col("n_rows"), col("n_users"), col("sum_val"))
+  }
+
+  /** PHYSICAL GDPR reclaim (round 16, VERDICT r15 #3 — the phase
+    * [[forgetUser]]'s compliance note promises): the logical delete
+    * lands exactly like `src_forget_user` (commit `full`, anti-join,
+    * commit `forgotten` with `full` as its lineage predecessor), then
+    * the COMPLIANCE WINDOW EXPIRES — spelled as a zero-grace
+    * [[graft.similarity.IndexStore.gc]] on this name — and the
+    * superseded `full` version, the last physical copy of the forgotten
+    * rows, is UNLINKED. The registered row reports the protocol's three
+    * claims next to the post-delete census: versions_remaining (exactly
+    * the one current version), predecessor_gone (the lineage pointer now
+    * resolves to nothing — deletion is physical, not just unserved), and
+    * forgotten_in_current computed BY THE SCAN over the surviving bytes
+    * (zero forgotten rows readable anywhere). The oracle re-derives the
+    * census from the base table under the forget predicate and pins the
+    * three protocol constants; FormatsSpec pins the half the oracle
+    * can't see — the predecessor's directory is actually gone from disk
+    * while the current version's content is unchanged. Uses its OWN
+    * commit name: `src_forget_user` deliberately keeps its predecessor
+    * as the audit trail (its spec pins that), this query deliberately
+    * destroys its own — the two halves of the GDPR lifecycle. */
+  def forgetGc(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.similarity.IndexStore
+    val name = s"forget_gc_events_${sfTag(dir)}"
+    def events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // ledger path: with a published current, digest the pure scan (the
+    // gc drama is the correctness gate's and FormatsSpec's business)
+    val alreadyDone = IndexStore.currentTag(name).contains("forgotten")
+    if (!(IndexStore.nonPublishingActive && IndexStore.currentVersion(name).isDefined)
+        && !alreadyDone) {
+      val full = IndexStore.commit(name, "full")(events)
+      val forget = events.select(col("user_id"))
+        .filter(col("user_id") % ForgetModulus === 0).distinct()
+      IndexStore.commit(name, "forgotten")(
+        spark.read.parquet(full.toString)
+          .join(broadcast(forget), Seq("user_id"), "left_anti"))
+      // the compliance window elapses: physical reclaim, grace 0 for
+      // THIS name only — the unconditional previous-keep is a reader
+      // courtesy, not a retention right, and the window has closed
+      IndexStore.gc(name, graceMs = 0L)
+    }
+    val current = IndexStore.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"no published version of '$name'"))
+    val versionsRemaining = IndexStore.gc(name, graceMs = 0L) // idempotent count
+    val predecessorGone = IndexStore.previousVersion(name).isEmpty
+    spark.read.parquet(current.toString)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("user_id") % ForgetModulus === 0, 1L).otherwise(0L))
+          .as("forgotten_in_current"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .select(lit(versionsRemaining.toLong).as("versions_remaining"),
+        lit(if (predecessorGone) 1L else 0L).as("predecessor_gone"),
+        col("forgotten_in_current"), col("n_rows"), col("n_users"),
+        col("sum_val"))
   }
 
   /** Transactional snapshot target (round 13, VERDICT r12 #7 — the
@@ -767,12 +831,19 @@ object Formats {
     // ledger path (round 15): the current∪previous read digests from the
     // versions already on disk — no re-commit under a live session; see
     // snapshotReader. The unconditional previous-keep guarantees the
-    // predecessor survives as long as the current version does.
-    if (!(IndexStore.nonPublishingActive &&
-        IndexStore.currentVersion(name).isDefined &&
-        IndexStore.previousVersion(name).isDefined))
+    // predecessor survives as long as the current version does. Round 16
+    // (ADVICE r15): current-but-no-predecessor under nonPublishing FAILS
+    // FAST instead of re-running the commit storm — re-committing would
+    // swap the published pointer under a concurrent session, which is
+    // exactly the artifact churn the mode exists to prevent.
+    if (!IndexStore.nonPublishingActive ||
+        IndexStore.currentVersion(name).isEmpty)
       (1 to 3).foreach(v =>
         IndexStore.commit(name, s"v$v")(userCensusVersion(spark, dir, v)))
+    else if (IndexStore.previousVersion(name).isEmpty)
+      throw new IllegalStateException(
+        s"'$name' has a current version but no predecessor on disk (GC'd " +
+          "or crashed lineage) — refusing to re-commit under nonPublishing")
     val current = IndexStore.readCurrent(spark, name)
       .withColumn("snap", lit("current"))
     val prevPath = IndexStore.previousVersion(name).getOrElse(
@@ -960,8 +1031,9 @@ object Formats {
     * a manifest that outlives its build prunes against paths that no
     * longer exist. FormatsSpec pins the rebuild-coherence. */
   private def layoutManifest(spark: SparkSession, dir: String,
-      base: String, layout: String): DataFrame =
-    graft.similarity.IndexStore.ensure(spark,
+      base: String, layout: String): DataFrame = {
+    import graft.similarity.IndexStore
+    def served = IndexStore.ensure(spark,
         s"$dir@${buildId(base)}", s"zstats_$layout") {
       spark.read.parquet(s"$base/$layout")
         .select(col("_metadata.file_path").as("path"),
@@ -971,6 +1043,22 @@ object Formats {
           min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
           count(lit(1)).as("n_rows"))
     }
+    val df = served
+    if (IndexStore.nonPublishingActive) {
+      // round 16 (ADVICE r15): under the ledger's resolve mode, ensure
+      // may serve another build's manifest (the key is advisory there);
+      // its recorded file paths must still exist or the skipping queries
+      // crash mid-ledger on the parquet read. Validate the (bounded,
+      // ≤16-row) manifest and fall back to a publishing build when it is
+      // unusable — nothing usable was being served, so the swap is safe.
+      val paths = df.select("path").collect().map(_.getString(0))
+      val usable = paths.nonEmpty && paths.forall(p =>
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p.stripPrefix("file:"))))
+      if (!usable) return IndexStore.withPublishing(served)
+    }
+    df
+  }
 
   /** DEMONSTRATED z-order file skipping (round 14, VERDICT r13 #1 — the
     * census's missing second half): a two-dimensional predicate
@@ -1095,6 +1183,7 @@ object Formats {
     "src_snapshot_history" -> (snapshotHistory _),
     "src_forget_user" -> (forgetUser _),
     "src_forget_pruned" -> (forgetPruned _),
+    "src_forget_gc" -> (forgetGc _),
     "src_zorder_cluster" -> (zorderCluster _),
     "src_zorder_skipping" -> (zorderSkipping _),
     "src_hilbert_skipping" -> (hilbertSkipping _),
@@ -1349,6 +1438,18 @@ object Formats {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
          |FROM events WHERE user_id % $ForgetModulus <> 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the post-reclaim census re-derived from the base table under the
+    // forget predicate; the three protocol claims are constants by
+    // contract — exactly one version on disk, lineage severed, zero
+    // forgotten rows in the surviving bytes (the scan-side counter)
+    "src_forget_gc" ->
+      s"""SELECT CAST(1 AS BIGINT) AS versions_remaining,
+         |  CAST(1 AS BIGINT) AS predecessor_gone,
+         |  CAST(0 AS BIGINT) AS forgotten_in_current,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+         |FROM events WHERE user_id % $ForgetModulus <> 0""".stripMargin,
     // the prune test re-derived from per-bucket extrema (the manifest),
     // the census from the forget predicate: one file too many or too
     // few rewritten, or one row lost/kept wrongly, hash-mismatches

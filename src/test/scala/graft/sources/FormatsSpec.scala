@@ -161,6 +161,39 @@ class FormatsSpec extends SparkSpec {
       "the rewrite must remove exactly the forget-set rows, nothing else")
   }
 
+  test("physical GDPR reclaim (r16): post-GC the predecessor's directory " +
+      "is unlinked from disk while the current version reads unchanged") {
+    import graft.similarity.IndexStore
+    val name = "forget_gc_events_" + sf.replaceAll("[^A-Za-z0-9.]", "_")
+    // stage the lifecycle by hand so the pre-GC predecessor path is in
+    // hand BEFORE the query's zero-grace gc destroys it: land full →
+    // forgotten exactly as the query does, then capture the lineage
+    def events = graft.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val full = IndexStore.commit(name, "full")(events)
+    val forget = events.select(col("user_id"))
+      .filter(col("user_id") % Formats.ForgetModulus === 0).distinct()
+    IndexStore.commit(name, "forgotten")(
+      spark.read.parquet(full.toString)
+        .join(broadcast(forget), Seq("user_id"), "left_anti"))
+    assert(IndexStore.previousVersion(name).contains(full),
+      "the staged lineage must point at the full version pre-GC")
+    val curPath = IndexStore.currentVersion(name).get
+    val censusBefore = spark.read.parquet(curPath.toString).count()
+    // the registered query finds tag=forgotten, runs the zero-grace gc
+    val row = Formats.forgetGc(spark, sf).collect()(0)
+    assert(row.getLong(0) == 1L, s"versions_remaining=${row.getLong(0)}")
+    assert(row.getLong(1) == 1L, "predecessor must be gone from the lineage")
+    assert(row.getLong(2) == 0L, "forgotten rows readable in current")
+    // the physical claim the oracle can't see: the full version's
+    // directory no longer exists — the deletion is physical
+    assert(!java.nio.file.Files.exists(full),
+      s"pre-delete version still on disk after the compliance GC: $full")
+    // ...while the current version is untouched by the reclaim
+    assert(IndexStore.currentVersion(name).contains(curPath))
+    assert(spark.read.parquet(curPath.toString).count() == censusBefore)
+  }
+
   test("pruned delete (r15): untouched bucket files are carried by " +
       "HARDLINK, only the overlapping bucket is rewritten") {
     val row = Formats.forgetPruned(spark, sf).collect()(0)
@@ -173,7 +206,11 @@ class FormatsSpec extends SparkSpec {
     val rewrittenUb = (fb32 / 2).toInt
     val tag = sf.replaceAll("[^A-Za-z0-9.]", "_")
     val base = new java.io.File(s"/tmp/graft-src-ufull-$tag")
-    val pruned = new java.io.File(s"/tmp/graft-src-uforgot-$tag")
+    // the derived layout is keyed on the base's build id (r16, ADVICE
+    // r15): resolve it from the base's marker, exactly as Formats does
+    val baseBuild = java.nio.file.Files.readString(
+      new java.io.File(base, "_COMPLETE").toPath).trim
+    val pruned = new java.io.File(s"/tmp/graft-src-uforgot-$tag-$baseBuild")
     def parts(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("part-"))
     // an untouched bucket: same physical inode in both layouts (the
