@@ -942,9 +942,10 @@ object Dedup {
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** The MinHash-LSH candidate-pair pipeline as a reusable CTE chain
-    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle and
-    * the connected-components oracle built on top of it. */
-  private def minhashCtes: String =
+    * ending in `pr(doc_a, doc_b)` — shared by the pair query's oracle,
+    * the connected-components oracle built on top of it, and (round 16)
+    * the stream→batch compaction handoff's oracle in StreamingOps. */
+  private[graft] def minhashCtes: String =
     s"""$bandsCtes,
        |small AS (
        |  SELECT band, sig FROM bands GROUP BY band, sig

@@ -205,23 +205,57 @@ object StreamingOps {
     * with the micro-batch plan. */
   @volatile private[graft] var lastForeachBatchPlan: String = ""
 
+  /** Capture `q`'s last executed micro-batch plan into the ledger var —
+    * must run while the execution is still current (before/at stop). */
+  private def capturePlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+      val exec = q match {
+        case w: StreamingQueryWrapper => Some(w.streamingQuery)
+        case s: StreamExecution => Some(s)
+        case _ => None
+      }
+      exec.flatMap(se => Option(se.lastExecution))
+        .foreach(e => lastExecutedPlan = e.executedPlan.toString)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Drain `q` to completion, capture its final executed plan for the
-    * ledger, then stop it — the one way every stream in this module ends
-    * (capture sits BEFORE stop so the execution is still current). */
+    * ledger, then stop it — the way every DEFAULT-trigger stream in this
+    * module ends (capture sits BEFORE stop so the execution is still
+    * current). AvailableNow streams end themselves instead
+    * ([[awaitSelfTermination]]). */
   private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
       q.processAllAvailable()
-      try {
-        import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
-        val exec = q match {
-          case w: StreamingQueryWrapper => Some(w.streamingQuery)
-          case s: StreamExecution => Some(s)
-          case _ => None
-        }
-        exec.flatMap(se => Option(se.lastExecution))
-          .foreach(e => lastExecutedPlan = e.executedPlan.toString)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      capturePlan(q)
     } finally q.stop()
+
+  /** Did the last [[runToMemory]] AvailableNow query terminate ITSELF
+    * (awaitTermination returned, no drainAndStop) — pinned by the spec. */
+  @volatile private[graft] var lastAvailableNowSelfTerminated = false
+
+  /** Data-carrying micro-batches of the last AvailableNow run. */
+  @volatile private[graft] var lastAvailableNowDataBatches = 0
+
+  /** Wait for an AvailableNow query to DRAIN ITSELF: the trigger admits
+    * the backlog snapshot across bounded micro-batches (the source's own
+    * read limits apply — maxFilesPerTrigger, rowsPerBatch) and then
+    * STOPS the query from inside, which is the production
+    * backfill/catch-up contract: bounded resources, clean termination,
+    * no external drain loop. The bounded await is a harness safety net —
+    * a healthy run terminates in seconds; only a hang hits it. */
+  private def awaitSelfTermination(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val terminated = q.awaitTermination(300000L)
+    lastAvailableNowSelfTerminated = terminated
+    capturePlan(q)
+    if (!terminated) {
+      q.stop()
+      throw new IllegalStateException(
+        "AvailableNow query did not self-terminate within 300 s")
+    }
+    lastAvailableNowDataBatches = q.recentProgress.count(_.numInputRows > 0)
+  }
 
   /** Hard cap on rows a memory sink may hand the driver. The memory sink
     * is inherently driver-side (fine for aggregate-sized results, which is
@@ -244,13 +278,21 @@ object StreamingOps {
     * @param minDataBatches fail unless at least this many micro-batches
     *        carried input rows — lets a registered query *prove* its
     *        execution spanned multiple triggers (cross-batch state).
-    * @param maxRows fail loudly if the sink result exceeds this. */
+    * @param maxRows fail loudly if the sink result exceeds this.
+    * @param availableNow run under `Trigger.AvailableNow()` (round 16,
+    *        VERDICT r15 #1): the query drains the source's CURRENT
+    *        backlog across bounded micro-batches and terminates ITSELF —
+    *        the production backfill/catch-up run-mode, taking the
+    *        admission path through the source's offset snapshot instead
+    *        of the default as-fast-as-possible trigger + external
+    *        drainAndStop. */
   def runToMemory(spark: SparkSession, streamed: DataFrame,
       mode: String = "complete", minDataBatches: Int = 0,
       maxRows: Long = MaxSinkRows,
       stateParts: String = StreamShufflePartitions,
       rocksDb: Boolean = DefaultRocksDb,
-      changelog: Boolean = false): DataFrame = {
+      changelog: Boolean = false,
+      availableNow: Boolean = false): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -270,13 +312,16 @@ object StreamingOps {
     else spark.conf.unset(providerKey)
     if (changelog) spark.conf.set(changelogKey, "true")
     try {
-      val q = streamed.writeStream
+      val writer = streamed.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
         .options(ckptOption)
-        .start()
-      drainAndStop(q)
+      val q =
+        (if (availableNow)
+          writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else writer).start()
+      if (availableNow) awaitSelfTermination(q) else drainAndStop(q)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       if (dataBatches < minDataBatches) throw new IllegalStateException(
         s"streaming query ran $dataBatches data-carrying micro-batches, " +
@@ -845,77 +890,61 @@ object StreamingOps {
       spark.read.parquet(s"$dir/events.parquet").schema
     })
 
-  /** Splits the events table into `n` files covering disjoint, ascending
-    * time ranges, with strictly increasing modification times so the
-    * file-stream source (oldest-first under maxFilesPerTrigger) replays
-    * them in event-time order — the rotation discipline of reference S4
-    * applied to a parquet feed. Time-ordered arrival matters: rows landing
-    * behind the watermark would be dropped as late and diverge from the
-    * oracle. One shuffle job does the whole split: range-partition by ts,
-    * so part-0000i IS the i-th time slice (boundary placement is
-    * irrelevant to the result — emission depends only on the global max
-    * event time, and ordered arrival guarantees no late drops). Raw nanos
-    * `ts` longs are preserved so the streaming schema matches the batch
-    * file exactly. */
-  private def timeSplitFeed(spark: SparkSession, dir: String, n: Int): String =
-    feedDirs.getOrElseUpdate(s"$dir#$n", withNanosAsLong(spark) {
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      val feed = graft.TempDirs.create("graft-feed")
-      val tmp = feed.resolve(".tmp")
-      raw.repartitionByRange(n, col("ts")).write.parquet(tmp.toString)
-      val parts = tmp.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val dst = feed.resolve(f"b$i%04d.parquet")
-        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+  /** ONE slice-to-feed discipline for every feed builder (round 16,
+    * ADVICE r15 — the fourth copy was drifting): range-partition the
+    * source file by `keyCol` in one shuffle job (part-0000i IS the i-th
+    * key slice), land each part under a strictly increasing modification
+    * time so the file-stream source (oldest-first under
+    * maxFilesPerTrigger) replays the slices in key order — the rotation
+    * discipline of reference S4 applied to a parquet feed. `nanos` wraps
+    * the whole build (read AND write) in the legacy nanos-as-long conf
+    * for the raw events fixture, so the feed's schema matches the batch
+    * file exactly. Memoized per cache key ([[feedDirs]]). */
+  private def splitFeed(spark: SparkSession, cacheKey: String,
+      prefix: String, sourceFile: String, keyCol: String, n: Int,
+      nanos: Boolean = false): String =
+    feedDirs.getOrElseUpdate(cacheKey, {
+      def build: String = {
+        val raw = spark.read.parquet(sourceFile)
+        val feed = graft.TempDirs.create(prefix)
+        val tmp = feed.resolve(".tmp")
+        raw.repartitionByRange(n, col(keyCol)).write.parquet(tmp.toString)
+        val parts = tmp.toFile.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (part, i) =>
+          val dst = feed.resolve(f"b$i%04d.parquet")
+          Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+        feed.toString
       }
-      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
-      feed.toString
+      if (nanos) withNanosAsLong(spark)(build) else build
     })
+
+  /** Splits the events table into `n` files covering disjoint, ascending
+    * time ranges — time-ordered arrival matters: rows landing behind the
+    * watermark would be dropped as late and diverge from the oracle
+    * (emission depends only on the global max event time, and ordered
+    * arrival guarantees no late drops). */
+  private def timeSplitFeed(spark: SparkSession, dir: String, n: Int): String =
+    splitFeed(spark, s"$dir#$n", "graft-feed",
+      s"$dir/events.parquet", "ts", n, nanos = true)
 
   /** [[timeSplitFeed]] for the EMBEDDINGS table (round 15): slices by
     * vec_id range into `n` feed files — the arrival shape of an online
     * vector-search query stream. */
   private def embSplitFeed(spark: SparkSession, dir: String, n: Int): String =
-    feedDirs.getOrElseUpdate(s"$dir#emb$n", {
-      val raw = spark.read.parquet(s"$dir/embeddings.parquet")
-      val feed = graft.TempDirs.create("graft-feed-emb")
-      val tmp = feed.resolve(".tmp")
-      raw.repartitionByRange(n, col("vec_id")).write.parquet(tmp.toString)
-      val parts = tmp.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val dst = feed.resolve(f"b$i%04d.parquet")
-        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-        dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      }
-      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
-      feed.toString
-    })
+    splitFeed(spark, s"$dir#emb$n", "graft-feed-emb",
+      s"$dir/embeddings.parquet", "vec_id", n)
 
   /** [[timeSplitFeed]] for the DOCUMENTS table (round 15): slices by
     * doc_id range into `n` feed files, so the curation stream drains the
     * corpus over `n` triggers — the online-ingest arrival shape. */
   private def docsSplitFeed(spark: SparkSession, dir: String, n: Int): String =
-    feedDirs.getOrElseUpdate(s"$dir#docs$n", {
-      val raw = spark.read.parquet(s"$dir/documents.parquet")
-      val feed = graft.TempDirs.create("graft-feed-docs")
-      val tmp = feed.resolve(".tmp")
-      raw.repartitionByRange(n, col("doc_id")).write.parquet(tmp.toString)
-      val parts = tmp.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val dst = feed.resolve(f"b$i%04d.parquet")
-        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-        dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      }
-      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
-      feed.toString
-    })
+    splitFeed(spark, s"$dir#docs$n", "graft-feed-docs",
+      s"$dir/documents.parquet", "doc_id", n)
 
   /** ARRIVAL-order sibling of [[timeSplitFeed]]: slices by event_id range
     * instead of event time, so the stream replays the batch table's
@@ -925,22 +954,8 @@ object StreamingOps {
     * time and measure zero). Per-user id order survives the slicing
     * because the slices are global id ranges. */
   private def idSplitFeed(spark: SparkSession, dir: String, n: Int): String =
-    feedDirs.getOrElseUpdate(s"$dir#id$n", withNanosAsLong(spark) {
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      val feed = graft.TempDirs.create("graft-feed-id")
-      val tmp = feed.resolve(".tmp")
-      raw.repartitionByRange(n, col("event_id")).write.parquet(tmp.toString)
-      val parts = tmp.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val dst = feed.resolve(f"b$i%04d.parquet")
-        Files.move(part.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
-        dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      }
-      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
-      feed.toString
-    })
+    splitFeed(spark, s"$dir#id$n", "graft-feed-id",
+      s"$dir/events.parquet", "event_id", n, nanos = true)
 
   /** Streaming watermark-delay monitor — the online dual of the batch
     * `ev_lateness` profile (same oracle, duality by construction): each
@@ -1011,6 +1026,40 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
     runToMemory(spark, agg, mode = "append", minDataBatches = 3)
+      .select(col("window.start").as("hr"), col("event_type"), col("cnt"), col("sum_val"))
+      .orderBy("hr", "event_type")
+  }
+
+  /** [[hourlyAppend]] under `Trigger.AvailableNow` (round 16, VERDICT
+    * r15 #1) — the production BACKFILL/CATCH-UP run-mode: the feed is
+    * fully pre-populated before the query starts (the backlog), the
+    * trigger snapshots the source's available offsets at start, drains
+    * exactly that backlog under the source's own admission limits
+    * (maxFilesPerTrigger=1 ⇒ one slice per micro-batch, ≥3 data
+    * batches), runs the trailing watermark-advance batch that emits the
+    * closed windows, and then TERMINATES ITSELF — no processAllAvailable
+    * loop, no external stop. This is how a 100 TB deployment schedules
+    * a bounded catch-up run (cron-style: start, drain, exit) instead of
+    * keeping an always-on cluster; it exercises the offset-snapshot
+    * admission path the default trigger never touches. The oracle is
+    * IDENTICAL to `stream_hourly_append`: the run-mode must not change
+    * a single emitted window. Self-termination and the multi-batch
+    * drain are pinned in StreamingStateSpec. */
+  def hourlyAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val agg = Tables.normalizeEvents(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+    runToMemory(spark, agg, mode = "append", minDataBatches = 3,
+        availableNow = true)
       .select(col("window.start").as("hr"), col("event_type"), col("cnt"), col("sum_val"))
       .orderBy("hr", "event_type")
   }
@@ -1100,23 +1149,30 @@ object StreamingOps {
     * is |cell| per query, never the corpus), rank through the bounded-heap
     * [[graft.plans.TopKPerGroup]], append the trigger's results. This is
     * what a vector-search service DOES per request batch; the corpus ⋈
-    * assignment serving state is computed once and cached across
-    * triggers (an executor-resident index at scale — rebuilding the
-    * quantizer per trigger would be the classic serving bug). The
+    * assignment serving state is RESOLVED FROM THE PUBLISHED INDEX
+    * ARTIFACT (round 16, VERDICT r15 #4 —
+    * [[graft.similarity.Similarity.cellsServed]], the IndexStore
+    * snapshot-pointer path the build/serve split exists for) and cached
+    * across triggers: a serve restart pays a pointer resolve + scan,
+    * never a quantizer recomputation (rebuilding the index per serve
+    * run was the classic serving bug this round removes). The
     * registered result is all triggers' rankings; the oracle is the
     * SAME parameterized IVF SQL as the batch `sim_ivf_topk`, over this
-    * query set — streaming arrival must not change a single ranking.
-    * The retrieval plan reaches the ledger via
-    * [[lastForeachBatchPlan]]. */
+    * query set — streaming arrival must not change a single ranking
+    * (the published artifact's content is byte-identical to the inline
+    * recompute, so the oracle is unchanged). The retrieval plan reaches
+    * the ledger via [[lastForeachBatchPlan]]; the pure-scan shape of
+    * the resolved index is pinned in StreamingDualitySpec. */
   def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val feed = embSplitFeed(spark, dir, n = 3)
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    // the serving state: corpus with its IVF cell, built once, cached
-    // across triggers (bounded: |corpus| rows of id+vector+cell)
+    // the serving state: corpus joined to the PUBLISHED (vec_id, cell)
+    // artifact, loaded once, cached across triggers (bounded: |corpus|
+    // rows of id+vector+cell)
     val corpus = graft.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .join(graft.similarity.Similarity.cellAssignments(spark, dir), Seq("vec_id"))
+      .join(graft.similarity.Similarity.cellsServed(spark, dir), Seq("vec_id"))
       .persist()
     val out = graft.TempDirs.create("graft-ann-serve").toString
     try {
@@ -1173,36 +1229,14 @@ object StreamingOps {
     * the corpus drains over ≥3 data batches on both streams. */
   def streamCuration(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    import graft.text.TextAnalysis.{QualityMinTokens, QualityMaxTokens, QualityStops}
-    val feed = docsSplitFeed(spark, dir, n = 3)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    def docs() = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(feed)
-    val stopsList = QualityStops.map(s => s"'$s'").mkString(", ")
-    def gated(df: DataFrame): DataFrame = df
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_cnt",
-        expr(s"size(filter(toks, x -> x IN ($stopsList)))"))
-      // stop_cnt/n_tokens < 0.5 in exact integer form (2*stop < n)
-      .withColumn("quality",
-        when(col("n_tokens").between(QualityMinTokens, QualityMaxTokens) &&
-          col("stop_cnt") * 2 < col("n_tokens"), 1L).otherwise(0L))
     // stage 0+1: raw/quality census — upstream of the dedup state
     val counts = runToMemory(spark,
-      gated(docs()).groupBy()
+      curationGate(curationDocsStream(spark, dir)).groupBy()
         .agg(count(lit(1)).as("n_raw"), sum("quality").as("n_quality")),
       mode = "complete", minDataBatches = 3)
     // stage 2: bounded-state exact dedup of the gate-passing texts;
     // per-trigger survivors land as append batch dirs (retention ledger)
-    val survivors = runToFiles(spark,
-      gated(docs()).filter(col("quality") === 1L)
-        .select(md5(col("text")).as("h"))
-        .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
-        .withWatermark("ingest_ts", "365 days")
-        .dropDuplicatesWithinWatermark("h")
-        .select("h"),
-      mode = "append", minDataBatches = 3)
+    val survivors = curationSurvivors(spark, dir)
     counts.select(lit(0).as("stage_no"), lit("raw").as("stage"),
         col("n_raw").cast("long").as("n_docs"))
       .unionAll(counts.select(lit(1).as("stage_no"), lit("quality").as("stage"),
@@ -1211,6 +1245,88 @@ object StreamingOps {
         lit(2).as("stage_no"), lit("exact_dedup").as("stage"),
         col("n").cast("long").as("n_docs")))
       .orderBy("stage_no")
+  }
+
+  /** The documents corpus as the 3-slice curation feed stream. */
+  private def curationDocsStream(spark: SparkSession, dir: String): DataFrame = {
+    val feed = docsSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+  }
+
+  /** The per-row quality gate — the stateless scalar mirror of the batch
+    * tokens()+groupBy gate, thresholds single-sourced from
+    * [[graft.text.TextAnalysis]]. Shared by [[streamCuration]]'s census
+    * and [[curationSurvivors]]' admission filter. */
+  private def curationGate(df: DataFrame): DataFrame = {
+    import graft.text.TextAnalysis.{QualityMinTokens, QualityMaxTokens, QualityStops}
+    val stopsList = QualityStops.map(s => s"'$s'").mkString(", ")
+    df.withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt",
+        expr(s"size(filter(toks, x -> x IN ($stopsList)))"))
+      // stop_cnt/n_tokens < 0.5 in exact integer form (2*stop < n)
+      .withColumn("quality",
+        when(col("n_tokens").between(QualityMinTokens, QualityMaxTokens) &&
+          col("stop_cnt") * 2 < col("n_tokens"), 1L).otherwise(0L))
+  }
+
+  /** The streaming quality→exact-dedup survivor ledger (stage 2 of
+    * [[streamCuration]], factored so [[compactionHandoff]] re-reads the
+    * SAME landed artifact a production ingest loop would): gate-passing
+    * texts content-hashed, deduped within the watermark horizon, each
+    * trigger's newly-admitted hashes appended as a batch dir. */
+  private def curationSurvivors(spark: SparkSession, dir: String): DataFrame =
+    runToFiles(spark,
+      curationGate(curationDocsStream(spark, dir))
+        .filter(col("quality") === 1L)
+        .select(md5(col("text")).as("h"))
+        .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withWatermark("ingest_ts", "365 days")
+        .dropDuplicatesWithinWatermark("h")
+        .select("h"),
+      mode = "append", minDataBatches = 3)
+
+  /** STREAM→BATCH COMPACTION HANDOFF (round 16, VERDICT r15 #8 — the
+    * composition `stream_curation` defers): the production ingest loop
+    * end to end. The ONLINE half ([[curationSurvivors]]) lands the
+    * quality-gated, exactly-deduped survivor hashes as the per-trigger
+    * retention ledger; the PERIODIC BATCH COMPACTION then (1) re-reads
+    * the landed survivors as an ordinary batch scan, (2) maps each
+    * content hash back to its canonical document (min doc_id per digest
+    * — the batch funnel's own keep rule; quality is a pure function of
+    * text, so the hash-join recovers exactly the funnel's s2 frame),
+    * (3) applies the FUZZY stage the stream could not — the
+    * MinHash-LSH candidate drop ([[graft.dedup.Dedup.minhashLsh]], the
+    * registered batch operator, banded + bucket-capped) — and (4)
+    * PUBLISHES the merged retention ledger as a snapshot version
+    * through `IndexStore.commit`, so downstream training jobs resolve
+    * one immutable ledger version. The registered result is the
+    * published ledger's doc_ids; the ORACLE is the batch funnel's own
+    * CTE chain through its LSH stage (`pipeline_curation` s3) — the
+    * online/offline composition must land exactly the batch funnel's
+    * fuzzy-dedup survivor set, row for row. */
+  def compactionHandoff(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.similarity.IndexStore
+    val name = "curation_ledger_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // ledger path: with a published version, digest the pure scan (the
+    // streaming drama is stream_curation's and the gate's business)
+    if (IndexStore.nonPublishingActive && IndexStore.currentVersion(name).isDefined)
+      return IndexStore.readCurrent(spark, name).orderBy("doc_id")
+    val survivors = curationSurvivors(spark, dir)
+    val docs = graft.Tables(spark, dir, "documents")
+    val s2 = docs.join(survivors, md5(col("text")) === col("h"))
+      .groupBy(col("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val dropB = graft.dedup.Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val merged = s2.join(dropB, Seq("doc_id"), "left_anti")
+    // short grace like the merge sink: one commit per run, the chain
+    // must not pile a ledger copy per invocation on disk
+    val version = IndexStore.commit(name, "fuzzy", graceMs = 60000L)(merged)
+    spark.read.parquet(version.toString).orderBy("doc_id")
   }
 
   private def twsTimerSessionsImpl(spark: SparkSession, dir: String,
@@ -1656,6 +1772,8 @@ object StreamingOps {
     "stream_merge_upsert" -> (mergeUpsertStream _),
     "stream_cdc_delete" -> (cdcDeleteStream _),
     "stream_hourly_append" -> (hourlyAppend _),
+    "stream_available_now" -> (hourlyAvailableNow _),
+    "pipeline_compact_handoff" -> (compactionHandoff _),
     "stream_session_summary" -> (sessionSummary _),
     "stream_tws_summary" -> (twsSummary _),
     "stream_tws_timers" -> (twsTimerSessions _),
@@ -1673,6 +1791,19 @@ object StreamingOps {
     "stream_anomaly" -> (streamAnomaly _),
     "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _))
+
+  /** Shared by `stream_hourly_append` and `stream_available_now` (round
+    * 16) — the watermark-closed hourly windows; the run-mode under test
+    * must not change a single emitted row. */
+  private val HourlyAppendOracle =
+    """WITH wm AS (
+      |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+      |  FROM events)
+      |SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |FROM events GROUP BY 1, 2
+      |HAVING hr + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY hr, event_type""".stripMargin
 
   /** Shared by `stream_tws_timers` and `stream_tws_changelog` — the gap
     * sessionization with the ms-ceiled terminal-watermark filter. */
@@ -1802,15 +1933,24 @@ object StreamingOps {
     // Same aggregate as stream_hourly_counts, but only the windows the
     // watermark closed: end <= ms-floored max event time - 10 min (the
     // tie case end == watermark IS emitted; pinned empirically).
-    "stream_hourly_append" ->
-      """WITH wm AS (
-        |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
-        |  FROM events)
-        |SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-        |FROM events GROUP BY 1, 2
-        |HAVING hr + INTERVAL 1 HOUR <= (SELECT w FROM wm)
-        |ORDER BY hr, event_type""".stripMargin,
+    "stream_hourly_append" -> HourlyAppendOracle,
+    // IDENTICAL oracle on purpose: the AvailableNow run-mode changes how
+    // the backlog is admitted and how the query ends, never what the
+    // watermark emits
+    "stream_available_now" -> HourlyAppendOracle,
+    // the batch funnel's own CTE chain through its LSH stage
+    // (pipeline_curation's s3, row for row): the online exact-dedup
+    // ledger re-read by the batch compaction plus the fuzzy stage must
+    // land exactly the funnel's fuzzy-dedup survivor set
+    "pipeline_compact_handoff" ->
+      s"""WITH ${graft.dedup.Dedup.minhashCtes},
+         |q1 AS (${graft.text.TextAnalysis.qualityPassSql}),
+         |s2 AS (SELECT min(d.doc_id) AS doc_id
+         |       FROM documents d JOIN q1 USING (doc_id)
+         |       GROUP BY md5(d.text)),
+         |s3 AS (SELECT doc_id FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_b FROM pr))
+         |SELECT doc_id FROM s3 ORDER BY doc_id""".stripMargin,
     "stream_session_summary" ->
       """SELECT user_id, count(*) AS n_events,
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us

@@ -231,6 +231,53 @@ class StreamingDualitySpec extends SparkSpec {
       "the query set must span several queries across the feed")
   }
 
+  test("the ANN serve path resolves the PUBLISHED index — a pure artifact " +
+      "scan, no quantizer recomputation in the serve path (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    graft.similarity.Similarity.cellsServed(spark, dir).count() // publish once
+    val served = graft.similarity.Similarity.cellsServed(spark, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index"),
+      s"serve must scan the published artifact, got:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Generate") &&
+        !plan.contains("Exchange"),
+      s"the serve path must not recompute the assignment (argmin window / " +
+        s"posexplode / shuffle found):\n$plan")
+    // content identity with the inline recompute — the reason the batch
+    // IVF oracle keeps gating the streamed rankings unchanged
+    val got = served.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.get(1))).toSeq
+    val inline = graft.similarity.Similarity.cellAssignments(spark, dir)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(got == inline && got.nonEmpty)
+  }
+
+  test("compaction handoff: the stream's landed survivors, re-read as a " +
+      "batch and fuzzy-deduped, publish a ledger equal to the batch " +
+      "funnel's LSH stage (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    val handoff = StreamingOps.compactionHandoff(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    // published as a snapshot version downstream jobs resolve
+    import graft.similarity.IndexStore
+    val name = "curation_ledger_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    assert(IndexStore.currentTag(name).contains("fuzzy"))
+    // the batch funnel's own s3 (quality -> exact dedup -> LSH drop)
+    val docs = graft.Tables(spark, dir, "documents")
+    val q1 = graft.text.TextAnalysis.quality(spark, dir)
+      .filter(col("quality") === 1).select("doc_id")
+    val s2 = docs.join(q1, "doc_id")
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val dropB = graft.dedup.Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.join(dropB, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(handoff == s3 && handoff.nonEmpty,
+      s"handoff ledger (${handoff.size} docs) diverged from the batch " +
+        s"funnel's fuzzy stage (${s3.size} docs)")
+  }
+
   test("streaming curation funnel equals the batch funnel's shared stages " +
       "on the same corpus (r15)") {
     val dir = "/root/testdata/sf0.001"

@@ -61,6 +61,27 @@ class StreamingStateSpec extends SparkSpec {
     assert(streamed.count() == batch.count() && streamed.count() > 0)
   }
 
+  test("Trigger.AvailableNow drains the pre-populated backlog across >=3 " +
+      "micro-batches and TERMINATES ITSELF, emitting the same windows (r16)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val an = rows(StreamingOps.hourlyAvailableNow(spark, sf))
+    // the run-mode's contract: the query ended because the trigger drained
+    // the offset snapshot and stopped itself — awaitTermination returned
+    // true, no drainAndStop/processAllAvailable was involved
+    assert(StreamingOps.lastAvailableNowSelfTerminated,
+      "AvailableNow must end via self-termination, not an external stop")
+    // the backlog drained under the source's admission limit: one slice
+    // per micro-batch over the 3-way feed
+    assert(StreamingOps.lastAvailableNowDataBatches >= 3,
+      s"expected >=3 data batches, got ${StreamingOps.lastAvailableNowDataBatches}")
+    // and the run-mode changed nothing about WHAT was emitted
+    val dflt = rows(StreamingOps.hourlyAppend(spark, sf))
+    assert(an == dflt && an.nonEmpty,
+      s"AvailableNow emitted ${an.size} rows vs default trigger's ${dflt.size}")
+  }
+
   test("state-store metrics: watermark eviction REMOVES closed-window rows from state") {
     // The observability contract a deployment alerts on: the progress
     // feed's stateOperators must show bounded state under eviction, not
