@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator extension demo (the (c) tier of the custom-operator
@@ -117,6 +118,16 @@ case class TopKPerGroupPartialExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // UI observability: how much the map-side phase actually bought — rows
+  // pruned before the exchange is the operator's whole reason to exist,
+  // and passThroughParts counts partitions where the hash budget turned
+  // it into a no-op (high-cardinality keys → the partial stops helping).
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "prunedRows" -> SQLMetrics.createMetric(sparkContext, "rows pruned before exchange"),
+    "passThroughParts" -> SQLMetrics.createMetric(sparkContext,
+      "partitions past hash budget (pass-through)"))
+
   // rows are filtered in place, never moved: a child already clustered
   // on the group keys must keep satisfying the final exec's distribution
   // (without this the interposed partial would report Unknown and force
@@ -131,13 +142,35 @@ case class TopKPerGroupPartialExec(
     val kk = k
     val hashGroupLimit = conf.getConfString(
       "spark.graft.topk.hashGroupLimit", (1 << 20).toString).toInt
+    val numOutputRows = longMetric("numOutputRows")
+    val prunedRows = longMetric("prunedRows")
+    val passThroughParts = longMetric("passThroughParts")
     child.execute().mapPartitions { rows =>
+      var numInput = 0L
+      val counted = rows.map { r => numInput += 1; r }
       val groupProj = UnsafeProjection.create(groupSeq, childOutput)
       val rowOrdering = GenerateOrdering.generate(orderSeq, childOutput)
-      val (heaps, overflowRow) = TopKHeaps.fill(rows, groupProj, rowOrdering, kk, hashGroupLimit)
+      val (heaps, overflowRow) = TopKHeaps.fill(counted, groupProj, rowOrdering, kk, hashGroupLimit)
+      if (overflowRow != null) passThroughParts += 1
       val kept = TopKHeaps.drain(heaps)
-      if (overflowRow == null) kept
-      else kept ++ Iterator.single(overflowRow) ++ rows
+      val out =
+        if (overflowRow == null) kept
+        else kept ++ Iterator.single(overflowRow) ++ counted
+      new Iterator[InternalRow] {
+        private var numOutput = 0L
+        private var reported = false
+        override def hasNext: Boolean = {
+          val more = out.hasNext
+          if (!more && !reported) {
+            reported = true
+            prunedRows += (numInput - numOutput)
+          }
+          more
+        }
+        override def next(): InternalRow = {
+          numOutput += 1; numOutputRows += 1; out.next()
+        }
+      }
     }
   }
 
@@ -155,6 +188,18 @@ case class TopKPerGroupExec(
   override def output: Seq[Attribute] = child.output :+ rnAttr
   override def producedAttributes: AttributeSet = AttributeSet(rnAttr :: Nil)
 
+  // UI observability (VERDICT r15 #2): without these the flagship custom
+  // exec is a black box in the SQL tab. numGroups sizes the heap map the
+  // operator's memory bound is O(groups·k) over; degradedPartitions and
+  // spillSize surface the external-sort fallback — a nonzero there on a
+  // production run says the group cardinality outgrew the hash budget.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "degradedPartitions" -> SQLMetrics.createMetric(sparkContext,
+      "partitions degraded to external sort"),
+    "spillSize" -> SQLMetrics.createSizeMetric(sparkContext, "spill size"))
+
   // all rows of a group must land in one partition; no sort required —
   // the heap does the per-group selection
   override def requiredChildDistribution: Seq[Distribution] =
@@ -168,6 +213,10 @@ case class TopKPerGroupExec(
     val rn = rnAttr
     val hashGroupLimit = conf.getConfString(
       "spark.graft.topk.hashGroupLimit", (1 << 20).toString).toInt
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
+    val degradedPartitions = longMetric("degradedPartitions")
+    val spillSize = longMetric("spillSize")
     child.execute().mapPartitions { rows =>
       val groupProj = UnsafeProjection.create(groupSeq, childOutput)
       val rowOrdering = GenerateOrdering.generate(orderSeq, childOutput)
@@ -178,6 +227,7 @@ case class TopKPerGroupExec(
       val joined = new JoinedRow
       val rnRow = new GenericInternalRow(1)
       if (overflowRow == null) {
+        numGroups += heaps.size()
         val it = heaps.entrySet().iterator()
         new Iterator[InternalRow] {
           private var buf: Array[InternalRow] = Array.empty
@@ -197,6 +247,7 @@ case class TopKPerGroupExec(
             val row = buf(i)
             rnRow.setInt(0, i + 1)
             i += 1
+            numOutputRows += 1
             outProj(joined(row, rnRow))
           }
         }
@@ -207,11 +258,13 @@ case class TopKPerGroupExec(
         // (group, order) — GraftSpill registers with the TaskMemoryManager
         // and spills to disk under pressure — then stream the first k rows
         // of each group with O(k) live rows.
+        degradedPartitions += 1
         val kept = TopKHeaps.drain(heaps)
         val fullOrdering = GenerateOrdering.generate(
           groupSeq.map(e => SortOrder(e, Ascending)) ++ orderSeq, childOutput)
         val all = kept ++ Iterator.single(overflowRow) ++ rows.map(_.copy())
-        val sorted = org.apache.spark.util.GraftSpill.sorted(all, fullOrdering)
+        val sorted = org.apache.spark.util.GraftSpill.sorted(
+          all, fullOrdering, bytes => spillSize += bytes)
         new Iterator[InternalRow] {
           private var prevKey: UnsafeRow = null
           private var rank = 0
@@ -220,8 +273,9 @@ case class TopKPerGroupExec(
             while (pending == null && sorted.hasNext) {
               val row = sorted.next()
               val key = groupProj(row)
-              if (prevKey == null || key != prevKey) { prevKey = key.copy(); rank = 1 }
-              else rank += 1
+              if (prevKey == null || key != prevKey) {
+                prevKey = key.copy(); rank = 1; numGroups += 1
+              } else rank += 1
               if (rank <= kk) pending = row
             }
           }
@@ -231,6 +285,7 @@ case class TopKPerGroupExec(
             val row = pending
             pending = null
             rnRow.setInt(0, rank)
+            numOutputRows += 1
             outProj(joined(row, rnRow))
           }
         }

@@ -18,18 +18,30 @@ import org.apache.spark.util.collection.ExternalSorter
   */
 object GraftSpill {
   def sorted(rows: Iterator[InternalRow],
-      comp: Comparator[InternalRow]): Iterator[InternalRow] = {
+      comp: Comparator[InternalRow]): Iterator[InternalRow] =
+    sorted(rows, comp, _ => ())
+
+  /** As above, with `spillReport` invoked exactly once (at iterator
+    * exhaustion or task completion, whichever comes first) with the
+    * sorter's disk bytes spilled — the hook callers feed an SQLMetric. */
+  def sorted(rows: Iterator[InternalRow], comp: Comparator[InternalRow],
+      spillReport: Long => Unit): Iterator[InternalRow] = {
     implicit val ord: Ordering[InternalRow] = Ordering.comparatorToOrdering(comp)
     val sorter = new ExternalSorter[InternalRow, Null, Null](
       TaskContext.get(), aggregator = None, partitioner = None, ordering = Some(ord))
+    var reported = false
+    def finish(): Unit = {
+      if (!reported) { reported = true; spillReport(sorter.diskBytesSpilled) }
+      sorter.stop()
+    }
     // the consumer may abandon the iterator early (limit above the
     // operator); stop() at task completion releases spill files and
     // execution memory even then — the CompletionIterator only covers
     // full exhaustion (stop() is idempotent)
     Option(TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => sorter.stop()))
+      _.addTaskCompletionListener[Unit](_ => finish()))
     sorter.insertAll(rows.map(r => (r, null)))
     CompletionIterator[Product2[InternalRow, Null], Iterator[Product2[InternalRow, Null]]](
-      sorter.iterator, sorter.stop()).map(_._1)
+      sorter.iterator, finish()).map(_._1)
   }
 }

@@ -97,6 +97,63 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  // unwrap AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec are
+  // leaf-like: plain collect() stops at them) so the runtime exec
+  // instances — the ones holding the live SQLMetrics — are reachable
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: below.flatMap(allNodes)
+  }
+
+  test("SQLMetrics: heap path reports output rows, groups, pruning; no degradation") {
+    val topk = TopK.perGroup(ordersDf, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+    val n = topk.collect().length
+    val nodes = allNodes(topk.queryExecution.executedPlan)
+    val fin = nodes.collectFirst { case e: TopKPerGroupExec => e }.get
+    val part = nodes.collectFirst { case e: TopKPerGroupPartialExec => e }.get
+
+    assert(fin.metrics("numOutputRows").value == n)
+    val distinctGroups = ordersDf.select("o_custkey").distinct().count()
+    assert(fin.metrics("numGroups").value == distinctGroups)
+    assert(fin.metrics("degradedPartitions").value == 0)
+    assert(fin.metrics("spillSize").value == 0)
+
+    // map-side phase: pruned + emitted = scanned, and it actually pruned
+    val inputRows = ordersDf.count()
+    val emitted = part.metrics("numOutputRows").value
+    val pruned = part.metrics("prunedRows").value
+    assert(emitted + pruned == inputRows)
+    assert(pruned > 0, s"partial pruned nothing (emitted=$emitted of $inputRows)")
+    assert(part.metrics("passThroughParts").value == 0)
+  }
+
+  test("SQLMetrics: degraded sort path reports the degradation") {
+    val key = "spark.graft.topk.hashGroupLimit"
+    spark.conf.set(key, "2")
+    try {
+      val topk = TopK.perGroup(ordersDf, Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+      val n = topk.collect().length
+      val nodes = allNodes(topk.queryExecution.executedPlan)
+      val fin = nodes.collectFirst { case e: TopKPerGroupExec => e }.get
+      val part = nodes.collectFirst { case e: TopKPerGroupPartialExec => e }.get
+      assert(fin.metrics("numOutputRows").value == n)
+      assert(fin.metrics("degradedPartitions").value > 0)
+      // group census holds on the sort path too (groups counted per
+      // partition; the final's input is clustered so no double count)
+      val distinctGroups = ordersDf.select("o_custkey").distinct().count()
+      assert(fin.metrics("numGroups").value == distinctGroups)
+      assert(part.metrics("passThroughParts").value > 0)
+    } finally spark.conf.unset(key)
+  }
+
   test("TopK.perGroup handles k larger than the group size") {
     val tiny = ordersDf.filter(col("o_custkey") < 5)
     val topk = TopK.perGroup(tiny, Seq("o_custkey"),
