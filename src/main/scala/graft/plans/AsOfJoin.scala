@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** AS-OF JOIN as a FIRST-CLASS operator (the second whole-operator
+  * extension after [[TopKPerGroup]]): for every left row, the single
+  * right row with equal keys and the GREATEST right time ≤ the left
+  * row's time — the canonical event-enrichment join (each purchase to
+  * the user's most recent prior click; each reading to the latest
+  * calibration before it) that Spark's logical algebra has no node for.
+  *
+  * The built-in spellings both pay for what they don't need:
+  *  - the range join (`l.k = r.k AND r.t <= l.t` + a per-left max)
+  *    materializes EVERY earlier right row per left row before
+  *    discarding all but one — O(matches) intermediate, quadratic per
+  *    hot key;
+  *  - the union + window trick (interleave both sides, `last(right,
+  *    ignoreNulls)` over an unbounded-preceding frame) needs a full
+  *    window sort and carries every right column through the union.
+  *
+  * This exec instead REQUIRES what a shuffle already provides — both
+  * sides clustered on the keys and sorted (key, time) — and then does
+  * ONE forward merge pass per partition: O(|L| + |R|) time, O(1) live
+  * rows (a single buffered right row per side of the cursor). At
+  * 100 TB that is the difference between an enrichment join that
+  * streams and one that builds per-key row sets. Left rows never
+  * move relative to the left child ([[outputPartitioning]] passes
+  * through; the merge preserves left order, so downstream per-key
+  * operators reuse BOTH properties without a new exchange or sort.
+  *
+  * Semantics are LEFT OUTER: a left row with no qualifying right row
+  * emits null right columns (and null-keyed or null-timed rows never
+  * match — the SQL comparison contract). Ties on right time keep the
+  * last row in (key, time) sort order; the registered query feeds a
+  * right side deduplicated per (key, time), making the match unique —
+  * the same discipline DuckDB's native ASOF JOIN (the oracle) needs.
+  */
+case class AsOfJoin(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of join time types must match")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "left rows with an as-of match"))
+
+  // both sides clustered on the keys (the exchange this forces is the
+  // operator's only shuffle; EnsureRequirements co-partitions the pair
+  // exactly as it does for sort-merge join)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // and sorted (keys..., time) — the property the merge pass consumes
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // left rows are enriched in place: partitioning and ordering of the
+  // left child survive, so a downstream per-key operator adds nothing
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOutput = left.output
+    val rOutput = right.output
+    val outAttrs = output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // keys compared as projected rows under one generated ordering on
+      // a synthetic key schema (both sides project to the same shape)
+      val keyAttrs = lKeys.zipWithIndex.map { case (e, i) =>
+        AttributeReference(s"k$i", e.dataType, nullable = true)()
+      }
+      val keyOrd = GenerateOrdering.generate(
+        keyAttrs.map(SortOrder(_, Ascending)), keyAttrs)
+      val timeAttr = AttributeReference("t", lTime.dataType, nullable = true)() :: Nil
+      val timeOrd = GenerateOrdering.generate(
+        timeAttr.map(SortOrder(_, Ascending)), timeAttr)
+      val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
+      val lTimeProj = UnsafeProjection.create(lTime :: Nil, lOutput)
+      val rTimeProj = UnsafeProjection.create(rTime :: Nil, rOutput)
+      val nullRight = new GenericInternalRow(rOutput.size) // all-null
+      val joined = new JoinedRow
+      // emit unsafe rows (the operator contract downstream exchanges and
+      // sorts expect); one buffer reused per row, standard iterator rules.
+      // The INPUT schema must carry the nullable-adjusted right attrs:
+      // BindReferences takes nullability from the input ordinal, and a
+      // projection bound non-nullable skips the null check and reads the
+      // all-null right slot as 0 (caught by AsOfJoinSpec's tie test).
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        // one-row lookahead on the right; null = exhausted
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var rKey: UnsafeRow = if (rRow != null) rKeyProj(rRow).copy() else null
+        private var rTimeRow: UnsafeRow = if (rRow != null) rTimeProj(rRow).copy() else null
+        private var curKey: UnsafeRow = null      // key of lastMatch's group
+        private var lastMatch: InternalRow = null // best right row so far for curKey
+
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow).copy()
+            rTimeRow = rTimeProj(rRow).copy()
+          } else { rRow = null; rKey = null; rTimeRow = null }
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          if (curKey == null || keyOrd.compare(lk, curKey) != 0) {
+            lastMatch = null
+            curKey = lk.copy()
+            // skip right groups the left side has moved past
+            while (rRow != null && keyOrd.compare(rKey, curKey) < 0) advanceRight()
+          }
+          val lt = lTimeProj(l)
+          if (lt.isNullAt(0)) {
+            // null left time matches nothing (and consumes nothing: later
+            // left rows of this key may still need the buffered right row)
+            numOutputRows += 1
+            outProj(joined(l, nullRight))
+          } else {
+            // fold in every same-key right row with time <= left time;
+            // null right times sort first and never qualify — skip them
+            while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
+                (rTimeRow.isNullAt(0) || timeOrd.compare(rTimeRow, lt) <= 0)) {
+              if (!rTimeRow.isNullAt(0)) lastMatch = rRow.copy()
+              advanceRight()
+            }
+            numOutputRows += 1
+            if (lastMatch != null) {
+              numMatched += 1
+              outProj(joined(l, lastMatch))
+            } else outProj(joined(l, nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical [[AsOfJoin]]. Injected via [[GraftExtensions]];
+  * registered at runtime by [[AsOf.join]] like [[TopKStrategy]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(lk, rk, lt, rt, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing entry: `AsOf.join(left, right, keys, leftTimeCol,
+  * rightTimeCol)` — every left row plus the matching right row's
+  * columns (null when no right row with equal keys and time ≤ the left
+  * row's). `keys` pairs a left column name with its right counterpart. */
+object AsOf {
+  import org.apache.spark.sql.{DataFrame, GraftBridge}
+
+  def join(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    AsOf.requireDistinctNames(left, right)
+    GraftBridge.ofRows(spark, AsOfJoin(
+      keys.map { case (l, _) => GraftBridge.expression(left(l)) },
+      keys.map { case (_, r) => GraftBridge.expression(right(r)) },
+      GraftBridge.expression(left(leftTimeCol)),
+      GraftBridge.expression(right(rightTimeCol)),
+      GraftBridge.analyzed(left), GraftBridge.analyzed(right)))
+  }
+
+  /** Downstream selects go by name; a shared name across the two sides
+    * would make the joined frame ambiguous — fail loudly instead. */
+  private def requireDistinctNames(left: DataFrame, right: DataFrame): Unit = {
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"as-of join sides share column names ${dup.mkString(", ")}; rename one side")
+  }
+}

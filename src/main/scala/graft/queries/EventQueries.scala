@@ -1078,6 +1078,33 @@ object EventQueries {
     frames.reduce(_ unionByName _).orderBy("lift_pct")
   }
 
+  /** AS-OF enrichment through the custom whole-operator tier
+    * ([[graft.plans.AsOf]], round 16): every purchase joined to the
+    * same user's most recent prior (or simultaneous) click — one
+    * clustered exchange per side, then a single forward merge pass per
+    * partition (O(|L|+|R|), O(1) live rows), where the built-in
+    * spellings pay a per-left row-set (range join) or a full union
+    * window sort. The click side is deduplicated per (user, micros)
+    * first so the as-of match is UNIQUE — the determinism discipline
+    * the DuckDB native `ASOF LEFT JOIN` oracle needs too, making this
+    * the rare custom-exec query the oracle gates with its own native
+    * operator rather than a re-derivation. */
+  def asofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id" -> "c_user"), "t_us", "c_us")
+      .select(col("event_id"), col("user_id"), col("t_us"), col("value"),
+        col("click_id"), col("c_us").as("click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Time-to-convert distribution: per user, the lag from first signup
     * to first subsequent purchase, bucketed in whole hours with an
     * open-ended 48h+ tail — the timing histogram behind [[funnel]]'s
@@ -1223,9 +1250,21 @@ object EventQueries {
     "ev_reaggregate" -> (reaggregate _),
     "ev_sessionize" -> (sessionize _),
     "ev_peak_concurrency" -> (peakConcurrency _),
-    "ev_active_streak" -> (activeStreak _))
+    "ev_active_streak" -> (activeStreak _),
+    "ev_asof_enrich" -> (asofEnrich _))
 
   val oracles: Map[String, String] = Map(
+    "ev_asof_enrich" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
+        |        max(event_id) AS click_id, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.t_us, p.value,
+        |       c.click_id, c.c_us AS click_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+        |ORDER BY p.event_id""".stripMargin,
     "ev_experiment_srm" -> {
       val nib = graft.text.TextAnalysis.nibSql(
         "'exp1:' || CAST(user_id AS VARCHAR)", 4)

@@ -1649,6 +1649,64 @@ object StreamingOps {
     * stateful aggregate — the standard "enrich then aggregate" layout.
     * The static side is re-planned per micro-batch; broadcast keeps the
     * join shuffle-free on the stream side. */
+  /** Streaming AS-OF enrichment (round 16) — the online dual of
+    * `ev_asof_enrich`, and the first streaming exercise of the custom
+    * whole-operator tier: purchases ARRIVE as a stream (time-split feed,
+    * one slice per trigger, ≥3 data batches) and each micro-batch is
+    * enriched against the static deduplicated click table through
+    * [[graft.plans.AsOf]] — the merge-pass exec runs INSIDE foreachBatch,
+    * its per-trigger plan digested into the ledger via
+    * [[lastForeachBatchPlan]]. Enrichment against the complete static
+    * right side is arrival-invariant (each purchase is matched on its
+    * own event time, not on when it arrives), so the ORACLE is
+    * `ev_asof_enrich`'s DuckDB native ASOF LEFT JOIN verbatim — the
+    * stream must not change a single match. At 100 TB this is the
+    * production shape: the click index is yesterday's compacted table,
+    * purchases enrich on arrival, per-trigger output lands idempotently
+    * by batch id. */
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    // the static right side: clicks deduplicated per (user, micros) so
+    // the as-of match is unique; bounded, loaded once, cached across
+    // triggers
+    val clicks = Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+      .persist()
+    val out = graft.TempDirs.create("graft-asof-serve").toString
+    try {
+      clicks.count() // materialize the enrichment table before the stream
+      val purchases = Tables.normalizeEvents(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"))
+      val q = purchases.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val enriched = graft.plans.AsOf.join(batch.toDF(), clicks,
+              Seq("user_id" -> "c_user"), "t_us", "c_us")
+            .select(col("event_id"), col("user_id"), col("t_us"), col("value"),
+              col("click_id"), col("c_us").as("click_us"), col("click_value"))
+          try lastForeachBatchPlan = enriched.queryExecution.executedPlan.toString
+          catch { case scala.util.control.NonFatal(_) => () }
+          writeBatchIdempotent(out, enriched, id, complete = false)
+        }
+        .options(ckptOption)
+        .start()
+      drainAndStop(q)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 3) throw new IllegalStateException(
+        s"streaming as-of enrichment ran $dataBatches data-carrying " +
+          "micro-batches, expected >= 3 (purchases must arrive across triggers)")
+      readBatchDirs(spark, out).orderBy("event_id")
+    } finally clicks.unpersist()
+  }
+
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val cust = Tables(spark, dir, "customer")
@@ -1783,6 +1841,7 @@ object StreamingOps {
     "stream_dedup_types" -> (streamDistinctTypes _),
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
+    "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
     "stream_milestones" -> (milestones _),
@@ -1989,6 +2048,12 @@ object StreamingOps {
     "stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // ev_asof_enrich's oracle VERBATIM (DuckDB native ASOF LEFT JOIN):
+    // enrichment against the complete static click table is
+    // arrival-invariant, so streaming the purchases must not change a
+    // single match
+    "stream_asof_enrich" ->
+      graft.queries.EventQueries.oracles("ev_asof_enrich"),
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val

@@ -49,6 +49,10 @@ class OracleLintSpec extends AnyFunSuite {
     // its stop-count sum is CTE-internal (a WHERE comparison, never
     // output). Tri-SF green at add time (r15).
     "stream_curation",
+    // pipeline_compact_handoff: the same qualityPassSql CTE (stop-count
+    // sum CTE-internal); the final select emits only doc_id. Oracle-green
+    // at add time (r16, sf0.01).
+    "pipeline_compact_handoff",
     // rel_q1_sql_entry shares rel_q1_pricing's oracle verbatim (the
     // bare sum is over the physically-DOUBLE l_quantity)
     "rel_q1_sql_entry",

@@ -30,4 +30,19 @@ object TestSpark {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Every physical node in an executed plan, unwrapping the AQE
+    * wrappers (AdaptiveSparkPlanExec / QueryStageExec are leaf-like:
+    * plain collect() stops at them) — the runtime exec instances found
+    * this way hold the live SQLMetrics. */
+  def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: below.flatMap(allNodes)
+  }
 }

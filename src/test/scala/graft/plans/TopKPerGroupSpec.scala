@@ -97,20 +97,6 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
-  // unwrap AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec are
-  // leaf-like: plain collect() stops at them) so the runtime exec
-  // instances — the ones holding the live SQLMetrics — are reachable
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val below = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case s: QueryStageExec => Seq(s.plan)
-      case other => other.children
-    }
-    p +: below.flatMap(allNodes)
-  }
-
   test("SQLMetrics: heap path reports output rows, groups, pruning; no degradation") {
     val topk = TopK.perGroup(ordersDf, Seq("o_custkey"),
       Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
