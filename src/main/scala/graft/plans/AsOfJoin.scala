@@ -47,6 +47,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
+    toleranceUs: Option[Long],
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
 
@@ -63,6 +65,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -70,6 +74,10 @@ case class AsOfJoinExec(
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time types must match")
+  require(toleranceUs.isEmpty ||
+      leftTime.dataType == org.apache.spark.sql.types.LongType,
+    "as-of tolerance needs a bigint time column (micros); cast first")
+  require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -138,6 +146,7 @@ case class AsOfJoinExec(
         private var rTimeRow: UnsafeRow = if (rRow != null) rTimeProj(rRow).copy() else null
         private var curKey: UnsafeRow = null      // key of lastMatch's group
         private var lastMatch: InternalRow = null // best right row so far for curKey
+        private var lastMatchUs: Long = 0L        // its time (backward tolerance)
 
         private def advanceRight(): Unit = {
           if (rIter.hasNext) {
@@ -164,19 +173,38 @@ case class AsOfJoinExec(
             // left rows of this key may still need the buffered right row)
             numOutputRows += 1
             outProj(joined(l, nullRight))
+          } else if (forward) {
+            // FORWARD: nearest right row at-or-after the left time. Rows
+            // strictly before it are useless for later lefts too (left
+            // times are nondecreasing within the key) — consume them; the
+            // candidate itself is only PEEKED (the next left may need it).
+            while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
+                (rTimeRow.isNullAt(0) || timeOrd.compare(rTimeRow, lt) < 0))
+              advanceRight()
+            val hit = rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
+              !rTimeRow.isNullAt(0) &&
+              toleranceUs.forall(rTimeRow.getLong(0) - lt.getLong(0) <= _)
+            numOutputRows += 1
+            if (hit) { numMatched += 1; outProj(joined(l, rRow)) }
+            else outProj(joined(l, nullRight))
           } else {
-            // fold in every same-key right row with time <= left time;
-            // null right times sort first and never qualify — skip them
+            // BACKWARD: fold in every same-key right row with time <= left
+            // time; null right times sort first and never qualify — skip
             while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
                 (rTimeRow.isNullAt(0) || timeOrd.compare(rTimeRow, lt) <= 0)) {
-              if (!rTimeRow.isNullAt(0)) lastMatch = rRow.copy()
+              if (!rTimeRow.isNullAt(0)) {
+                lastMatch = rRow.copy()
+                if (toleranceUs.isDefined) lastMatchUs = rTimeRow.getLong(0)
+              }
               advanceRight()
             }
+            // the greatest time <= left still has to be RECENT enough: a
+            // match can age out as the left time advances within the key
+            val hit = lastMatch != null &&
+              toleranceUs.forall(lt.getLong(0) - lastMatchUs <= _)
             numOutputRows += 1
-            if (lastMatch != null) {
-              numMatched += 1
-              outProj(joined(l, lastMatch))
-            } else outProj(joined(l, nullRight))
+            if (hit) { numMatched += 1; outProj(joined(l, lastMatch)) }
+            else outProj(joined(l, nullRight))
           }
         }
       }
@@ -192,8 +220,8 @@ case class AsOfJoinExec(
   * registered at runtime by [[AsOf.join]] like [[TopKStrategy]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rt, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rt, fwd, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -201,13 +229,18 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** User-facing entry: `AsOf.join(left, right, keys, leftTimeCol,
   * rightTimeCol)` — every left row plus the matching right row's
   * columns (null when no right row with equal keys and time ≤ the left
-  * row's). `keys` pairs a left column name with its right counterpart. */
+  * row's). `keys` pairs a left column name with its right counterpart.
+  * `forward = true` matches the nearest right row at-or-AFTER the left
+  * time instead; `toleranceUs` bounds |right − left| (bigint time
+  * columns only) — together the pandas `merge_asof` surface. */
 object AsOf {
   import org.apache.spark.sql.{DataFrame, GraftBridge}
 
   def join(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      forward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -218,6 +251,7 @@ object AsOf {
       keys.map { case (_, r) => GraftBridge.expression(right(r)) },
       GraftBridge.expression(left(leftTimeCol)),
       GraftBridge.expression(right(rightTimeCol)),
+      forward, toleranceUs,
       GraftBridge.analyzed(left), GraftBridge.analyzed(right)))
   }
 

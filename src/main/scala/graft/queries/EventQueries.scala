@@ -1105,6 +1105,36 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Tolerance in micros for [[asofForward]]'s match window (1 hour). */
+  val AsOfForwardTolUs: Long = 3600000000L
+
+  /** The FORWARD + TOLERANCE face of the same custom operator (pandas
+    * `merge_asof(direction='forward', tolerance=...)` surface): every
+    * purchase joined to the same user's NEXT click, but only if it lands
+    * within [[AsOfForwardTolUs]] — the attribution-window shape ("did a
+    * click follow within the hour?"). Same merge exec, same single
+    * exchange per side; the forward scan PEEKS its candidate instead of
+    * consuming it (the next left row may need the same one). The oracle
+    * has no native forward ASOF in DuckDB — it re-derives the match with
+    * a bounded range join + per-left min, which is exactly the
+    * composition the exec exists to avoid. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+    graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id" -> "c_user"), "t_us", "c_us",
+        forward = true, toleranceUs = Some(AsOfForwardTolUs))
+      .select(col("event_id"), col("user_id"), col("t_us"), col("value"),
+        col("click_id"), col("c_us").as("click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Time-to-convert distribution: per user, the lag from first signup
     * to first subsequent purchase, bucketed in whole hours with an
     * open-ended 48h+ tail — the timing histogram behind [[funnel]]'s
@@ -1251,9 +1281,26 @@ object EventQueries {
     "ev_sessionize" -> (sessionize _),
     "ev_peak_concurrency" -> (peakConcurrency _),
     "ev_active_streak" -> (activeStreak _),
-    "ev_asof_enrich" -> (asofEnrich _))
+    "ev_asof_enrich" -> (asofEnrich _),
+    "ev_asof_forward" -> (asofForward _))
 
   val oracles: Map[String, String] = Map(
+    "ev_asof_forward" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
+         |        max(event_id) AS click_id, max(value) AS click_value
+         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |j AS (SELECT p.event_id, min(c.c_us) AS m_us
+         |      FROM p JOIN c ON p.user_id = c.c_user
+         |        AND c.c_us >= p.t_us
+         |        AND c.c_us - p.t_us <= $AsOfForwardTolUs
+         |      GROUP BY 1)
+         |SELECT p.event_id, p.user_id, p.t_us, p.value,
+         |       c.click_id, c.c_us AS click_us, c.click_value
+         |FROM p LEFT JOIN j USING (event_id)
+         |       LEFT JOIN c ON c.c_user = p.user_id AND c.c_us = j.m_us
+         |ORDER BY p.event_id""".stripMargin,
     "ev_asof_enrich" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
         |           FROM events WHERE event_type = 'purchase'),

@@ -109,6 +109,60 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, -1L), (2L, 7L)))
   }
 
+  test("forward direction: nearest at-or-after; candidate peeked, not consumed") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 10L, 90L),  // rt=100 is the next
+      (1L, 11L, 95L),  // SAME candidate rt=100 (peek semantics)
+      (1L, 12L, 100L), // exact tie still matches (>=)
+      (1L, 13L, 201L)  // past the last right row -> null
+    ).toDF("k", "lid", "lt")
+    val r = Seq((1L, 100L, 7L), (1L, 200L, 8L)).toDF("rk", "rt", "rid")
+    val out = AsOf.join(l, r, Seq("k" -> "rk"), "lt", "rt", forward = true)
+      .select(col("lid"), col("rid")).orderBy("lid")
+      .collect().map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+    assert(out.toSeq == Seq((10L, 7L), (11L, 7L), (12L, 7L), (13L, -1L)))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 150L)).toDF("k", "lid", "lt")
+    val r = Seq((1L, 95L, 7L), (1L, 160L, 8L)).toDF("rk", "rt", "rid")
+    def run(fwd: Boolean, tol: Long) =
+      AsOf.join(l, r, Seq("k" -> "rk"), "lt", "rt", fwd, Some(tol))
+        .select(col("lid"), col("rid")).orderBy("lid")
+        .collect().map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1))).toSeq
+    // backward: lid=10 matches rt=95 (gap 5); lid=11's best is still
+    // rt=95 but it has AGED OUT at tol=20 (gap 55)
+    assert(run(fwd = false, tol = 20) == Seq((10L, 7L), (11L, -1L)))
+    assert(run(fwd = false, tol = 60) == Seq((10L, 7L), (11L, 7L)))
+    // forward: lid=10's next is rt=160 (gap 60) - in at 60, out at 20
+    assert(run(fwd = true, tol = 20) == Seq((10L, -1L), (11L, 8L)))
+    assert(run(fwd = true, tol = 60) == Seq((10L, 8L), (11L, 8L)))
+  }
+
+  test("ev_asof_forward agrees with the range-join + per-left min composition") {
+    val fwd = graft.queries.EventQueries.asofForward(spark, sf)
+    val p = purchases
+    val c = clicks
+    val tol = graft.queries.EventQueries.AsOfForwardTolUs
+    val best = p.join(c,
+        p("user_id") === c("c_user") && c("c_us") >= p("t_us") &&
+          c("c_us") - p("t_us") <= tol)
+      .groupBy("event_id")
+      .agg(min(struct(col("c_us"), col("click_id"), col("click_value"))).as("m"))
+    val expected = p.join(best, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("t_us"), col("value"),
+        col("m.click_id").as("click_id"), col("m.c_us").as("click_us"),
+        col("m.click_value").as("click_value"))
+      .orderBy("event_id")
+    val a = fwd.collect().toSeq
+    val b = expected.collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // the tolerance actually bites AND matches exist
+    assert(a.exists(_.isNullAt(4)) && a.exists(r => !r.isNullAt(4)))
+  }
+
   test("shared column names across the two sides fail loudly") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("k", "t")
