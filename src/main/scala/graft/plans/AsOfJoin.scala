@@ -161,6 +161,14 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
+          if (lk.anyNull) {
+            // SQL comparison contract: a null key matches nothing (the
+            // row orderings group nulls together, so without this guard
+            // a null-keyed left would "equal" a null-keyed right). No
+            // cursor movement: null keys sort first, nothing is skipped.
+            numOutputRows += 1
+            return outProj(joined(l, nullRight))
+          }
           if (curKey == null || keyOrd.compare(lk, curKey) != 0) {
             lastMatch = null
             curKey = lk.copy()

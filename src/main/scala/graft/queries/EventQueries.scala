@@ -1108,6 +1108,44 @@ object EventQueries {
   /** Tolerance in micros for [[asofForward]]'s match window (1 hour). */
   val AsOfForwardTolUs: Long = 3600000000L
 
+  /** Impact-window width for [[intervalOverlap]] (1 hour in micros). */
+  val ImpactWindowUs: Long = 3600000000L
+
+  /** One event type as per-user IMPACT-WINDOW intervals
+    * `[t, t + ImpactWindowUs]`, prefixed — the two sides of
+    * [[intervalOverlap]]. */
+  private def impactWindows(spark: SparkSession, dir: String,
+      etype: String, p: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === etype)
+      .select(col("user_id").as(s"${p}user"), col("event_id").as(s"${p}id"),
+        unix_micros(col("ts")).as(s"${p}start"),
+        (unix_micros(col("ts")) + ImpactWindowUs).as(s"${p}end"))
+
+  /** INTERVAL OVERLAP through the custom plane-sweep tier
+    * ([[graft.plans.Interval]], round 16): per user, every (click,
+    * error) pair whose 1-hour impact windows overlap, with the overlap
+    * width — the incident-correlation question ("which clicks landed
+    * inside an error's blast radius?"). Spark plans an overlap predicate
+    * as a same-key equi-join with the range residual as a POST-FILTER —
+    * per-key quadratic; the sweep exec is O(|L|+|R|+output) with live
+    * memory bounded by peak interval concurrency. The DuckDB oracle runs
+    * the same overlap predicate through its own IEJoin machinery —
+    * again a custom exec gated by the other engine's native range-join
+    * path. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val c = impactWindows(spark, dir, "click", "c_")
+    val e = impactWindows(spark, dir, "error", "e_")
+    graft.plans.Interval.join(c, e, Seq("c_user" -> "e_user"),
+        ("c_start", "c_end"), ("e_start", "e_end"))
+      .select(col("c_user").as("user_id"),
+        col("c_id").as("click_id"), col("e_id").as("error_id"),
+        (least(col("c_end"), col("e_end")) -
+          greatest(col("c_start"), col("e_start"))).as("overlap_us"))
+      .orderBy("user_id", "click_id", "error_id")
+  }
+
   /** The FORWARD + TOLERANCE face of the same custom operator (pandas
     * `merge_asof(direction='forward', tolerance=...)` surface): every
     * purchase joined to the same user's NEXT click, but only if it lands
@@ -1282,9 +1320,22 @@ object EventQueries {
     "ev_peak_concurrency" -> (peakConcurrency _),
     "ev_active_streak" -> (activeStreak _),
     "ev_asof_enrich" -> (asofEnrich _),
-    "ev_asof_forward" -> (asofForward _))
+    "ev_asof_forward" -> (asofForward _),
+    "ev_interval_join" -> (intervalOverlap _))
 
   val oracles: Map[String, String] = Map(
+    "ev_interval_join" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_s,
+         |             epoch_us(ts) + $ImpactWindowUs AS c_e
+         |           FROM events WHERE event_type = 'click'),
+         |e AS (SELECT user_id AS e_user, event_id AS error_id, epoch_us(ts) AS e_s,
+         |        epoch_us(ts) + $ImpactWindowUs AS e_e
+         |      FROM events WHERE event_type = 'error')
+         |SELECT c.user_id, c.click_id, e.error_id,
+         |       least(c.c_e, e.e_e) - greatest(c.c_s, e.e_s) AS overlap_us
+         |FROM c JOIN e ON c.user_id = e.e_user
+         |  AND e.e_s <= c.c_e AND e.e_e >= c.c_s
+         |ORDER BY 1, 2, 3""".stripMargin,
     "ev_asof_forward" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
          |           FROM events WHERE event_type = 'purchase'),
