@@ -1096,6 +1096,11 @@ object EventQueries {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("t_us"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
+      // ONE shuffle for the big side: hash on user_id alone satisfies
+      // both the (user, micros) dedup agg's clustering AND the as-of
+      // exec's key distribution, so the agg output flows into the join
+      // with no second exchange (plan-ledger pinned: Exchange=3, not 4)
+      .repartition(col("user_id"))
       .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
       .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
     graft.plans.AsOf.join(purchases, clicks,
@@ -1163,6 +1168,11 @@ object EventQueries {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("t_us"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")
+      // ONE shuffle for the big side: hash on user_id alone satisfies
+      // both the (user, micros) dedup agg's clustering AND the as-of
+      // exec's key distribution, so the agg output flows into the join
+      // with no second exchange (plan-ledger pinned: Exchange=3, not 4)
+      .repartition(col("user_id"))
       .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
       .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
     graft.plans.AsOf.join(purchases, clicks,

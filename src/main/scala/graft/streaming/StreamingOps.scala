@@ -1674,6 +1674,9 @@ object StreamingOps {
     // triggers
     val clicks = Tables(spark, dir, "events")
       .filter(col("event_type") === "click")
+      // one shuffle for the static side (hash on user alone satisfies
+      // the dedup agg AND the as-of distribution; see ev_asof_enrich)
+      .repartition(col("user_id"))
       .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
       .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
       .persist()
