@@ -253,7 +253,7 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    AsOf.requireDistinctNames(left, right)
+    CustomJoins.requireDistinctNames("as-of join", left, right)
     GraftBridge.ofRows(spark, AsOfJoin(
       keys.map { case (l, _) => GraftBridge.expression(left(l)) },
       keys.map { case (_, r) => GraftBridge.expression(right(r)) },
@@ -263,11 +263,17 @@ object AsOf {
       GraftBridge.analyzed(left), GraftBridge.analyzed(right)))
   }
 
+}
+
+/** Preconditions shared by the custom binary-join entries. */
+private[plans] object CustomJoins {
   /** Downstream selects go by name; a shared name across the two sides
     * would make the joined frame ambiguous — fail loudly instead. */
-  private def requireDistinctNames(left: DataFrame, right: DataFrame): Unit = {
+  def requireDistinctNames(what: String,
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame): Unit = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
-      s"as-of join sides share column names ${dup.mkString(", ")}; rename one side")
+      s"$what sides share column names ${dup.mkString(", ")}; rename one side")
   }
 }

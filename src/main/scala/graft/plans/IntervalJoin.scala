@@ -245,9 +245,7 @@ object Interval {
     if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ IntervalJoinStrategy
-    val dup = left.columns.toSet.intersect(right.columns.toSet)
-    require(dup.isEmpty,
-      s"interval join sides share column names ${dup.mkString(", ")}; rename one side")
+    CustomJoins.requireDistinctNames("interval join", left, right)
     GraftBridge.ofRows(spark, IntervalJoin(
       keys.map { case (l, _) => GraftBridge.expression(left(l)) },
       keys.map { case (_, r) => GraftBridge.expression(right(r)) },

@@ -1091,18 +1091,8 @@ object EventQueries {
     * operator rather than a re-derivation. */
   def asofEnrich(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val ev = Tables(spark, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("t_us"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      // ONE shuffle for the big side: hash on user_id alone satisfies
-      // both the (user, micros) dedup agg's clustering AND the as-of
-      // exec's key distribution, so the agg output flows into the join
-      // with no second exchange (plan-ledger pinned: Exchange=3, not 4)
-      .repartition(col("user_id"))
-      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
-      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+    val purchases = asofPurchases(spark, dir)
+    val clicks = asofClicks(spark, dir)
     graft.plans.AsOf.join(purchases, clicks,
         Seq("user_id" -> "c_user"), "t_us", "c_us")
       .select(col("event_id"), col("user_id"), col("t_us"), col("value"),
@@ -1112,6 +1102,29 @@ object EventQueries {
 
   /** Tolerance in micros for [[asofForward]]'s match window (1 hour). */
   val AsOfForwardTolUs: Long = 3600000000L
+
+  /** The as-of queries' LEFT side: purchase events with event-time
+    * micros — shared by [[asofEnrich]] and [[asofForward]] (the
+    * streaming dual derives the same frame from its feed). */
+  private[graft] def asofPurchases(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+
+  /** The as-of queries' RIGHT side, ONE definition for the batch pair
+    * and the streaming dual's static table: clicks deduplicated per
+    * (user, micros) so the as-of match is unique. The single
+    * `repartition(user_id)` shuffle satisfies both the dedup agg's
+    * clustering and the as-of exec's key distribution, so the frame
+    * flows into the join with no second exchange (ledger-pinned
+    * Exchange=3). */
+  private[graft] def asofClicks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
 
   /** Impact-window width for [[intervalOverlap]] (1 hour in micros). */
   val ImpactWindowUs: Long = 3600000000L
@@ -1163,18 +1176,8 @@ object EventQueries {
     * composition the exec exists to avoid. */
   def asofForward(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val ev = Tables(spark, dir, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("t_us"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      // ONE shuffle for the big side: hash on user_id alone satisfies
-      // both the (user, micros) dedup agg's clustering AND the as-of
-      // exec's key distribution, so the agg output flows into the join
-      // with no second exchange (plan-ledger pinned: Exchange=3, not 4)
-      .repartition(col("user_id"))
-      .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
-      .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
+    val purchases = asofPurchases(spark, dir)
+    val clicks = asofClicks(spark, dir)
     graft.plans.AsOf.join(purchases, clicks,
         Seq("user_id" -> "c_user"), "t_us", "c_us",
         forward = true, toleranceUs = Some(AsOfForwardTolUs))

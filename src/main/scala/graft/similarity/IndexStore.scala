@@ -170,6 +170,19 @@ object IndexStore {
     remaining
   }
 
+  /** Read-only count of `name`'s version dirs on disk (current
+    * included) — what [[gc]] returns, with no lock and no unlink, so
+    * nonPublishing ledger runs can report the census without mutating
+    * a store a concurrent publishing session may be mid-swap on. */
+  def versionCount(name: String): Int = {
+    val dir = versionsDir.resolve(name)
+    if (!Files.isDirectory(dir)) 0
+    else {
+      val listing = Files.list(dir)
+      try listing.count().toInt finally listing.close()
+    }
+  }
+
   private def rootPath: Path = Paths.get(Root)
   private def versionsDir: Path = Paths.get(Root, ".v")
   private def linkPath(name: String): Path = Paths.get(Root, name)

@@ -727,7 +727,12 @@ object Formats {
     }
     val current = IndexStore.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"no published version of '$name'"))
-    val versionsRemaining = IndexStore.gc(name, graceMs = 0L) // idempotent count
+    // ledger runs must not take the write lock or unlink anything a
+    // concurrent publishing session's readers may still be inside —
+    // count read-only there; the publishing path keeps the idempotent gc
+    val versionsRemaining =
+      if (IndexStore.nonPublishingActive) IndexStore.versionCount(name)
+      else IndexStore.gc(name, graceMs = 0L) // idempotent count
     val predecessorGone = IndexStore.previousVersion(name).isEmpty
     spark.read.parquet(current.toString)
       .agg(count(lit(1)).as("n_rows"),

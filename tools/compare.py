@@ -162,8 +162,14 @@ for name in sorted(oracle):
         nfail += 1
         print(f'{name}: FAIL ({why})')
 if len(adopted) > MAX_TRANSIENT_ADOPTIONS:
+    # retract the adoptions: move each adopted query from pass to fail
+    # (not nfail += on top of an unchanged npass, which double-counts and
+    # inflates the summary total past the number of queries compared)
     print(f'TOO MANY TRANSIENT ADOPTIONS ({len(adopted)} > '
           f'{MAX_TRANSIENT_ADOPTIONS}): {",".join(adopted)} — failing the run')
+    for name in adopted:
+        print(f'{name}: FAIL (transient adoption retracted: cap exceeded)')
+    npass -= len(adopted)
     nfail += len(adopted)
 if npass + nfail == 0:
     # a typo'd --only filter or an empty dump must not read as success
