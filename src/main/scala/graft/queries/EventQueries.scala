@@ -1132,7 +1132,7 @@ object EventQueries {
   /** One event type as per-user IMPACT-WINDOW intervals
     * `[t, t + ImpactWindowUs]`, prefixed — the two sides of
     * [[intervalOverlap]]. */
-  private def impactWindows(spark: SparkSession, dir: String,
+  private[graft] def impactWindows(spark: SparkSession, dir: String,
       etype: String, p: String): DataFrame =
     Tables(spark, dir, "events")
       .filter(col("event_type") === etype)

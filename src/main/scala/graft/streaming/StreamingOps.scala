@@ -1724,6 +1724,44 @@ object StreamingOps {
     } finally clicks.unpersist()
   }
 
+  /** Streaming INTERVAL enrichment (round 16) — the online dual of
+    * `ev_interval_join`, the plane-sweep tier's streaming exercise on
+    * the shared [[runForeachBatchToDirs]] skeleton: ERROR impact windows
+    * arrive over ≥3 triggers and each micro-batch is overlap-joined
+    * against the static click-window table through
+    * [[graft.plans.Interval]] inside foreachBatch. Overlap is symmetric
+    * and each error arrives exactly once against the complete static
+    * side, so the landed union is arrival-invariant and the ORACLE is
+    * `ev_interval_join`'s DuckDB IEJoin query verbatim. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val clicks = graft.queries.EventQueries
+      .impactWindows(spark, dir, "click", "c_").persist()
+    try {
+      clicks.count() // materialize the static side before the stream
+      val w = graft.queries.EventQueries.ImpactWindowUs
+      val errors = Tables.normalizeEvents(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed))
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+          unix_micros(col("ts")).as("e_start"),
+          (unix_micros(col("ts")) + w).as("e_end"))
+      runForeachBatchToDirs(spark, errors, "graft-ivl-serve",
+          minDataBatches = 3, what = "streaming interval join") { batch =>
+        graft.plans.Interval.join(clicks, batch,
+            Seq("c_user" -> "e_user"), ("c_start", "c_end"), ("e_start", "e_end"))
+          .select(col("c_user").as("user_id"),
+            col("c_id").as("click_id"), col("e_id").as("error_id"),
+            (least(col("c_end"), col("e_end")) -
+              greatest(col("c_start"), col("e_start"))).as("overlap_us"))
+      }.orderBy("user_id", "click_id", "error_id")
+    } finally clicks.unpersist()
+  }
+
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val cust = Tables(spark, dir, "customer")
@@ -1859,6 +1897,7 @@ object StreamingOps {
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
+    "stream_interval_join" -> (streamIntervalJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
     "stream_milestones" -> (milestones _),
@@ -2071,6 +2110,10 @@ object StreamingOps {
     // single match
     "stream_asof_enrich" ->
       graft.queries.EventQueries.oracles("ev_asof_enrich"),
+    // ev_interval_join's oracle VERBATIM: overlap against the complete
+    // static side is arrival-invariant
+    "stream_interval_join" ->
+      graft.queries.EventQueries.oracles("ev_interval_join"),
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
