@@ -13,6 +13,56 @@ import graft.{Engine, Tables}
 /** Output row of the stateful session summary (update-mode sink schema). */
 case class SessionRow(user_id: Long, n_events: Long, first_us: Long, last_us: Long)
 
+/** Output row of [[AsOfEnrichProcessor]] — the `ev_asof_enrich` shape;
+  * boxed match columns encode the left-outer nulls. */
+case class AsOfRow(event_id: Long, user_id: Long, t_us: Long, value: Double,
+    click_id: java.lang.Long, click_us: java.lang.Long,
+    click_value: java.lang.Double)
+
+/** The STATEFUL streaming as-of: per user, ValueState holds ONLY the
+  * latest click seen so far — (c_us, max event_id at c_us, max value at
+  * c_us), the exact (user, micros)-dedup rule of the batch click table —
+  * and each purchase emits its enrichment against that state the moment
+  * it arrives. State is ONE row per user regardless of stream length
+  * (the bounded-feature-store shape); the time-ordered feed guarantees
+  * arriving events never predate state, and within a batch rows are
+  * sorted (t_us, clicks-first, event_id) so an equal-micros click is
+  * visible to its purchase exactly as the batch `<=` semantics demand. */
+class AsOfEnrichProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Long, Double), AsOfRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[(Long, Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Double)]("click",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Long, Long, Long, Double)],
+      timerValues: TimerValues): Iterator[AsOfRow] = {
+    // (user, t_us, is_click, event_id, value) sorted clicks-first at a tie
+    val sorted = rows.toArray.sortBy(r => (r._2, 1L - r._3, r._4))
+    var has = st.exists()
+    var (cUs, cId, cVal) = if (has) st.get() else (0L, 0L, 0.0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsOfRow]
+    sorted.foreach { case (_, t, isClick, id, v) =>
+      if (isClick == 1L) {
+        if (!has || t > cUs) { cUs = t; cId = id; cVal = v; has = true }
+        else if (t == cUs) { // the batch dedup takes max id and max value
+          if (id > cId) cId = id
+          if (v > cVal) cVal = v
+        } // t < cUs cannot happen on the time-ordered feed
+      } else out += (
+        if (has) AsOfRow(id, user, t, v, cId, cUs, cVal)
+        else AsOfRow(id, user, t, v, null, null, null))
+    }
+    if (has) st.update((cUs, cId, cVal))
+    out.iterator
+  }
+}
+
 /** The Spark 4 arbitrary-state primitive (`transformWithState` /
   * `StatefulProcessor`): per-user running (count, min, max event time)
   * in an explicitly NAMED `ValueState` created in `init` — the successor
@@ -1762,6 +1812,40 @@ object StreamingOps {
     } finally clicks.unpersist()
   }
 
+  /** The FULLY STATEFUL streaming as-of (round 16) — where
+    * [[streamAsofEnrich]] joins arriving purchases against a STATIC
+    * click table, here BOTH types arrive on one stream and the click
+    * side lives in `transformWithState` state ([[AsOfEnrichProcessor]]:
+    * one ValueState row per user — the online feature-store shape, O(|users|)
+    * state forever). Purchases are enriched the moment they arrive,
+    * against exactly the clicks that have arrived before them — which
+    * on the time-ordered feed is exactly the batch as-of's match set,
+    * so the ORACLE is `ev_asof_enrich`'s native ASOF LEFT JOIN verbatim,
+    * third spelling of the same result (batch exec / per-trigger exec /
+    * stateful online). */
+  def streamAsofStateful(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = timeSplitFeed(spark, dir, n = 3)
+    val schema = eventsSchema(spark, dir)
+    val enriched = Tables.normalizeEvents(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AsOfEnrichProcessor,
+        TimeMode.None(), OutputMode.Append())
+    runToMemory(spark, enriched.toDF(), mode = "append",
+        minDataBatches = 3, rocksDb = true)
+      .orderBy("event_id")
+  }
+
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val cust = Tables(spark, dir, "customer")
@@ -1897,6 +1981,7 @@ object StreamingOps {
     "stream_dedup_wm" -> (streamDedupWm _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
+    "stream_asof_stateful" -> (streamAsofStateful _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
@@ -2109,6 +2194,10 @@ object StreamingOps {
     // arrival-invariant, so streaming the purchases must not change a
     // single match
     "stream_asof_enrich" ->
+      graft.queries.EventQueries.oracles("ev_asof_enrich"),
+    // the same oracle a THIRD time: on the time-ordered feed the
+    // stateful online match set equals the batch as-of's
+    "stream_asof_stateful" ->
       graft.queries.EventQueries.oracles("ev_asof_enrich"),
     // ev_interval_join's oracle VERBATIM: overlap against the complete
     // static side is arrival-invariant
