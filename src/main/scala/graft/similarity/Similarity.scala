@@ -480,6 +480,44 @@ object Similarity {
       .select(col("vec_id"), col("c_label").as("cell"), col("rk"))
   }
 
+  /** INCREMENTAL INDEX APPEND (round 16) — the production answer to
+    * "new vectors arrived; do we retrain?": the coarse quantizer is
+    * FROZEN from the base corpus (vec_id % 4 ≠ 3 — the build), and the
+    * appended quarter is assigned against those SAME centroids with the
+    * established exact-integer argmin — one broadcast-centroid scan, no
+    * re-clustering, which is how a 100 TB vector store absorbs a daily
+    * append (retraining is a scheduled compaction, not an ingest cost).
+    * Registered result: the per-cell census split into base vs appended
+    * members, so the gate covers both that the quantizer did not move
+    * (base counts) and where the new data landed (append counts). */
+  def ivfAppend(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    // the frozen quantizer: exact-DECIMAL label means of the BASE only,
+    // on the proven floor(.1024) grid
+    val cent = base.select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy(col("c_label"), col("pos").as("dim"))
+      .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
+        count(lit(1))) * 1024).cast("long").as("cq"))
+    val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
+    val dists = vdim.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "c_label")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
+    val argmin = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
+    dists.withColumn("rk", row_number().over(argmin))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .groupBy("cell")
+      .agg(sum(when(col("vec_id") % 4 =!= 3, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") % 4 === 3, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("cell")
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     ivfTopKWith(spark, dir, cellAssignments(spark, dir), k)
 
@@ -1411,6 +1449,7 @@ object Similarity {
     "sim_hybrid_search" -> (hybridSearch _),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_ivf_trained" -> (ivfTrainedTopK _),
+    "sim_ivf_append" -> (ivfAppend _),
     "sim_ivf_multiprobe" -> ((s: SparkSession, d: String) => ivfMultiprobe(s, d)),
     "sim_recall_eval" -> (recallEval _),
     "sim_trunc_topk" -> ((s: SparkSession, d: String) => truncTopK(s, d)),
@@ -2301,6 +2340,29 @@ object Similarity {
     // distances, min-label tiebreak) mirrors the Spark side exactly
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_trained" -> ivfTrainedSql,
+    "sim_ivf_append" ->
+      """WITH cent AS (
+        |  SELECT label AS c_label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor((CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,30))) AS DOUBLE) / count(*)) * 1024) AS BIGINT) AS cq
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+        |  WHERE vec_id % 4 <> 3
+        |  GROUP BY label, i),
+        |vdim AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |dists AS (
+        |  SELECT vec_id, c_label, CAST(sum((xq - cq) * (xq - cq)) AS BIGINT) AS dist
+        |  FROM vdim JOIN cent USING (dim) GROUP BY vec_id, c_label),
+        |assign AS (
+        |  SELECT vec_id, c_label AS cell FROM (
+        |    SELECT vec_id, c_label,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c_label ASC) AS rk
+        |    FROM dists) WHERE rk = 1)
+        |SELECT cell,
+        |  CAST(sum(CASE WHEN vec_id % 4 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
     "sim_pq_trained" -> pqTrainedSql,
     "sim_ivf_served" -> ivfServedSql,
     "sim_pq_served" -> pqServedSql,
