@@ -494,14 +494,31 @@ object Similarity {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val base = emb.filter(col("vec_id") % 4 =!= 3)
-    // the frozen quantizer: exact-DECIMAL label means of the BASE only,
-    // on the proven floor(.1024) grid
-    val cent = base.select(col("label").as("c_label"), posexplode(col("embedding")))
+    ivfAssignAgainst(ivfBaseCentroids(spark, dir), emb)
+      .groupBy("cell")
+      .agg(sum(when(col("vec_id") % 4 =!= 3, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("vec_id") % 4 === 3, 1L).otherwise(0L)).as("n_new"))
+      .orderBy("cell")
+  }
+
+  /** The FROZEN quantizer of [[ivfAppend]]'s split: exact-DECIMAL label
+    * means of the BASE corpus (vec_id % 4 ≠ 3) on the proven
+    * floor(·1024) grid — (c_label, dim, cq). Shared with the streaming
+    * append ([[graft.streaming.StreamingOps.streamIvfAppend]]). */
+  private[graft] def ivfBaseCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .filter(col("vec_id") % 4 =!= 3)
+      .select(col("label").as("c_label"), posexplode(col("embedding")))
       .groupBy(col("c_label"), col("pos").as("dim"))
       .agg(floor((sum(col("col").cast("string").cast("decimal(38,30)")).cast("double") /
         count(lit(1))) * 1024).cast("long").as("cq"))
-    val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
+
+  /** Exact-integer nearest-centroid assignment of `vecs` (vec_id,
+    * embedding, ...) against a broadcast centroid table — (vec_id,
+    * cell). The one scan an append pays. */
+  private[graft] def ivfAssignAgainst(cent: DataFrame, vecs: DataFrame): DataFrame = {
+    val vdim = vecs.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
         floor(col("col").cast("double") * 1024).cast("long").as("xq"))
     val dists = vdim.join(broadcast(cent), Seq("dim"))
@@ -512,10 +529,6 @@ object Similarity {
     dists.withColumn("rk", row_number().over(argmin))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
-      .groupBy("cell")
-      .agg(sum(when(col("vec_id") % 4 =!= 3, 1L).otherwise(0L)).as("n_base"),
-        sum(when(col("vec_id") % 4 === 3, 1L).otherwise(0L)).as("n_new"))
-      .orderBy("cell")
   }
 
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =

@@ -1846,6 +1846,46 @@ object StreamingOps {
       .orderBy("event_id")
   }
 
+  /** Streaming INDEX APPEND (round 16) — `sim_ivf_append`'s online
+    * half: appended vectors (vec_id % 4 = 3) ARRIVE over ≥3 triggers
+    * and each micro-batch is assigned against the FROZEN base quantizer
+    * ([[graft.similarity.Similarity.ivfBaseCentroids]], cached across
+    * triggers) inside foreachBatch — one broadcast-centroid scan per
+    * trigger, no retraining, exactly how a production vector store
+    * absorbs a continuous append. The registered result is the same
+    * per-cell base/new census as the batch query (landed streaming
+    * assignments unioned with the static base assignment), and the
+    * ORACLE is `sim_ivf_append`'s verbatim — assignment against a
+    * frozen quantizer is arrival-invariant. */
+  def streamIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import graft.similarity.Similarity
+    val feed = embSplitFeed(spark, dir, n = 3)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val cent = Similarity.ivfBaseCentroids(spark, dir).persist()
+    try {
+      cent.count() // freeze the quantizer before the stream starts
+      val arrivals = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .filter(col("vec_id") % 4 === 3)
+        .select(col("vec_id"), col("embedding"))
+      val landedNew = runForeachBatchToDirs(spark, arrivals, "graft-ivf-append",
+          minDataBatches = 3, what = "streaming index append") { batch =>
+        Similarity.ivfAssignAgainst(cent, batch)
+      }
+      val baseAssign = Similarity.ivfAssignAgainst(cent,
+        Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") % 4 =!= 3)
+          .select(col("vec_id"), col("embedding")))
+      baseAssign.withColumn("is_new", lit(0L))
+        .unionByName(landedNew.withColumn("is_new", lit(1L)))
+        .groupBy("cell")
+        .agg(sum(when(col("is_new") === 0L, 1L).otherwise(0L)).as("n_base"),
+          sum(col("is_new")).as("n_new"))
+        .orderBy("cell")
+    } finally cent.unpersist()
+  }
+
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val cust = Tables(spark, dir, "customer")
@@ -1982,6 +2022,7 @@ object StreamingOps {
     "stream_static_join" -> (streamStaticJoin _),
     "stream_asof_enrich" -> (streamAsofEnrich _),
     "stream_asof_stateful" -> (streamAsofStateful _),
+    "stream_ivf_append" -> (streamIvfAppend _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_session_window" -> (sessionWindows _),
@@ -2199,6 +2240,10 @@ object StreamingOps {
     // stateful online match set equals the batch as-of's
     "stream_asof_stateful" ->
       graft.queries.EventQueries.oracles("ev_asof_enrich"),
+    // sim_ivf_append's oracle verbatim: assignment against a frozen
+    // quantizer is arrival-invariant
+    "stream_ivf_append" ->
+      graft.similarity.Similarity.oracles("sim_ivf_append"),
     // ev_interval_join's oracle VERBATIM: overlap against the complete
     // static side is arrival-invariant
     "stream_interval_join" ->
