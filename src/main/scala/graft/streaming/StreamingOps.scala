@@ -411,10 +411,11 @@ object StreamingOps {
   def runToFiles(spark: SparkSession, streamed: DataFrame,
       mode: String = "complete", minDataBatches: Int = 0,
       stateParts: String = StreamShufflePartitions,
-      rocksDb: Boolean = DefaultRocksDb): DataFrame = {
+      rocksDb: Boolean = DefaultRocksDb,
+      outDir: Option[String] = None): DataFrame = {
     require(mode == "complete" || mode == "append",
       s"runToFiles supports complete|append, got '$mode'")
-    val out = graft.TempDirs.create("graft-sink").toString
+    val out = outDir.getOrElse(graft.TempDirs.create("graft-sink").toString)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
@@ -1338,11 +1339,13 @@ object StreamingOps {
           col("stop_cnt") * 2 < col("n_tokens"), 1L).otherwise(0L))
   }
 
-  /** The landed survivor ledger per sf dir — [[curationSurvivors]]
-    * refreshes it on every streaming run; [[compactionHandoff]] consumes
-    * it so the compaction reads the artifact the online half actually
-    * landed this session instead of re-running the stream. */
-  private val survivorLedgers = TrieMap.empty[String, DataFrame]
+  /** The landed survivor-ledger DIRECTORY per sf dir (a path, like
+    * [[feedDirs]] — never a session-bound DataFrame) —
+    * [[curationSurvivors]] refreshes it on every streaming run;
+    * [[compactionHandoff]] consumes it so the compaction reads the
+    * artifact the online half actually landed this session instead of
+    * re-running the stream. */
+  private val survivorLedgers = TrieMap.empty[String, String]
 
   /** The streaming quality→exact-dedup survivor ledger (stage 2 of
     * [[streamCuration]]): gate-passing texts content-hashed, deduped
@@ -1350,6 +1353,7 @@ object StreamingOps {
     * appended as a batch dir. ALWAYS runs the stream (it IS the online
     * half), then records the landed scan in [[survivorLedgers]]. */
   private def curationSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempDirs.create("graft-sink").toString
     val landed = runToFiles(spark,
       curationGate(curationDocsStream(spark, dir))
         .filter(col("quality") === 1L)
@@ -1358,15 +1362,22 @@ object StreamingOps {
         .withWatermark("ingest_ts", "365 days")
         .dropDuplicatesWithinWatermark("h")
         .select("h"),
-      mode = "append", minDataBatches = 3)
-    survivorLedgers(dir) = landed
+      mode = "append", minDataBatches = 3, outDir = Some(out))
+    survivorLedgers(dir) = out
     landed
   }
 
   /** This session's landed ledger for `dir`, running the online half
-    * only when no stream has landed one yet — the handoff's read side. */
+    * only when no USABLE landing exists yet (the recorded dir may have
+    * been cleaned) — the handoff's read side. */
   private def curationSurvivorsLedger(spark: SparkSession, dir: String): DataFrame =
-    survivorLedgers.getOrElse(dir, curationSurvivors(spark, dir))
+    survivorLedgers.get(dir).filter { out =>
+      val walk = Files.walk(java.nio.file.Paths.get(out))
+      try walk.anyMatch(p => p.toString.endsWith(".parquet"))
+      catch { case scala.util.control.NonFatal(_) => false }
+      finally walk.close()
+    }.map(readBatchDirs(spark, _))
+      .getOrElse(curationSurvivors(spark, dir))
 
   /** STREAM→BATCH COMPACTION HANDOFF (round 16, VERDICT r15 #8 — the
     * composition `stream_curation` defers): the production ingest loop
@@ -1841,7 +1852,10 @@ object StreamingOps {
       .groupByKey(_._1)
       .transformWithState(new AsOfEnrichProcessor,
         TimeMode.None(), OutputMode.Append())
-    runToMemory(spark, enriched.toDF(), mode = "append",
+    // per-purchase (unaggregated) emission: the module's file-sink rule
+    // applies — never materialize an unaggregated stream through the
+    // driver (runToMemory's row cap exists for aggregates)
+    runToFiles(spark, enriched.toDF(), mode = "append",
         minDataBatches = 3, rocksDb = true)
       .orderBy("event_id")
   }
@@ -1877,12 +1891,17 @@ object StreamingOps {
         Tables(spark, dir, "embeddings")
           .filter(col("vec_id") % 4 =!= 3)
           .select(col("vec_id"), col("embedding")))
+      // materialize the tiny census EAGERLY (it references cent through
+      // baseAssign): a lazy return would be evaluated by the caller
+      // after the finally unpersists the quantizer, recomputing the
+      // whole base aggregation uncached
       baseAssign.withColumn("is_new", lit(0L))
         .unionByName(landedNew.withColumn("is_new", lit(1L)))
         .groupBy("cell")
         .agg(sum(when(col("is_new") === 0L, 1L).otherwise(0L)).as("n_base"),
           sum(col("is_new")).as("n_new"))
         .orderBy("cell")
+        .localCheckpoint(true)
     } finally cent.unpersist()
   }
 
