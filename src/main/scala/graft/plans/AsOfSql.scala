@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for the custom AS-OF JOIN (round 16): the two extension
+  * points the library did not yet exercise — `injectParser` +
+  * `injectResolutionRule` — carry DuckDB-style syntax
+  *
+  * {{{ SELECT ... FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t }}}
+  *
+  * into the [[AsOfJoin]] operator. Split of responsibilities, because a
+  * parser cannot know which side of `l.k = r.k` belongs to which child
+  * before resolution: the PARSER ([[GraftSqlParser]]) rewrites the ASOF
+  * keyword away, delegates the heavy lifting to Spark's own parser, and
+  * wraps the resulting join as [[UnresolvedAsOfJoin]] carrying the raw
+  * ON condition; the RESOLUTION RULE ([[ResolveAsOfJoin]]) waits until
+  * the analyzer has resolved children and condition, then splits the
+  * conjunction by reference side — equalities become the keys, the one
+  * inequality becomes the time pair (`l.t >= r.t` backward,
+  * `l.t <= r.t` forward, either operand order). */
+case class UnresolvedAsOfJoin(
+    condition: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+
+  // never analyzable as-is: ResolveAsOfJoin must replace it
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object ResolveAsOfJoin extends Rule[LogicalPlan] {
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"ASOF LEFT JOIN: $msg"))
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => other :: Nil
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u @ UnresolvedAsOfJoin(cond, l, r)
+        if u.childrenResolved && cond.resolved =>
+      val leftSet = l.outputSet
+      val rightSet = r.outputSet
+      // orient (a, b) as (left-side, right-side); None if mixed/constant
+      def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
+        if (a.references.nonEmpty && a.references.subsetOf(leftSet) &&
+            b.references.nonEmpty && b.references.subsetOf(rightSet)) Some((a, b))
+        else if (b.references.nonEmpty && b.references.subsetOf(leftSet) &&
+            a.references.nonEmpty && a.references.subsetOf(rightSet)) Some((b, a))
+        else None
+      var leftKeys = Vector.empty[Expression]
+      var rightKeys = Vector.empty[Expression]
+      // (leftTime, rightTime, forward)
+      var time: Option[(Expression, Expression, Boolean)] = None
+      conjuncts(cond).foreach {
+        case EqualTo(a, b) => sides(a, b) match {
+          case Some((lk, rk)) => leftKeys :+= lk; rightKeys :+= rk
+          case None => fail(s"equality must pair one column per side: ${EqualTo(a, b).sql}")
+        }
+        case ge @ GreaterThanOrEqual(a, b) =>
+          if (time.isDefined) fail("exactly one time inequality expected")
+          time = sides(a, b) match {
+            case Some((lt, rt)) if lt.semanticEquals(a) => Some((lt, rt, false)) // l.t >= r.t
+            case Some((lt, rt)) => Some((lt, rt, true))                          // r.t >= l.t
+            case None => fail(s"time inequality must pair one column per side: ${ge.sql}")
+          }
+        case le @ LessThanOrEqual(a, b) =>
+          if (time.isDefined) fail("exactly one time inequality expected")
+          time = sides(a, b) match {
+            case Some((lt, rt)) if lt.semanticEquals(a) => Some((lt, rt, true))  // l.t <= r.t
+            case Some((lt, rt)) => Some((lt, rt, false))                         // r.t <= l.t
+            case None => fail(s"time inequality must pair one column per side: ${le.sql}")
+          }
+        case other => fail(s"unsupported ON conjunct: ${other.sql}")
+      }
+      if (leftKeys.isEmpty) fail("at least one key equality required")
+      val (lt, rt, fwd) = time.getOrElse(fail("a time inequality (>= or <=) is required"))
+      AsOfJoin(leftKeys, rightKeys, lt, rt, fwd, toleranceUs = None, l, r)
+  }
+}
+
+/** Delegating parser that recognizes `ASOF LEFT JOIN` (exactly one per
+  * statement; the inner `ASOF JOIN` flavor is rejected — the operator
+  * is left-outer) and wraps the corresponding join for
+  * [[ResolveAsOfJoin]]. Everything else — including the whole grammar
+  * of the rewritten statement — is Spark's own parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private val AsOfLeft = "(?i)\\bASOF\\s+LEFT\\s+JOIN\\b".r
+  private val AsOfBare = "(?i)\\bASOF\\s+JOIN\\b".r
+
+  private def parseError(msg: String): Nothing =
+    throw new org.apache.spark.sql.catalyst.parser.ParseException(
+      command = None,
+      start = org.apache.spark.sql.catalyst.trees.Origin(),
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> msg))
+
+  private def rewrite(sqlText: String, via: String => LogicalPlan): LogicalPlan = {
+    if (AsOfBare.findFirstIn(sqlText).isDefined)
+      parseError("ASOF JOIN is left-outer here: write ASOF LEFT JOIN")
+    AsOfLeft.findAllIn(sqlText).size match {
+      case 0 => via(sqlText)
+      case 1 =>
+        val parsed = via(AsOfLeft.replaceAllIn(sqlText, "LEFT JOIN"))
+        val joins = parsed.collect {
+          case j: Join if j.joinType == LeftOuter => j
+        }
+        if (joins.size != 1) parseError(
+          "an ASOF LEFT JOIN statement must contain no other LEFT JOIN " +
+            s"(found ${joins.size} after rewrite)")
+        val target = joins.head
+        val cond = target.condition.getOrElse(
+          parseError("ASOF LEFT JOIN requires an ON condition"))
+        parsed.transformUp {
+          case j: Join if j eq target => UnresolvedAsOfJoin(cond, j.left, j.right)
+        }
+      case n => parseError(s"at most one ASOF LEFT JOIN per statement (found $n)")
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(sqlText, delegate.parsePlan)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewrite(sqlText, delegate.parseQuery)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

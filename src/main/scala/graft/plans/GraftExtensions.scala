@@ -160,5 +160,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectOptimizerRule(_ => DotToNorm)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    // the ASOF LEFT JOIN SQL surface: the delegating parser rewrites the
+    // keyword and wraps the join; the resolution rule splits the ON
+    // condition by reference side once the analyzer has resolved it
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => ResolveAsOfJoin)
   }
 }

@@ -1126,6 +1126,55 @@ object EventQueries {
       .groupBy(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
       .agg(max(col("event_id")).as("click_id"), max(col("value")).as("click_value"))
 
+  /** One extensions-enabled session per JVM, sharing the driver's
+    * SparkContext — the `spark.sql.extensions` surface a cluster user
+    * gets, needed because the ASOF LEFT JOIN syntax lives in the
+    * injected parser and the driver owns its own session. The driver's
+    * active/default session registration is restored immediately after
+    * the build so nothing else in the harness sees the extra session. */
+  private val extSessionRef =
+    new java.util.concurrent.atomic.AtomicReference[SparkSession]()
+  private def extensionSession(spark: SparkSession): SparkSession = {
+    val cur = extSessionRef.get()
+    if (cur != null) cur
+    else this.synchronized {
+      if (extSessionRef.get() == null) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val s = SparkSession.builder()
+          .config("spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .withExtensions(new graft.plans.GraftExtensions)
+          .getOrCreate()
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+        extSessionRef.set(s)
+      }
+      extSessionRef.get()
+    }
+  }
+
+  /** The as-of enrichment a THIRD way: as an `ASOF LEFT JOIN` SQL
+    * STRING through the injected parser + resolution rule
+    * ([[graft.plans.GraftSqlParser]] / [[graft.plans.ResolveAsOfJoin]]),
+    * on an extensions-enabled session — the full library-on-a-cluster
+    * path (`spark.sql.extensions`) end to end: custom syntax → custom
+    * logical node → custom exec, rows identical to [[asofEnrich]] and
+    * the oracle is DuckDB's native ASOF LEFT JOIN a third time. */
+  def asofSqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    val s = extensionSession(spark)
+    Engine.tune(s)
+    asofPurchases(s, dir).createOrReplaceTempView("graft_asof_p")
+    asofClicks(s, dir).createOrReplaceTempView("graft_asof_c")
+    s.sql(
+      """SELECT p.event_id, p.user_id, p.t_us, p.value,
+        |       c.click_id, c.c_us AS click_us, c.click_value
+        |FROM graft_asof_p p ASOF LEFT JOIN graft_asof_c c
+        |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+        |ORDER BY p.event_id""".stripMargin)
+  }
+
   /** Impact-window width for [[intervalOverlap]] (1 hour in micros). */
   val ImpactWindowUs: Long = 3600000000L
 
@@ -1334,9 +1383,23 @@ object EventQueries {
     "ev_active_streak" -> (activeStreak _),
     "ev_asof_enrich" -> (asofEnrich _),
     "ev_asof_forward" -> (asofForward _),
+    "ev_asof_sql" -> (asofSqlEntry _),
     "ev_interval_join" -> (intervalOverlap _))
 
   val oracles: Map[String, String] = Map(
+    // the native-ASOF oracle a third time: parser-injected SQL syntax
+    // must not change a single match
+    "ev_asof_sql" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
+        |        max(event_id) AS click_id, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.t_us, p.value,
+        |       c.click_id, c.c_us AS click_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+        |ORDER BY p.event_id""".stripMargin,
     "ev_interval_join" ->
       s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_s,
          |             epoch_us(ts) + $ImpactWindowUs AS c_e
