@@ -102,6 +102,50 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AsOfLeft = "(?i)\\bASOF\\s+LEFT\\s+JOIN\\b".r
   private val AsOfBare = "(?i)\\bASOF\\s+JOIN\\b".r
 
+  /** The statement with string literals ('…', "…"), quoted identifiers
+    * (backticks) and comments (line and block) blanked out, so keyword matching
+    * can never see into them: a literal containing "ASOF LEFT JOIN" is
+    * data, not syntax. Positions are preserved (content replaced by
+    * spaces), so match offsets found on the mask splice into the
+    * original text. `ASOF` as an UNQUOTED alias in join position remains
+    * reserved — the same contract DuckDB's own ASOF keyword has; quote
+    * it (`asof`) to use it as a name. */
+  private def masked(sqlText: String): String = {
+    val out = sqlText.toCharArray
+    var i = 0
+    def blankWhile(stop: () => Boolean): Unit = {
+      while (i < out.length && !stop()) { out(i) = ' '; i += 1 }
+    }
+    while (i < out.length) {
+      val c = out(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        out(i) = ' '; i += 1
+        blankWhile(() => out(i) == c)
+        if (i < out.length) { out(i) = ' '; i += 1 }
+      } else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
+        blankWhile(() => out(i) == '\n')
+      } else if (c == '/' && i + 1 < out.length && out(i + 1) == '*') {
+        blankWhile(() => out(i) == '*' && i + 1 < out.length && out(i + 1) == '/')
+        if (i + 1 < out.length) { out(i) = ' '; out(i + 1) = ' '; i += 2 }
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** Replace the regions `re` matches ON THE MASK with `replacement`
+    * in the ORIGINAL text (the mask is position-preserving). */
+  private def replaceViaMask(sqlText: String, mask: String,
+      re: scala.util.matching.Regex, replacement: String): String = {
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    re.findAllMatchIn(mask).foreach { m =>
+      sb.append(sqlText, last, m.start).append(replacement)
+      last = m.end
+    }
+    sb.append(sqlText, last, sqlText.length)
+    sb.toString
+  }
+
   private def parseError(msg: String): Nothing =
     throw new org.apache.spark.sql.catalyst.parser.ParseException(
       command = None,
@@ -110,13 +154,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       messageParameters = Map("message" -> msg))
 
   private def rewrite(sqlText: String, via: String => LogicalPlan): LogicalPlan = {
-    if (AsOfBare.findFirstIn(sqlText).isDefined)
+    val mask = masked(sqlText)
+    if (AsOfBare.findFirstIn(mask).isDefined)
       parseError("ASOF JOIN is left-outer here: write ASOF LEFT JOIN")
-    AsOfLeft.findAllIn(sqlText).size match {
+    AsOfLeft.findAllIn(mask).size match {
       case 0 => via(sqlText)
       case 1 =>
-        val parsed = via(AsOfLeft.replaceAllIn(sqlText, "LEFT JOIN"))
-        val joins = parsed.collect {
+        val parsed = via(replaceViaMask(sqlText, mask, AsOfLeft, "LEFT JOIN"))
+        // collectWithSubqueries: an ASOF join written inside an
+        // EXISTS/scalar subquery must be found there, not silently
+        // attached to an outer LEFT JOIN
+        val joins = parsed.collectWithSubqueries {
           case j: Join if j.joinType == LeftOuter => j
         }
         if (joins.size != 1) parseError(
@@ -125,7 +173,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         val target = joins.head
         val cond = target.condition.getOrElse(
           parseError("ASOF LEFT JOIN requires an ON condition"))
-        parsed.transformUp {
+        parsed.transformUpWithSubqueries {
           case j: Join if j eq target => UnresolvedAsOfJoin(cond, j.left, j.right)
         }
       case n => parseError(s"at most one ASOF LEFT JOIN per statement (found $n)")

@@ -1134,22 +1134,29 @@ object EventQueries {
     * the build so nothing else in the harness sees the extra session. */
   private val extSessionRef =
     new java.util.concurrent.atomic.AtomicReference[SparkSession]()
-  private def extensionSession(spark: SparkSession): SparkSession = {
+  private[graft] def extensionSession(spark: SparkSession): SparkSession = {
     val cur = extSessionRef.get()
     if (cur != null) cur
     else this.synchronized {
       if (extSessionRef.get() == null) {
+        // the registry swap is restored in a finally (a builder failure
+        // must not leave the JVM with no default session), and restores
+        // whatever was registered before, not unconditionally `spark`
+        val prevDefault = SparkSession.getDefaultSession
+        val prevActive = SparkSession.getActiveSession
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
-        val s = SparkSession.builder()
-          .config("spark.sql.shuffle.partitions",
-            spark.conf.get("spark.sql.shuffle.partitions"))
-          .config("spark.sql.session.timeZone", "UTC")
-          .withExtensions(new graft.plans.GraftExtensions)
-          .getOrCreate()
-        SparkSession.setDefaultSession(spark)
-        SparkSession.setActiveSession(spark)
-        extSessionRef.set(s)
+        try {
+          extSessionRef.set(SparkSession.builder()
+            .config("spark.sql.shuffle.partitions",
+              spark.conf.get("spark.sql.shuffle.partitions"))
+            .config("spark.sql.session.timeZone", "UTC")
+            .withExtensions(new graft.plans.GraftExtensions)
+            .getOrCreate())
+        } finally {
+          SparkSession.setDefaultSession(prevDefault.getOrElse(spark))
+          SparkSession.setActiveSession(prevActive.getOrElse(spark))
+        }
       }
       extSessionRef.get()
     }

@@ -9,19 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * guarded shapes must fail loudly at parse/analysis time. */
 class AsOfSqlSpec extends AnyFunSuite {
 
-  private lazy val s: SparkSession = {
-    graft.TestSpark.spark // materialize the shared context first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val ext = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    SparkSession.setDefaultSession(graft.TestSpark.spark)
-    SparkSession.setActiveSession(graft.TestSpark.spark)
-    ext
-  }
+  // the ONE extensions-enabled session the library itself memoizes (the
+  // registered ev_asof_sql path) - no second copy of the registry swap
+  private lazy val s: SparkSession =
+    graft.queries.EventQueries.extensionSession(graft.TestSpark.spark)
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -78,6 +69,34 @@ class AsOfSqlSpec extends AnyFunSuite {
           |ASOF LEFT JOIN asql_c d ON p.user_id = d.c_user AND p.t_us >= d.c_us""".stripMargin)
     }
     assert(two.getMessage.contains("at most one"))
+  }
+
+  test("the keyword inside literals/comments is data; quoted `asof` stays a name") {
+    views()
+    // string literal containing the keyword: must NOT be rewritten
+    val lit = s.sql("SELECT 'ASOF LEFT JOIN' AS kw, 'ASOF JOIN' AS kw2").head()
+    assert(lit.getString(0) == "ASOF LEFT JOIN" && lit.getString(1) == "ASOF JOIN")
+    // a comment containing the keyword is invisible to the rewrite
+    val viaComment = s.sql(
+      "SELECT count(*) AS n FROM asql_p -- ASOF LEFT JOIN in a comment\n").head()
+    assert(viaComment.getLong(0) > 0)
+    // a backtick-quoted `asof` alias is an ordinary name
+    val aliased = s.sql(
+      "SELECT `asof`.event_id FROM asql_p `asof` ORDER BY 1 LIMIT 1").head()
+    assert(!aliased.isNullAt(0))
+  }
+
+  test("an ASOF LEFT JOIN inside a subquery expression is found, not misattached") {
+    views()
+    val sub = s.sql(
+      """SELECT count(*) AS n FROM asql_p outer_p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM asql_p p ASOF LEFT JOIN asql_c c
+        |    ON p.user_id = c.c_user AND p.t_us >= c.c_us
+        |  WHERE p.event_id = outer_p.event_id AND c.click_id IS NOT NULL)""".stripMargin)
+    val expected = graft.queries.EventQueries.asofEnrich(s, sf)
+      .filter("click_id IS NOT NULL").count()
+    assert(sub.head().getLong(0) == expected && expected > 0)
   }
 
   test("a condition without a time inequality fails analysis") {
