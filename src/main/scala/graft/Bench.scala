@@ -10,9 +10,20 @@ import scala.util.control.NonFatal
   * (near-)identical counters no matter what else the box is doing — so
   * they are the scale signal background load cannot pollute, and the
   * anti-stall retry can distinguish "the plan changed" from "the machine
-  * was busy". */
-final case class IoBytes(shuffle: Long, spill: Long, input: Long)
-object IoBytes { val zero: IoBytes = IoBytes(0L, 0L, 0L) }
+  * was busy".
+  *
+  * Round 16 (VERDICT r15 #5): `cpuMs` adds summed task
+  * `executorCpuTime` (ns→ms). Bytes prove the plan moved the same data;
+  * CPU proves the tasks *burned the same cycles* — together they close
+  * the last attribution gap: a wall-time excursion with flat bytes AND
+  * flat CPU is provably external scheduler contention (the tasks did
+  * identical work and identical compute; only their wall-clock slots
+  * stretched). CPU is noisier than bytes (JIT state, frequency scaling)
+  * so it never gates the retry trigger — it refines the `load_noise`
+  * classification from "very likely external" to "provably external". */
+final case class IoBytes(shuffle: Long, spill: Long, input: Long,
+    cpuMs: Long = 0L)
+object IoBytes { val zero: IoBytes = IoBytes(0L, 0L, 0L, 0L) }
 
 /** Accumulates task-level metrics across all jobs on the session; the
   * bench snapshots the running totals around each attempt and diffs.
@@ -22,15 +33,18 @@ private[graft] class TaskBytesListener extends SparkListener {
   private val shuffleW = new java.util.concurrent.atomic.AtomicLong
   private val spilled = new java.util.concurrent.atomic.AtomicLong
   private val inputR = new java.util.concurrent.atomic.AtomicLong
+  private val cpuNs = new java.util.concurrent.atomic.AtomicLong
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
     if (m != null) {
       shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       inputR.addAndGet(m.inputMetrics.bytesRead)
+      cpuNs.addAndGet(m.executorCpuTime)
     }
   }
-  def snapshot(): IoBytes = IoBytes(shuffleW.get, spilled.get, inputR.get)
+  def snapshot(): IoBytes =
+    IoBytes(shuffleW.get, spilled.get, inputR.get, cpuNs.get / 1000000L)
 }
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
@@ -175,9 +189,23 @@ object Bench {
 
   /** Plan-shape drift between two byte records: shuffle or input moved.
     * Spill is deliberately EXCLUDED — it depends on memory pressure, i.e.
-    * on the very background load the counters exist to factor out. */
+    * on the very background load the counters exist to factor out. CPU is
+    * excluded too (round 16): it varies with JIT state and frequency
+    * scaling, so it refines the load-noise verdict ([[cpuFlat]]) but
+    * never gates a retry. */
   private[graft] def ioDrift(cur: IoBytes, prior: IoBytes): Boolean =
     bytesDrift(cur.shuffle, prior.shuffle) || bytesDrift(cur.input, prior.input)
+
+  /** Is the summed task CPU time flat vs the prior? Same 1.5× band as
+    * [[bytesDrift]] with a 1 s absolute floor — sub-second CPU totals live
+    * in the scheduler/JIT jitter band and are always "flat". Used only to
+    * upgrade a `load_noise` verdict (bytes flat) to PROVABLY external
+    * (bytes AND cpu flat: identical data moved, identical cycles burned,
+    * only the wall-clock slots stretched) — never to trigger a retry. */
+  private[graft] def cpuFlat(curMs: Long, priorMs: Long): Boolean = {
+    val hi = curMs.max(priorMs); val lo = curMs.min(priorMs)
+    hi < 1000L || hi.toDouble <= 1.5 * lo.max(1L).toDouble
+  }
 
   /** Per-query priors from the last BENCH_DETAIL.json (committed each
     * round): the `queries` map only, and only when that record was taken
@@ -241,7 +269,7 @@ object Bench {
         .map { e =>
           def n(k: String): Long =
             Option(e.getValue.get(k)).filter(_.isNumber).map(_.asLong()).getOrElse(0L)
-          e.getKey -> IoBytes(n("shuffle"), n("spill"), n("input"))
+          e.getKey -> IoBytes(n("shuffle"), n("spill"), n("input"), n("cpu_ms"))
         }.toMap
     } catch { case NonFatal(_) => Map.empty }
 
@@ -253,9 +281,12 @@ object Bench {
   /** One query's final measurement: min/max over successful runs, the byte
     * counters of the min-time successful run, the retry count, and whether
     * a time-over-prior excursion was classified as pure load noise (bytes
-    * unchanged → no retry burned, the name rides the detail file). */
+    * unchanged → no retry burned, the name rides the detail file).
+    * `external` (round 16) marks the stronger verdict: bytes AND cpu both
+    * flat vs the prior — provably external contention, see [[cpuFlat]]. */
   private[graft] final case class Measured(sec: Double, secMax: Double,
-      ok: Boolean, retries: Int, bytes: IoBytes, loadNoise: Boolean)
+      ok: Boolean, retries: Int, bytes: IoBytes, loadNoise: Boolean,
+      external: Boolean = false)
 
   /** Measure one query: `runs` timed attempts, then the anti-stall retry
     * loop. Round 15 (VERDICT r14 #1): the >3×-prior trigger now requires
@@ -298,11 +329,22 @@ object Bench {
       attempts :+= attempt()
       retries += 1
     }
+    var external = false
     if (timeTripped && bytesAgree && retries == 0) {
       loadNoise = true
+      // CPU refines the verdict (round 16, VERDICT r15 #5): flat bytes say
+      // the plan moved the same data; flat CPU says the tasks also burned
+      // the same cycles — at that point the excursion is PROVABLY external
+      // scheduler contention, not even a JIT/codegen re-compile.
+      external = (for {
+        bp <- bytesPrior
+        a <- minOkAttempt(attempts)
+      } yield cpuFlat(a.bytes.cpuMs, bp.cpuMs)).getOrElse(false)
+      val verdict =
+        if (external) "bytes AND cpu flat — PROVABLY external load"
+        else "byte counters match the prior — load noise, not a plan change"
       System.err.println(f"[bench] $name: ${minOkAttempt(attempts).get.sec}%.3f s > " +
-        s"3x prior ${prior.get} but byte counters match the prior — " +
-        "load noise, not a plan change; no retry")
+        s"3x prior ${prior.get} but $verdict; no retry")
     }
     val anySuccess = attempts.exists(_.ok)
     val best = minOkAttempt(attempts)
@@ -310,7 +352,7 @@ object Bench {
     val tMax = if (anySuccess) attempts.filter(_.ok).map(_.sec).max
                else attempts.map(_.sec).max
     Measured(t, tMax, attempts.forall(_.ok), retries,
-      best.map(_.bytes).getOrElse(IoBytes.zero), loadNoise)
+      best.map(_.bytes).getOrElse(IoBytes.zero), loadNoise, external)
   }
 
   def main(args: Array[String]): Unit = {
@@ -359,7 +401,8 @@ object Bench {
           drainListenerBus(spark.sparkContext)
           val after = byteCounter.snapshot()
           Attempt(sec, runOk, IoBytes(after.shuffle - before.shuffle,
-            after.spill - before.spill, after.input - before.input))
+            after.spill - before.spill, after.input - before.input,
+            after.cpuMs - before.cpuMs))
         }
         val m = measureOne(name, runs, priors.get(name), () => attempt(),
           loaded = loadBefore > LoadedSampleThreshold,
@@ -373,6 +416,7 @@ object Bench {
     val failed = measured.collect { case (n, m) if !m.ok => n }
     val retried = measured.collect { case (n, m) if m.retries > 0 => n }
     val loadNoise = measured.collect { case (n, m) if m.loadNoise => n }
+    val loadNoiseExternal = measured.collect { case (n, m) if m.external => n }
     // The driver retains only a ~4 KB stdout tail and parses the JSON line
     // from it. A full per-query map no longer fits (106 queries × ~28 chars
     // ≈ 4.9 KB — BENCH_r03/r04 recorded parsed:null for exactly this), so
@@ -396,7 +440,7 @@ object Bench {
         (if (loadNoise.nonEmpty) s""","n_load_noise":${loadNoise.size}""" else "")
     def jbytes(m: Seq[(String, IoBytes)]): String =
       m.map { case (k, b) =>
-        "\"" + k + s"""":{"shuffle":${b.shuffle},"spill":${b.spill},"input":${b.input}}"""
+        "\"" + k + s"""":{"shuffle":${b.shuffle},"spill":${b.spill},"input":${b.input},"cpu_ms":${b.cpuMs}}"""
       }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -405,6 +449,7 @@ object Bench {
         s""""queries_bytes":${jbytes(bytes)},""" +
         s""""n_failed":${failed.size},"failed":${jnames(failed)},""" +
         s""""retried":${jnames(retried)},"load_noise":${jnames(loadNoise)},""" +
+        s""""load_noise_external":${jnames(loadNoiseExternal)},""" +
         s"""$provenance,"sf":"$sfDir","runs":$runs}""")
     def line(k: Int): String = {
       val slowest = results.sortBy(-_._2).take(k)

@@ -219,6 +219,44 @@ class BenchSpec extends AnyFunSuite {
     withDetailFile("""{"queries":{"q_a":1.0},"sf":"/root/testdata/sf0.1"}""") { p =>
       assert(Bench.loadBytesPriors("/root/testdata/sf0.1", p).isEmpty)
     }
+    // round 16: cpu_ms rides each entry; pre-r16 files default it to 0
+    withDetailFile(
+      """{"queries":{"q_a":1.0},"queries_bytes":{"q_a":{"shuffle":100,"spill":0,"input":200,"cpu_ms":4500}},""" +
+        """"sf":"/root/testdata/sf0.1"}""") { p =>
+      assert(Bench.loadBytesPriors("/root/testdata/sf0.1", p) ==
+        Map("q_a" -> IoBytes(100L, 0L, 200L, 4500L)))
+    }
+  }
+
+  // ---- round 16: CPU refines the load-noise verdict (VERDICT r15 #5) ----
+
+  test("cpuFlat: 1.5x band with a 1 s floor") {
+    assert(Bench.cpuFlat(400L, 900L), "sub-second cpu lives in the jitter band")
+    assert(Bench.cpuFlat(4000L, 5000L), "within 1.5x is flat")
+    assert(!Bench.cpuFlat(4000L, 9000L), "2.25x over a second is not flat")
+    assert(!Bench.cpuFlat(9000L, 4000L), "direction-symmetric")
+    assert(Bench.cpuFlat(0L, 0L) && Bench.cpuFlat(0L, 500L))
+  }
+
+  test("load-noise verdict upgrades to PROVABLY external when cpu is also flat") {
+    // same bytes, same cpu, 4x wall time: identical data moved, identical
+    // cycles burned — only the wall-clock slots stretched
+    val b = IoBytes(shuffle = 50L << 20, spill = 0L, input = 200L << 20, cpuMs = 6000L)
+    val m = Bench.measureOne("q_external", runs = 2, prior = Some(2.0),
+      attempt = () => Bench.Attempt(8.0, true, b), bytesPrior = Some(b))
+    assert(m.loadNoise && m.external, "flat bytes + flat cpu = provably external")
+    assert(m.retries == 0)
+  }
+
+  test("load-noise with MOVED cpu stays the weaker verdict (JIT/codegen variance)") {
+    // bytes flat (so no retry — the plan moved the same data) but cpu 3x:
+    // could be a codegen recompile or frequency scaling, not provably external
+    val prior = IoBytes(shuffle = 50L << 20, spill = 0L, input = 200L << 20, cpuMs = 2000L)
+    val cur = prior.copy(cpuMs = 6000L)
+    val m = Bench.measureOne("q_cpu_moved", runs = 2, prior = Some(2.0),
+      attempt = () => Bench.Attempt(8.0, true, cur), bytesPrior = Some(prior))
+    assert(m.loadNoise && !m.external, "moved cpu must not claim the provable verdict")
+    assert(m.retries == 0, "cpu never gates the retry")
   }
 
   test("awaitQuietWindow: a quiet start returns immediately, zero wait") {
