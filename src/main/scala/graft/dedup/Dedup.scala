@@ -545,6 +545,57 @@ object Dedup {
       .orderBy("stage_no")
   }
 
+  /** [[curationFunnel]] re-expressed as a SINGLE LINEAR PASS with the
+    * stage counts emitted through `Dataset.observe` (round 16, VERDICT
+    * r15 #7) — the API a production pipeline uses to get its funnel
+    * metrics WITHOUT a second scan. Instead of five count branches over
+    * shared subtrees, every raw doc carries one boolean per stage
+    * (quality gate; exact-dedup keeper = min doc_id over its text
+    * digest's quality survivors, via a window; fuzzy survivor = not the
+    * higher id of an LSH candidate pair; train member), a named
+    * `observe("curation_funnel", ...)` node collects the five counts as
+    * the rows stream through exactly once, and the query's RESULT — the
+    * same five-row retention table, same oracle as `pipeline_curation` —
+    * is one aggregate over the same flagged frame. At 100 TB the flagged
+    * frame is the pipeline's real output (the survivors it would write);
+    * observe makes the report a free rider on that one pass, where the
+    * branch-per-stage spelling re-reads the corpus per stage count.
+    * DedupSpec pins `queryExecution.observedMetrics` equal to the
+    * result rows. */
+  def curationFunnelObserved(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val q1 = graft.text.TextAnalysis.quality(spark, dir)
+      .filter(col("quality") === 1)
+      .select(col("doc_id"), lit(true).as("q"))
+    val dropB = minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dup", lit(true))
+    val flagged = graft.text.TextAnalysis.withSplit(
+        docs.join(q1, Seq("doc_id"), "left").join(dropB, Seq("doc_id"), "left"))
+      .withColumn("q", coalesce(col("q"), lit(false)))
+      .withColumn("e", col("q") && col("doc_id") ===
+        min(when(col("q"), col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("f", col("e") && !coalesce(col("dup"), lit(false)))
+      .withColumn("t", col("f") && col("split") === "train")
+    // the same five aggregates feed the observe node (metrics side) and
+    // the result aggregate (table side); Column is immutable so the list
+    // is safely shared
+    def stageSums: Seq[Column] = Seq(
+      count(lit(1)).as("raw"),
+      sum(col("q").cast("long")).as("quality"),
+      sum(col("e").cast("long")).as("exact_dedup"),
+      sum(col("f").cast("long")).as("fuzzy_dedup"),
+      sum(col("t").cast("long")).as("train_split"))
+    flagged.observe("curation_funnel", stageSums.head, stageSums.tail: _*)
+      .agg(stageSums.head, stageSums.tail: _*)
+      .select(expr("stack(5, 0, 'raw', raw, 1, 'quality', quality, " +
+        "2, 'exact_dedup', exact_dedup, 3, 'fuzzy_dedup', fuzzy_dedup, " +
+        "4, 'train_split', train_split) AS (stage_no, stage, n_docs)"))
+      .orderBy("stage_no")
+  }
+
   /** Multi-granularity dedup LADDER — the report a curation team reads
     * before choosing where to spend dedup budget: the same corpus
     * measured at three granularities, each as (total units, distinct
@@ -768,6 +819,7 @@ object Dedup {
     "dedup_cluster_purity" -> (clusterPurity _),
     "dedup_keep_quality" -> (keepByQuality _),
     "pipeline_curation" -> (curationFunnel _),
+    "pipeline_curation_observed" -> (curationFunnelObserved _),
     "pipeline_pretrain" -> (pretrainFunnel _))
 
   /** The full pretraining-data funnel — [[curationFunnel]]'s five
@@ -892,6 +944,28 @@ object Dedup {
        |    max(CASE WHEN i % 2 = 0 THEN minh END) || '|' ||
        |    max(CASE WHEN i % 2 = 1 THEN minh END) AS sig
        |  FROM mh GROUP BY doc_id, i // 2)""".stripMargin
+
+  /** Retention-table oracle shared by `pipeline_curation` and its
+    * observed one-pass twin — both produce the identical five-row
+    * funnel. */
+  private def curationSql: String =
+    s"""WITH $minhashCtes,
+       |q1 AS (${graft.text.TextAnalysis.qualityPassSql}),
+       |s2 AS (SELECT min(d.doc_id) AS doc_id
+       |       FROM documents d JOIN q1 USING (doc_id)
+       |       GROUP BY md5(d.text)),
+       |s3 AS (SELECT doc_id FROM s2
+       |       WHERE doc_id NOT IN (SELECT doc_b FROM pr)),
+       |s4 AS (SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)
+       |       WHERE ${graft.text.TextAnalysis.splitBucketSql} < 90)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage_no, 'raw' AS stage,
+       |         (SELECT count(*) FROM documents) AS n_docs
+       |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q1)
+       |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+       |  UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM s3)
+       |  UNION ALL SELECT 4, 'train_split', (SELECT count(*) FROM s4))
+       |ORDER BY stage_no""".stripMargin
 
   /** Shared shingle CTE prefix ending in `sh(doc_id, s)` + `n(doc_id, n)`
     * — the oracle mirror of [[sampledRareShingles]]. */
@@ -1273,24 +1347,10 @@ object Dedup {
          |       COALESCE(d.dup_min, CAST(-1 AS BIGINT)) AS dup_of
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vb
          |ORDER BY a.vec_id""".stripMargin,
-    "pipeline_curation" ->
-      s"""WITH $minhashCtes,
-         |q1 AS (${graft.text.TextAnalysis.qualityPassSql}),
-         |s2 AS (SELECT min(d.doc_id) AS doc_id
-         |       FROM documents d JOIN q1 USING (doc_id)
-         |       GROUP BY md5(d.text)),
-         |s3 AS (SELECT doc_id FROM s2
-         |       WHERE doc_id NOT IN (SELECT doc_b FROM pr)),
-         |s4 AS (SELECT s3.doc_id FROM s3 JOIN documents USING (doc_id)
-         |       WHERE ${graft.text.TextAnalysis.splitBucketSql} < 90)
-         |SELECT * FROM (
-         |  SELECT 0 AS stage_no, 'raw' AS stage,
-         |         (SELECT count(*) FROM documents) AS n_docs
-         |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q1)
-         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
-         |  UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM s3)
-         |  UNION ALL SELECT 4, 'train_split', (SELECT count(*) FROM s4))
-         |ORDER BY stage_no""".stripMargin,
+    "pipeline_curation" -> curationSql,
+    // same retention table, same oracle: the observed variant changes HOW
+    // the counts are produced (one pass + observe), never what they are
+    "pipeline_curation_observed" -> curationSql,
     "pipeline_pretrain" -> {
       import graft.text.TextAnalysis.{ContamNgram, PackBudget}
       s"""WITH $minhashCtes,

@@ -45,6 +45,10 @@ class OracleLintSpec extends AnyFunSuite {
     // the output sums are cast. Tri-SF green at add time (r11).
     "mm_ahash", "mm_ahash_pairs", "mm_scene_cuts",
     "pipeline_curation", "pipeline_pretrain", "pipeline_rag",
+    // pipeline_curation_observed shares pipeline_curation's oracle string
+    // verbatim (curationSql) — the qualityPassSql stop-count sum is
+    // CTE-internal. Tri-SF green at add time (r16).
+    "pipeline_curation_observed",
     // stream_curation reuses pipeline_curation's qualityPassSql CTE —
     // its stop-count sum is CTE-internal (a WHERE comparison, never
     // output). Tri-SF green at add time (r15).

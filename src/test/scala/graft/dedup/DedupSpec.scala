@@ -170,6 +170,27 @@ class DedupSpec extends SparkSpec {
     assert(counts(2) < counts(1) || counts(1) < 5L)
   }
 
+  test("observed curation funnel: same table as the branch spelling, and " +
+    "the observe node's metrics equal the result rows") {
+    val branch = Dedup.curationFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val df = Dedup.curationFunnelObserved(spark, dir)
+    val onePass = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(onePass == branch, "the one-pass rewrite must not change the table")
+    // the inline-DQ contract (VERDICT r15 #7): the counts collected by the
+    // observe node AS THE ROWS STREAMED PAST must equal the counts the
+    // result aggregate computed — metrics without a second pass
+    val metrics = df.queryExecution.observedMetrics
+    assert(metrics.contains("curation_funnel"), metrics.keySet.toString)
+    val m = metrics("curation_funnel")
+    val observed = Seq("raw", "quality", "exact_dedup", "fuzzy_dedup", "train_split")
+      .map(k => k -> m.getAs[Long](k)).toMap
+    val fromRows = onePass.map { case (_, stage, n) => stage -> n }.toMap
+    assert(observed == fromRows,
+      s"observed=$observed result=$fromRows")
+  }
+
   test("connected components partition the pair graph with min-id reps") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
