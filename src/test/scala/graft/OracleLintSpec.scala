@@ -53,6 +53,9 @@ class OracleLintSpec extends AnyFunSuite {
     // its stop-count sum is CTE-internal (a WHERE comparison, never
     // output). Tri-SF green at add time (r15).
     "stream_curation",
+    // stream_curation_observed shares stream_curation's oracle string
+    // verbatim (streamCurationSql). Tri-SF green at add time (r16).
+    "stream_curation_observed",
     // pipeline_compact_handoff: the same qualityPassSql CTE (stop-count
     // sum CTE-internal); the final select emits only doc_id. Oracle-green
     // at add time (r16, sf0.01).

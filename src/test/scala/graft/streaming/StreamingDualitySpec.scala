@@ -295,4 +295,23 @@ class StreamingDualitySpec extends SparkSpec {
     val n = streamed.map(_._3)
     assert(n(0) >= n(1) && n(1) >= n(2))
   }
+
+  test("observed single-stream curation funnel: same rows as the batch " +
+      "funnel, stage 0/1 sourced from the observe node's metrics (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    val observed = StreamingOps.streamCurationObserved(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.dedup.Dedup.curationFunnel(spark, dir).collect()
+      .filter(_.getInt(0) <= 2)
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(observed == batch,
+      s"observed funnel $observed diverged from batch funnel $batch")
+    // the observe node reported from EVERY micro-batch: the drained sums
+    // (>= 3 data batches by the runToFiles contract) must cover the whole
+    // corpus — any batch failing to report would undercount n_raw below
+    // the raw stage row the assertion above already proved correct
+    val sums = StreamingOps.lastObservedSums("curation_gate")
+    assert(sums("n_raw") == batch.head._3, sums.toString)
+    assert(sums("n_quality") == batch(1)._3, sums.toString)
+  }
 }
