@@ -44,6 +44,29 @@ class GraphCensusSpec extends SparkSpec {
     assert(census(e) == (4L, 5L, 2L))
   }
 
+  test("planted basket corpus: all three registered miners hit the " +
+    "closed forms (SoakBasket's gate, r16)") {
+    // G=12 cliques: big enough that the BFS cap (20) bites (cliques past
+    // g=10 stay unvisited), small enough for a unit test
+    val groups = 12L
+    val dir = graft.TempDirs.create("graft-basket").toString
+    graft.ingest.BasketCorpus.write(spark, dir, groups)
+    val tri = RelationalQueries.triangles(spark, dir).head()
+    assert((tri.getLong(0), tri.getLong(1), tri.getLong(2)) ==
+      (4 * groups, 7 * groups - 1, 4 * groups))
+    val bfs = RelationalQueries.reachability(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val wantBfs = graft.ingest.BasketCorpus.expectedBfs(
+      groups, RelationalQueries.ReachMaxHops)
+    assert(bfs == wantBfs, s"got $bfs")
+    // the cap actually bit: hop 20 is the last row and covers only the
+    // entry node of clique 10
+    assert(bfs.last == ((20, 1L, 40L, 40L)))
+    val pairs = RelationalQueries.copurchasePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == graft.ingest.BasketCorpus.expectedTopPairs(groups, 20))
+  }
+
   test("hub-heavy random graph matches the brute-force a<b<c count") {
     // deterministic pseudo-random graph with a skewed hub (node 0 links
     // to everyone) — exactly the shape where naive wedge generation
