@@ -169,7 +169,7 @@ object Bench {
     * through reflection; if the internal shape ever changes, a short sleep
     * stands in — the counters would at worst attribute a trailing task to
     * the next query, never lose it. */
-  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+  private[graft] def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     try {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
@@ -269,7 +269,13 @@ object Bench {
         .map { e =>
           def n(k: String): Long =
             Option(e.getValue.get(k)).filter(_.isNumber).map(_.asLong()).getOrElse(0L)
-          e.getKey -> IoBytes(n("shuffle"), n("spill"), n("input"), n("cpu_ms"))
+          // cpu_ms: ABSENT (pre-r16 detail file) parses as -1, not 0 — a
+          // prior that recorded no CPU must never ground a "provably
+          // external" upgrade (cpuFlat's hi<1s branch would accept any
+          // sub-second current CPU against a fake 0)
+          def nOpt(k: String): Long =
+            Option(e.getValue.get(k)).filter(_.isNumber).map(_.asLong()).getOrElse(-1L)
+          e.getKey -> IoBytes(n("shuffle"), n("spill"), n("input"), nOpt("cpu_ms"))
         }.toMap
     } catch { case NonFatal(_) => Map.empty }
 
@@ -336,8 +342,10 @@ object Bench {
       // the plan moved the same data; flat CPU says the tasks also burned
       // the same cycles — at that point the excursion is PROVABLY external
       // scheduler contention, not even a JIT/codegen re-compile.
+      // bp.cpuMs < 0 = the prior predates the cpu counter: no CPU
+      // evidence, no upgrade — the weaker load_noise verdict stands
       external = (for {
-        bp <- bytesPrior
+        bp <- bytesPrior if bp.cpuMs >= 0
         a <- minOkAttempt(attempts)
       } yield cpuFlat(a.bytes.cpuMs, bp.cpuMs)).getOrElse(false)
       val verdict =

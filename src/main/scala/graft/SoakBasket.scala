@@ -66,13 +66,19 @@ object SoakBasket {
       // ---- warm min-of-2 timing + load-invariant bytes per query ----
       queries.map { case (name, fn) =>
         def run(): (Double, IoBytes) = {
+          // drain the async listener bus on both sides (the Bench.main
+          // discipline): a straggling task-end from the gate queries or
+          // the previous run must not bleed into this delta
+          Bench.drainListenerBus(spark.sparkContext)
           val before = bytes.snapshot()
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          Bench.drainListenerBus(spark.sparkContext)
           val after = bytes.snapshot()
           (sec, IoBytes(after.shuffle - before.shuffle,
-            after.spill - before.spill, after.input - before.input))
+            after.spill - before.spill, after.input - before.input,
+            after.cpuMs - before.cpuMs))
         }
         val (t1, b1) = run(); val (t2, b2) = run()
         val (t, b) = if (t1 <= t2) (t1, b1) else (t2, b2)
@@ -83,7 +89,7 @@ object SoakBasket {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val flat = results.flatten
     val cells = flat.map { case (q, n, t, b) =>
-      s""""${q}_n$n":{"sec":${fmt(t)},"shuffle":${b.shuffle},"input":${b.input},"spill":${b.spill}}"""
+      s""""${q}_n$n":{"sec":${fmt(t)},"shuffle":${b.shuffle},"input":${b.input},"spill":${b.spill},"cpu_ms":${b.cpuMs}}"""
     }.mkString(",")
     val decades = queries.map(_._1).map { q =>
       val ts = flat.filter(_._1 == q).sortBy(_._2).map(_._3)

@@ -106,11 +106,14 @@ object BasketCorpus {
     * registered (cnt desc, p1, p2) order. */
   def expectedTopPairs(groups: Long, k: Int): Seq[(Long, Long, Long)] = {
     val combos = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
-    val all = (0L until groups).flatMap { g =>
+    // per-group emission is already (p1, p2)-sorted and every pair of
+    // group g precedes every pair of group g+1 (bridge p1 = 4g+3 <
+    // 4(g+1)), so the first ceil(k/6)+1 groups suffice — no
+    // driver-side sort of the full ~7G edge list for a k-row expectation
+    (0L until math.min(groups, k.toLong / 6 + 2)).flatMap { g =>
       val clique = combos.map { case (a, b) => (4 * g + a, 4 * g + b) }
       val bridge = if (g < groups - 1) Seq((4 * g + 3, 4 * g + 4)) else Seq.empty
       clique ++ bridge
-    }
-    all.sorted.take(k).map { case (a, b) => (a, b, 2L) }
+    }.take(k).map { case (a, b) => (a, b, 2L) }
   }
 }

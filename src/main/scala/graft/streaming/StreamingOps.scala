@@ -265,10 +265,20 @@ object StreamingOps {
   @volatile private[graft] var lastObservedSums: Map[String, Map[String, Long]] =
     Map.empty
 
+  /** False when the last drained run produced at least as many progress
+    * entries as `spark.sql.streaming.numRecentProgressUpdates` retains —
+    * earlier batches may have been EVICTED from `recentProgress`, so
+    * [[lastObservedSums]] could undercount. A consumer that derives
+    * result rows from the sums must refuse them in that state. */
+  @volatile private[graft] var lastObservedComplete: Boolean = true
+
   /** Sum `q`'s per-batch observed metrics into [[lastObservedSums]]. */
   private def recordObserved(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     import scala.jdk.CollectionConverters._
+    val retained = scala.util.Try(q.sparkSession.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates").toInt).getOrElse(100)
+    lastObservedComplete = q.recentProgress.length < retained
     lastObservedSums = q.recentProgress.toSeq
       .flatMap(_.observedMetrics.asScala.toSeq)
       .groupBy(_._1)
@@ -1357,28 +1367,30 @@ object StreamingOps {
     * between one ingest scan and two. Streaming-vs-batch caveat is the
     * foreachBatch one: observed sums are at-least-once under crash
     * replay; the clean multi-trigger drain this query certifies makes
-    * them exact. StreamingObserveSpec pins the per-batch metrics
-    * (>= 3 data batches, each reporting) and the sum against the batch
-    * gate counts. */
+    * them exact. The survivor pipeline itself is [[curationSurvivors]]
+    * verbatim (shared via its `tap` hook — one source of truth for the
+    * ledger compactionHandoff consumes); StreamingDualitySpec pins the
+    * three-row funnel against the batch funnel and the drained metric
+    * sums against the batch gate counts (a sum that covers the whole
+    * corpus proves every micro-batch's observe row reported). */
   def streamCurationObserved(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val out = graft.TempDirs.create("graft-sink").toString
-    val landed = runToFiles(spark,
-      curationGate(curationDocsStream(spark, dir))
-        .observe("curation_gate",
-          count(lit(1)).as("n_raw"), sum(col("quality")).as("n_quality"))
-        .filter(col("quality") === 1L)
-        .select(md5(col("text")).as("h"))
-        .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
-        .withWatermark("ingest_ts", "365 days")
-        .dropDuplicatesWithinWatermark("h")
-        .select("h"),
-      mode = "append", minDataBatches = 3, outDir = Some(out))
-    survivorLedgers(dir) = out
-    val gate = lastObservedSums.getOrElse("curation_gate", Map.empty)
+    val landed = curationSurvivors(spark, dir,
+      tap = _.observe("curation_gate",
+        count(lit(1)).as("n_raw"), sum(col("quality")).as("n_quality")))
+    // fail LOUDLY if the metrics the stage rows derive from are missing
+    // or possibly truncated — a fabricated zero funnel must never ride a
+    // noop-sink bench run as a "successful" result
+    if (!lastObservedComplete) throw new IllegalStateException(
+      "recentProgress may have evicted early batches; observed sums untrusted")
+    val gate = lastObservedSums.getOrElse("curation_gate",
+      throw new IllegalStateException(
+        s"observe node 'curation_gate' reported no metrics: " +
+          s"${lastObservedSums.keySet}"))
+    def metric(k: String): Long = gate.getOrElse(k,
+      throw new IllegalStateException(s"observed metric '$k' absent: $gate"))
     import spark.implicits._
-    Seq((0, "raw", gate.getOrElse("n_raw", 0L)),
-        (1, "quality", gate.getOrElse("n_quality", 0L)))
+    Seq((0, "raw", metric("n_raw")), (1, "quality", metric("n_quality")))
       .toDF("stage_no", "stage", "n_docs")
       .unionAll(landed.agg(count(lit(1)).as("n")).select(
         lit(2).as("stage_no"), lit("exact_dedup").as("stage"),
@@ -1424,10 +1436,11 @@ object StreamingOps {
     * within the watermark horizon, each trigger's newly-admitted hashes
     * appended as a batch dir. ALWAYS runs the stream (it IS the online
     * half), then records the landed scan in [[survivorLedgers]]. */
-  private def curationSurvivors(spark: SparkSession, dir: String): DataFrame = {
+  private def curationSurvivors(spark: SparkSession, dir: String,
+      tap: DataFrame => DataFrame = identity): DataFrame = {
     val out = graft.TempDirs.create("graft-sink").toString
     val landed = runToFiles(spark,
-      curationGate(curationDocsStream(spark, dir))
+      tap(curationGate(curationDocsStream(spark, dir)))
         .filter(col("quality") === 1L)
         .select(md5(col("text")).as("h"))
         .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))

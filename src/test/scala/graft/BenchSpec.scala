@@ -211,15 +211,16 @@ class BenchSpec extends AnyFunSuite {
     withDetailFile(
       """{"queries":{"q_a":1.0},"queries_bytes":{"q_a":{"shuffle":100,"spill":0,"input":200}},""" +
         """"sf":"/root/testdata/sf0.1"}""") { p =>
+      // a pre-r16 entry with no cpu_ms parses it as -1 (ABSENT), never 0
       assert(Bench.loadBytesPriors("/root/testdata/sf0.1", p) ==
-        Map("q_a" -> IoBytes(100L, 0L, 200L)))
+        Map("q_a" -> IoBytes(100L, 0L, 200L, -1L)))
       assert(Bench.loadBytesPriors("/root/testdata/sf0.01", p).isEmpty)
     }
     // pre-round-15 detail files have no queries_bytes → empty, never throws
     withDetailFile("""{"queries":{"q_a":1.0},"sf":"/root/testdata/sf0.1"}""") { p =>
       assert(Bench.loadBytesPriors("/root/testdata/sf0.1", p).isEmpty)
     }
-    // round 16: cpu_ms rides each entry; pre-r16 files default it to 0
+    // round 16: cpu_ms rides each entry
     withDetailFile(
       """{"queries":{"q_a":1.0},"queries_bytes":{"q_a":{"shuffle":100,"spill":0,"input":200,"cpu_ms":4500}},""" +
         """"sf":"/root/testdata/sf0.1"}""") { p =>
@@ -246,6 +247,15 @@ class BenchSpec extends AnyFunSuite {
       attempt = () => Bench.Attempt(8.0, true, b), bytesPrior = Some(b))
     assert(m.loadNoise && m.external, "flat bytes + flat cpu = provably external")
     assert(m.retries == 0)
+  }
+
+  test("a prior with NO cpu evidence (cpuMs=-1, pre-r16 file) never upgrades") {
+    val prior = IoBytes(shuffle = 50L << 20, spill = 0L, input = 200L << 20, cpuMs = -1L)
+    val cur = prior.copy(cpuMs = 400L) // sub-second — would pass cpuFlat vs 0
+    val m = Bench.measureOne("q_nocpuprior", runs = 2, prior = Some(2.0),
+      attempt = () => Bench.Attempt(8.0, true, cur), bytesPrior = Some(prior))
+    assert(m.loadNoise && !m.external,
+      "absent cpu prior must not ground the provable verdict")
   }
 
   test("load-noise with MOVED cpu stays the weaker verdict (JIT/codegen variance)") {
