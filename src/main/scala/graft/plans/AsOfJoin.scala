@@ -250,9 +250,7 @@ object AsOf {
       forward: Boolean = false,
       toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    CustomJoins.ensureStrategy(spark, AsOfJoinStrategy)
     CustomJoins.requireDistinctNames("as-of join", left, right)
     GraftBridge.ofRows(spark, AsOfJoin(
       keys.map { case (l, _) => GraftBridge.expression(left(l)) },
@@ -268,12 +266,29 @@ object AsOf {
 /** Preconditions shared by the custom binary-join entries. */
 private[plans] object CustomJoins {
   /** Downstream selects go by name; a shared name across the two sides
-    * would make the joined frame ambiguous — fail loudly instead. */
+    * would make the joined frame ambiguous — fail loudly instead.
+    * Names are compared under the session's resolution rules: with the
+    * default spark.sql.caseSensitive=false, "ID" vs "id" is exactly the
+    * AMBIGUOUS_REFERENCE this guard exists to pre-empt. */
   def requireDistinctNames(what: String,
       left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame): Unit = {
-    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    val fold: String => String =
+      if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+        identity
+      else _.toLowerCase(java.util.Locale.ROOT)
+    val dup = left.columns.map(fold).toSet
+      .intersect(right.columns.map(fold).toSet)
     require(dup.isEmpty,
       s"$what sides share column names ${dup.mkString(", ")}; rename one side")
   }
+
+  /** Idempotently append a custom planner strategy to the session —
+    * the one registration spelling for all three custom-operator
+    * entries (TopK, AsOf, Interval). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    if (!spark.experimental.extraStrategies.contains(strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ strategy
 }

@@ -40,9 +40,13 @@ case class UnresolvedAsOfJoin(
 }
 
 object ResolveAsOfJoin extends Rule[LogicalPlan] {
+  // _LEGACY_ERROR_TEMP_0035 = "Operation not allowed: <message>" — the
+  // class Spark's own AstBuilder.operationNotAllowed raises; a user's
+  // malformed ASOF statement is a usage error, not an INTERNAL_ERROR
+  // ("should be reported as a bug")
   private def fail(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "INTERNAL_ERROR",
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" -> s"ASOF LEFT JOIN: $msg"))
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -99,8 +103,11 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
   * [[ResolveAsOfJoin]]. Everything else — including the whole grammar
   * of the rewritten statement — is Spark's own parser. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private val AsOfLeft = "(?i)\\bASOF\\s+LEFT\\s+JOIN\\b".r
-  private val AsOfBare = "(?i)\\bASOF\\s+JOIN\\b".r
+  private val AsOfLeft = "(?i)\\bASOF\\s+LEFT\\s+(?:OUTER\\s+)?JOIN\\b".r
+  // catch-all for every other ASOF ... JOIN spelling (bare, INNER,
+  // RIGHT/FULL [OUTER], CROSS, SEMI, ANTI): each must be REJECTED, not
+  // silently parsed as a table aliased `ASOF` plus an ordinary join
+  private val AsOfAny = "(?i)\\bASOF\\s+(?:\\w+\\s+){0,2}JOIN\\b".r
 
   /** The statement with string literals ('…', "…"), quoted identifiers
     * (backticks) and comments (line and block) blanked out, so keyword matching
@@ -113,20 +120,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def masked(sqlText: String): String = {
     val out = sqlText.toCharArray
     var i = 0
-    def blankWhile(stop: () => Boolean): Unit = {
-      while (i < out.length && !stop()) { out(i) = ' '; i += 1 }
-    }
     while (i < out.length) {
       val c = out(i)
       if (c == '\'' || c == '"' || c == '`') {
         out(i) = ' '; i += 1
-        blankWhile(() => out(i) == c)
+        while (i < out.length && out(i) != c) {
+          // backslash escapes a following quote inside '…'/"…" under the
+          // default parser conf (escapedStringLiterals=false) — blank the
+          // pair so \' never reads as the literal's end; backticks escape
+          // by doubling only, which the close-then-reopen scan handles
+          if (c != '`' && out(i) == '\\' && i + 1 < out.length) {
+            out(i) = ' '; i += 1
+          }
+          out(i) = ' '; i += 1
+        }
         if (i < out.length) { out(i) = ' '; i += 1 }
       } else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
-        blankWhile(() => out(i) == '\n')
+        while (i < out.length && out(i) != '\n') { out(i) = ' '; i += 1 }
       } else if (c == '/' && i + 1 < out.length && out(i + 1) == '*') {
-        blankWhile(() => out(i) == '*' && i + 1 < out.length && out(i + 1) == '/')
-        if (i + 1 < out.length) { out(i) = ' '; out(i + 1) = ' '; i += 2 }
+        // bracketed comments NEST in Spark SQL (SPARK-28880): track depth
+        // so the tail of "/* a /* b */ still comment */" stays masked
+        var depth = 1
+        out(i) = ' '; out(i + 1) = ' '; i += 2
+        while (i < out.length && depth > 0) {
+          if (out(i) == '/' && i + 1 < out.length && out(i + 1) == '*') {
+            depth += 1; out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (out(i) == '*' && i + 1 < out.length && out(i + 1) == '/') {
+            depth -= 1; out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else { out(i) = ' '; i += 1 }
+        }
       } else i += 1
     }
     new String(out)
@@ -150,17 +172,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     throw new org.apache.spark.sql.catalyst.parser.ParseException(
       command = None,
       start = org.apache.spark.sql.catalyst.trees.Origin(),
-      errorClass = "INTERNAL_ERROR",
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" -> msg))
 
   private def rewrite(sqlText: String, via: String => LogicalPlan): LogicalPlan = {
     val mask = masked(sqlText)
-    if (AsOfBare.findFirstIn(mask).isDefined)
-      parseError("ASOF JOIN is left-outer here: write ASOF LEFT JOIN")
-    AsOfLeft.findAllIn(mask).size match {
+    // every ASOF...JOIN spelling that is not ASOF LEFT [OUTER] JOIN must
+    // fail loudly: unmatched, Spark would parse `l ASOF` as a table alias
+    // and plan an ordinary join over the range predicate — one row per
+    // earlier right row, silently wrong
+    val leftStarts = AsOfLeft.findAllMatchIn(mask).map(_.start).toSet
+    AsOfAny.findAllMatchIn(mask).foreach { m =>
+      if (!leftStarts.contains(m.start)) parseError(
+        s"'${sqlText.substring(m.start, m.end)}': the ASOF operator is " +
+          "left-outer; write ASOF LEFT JOIN (or ASOF LEFT OUTER JOIN)")
+    }
+    leftStarts.size match {
       case 0 => via(sqlText)
       case 1 =>
         val parsed = via(replaceViaMask(sqlText, mask, AsOfLeft, "LEFT JOIN"))
+        // view definitions persist the statement's TEXT (the rewritten
+        // string, since the delegate only ever sees that) and re-parse it
+        // on every later read — where no ASOF rewrite happens and the
+        // stored LEFT JOIN over the range predicate silently multiplies
+        // rows. Refuse rather than persist a wrong definition.
+        if (parsed.exists(_.nodeName.toLowerCase(java.util.Locale.ROOT)
+            .contains("view"))) parseError(
+          "ASOF LEFT JOIN cannot appear in a view definition: the catalog " +
+            "stores the view's SQL text and later reads re-parse it " +
+            "without this rewrite; materialize the as-of result instead")
         // collectWithSubqueries: an ASOF join written inside an
         // EXISTS/scalar subquery must be found there, not silently
         // attached to an outer LEFT JOIN

@@ -152,25 +152,29 @@ case class IntervalJoinExec(
               val le = lEProj(l)
               if (!ls.isNullAt(0) && !le.isNullAt(0)) {
                 val lsC = ls.copy(); val leC = le.copy()
+                // evict rights dead for this and every later left FIRST
+                // (lefts are start-ordered, so end < l.start never matches
+                // again) — admission then never stacks live rows on top of
+                // dead ones, keeping memory at the sweep-line bound
+                var i = active.size() - 1
+                while (i >= 0) {
+                  if (tOrd.compare(active.get(i).e, lsC) < 0) active.remove(i)
+                  i -= 1
+                }
                 // admit same-key rights with start <= l.end (start-ordered:
                 // stop at the first non-qualifier, resume on a longer left);
-                // null-bounded rights are consumed and dropped
+                // null-bounded rights, and rights already dead for this
+                // left (end < l.start), are consumed and dropped unbuffered
                 var admitting = true
                 while (admitting && rRow != null && keyOrd.compare(rKey, curKey) == 0) {
                   val rs = rSProj(rRow)
                   if (rs.isNullAt(0)) advanceRight() // sorts first; never matches
                   else if (tOrd.compare(rs, leC) <= 0) {
                     val re = rEProj(rRow)
-                    if (!re.isNullAt(0)) active.add(
+                    if (!re.isNullAt(0) && tOrd.compare(re, lsC) >= 0) active.add(
                       new Active(rRow.copy(), rs.copy(), re.copy()))
                     advanceRight()
                   } else admitting = false
-                }
-                // evict rights dead for this and every later left
-                var i = active.size() - 1
-                while (i >= 0) {
-                  if (tOrd.compare(active.get(i).e, lsC) < 0) active.remove(i)
-                  i -= 1
                 }
                 if (active.size() > peak) peak = active.size()
                 if (!active.isEmpty) {
@@ -242,9 +246,7 @@ object Interval {
       keys: Seq[(String, String)],
       leftBounds: (String, String), rightBounds: (String, String)): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    CustomJoins.ensureStrategy(spark, IntervalJoinStrategy)
     CustomJoins.requireDistinctNames("interval join", left, right)
     GraftBridge.ofRows(spark, IntervalJoin(
       keys.map { case (l, _) => GraftBridge.expression(left(l)) },

@@ -323,9 +323,7 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderSpecs: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    CustomJoins.ensureStrategy(spark, TopKStrategy)
     val child = GraftBridge.analyzed(df)
     val g = groupCols.map(c => GraftBridge.expression(df(c)))
     val o = orderSpecs.map { case (name, asc) =>

@@ -107,5 +107,60 @@ class AsOfSqlSpec extends AnyFunSuite {
           |  ON p.user_id = c.c_user""".stripMargin).collect()
     }
     assert(e.getMessage.contains("time inequality"))
+    // usage errors present as "Operation not allowed", never INTERNAL_ERROR
+    assert(!e.getMessage.contains("INTERNAL_ERROR"), e.getMessage)
+  }
+
+  // ---- review-pass guard rails (r16) ----
+
+  test("ASOF LEFT OUTER JOIN is the same operator as ASOF LEFT JOIN") {
+    views()
+    val outer = s.sql(
+      """SELECT p.event_id, c.click_id FROM asql_p p ASOF LEFT OUTER JOIN asql_c c
+        |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+        |ORDER BY p.event_id""".stripMargin)
+    assert(outer.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val plain = s.sql(
+      """SELECT p.event_id, c.click_id FROM asql_p p ASOF LEFT JOIN asql_c c
+        |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+        |ORDER BY p.event_id""".stripMargin).collect().toSeq
+    assert(outer.collect().toSeq == plain && plain.nonEmpty)
+  }
+
+  test("every non-LEFT ASOF spelling is rejected, never an alias parse") {
+    views()
+    for (bad <- Seq("ASOF INNER JOIN", "ASOF RIGHT JOIN", "ASOF FULL OUTER JOIN",
+        "ASOF CROSS JOIN")) {
+      val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s.sql(s"SELECT 1 FROM asql_p p $bad asql_c c ON p.user_id = c.c_user AND p.t_us >= c.c_us")
+      }
+      assert(e.getMessage.contains("left-outer"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("backslash-escaped quote inside a literal does not leak the keyword") {
+    views()
+    // with default escapedStringLiterals=false, \' continues the literal;
+    // the keyword after it is DATA and the statement must run unrewritten
+    val r = s.sql("SELECT 'don\\'t ASOF LEFT JOIN me' AS v").head()
+    assert(r.getString(0) == "don't ASOF LEFT JOIN me")
+  }
+
+  test("nested bracketed comments keep their tail masked (SPARK-28880)") {
+    views()
+    val r = s.sql(
+      "SELECT count(*) AS n FROM asql_p /* o /* i */ ASOF LEFT JOIN tail */").head()
+    assert(r.getLong(0) > 0)
+  }
+
+  test("a view definition over ASOF LEFT JOIN is refused, not silently stored") {
+    views()
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW asql_bad AS
+          |SELECT p.event_id FROM asql_p p ASOF LEFT JOIN asql_c c
+          |  ON p.user_id = c.c_user AND p.t_us >= c.c_us""".stripMargin)
+    }
+    assert(e.getMessage.contains("view definition"), e.getMessage)
   }
 }
