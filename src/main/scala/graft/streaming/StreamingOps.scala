@@ -272,9 +272,20 @@ object StreamingOps {
     * result rows from the sums must refuse them in that state. */
   @volatile private[graft] var lastObservedComplete: Boolean = true
 
-  /** Sum `q`'s per-batch observed metrics into [[lastObservedSums]]. */
+  /** Total state-store rows at the END of the last drained run (summed
+    * over the final progress entry's state operators; -1 when the run
+    * had no progress). THE bounded-state scale signal: for a watermarked
+    * append aggregate this is the open-window set — it must stay flat
+    * while the input grows, and [[graft.SoakStream]] records it next to
+    * wall time at 1×/3×/10× input. */
+  @volatile private[graft] var lastStateRows: Long = -1L
+
+  /** Sum `q`'s per-batch observed metrics into [[lastObservedSums]] and
+    * snapshot the final state size into [[lastStateRows]]. */
   private def recordObserved(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    lastStateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     import scala.jdk.CollectionConverters._
     val retained = scala.util.Try(q.sparkSession.conf
       .get("spark.sql.streaming.numRecentProgressUpdates").toInt).getOrElse(100)
