@@ -163,24 +163,16 @@ object IndexStore {
         val expired =
           try now - Files.getLastModifiedTime(p).toMillis >= graceMs
           catch { case NonFatal(_) => false }
-        if (superseded && expired) deleteRecursively(p)
-        else remaining += 1
+        // per-entry best-effort like gcSuperseded: one failed unlink
+        // (NFS silly-rename, concurrent reader holding a file open)
+        // must not abort the sweep or crash the caller — the survivor
+        // just counts as remaining and the next gc retries it
+        val removed = superseded && expired &&
+          (try { deleteRecursively(p); true } catch { case NonFatal(_) => false })
+        if (!removed) remaining += 1
       } finally listing.close()
     }
     remaining
-  }
-
-  /** Read-only count of `name`'s version dirs on disk (current
-    * included) — what [[gc]] returns, with no lock and no unlink, so
-    * nonPublishing ledger runs can report the census without mutating
-    * a store a concurrent publishing session may be mid-swap on. */
-  def versionCount(name: String): Int = {
-    val dir = versionsDir.resolve(name)
-    if (!Files.isDirectory(dir)) 0
-    else {
-      val listing = Files.list(dir)
-      try listing.count().toInt finally listing.close()
-    }
   }
 
   private def rootPath: Path = Paths.get(Root)
@@ -200,7 +192,11 @@ object IndexStore {
   def currentTag(name: String): Option[String] =
     currentVersion(name).flatMap { real =>
       val m = real.resolve(SfMarker)
-      if (Files.exists(m)) Some(Files.readString(m).trim) else None
+      // exists→read is a TOCTOU against a concurrent gc unlinking this
+      // version; treat a vanished marker as unpublished, like the other
+      // resolvers ("never throws")
+      try { if (Files.exists(m)) Some(Files.readString(m).trim) else None }
+      catch { case NonFatal(_) => None }
     }
 
   /** The per-name advisory lock (JVM monitor + POSIX file lock), exposed
@@ -246,6 +242,20 @@ object IndexStore {
         published(name, want).getOrElse(buildAndPublish(name, want, build))
       }
     }
+    spark.read.parquet(real.toString)
+  }
+
+  /** [[ensure]] minus the published fast path: rebuild and swap
+    * UNCONDITIONALLY under the per-name lock. For the caller that has
+    * just VALIDATED the served version and found it unusable (recorded
+    * file paths dead) with the marker still matching — ensure's fast
+    * path would re-serve the same dead version forever; this forces the
+    * one rebuild that heals it (or fails loudly in the build if the
+    * underlying data is gone too, which beats serving dead paths). */
+  def republish(spark: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val want = Paths.get(dir).normalize().toString
+    val real = withPerNameLock(name) { buildAndPublish(name, want, build) }
     spark.read.parquet(real.toString)
   }
 

@@ -503,6 +503,14 @@ object Formats {
         prev <- IndexStore.previousVersion(name)
       } yield (prev.toString, cur.toString)
       val (frag, out) = reuse.getOrElse {
+        // same fail-fast as snapshotHistory (ADVICE r15): a published-but-
+        // intermediate state (crashed lineage) must not trigger a commit
+        // storm under nonPublishing — that swaps the pointer under any
+        // concurrent session, the churn the mode exists to prevent
+        if (IndexStore.nonPublishingActive && IndexStore.currentVersion(name).isDefined)
+          throw new IllegalStateException(
+            s"'$name' is published but not in the 'compacted' state " +
+              "(crashed lineage?) — refusing to re-commit under nonPublishing")
         val fragPath = IndexStore.commit(name, "fragmented")(
           Tables(spark, dir, "documents").repartition(64))
         val bytes = Option(fragPath.toFile.listFiles()).getOrElse(Array.empty)
@@ -580,6 +588,12 @@ object Formats {
       _ <- IndexStore.previousVersion(name)
     } yield cur
     val current = reuse.getOrElse {
+      // fail-fast under the ledger, as snapshotHistory/compactionDirs do:
+      // never swap a published pointer from a nonPublishing run
+      if (IndexStore.nonPublishingActive && IndexStore.currentVersion(name).isDefined)
+        throw new IllegalStateException(
+          s"'$name' is published but not in the 'forgotten' state " +
+            "(crashed lineage?) — refusing to re-commit under nonPublishing")
       val full = IndexStore.commit(name, "full")(events)
       // the forget list as a TABLE (the request shape), anti-joined —
       // never a NOT IN subquery that would re-scan per row
@@ -720,10 +734,12 @@ object Formats {
       IndexStore.commit(name, "forgotten")(
         spark.read.parquet(full.toString)
           .join(broadcast(forget), Seq("user_id"), "left_anti"))
-      // the compliance window elapses: physical reclaim, grace 0 for
-      // THIS name only — the unconditional previous-keep is a reader
-      // courtesy, not a retention right, and the window has closed
-      IndexStore.gc(name, graceMs = 0L)
+      // the compliance window elapses here (grace 0 for THIS name only —
+      // the unconditional previous-keep is a reader courtesy, not a
+      // retention right); the physical reclaim itself is the publishing
+      // leg's single gc call below, which also produces the count —
+      // running it here too would just re-acquire the lock for an
+      // identical idempotent sweep
     }
     val current = IndexStore.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"no published version of '$name'"))
@@ -811,6 +827,9 @@ object Formats {
         } catch { case e: Throwable => torn.set(s"reader threw: $e") }
       }
     })
+    // daemon: if a reader-side collect wedges past the bounded join, the
+    // stray thread must not block JVM exit after the run is otherwise done
+    reader.setDaemon(true)
     reader.start()
     val last =
       try { IndexStore.commit(name, "v2")(version(2)); IndexStore.commit(name, "v3")(version(3)) }
@@ -1043,29 +1062,33 @@ object Formats {
   private def layoutManifest(spark: SparkSession, dir: String,
       base: String, layout: String): DataFrame = {
     import graft.similarity.IndexStore
-    def served = IndexStore.ensure(spark,
-        s"$dir@${buildId(base)}", s"zstats_$layout") {
-      spark.read.parquet(s"$base/$layout")
-        .select(col("_metadata.file_path").as("path"),
-          col("l_partkey"), col("l_suppkey"))
-        .groupBy("path")
-        .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
-          min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
-          count(lit(1)).as("n_rows"))
-    }
-    val df = served
+    val key = s"$dir@${buildId(base)}"
+    val sname = s"zstats_$layout"
+    def statsAgg = spark.read.parquet(s"$base/$layout")
+      .select(col("_metadata.file_path").as("path"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy("path")
+      .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+        min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
+        count(lit(1)).as("n_rows"))
+    val df = IndexStore.ensure(spark, key, sname)(statsAgg)
     if (IndexStore.nonPublishingActive) {
       // round 16 (ADVICE r15): under the ledger's resolve mode, ensure
       // may serve another build's manifest (the key is advisory there);
       // its recorded file paths must still exist or the skipping queries
       // crash mid-ledger on the parquet read. Validate the (bounded,
-      // ≤16-row) manifest and fall back to a publishing build when it is
-      // unusable — nothing usable was being served, so the swap is safe.
+      // ≤16-row) manifest and REPUBLISH when it is unusable — a plain
+      // publishing re-ensure would hit the marker fast path whenever the
+      // stale manifest's key still matches and re-serve the same dead
+      // paths; republish skips the fast path and forces the one rebuild
+      // that heals it. Nothing usable was being served, so the swap is
+      // safe even under the ledger.
       val paths = df.select("path").collect().map(_.getString(0))
       val usable = paths.nonEmpty && paths.forall(p =>
         java.nio.file.Files.exists(
           java.nio.file.Paths.get(p.stripPrefix("file:"))))
-      if (!usable) return IndexStore.withPublishing(served)
+      if (!usable) return IndexStore.withPublishing(
+        IndexStore.republish(spark, key, sname)(statsAgg))
     }
     df
   }
