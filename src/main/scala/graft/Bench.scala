@@ -359,8 +359,13 @@ object Bench {
     val t = best.map(_.sec).getOrElse(attempts.map(_.sec).max)
     val tMax = if (anySuccess) attempts.filter(_.ok).map(_.sec).max
                else attempts.map(_.sec).max
+    // a query with NO successful attempt measured nothing: record
+    // cpu_ms = -1 (the ABSENT sentinel loadBytesPriors already honors)
+    // rather than 0, so a later round can never stamp a byte-flat
+    // excursion "provably external" against a prior that measured
+    // nothing (ADVICE r16 — belt to the `failed`-filter suspenders)
     Measured(t, tMax, attempts.forall(_.ok), retries,
-      best.map(_.bytes).getOrElse(IoBytes.zero), loadNoise, external)
+      best.map(_.bytes).getOrElse(IoBytes(0L, 0L, 0L, -1L)), loadNoise, external)
   }
 
   def main(args: Array[String]): Unit = {

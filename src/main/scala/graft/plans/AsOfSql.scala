@@ -106,8 +106,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AsOfLeft = "(?i)\\bASOF\\s+LEFT\\s+(?:OUTER\\s+)?JOIN\\b".r
   // catch-all for every other ASOF ... JOIN spelling (bare, INNER,
   // RIGHT/FULL [OUTER], CROSS, SEMI, ANTI): each must be REJECTED, not
-  // silently parsed as a table aliased `ASOF` plus an ordinary join
-  private val AsOfAny = "(?i)\\bASOF\\s+(?:\\w+\\s+){0,2}JOIN\\b".r
+  // silently parsed as a table aliased `ASOF` plus an ordinary join.
+  // The middle words are restricted to actual JOIN-TYPE keywords (ADVICE
+  // r16): a `{0,2}` wildcard over arbitrary \w+ also matched legal SQL
+  // whose last pre-JOIN identifier happened to be `asof` — e.g.
+  // `SELECT x AS asof FROM t JOIN u` ("asof FROM t JOIN") — rejecting
+  // ordinary statements session-wide. Only `l ASOF <jointype> JOIN`
+  // shapes can alias-parse silently wrong, so only those are caught.
+  private val AsOfAny =
+    ("(?i)\\bASOF\\s+" +
+      "(?:(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|OUTER|NATURAL)\\s+){0,2}" +
+      "JOIN\\b").r
 
   /** The statement with string literals ('…', "…"), quoted identifiers
     * (backticks) and comments (line and block) blanked out, so keyword matching
@@ -125,10 +134,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (c == '\'' || c == '"' || c == '`') {
         out(i) = ' '; i += 1
         while (i < out.length && out(i) != c) {
-          // backslash escapes a following quote inside '…'/"…" under the
-          // default parser conf (escapedStringLiterals=false) — blank the
+          // backslash escapes a following quote inside '…'/"…" — blank the
           // pair so \' never reads as the literal's end; backticks escape
-          // by doubling only, which the close-then-reopen scan handles
+          // by doubling only, which the close-then-reopen scan handles.
+          // This holds under BOTH parser modes: Spark's lexer rule
+          // ('\'' ( ~('\''|'\\') | ('\\' .) )* '\'') carries no
+          // escapedStringLiterals predicate, so the TOKEN EXTENT always
+          // consumes \' — the conf only controls whether the VALUE is
+          // unescaped afterwards (verified against 4.1.2: legacy mode
+          // yields don\'t, default yields don't, same literal end; the
+          // AsOfSqlSpec legacy-mode test pins it)
           if (c != '`' && out(i) == '\\' && i + 1 < out.length) {
             out(i) = ' '; i += 1
           }

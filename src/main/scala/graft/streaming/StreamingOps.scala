@@ -255,42 +255,57 @@ object StreamingOps {
     * with the micro-batch plan. */
   @volatile private[graft] var lastForeachBatchPlan: String = ""
 
-  /** Observed-metrics record of the last drained streaming run (round 16,
-    * VERDICT r15 #7 — the streaming face of `Dataset.observe`): for each
-    * named observe node, every numeric metric column summed across the
-    * run's micro-batches (each `StreamingQueryProgress.observedMetrics`
-    * row covers one batch's rows). Per-run and at-least-once under batch
-    * REPLAY like foreachBatch itself — exact on a clean drain, which is
-    * what the multi-trigger contract already certifies. */
-  @volatile private[graft] var lastObservedSums: Map[String, Map[String, Long]] =
-    Map.empty
+  /** Observed-metrics record of one drained streaming run (round 16,
+    * VERDICT r15 #7 — the streaming face of `Dataset.observe`):
+    *  - `sums`: for each named observe node, every numeric metric column
+    *    summed across the run's micro-batches (each
+    *    `StreamingQueryProgress.observedMetrics` row covers one batch's
+    *    rows). Per-run and at-least-once under batch REPLAY like
+    *    foreachBatch itself — exact on a clean drain, which is what the
+    *    multi-trigger contract already certifies.
+    *  - `complete`: false when the run produced at least as many progress
+    *    entries as `spark.sql.streaming.numRecentProgressUpdates` retains
+    *    — earlier batches may have been EVICTED from `recentProgress`, so
+    *    `sums` could undercount. A consumer that derives result rows from
+    *    the sums must refuse them in that state.
+    *  - `stateRows`: total state-store rows at the END of the run (summed
+    *    over the final progress entry's state operators; -1 when the run
+    *    had no progress). THE bounded-state scale signal: for a
+    *    watermarked append aggregate this is the open-window set — it
+    *    must stay flat while the input grows, and [[graft.SoakStream]]
+    *    records it next to wall time at 1×/3×/10× input. */
+  private[graft] final case class ObservedRun(
+      sums: Map[String, Map[String, Long]],
+      complete: Boolean,
+      stateRows: Long)
 
-  /** False when the last drained run produced at least as many progress
-    * entries as `spark.sql.streaming.numRecentProgressUpdates` retains —
-    * earlier batches may have been EVICTED from `recentProgress`, so
-    * [[lastObservedSums]] could undercount. A consumer that derives
-    * result rows from the sums must refuse them in that state. */
-  @volatile private[graft] var lastObservedComplete: Boolean = true
+  /** PER-THREAD record of the last drained run (round 17, ADVICE r16: a
+    * process-global @volatile let two streaming queries drained from
+    * different threads — a SoakStream next to a spec suite — clobber each
+    * other's metrics). The builder that starts a run and the consumer
+    * that reads its record execute on the same thread, exactly like the
+    * result DataFrame that is threaded back as the return value, so
+    * thread scope IS run scope for every drain in this module. */
+  private val observedRun = new ThreadLocal[ObservedRun] {
+    override def initialValue(): ObservedRun = ObservedRun(Map.empty, true, -1L)
+  }
 
-  /** Total state-store rows at the END of the last drained run (summed
-    * over the final progress entry's state operators; -1 when the run
-    * had no progress). THE bounded-state scale signal: for a watermarked
-    * append aggregate this is the open-window set — it must stay flat
-    * while the input grows, and [[graft.SoakStream]] records it next to
-    * wall time at 1×/3×/10× input. */
-  @volatile private[graft] var lastStateRows: Long = -1L
+  private[graft] def lastObservedSums: Map[String, Map[String, Long]] =
+    observedRun.get().sums
+  private[graft] def lastObservedComplete: Boolean = observedRun.get().complete
+  private[graft] def lastStateRows: Long = observedRun.get().stateRows
 
-  /** Sum `q`'s per-batch observed metrics into [[lastObservedSums]] and
-    * snapshot the final state size into [[lastStateRows]]. */
+  /** Record `q`'s summed per-batch observed metrics and final state size
+    * into this THREAD's [[ObservedRun]]. */
   private def recordObserved(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    lastStateRows = Option(q.lastProgress)
+    val stateRows = Option(q.lastProgress)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     import scala.jdk.CollectionConverters._
     val retained = scala.util.Try(q.sparkSession.conf
       .get("spark.sql.streaming.numRecentProgressUpdates").toInt).getOrElse(100)
-    lastObservedComplete = q.recentProgress.length < retained
-    lastObservedSums = q.recentProgress.toSeq
+    val complete = q.recentProgress.length < retained
+    val sums = q.recentProgress.toSeq
       .flatMap(_.observedMetrics.asScala.toSeq)
       .groupBy(_._1)
       .map { case (name, batches) =>
@@ -303,6 +318,7 @@ object StreamingOps {
           }
         }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
       }
+    observedRun.set(ObservedRun(sums, complete, stateRows))
   }
 
   /** Capture `q`'s last executed micro-batch plan into the ledger var —

@@ -146,6 +146,52 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(r.getString(0) == "don't ASOF LEFT JOIN me")
   }
 
+  // ---- ADVICE r16 guard rails (r17) ----
+
+  test("an ordinary identifier named asof is not rejected (ADVICE r16)") {
+    views()
+    // `asof FROM t JOIN` — the shape the old {0,2}-arbitrary-words regex
+    // matched and rejected session-wide; must parse and run
+    val r = s.sql(
+      """SELECT asof FROM (SELECT event_id AS asof, user_id FROM asql_p) t
+        |JOIN asql_c c ON t.user_id = c.c_user ORDER BY 1 LIMIT 1""".stripMargin)
+    assert(r.collect().nonEmpty)
+    // and as a plain select alias before an ordinary join
+    val r2 = s.sql(
+      """SELECT p.event_id AS asof FROM asql_p p
+        |JOIN asql_c c ON p.user_id = c.c_user ORDER BY 1 LIMIT 1""".stripMargin)
+    assert(r2.collect().nonEmpty)
+  }
+
+  test("legacy escapedStringLiterals mode: literal extent is unchanged") {
+    views()
+    // Spark's lexer consumes \' as an escape pair for TOKEN EXTENT under
+    // both parser modes (the conf only controls value unescaping) — the
+    // mask must bracket the literal identically, so the keyword inside
+    // stays data and a real ASOF after the literal still rewrites
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val lit = s.sql("SELECT 'don\\'t ASOF LEFT JOIN me' AS v").head()
+      assert(lit.getString(0) == "don\\'t ASOF LEFT JOIN me")
+      // raw literal 'x\\' — legacy mode keeps both backslashes in the
+      // value; the mask consumes the \\ pair identically in both modes,
+      // so the literal closes where the lexer closes it and the ASOF
+      // after it still rewrites
+      val joined = s.sql(
+        """SELECT 'x\\' AS tag, p.event_id, c.click_id
+          |FROM asql_p p ASOF LEFT JOIN asql_c c
+          |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+          |ORDER BY p.event_id LIMIT 1""".stripMargin)
+      assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(joined.head().getString(0) == "x\\\\")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("nested bracketed comments keep their tail masked (SPARK-28880)") {
     views()
     val r = s.sql(
