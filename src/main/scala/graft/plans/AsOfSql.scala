@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, Subtract}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** SQL surface for the custom AS-OF JOIN (round 16): the two extension
   * points the library did not yet exercise — `injectParser` +
@@ -39,20 +39,27 @@ case class UnresolvedAsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-object ResolveAsOfJoin extends Rule[LogicalPlan] {
+/** Shared helpers of the two custom-join resolution rules. */
+private[plans] object CustomJoinResolution {
   // _LEGACY_ERROR_TEMP_0035 = "Operation not allowed: <message>" — the
   // class Spark's own AstBuilder.operationNotAllowed raises; a user's
-  // malformed ASOF statement is a usage error, not an INTERNAL_ERROR
+  // malformed statement is a usage error, not an INTERNAL_ERROR
   // ("should be reported as a bug")
-  private def fail(msg: String): Nothing =
+  def fail(op: String, msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_0035",
-      messageParameters = Map("message" -> s"ASOF LEFT JOIN: $msg"))
+      messageParameters = Map("message" -> s"$op: $msg"))
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
     case other => other :: Nil
   }
+}
+
+object ResolveAsOfJoin extends Rule[LogicalPlan] {
+  import CustomJoinResolution.conjuncts
+  private def fail(msg: String): Nothing =
+    CustomJoinResolution.fail("ASOF LEFT JOIN", msg)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u @ UnresolvedAsOfJoin(cond, l, r)
@@ -70,30 +77,144 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
       var rightKeys = Vector.empty[Expression]
       // (leftTime, rightTime, forward)
       var time: Option[(Expression, Expression, Boolean)] = None
+      // TOLERANCE as a natural ON conjunct (round 17, VERDICT r16 #3):
+      // `l.t - r.t <= N` (backward) / `r.t - l.t <= N` (forward) — a
+      // cross-side difference bounded by a foldable integral literal maps
+      // to the exec's toleranceUs instead of failing as a mixed conjunct.
+      // (minuend, subtrahend, bound) — orientation validated once the
+      // time direction is known.
+      var tol: Option[(Expression, Expression, Long)] = None
+      def litLong(e: Expression): Option[Long] =
+        if (!e.foldable) None
+        else e.eval() match {
+          case i: java.lang.Integer => Some(i.longValue())
+          case lo: java.lang.Long => Some(lo.longValue())
+          case s: java.lang.Short => Some(s.longValue())
+          case _ => None
+        }
+      // a <= bound with a = cross-side difference → tolerance conjunct
+      def asTolerance(a: Expression, bound: Expression): Boolean = (a, litLong(bound)) match {
+        case (Subtract(x, y, _), Some(us))
+            if sides(x, y).isDefined || sides(y, x).isDefined =>
+          if (tol.isDefined) fail("at most one tolerance bound")
+          if (us < 0) fail("tolerance must be >= 0")
+          tol = Some((x, y, us))
+          true
+        case _ => false
+      }
       conjuncts(cond).foreach {
         case EqualTo(a, b) => sides(a, b) match {
           case Some((lk, rk)) => leftKeys :+= lk; rightKeys :+= rk
           case None => fail(s"equality must pair one column per side: ${EqualTo(a, b).sql}")
         }
         case ge @ GreaterThanOrEqual(a, b) =>
-          if (time.isDefined) fail("exactly one time inequality expected")
-          time = sides(a, b) match {
-            case Some((lt, rt)) if lt.semanticEquals(a) => Some((lt, rt, false)) // l.t >= r.t
-            case Some((lt, rt)) => Some((lt, rt, true))                          // r.t >= l.t
-            case None => fail(s"time inequality must pair one column per side: ${ge.sql}")
+          if (asTolerance(b, a)) () // bound >= diff
+          else {
+            if (time.isDefined) fail("exactly one time inequality expected")
+            time = sides(a, b) match {
+              case Some((lt, rt)) if lt.semanticEquals(a) => Some((lt, rt, false)) // l.t >= r.t
+              case Some((lt, rt)) => Some((lt, rt, true))                          // r.t >= l.t
+              case None => fail(s"time inequality must pair one column per side: ${ge.sql}")
+            }
           }
         case le @ LessThanOrEqual(a, b) =>
-          if (time.isDefined) fail("exactly one time inequality expected")
-          time = sides(a, b) match {
-            case Some((lt, rt)) if lt.semanticEquals(a) => Some((lt, rt, true))  // l.t <= r.t
-            case Some((lt, rt)) => Some((lt, rt, false))                         // r.t <= l.t
-            case None => fail(s"time inequality must pair one column per side: ${le.sql}")
+          if (asTolerance(a, b)) () // diff <= bound
+          else {
+            if (time.isDefined) fail("exactly one time inequality expected")
+            time = sides(a, b) match {
+              case Some((lt, rt)) if lt.semanticEquals(a) => Some((lt, rt, true))  // l.t <= r.t
+              case Some((lt, rt)) => Some((lt, rt, false))                         // r.t <= l.t
+              case None => fail(s"time inequality must pair one column per side: ${le.sql}")
+            }
           }
         case other => fail(s"unsupported ON conjunct: ${other.sql}")
       }
       if (leftKeys.isEmpty) fail("at least one key equality required")
       val (lt, rt, fwd) = time.getOrElse(fail("a time inequality (>= or <=) is required"))
-      AsOfJoin(leftKeys, rightKeys, lt, rt, fwd, toleranceUs = None, l, r)
+      val toleranceUs = tol.map { case (x, y, us) =>
+        // the bounded difference must be oriented WITH the match
+        // direction: backward bounds how stale the match may be
+        // (l.t - r.t), forward how far ahead it may land (r.t - l.t)
+        val oriented =
+          if (fwd) x.semanticEquals(rt) && y.semanticEquals(lt)
+          else x.semanticEquals(lt) && y.semanticEquals(rt)
+        if (!oriented) fail("tolerance must bound " +
+          (if (fwd) "<right time> - <left time>" else "<left time> - <right time>") +
+          " over the same expressions as the time inequality")
+        if (lt.dataType != LongType) fail(
+          "tolerance needs bigint time columns (micros); cast first")
+        us
+      }
+      AsOfJoin(leftKeys, rightKeys, lt, rt, fwd, toleranceUs, l, r)
+  }
+}
+
+/** Placeholder the parser wraps a rewritten `INTERVAL JOIN` in — the
+  * plane-sweep sibling of [[UnresolvedAsOfJoin]]; replaced by
+  * [[ResolveIntervalJoin]] once children and condition resolve. INNER
+  * semantics, so the output carries both sides' attrs unchanged. */
+case class UnresolvedIntervalJoin(
+    condition: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedIntervalJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Splits an INTERVAL JOIN's ON condition into key equalities + the two
+  * overlap bounds: `l.start <= r.end` and `r.start <= l.end` (either
+  * operand order, >= or <=) — exactly the closed-interval overlap
+  * predicate [[IntervalJoin]]'s DSL entry takes as (start, end) pairs. */
+object ResolveIntervalJoin extends Rule[LogicalPlan] {
+  import CustomJoinResolution.conjuncts
+  private def fail(msg: String): Nothing =
+    CustomJoinResolution.fail("INTERVAL JOIN", msg)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u @ UnresolvedIntervalJoin(cond, l, r)
+        if u.childrenResolved && cond.resolved =>
+      val leftSet = l.outputSet
+      val rightSet = r.outputSet
+      def sideOf(e: Expression): Option[Boolean] = // Some(true)=left
+        if (e.references.nonEmpty && e.references.subsetOf(leftSet)) Some(true)
+        else if (e.references.nonEmpty && e.references.subsetOf(rightSet)) Some(false)
+        else None
+      var leftKeys = Vector.empty[Expression]
+      var rightKeys = Vector.empty[Expression]
+      var lower: Option[(Expression, Expression)] = None // (lStart, rEnd): lStart <= rEnd
+      var upper: Option[(Expression, Expression)] = None // (lEnd, rStart): rStart <= lEnd
+      // record `a <= b` by which side each expression lives on
+      def lessEq(a: Expression, b: Expression, src: Expression): Unit =
+        (sideOf(a), sideOf(b)) match {
+          case (Some(true), Some(false)) => // left <= right: l.start <= r.end
+            if (lower.isDefined) fail(s"duplicate l.start <= r.end bound: ${src.sql}")
+            lower = Some((a, b))
+          case (Some(false), Some(true)) => // right <= left: r.start <= l.end
+            if (upper.isDefined) fail(s"duplicate r.start <= l.end bound: ${src.sql}")
+            upper = Some((b, a))
+          case _ => fail(s"overlap bound must pair one expression per side: ${src.sql}")
+        }
+      conjuncts(cond).foreach {
+        case eq @ EqualTo(a, b) => (sideOf(a), sideOf(b)) match {
+          case (Some(true), Some(false)) => leftKeys :+= a; rightKeys :+= b
+          case (Some(false), Some(true)) => leftKeys :+= b; rightKeys :+= a
+          case _ => fail(s"equality must pair one column per side: ${eq.sql}")
+        }
+        case le @ LessThanOrEqual(a, b) => lessEq(a, b, le)
+        case ge @ GreaterThanOrEqual(a, b) => lessEq(b, a, ge)
+        case other => fail(s"unsupported ON conjunct: ${other.sql}")
+      }
+      if (leftKeys.isEmpty) fail("at least one key equality required")
+      val (ls, re) = lower.getOrElse(fail(
+        "an overlap needs a <left start> <= <right end> bound"))
+      val (le, rs) = upper.getOrElse(fail(
+        "an overlap needs a <right start> <= <left end> bound"))
+      IntervalJoin(leftKeys, rightKeys, ls, le, rs, re, l, r)
   }
 }
 
@@ -115,6 +236,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // shapes can alias-parse silently wrong, so only those are caught.
   private val AsOfAny =
     ("(?i)\\bASOF\\s+" +
+      "(?:(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|OUTER|NATURAL)\\s+){0,2}" +
+      "JOIN\\b").r
+  // the plane-sweep operator's SQL spelling (round 17, VERDICT r16 #3):
+  // `l INTERVAL JOIN r ON l.k = r.k AND <two overlap bounds>`. INNER
+  // only — every `INTERVAL <jointype> JOIN` flavor is rejected. Like
+  // ASOF, the unquoted word in join position is reserved by this
+  // surface (an interval LITERAL — `INTERVAL 1 HOUR` — is never
+  // followed directly by JOIN, so literals are unaffected; a table
+  // alias named interval must be backtick-quoted).
+  private val IvlJoin = "(?i)\\bINTERVAL\\s+JOIN\\b".r
+  private val IvlAny =
+    ("(?i)\\bINTERVAL\\s+" +
       "(?:(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|OUTER|NATURAL)\\s+){0,2}" +
       "JOIN\\b").r
 
@@ -190,6 +323,40 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       errorClass = "_LEGACY_ERROR_TEMP_0035",
       messageParameters = Map("message" -> msg))
 
+  /** Rewrite ONE custom-join keyword region to standard SQL, parse via
+    * the delegate, and wrap the single resulting join of `joinType` as
+    * the unresolved custom node. The shared machinery of the ASOF and
+    * INTERVAL paths: the view refusal (a view stores the REWRITTEN text
+    * and later reads re-parse it without this rewrite — the stored plain
+    * join over the range predicate silently multiplies rows) and the
+    * exactly-one-join discipline (collectWithSubqueries, so a custom
+    * join inside an EXISTS/scalar subquery is found there, never
+    * misattached to an outer join of the same type). */
+  private def rewriteOne(sqlText: String, mask: String,
+      via: String => LogicalPlan, op: String,
+      re: scala.util.matching.Regex, replacement: String,
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      wrap: (Expression, LogicalPlan, LogicalPlan) => LogicalPlan): LogicalPlan = {
+    val parsed = via(replaceViaMask(sqlText, mask, re, replacement))
+    if (parsed.exists(_.nodeName.toLowerCase(java.util.Locale.ROOT)
+        .contains("view"))) parseError(
+      s"$op cannot appear in a view definition: the catalog " +
+        "stores the view's SQL text and later reads re-parse it " +
+        "without this rewrite; materialize the result instead")
+    val joins = parsed.collectWithSubqueries {
+      case j: Join if j.joinType == joinType => j
+    }
+    if (joins.size != 1) parseError(
+      s"an $op statement must contain no other ${joinType.sql} JOIN " +
+        s"(found ${joins.size} after rewrite)")
+    val target = joins.head
+    val cond = target.condition.getOrElse(
+      parseError(s"$op requires an ON condition"))
+    parsed.transformUpWithSubqueries {
+      case j: Join if j eq target => wrap(cond, j.left, j.right)
+    }
+  }
+
   private def rewrite(sqlText: String, via: String => LogicalPlan): LogicalPlan = {
     val mask = masked(sqlText)
     // every ASOF...JOIN spelling that is not ASOF LEFT [OUTER] JOIN must
@@ -202,36 +369,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"'${sqlText.substring(m.start, m.end)}': the ASOF operator is " +
           "left-outer; write ASOF LEFT JOIN (or ASOF LEFT OUTER JOIN)")
     }
-    leftStarts.size match {
-      case 0 => via(sqlText)
-      case 1 =>
-        val parsed = via(replaceViaMask(sqlText, mask, AsOfLeft, "LEFT JOIN"))
-        // view definitions persist the statement's TEXT (the rewritten
-        // string, since the delegate only ever sees that) and re-parse it
-        // on every later read — where no ASOF rewrite happens and the
-        // stored LEFT JOIN over the range predicate silently multiplies
-        // rows. Refuse rather than persist a wrong definition.
-        if (parsed.exists(_.nodeName.toLowerCase(java.util.Locale.ROOT)
-            .contains("view"))) parseError(
-          "ASOF LEFT JOIN cannot appear in a view definition: the catalog " +
-            "stores the view's SQL text and later reads re-parse it " +
-            "without this rewrite; materialize the as-of result instead")
-        // collectWithSubqueries: an ASOF join written inside an
-        // EXISTS/scalar subquery must be found there, not silently
-        // attached to an outer LEFT JOIN
-        val joins = parsed.collectWithSubqueries {
-          case j: Join if j.joinType == LeftOuter => j
-        }
-        if (joins.size != 1) parseError(
-          "an ASOF LEFT JOIN statement must contain no other LEFT JOIN " +
-            s"(found ${joins.size} after rewrite)")
-        val target = joins.head
-        val cond = target.condition.getOrElse(
-          parseError("ASOF LEFT JOIN requires an ON condition"))
-        parsed.transformUpWithSubqueries {
-          case j: Join if j eq target => UnresolvedAsOfJoin(cond, j.left, j.right)
-        }
-      case n => parseError(s"at most one ASOF LEFT JOIN per statement (found $n)")
+    // same discipline for INTERVAL ... JOIN: the operator is INNER-only
+    val ivlStarts = IvlJoin.findAllMatchIn(mask).map(_.start).toSet
+    IvlAny.findAllMatchIn(mask).foreach { m =>
+      if (!ivlStarts.contains(m.start)) parseError(
+        s"'${sqlText.substring(m.start, m.end)}': the INTERVAL operator " +
+          "is inner; write INTERVAL JOIN")
+    }
+    (leftStarts.size, ivlStarts.size) match {
+      case (0, 0) => via(sqlText)
+      case (1, 0) =>
+        rewriteOne(sqlText, mask, via, "ASOF LEFT JOIN",
+          AsOfLeft, "LEFT JOIN", LeftOuter, UnresolvedAsOfJoin.apply)
+      case (0, 1) =>
+        rewriteOne(sqlText, mask, via, "INTERVAL JOIN",
+          IvlJoin, "INNER JOIN", Inner, UnresolvedIntervalJoin.apply)
+      case (a, i) => parseError("at most one custom join (ASOF LEFT JOIN " +
+        s"or INTERVAL JOIN) per statement (found ${a + i})")
     }
   }
 

@@ -162,10 +162,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
-    // the ASOF LEFT JOIN SQL surface: the delegating parser rewrites the
-    // keyword and wraps the join; the resolution rule splits the ON
-    // condition by reference side once the analyzer has resolved it
+    // the ASOF LEFT JOIN / INTERVAL JOIN SQL surfaces: the delegating
+    // parser rewrites the keyword and wraps the join; the resolution
+    // rules split the ON condition by reference side once the analyzer
+    // has resolved it (ASOF also lifts a `l.t - r.t <= N` conjunct into
+    // the exec's tolerance)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => ResolveAsOfJoin)
+    ext.injectResolutionRule(_ => ResolveIntervalJoin)
   }
 }

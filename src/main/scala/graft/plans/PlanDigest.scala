@@ -43,6 +43,11 @@ object PlanDigest {
     // TreeNode.nodeName strips the "Exec" suffix, so these are the names
     // that actually appear in plan text (a "...Exec" entry never matches)
     "TopKPerGroup", "TopKPerGroupPartial",
+    // the custom join tier (round 17): the ledger must pin that the
+    // registered as-of/interval queries actually run the merge/sweep
+    // execs — a refactor silently degrading them to a built-in join +
+    // filter would change these counts, not just the Exchange count
+    "AsOfJoin", "IntervalJoin",
     // streaming state operators (round 14, VERDICT r13 #2): where state
     // sits in the micro-batch plan IS the scale structure of a streaming
     // query — how many stores it opens per trigger, whether dedup state

@@ -1182,6 +1182,28 @@ object EventQueries {
         |ORDER BY p.event_id""".stripMargin)
   }
 
+  /** The bounded (tolerance) as-of a FOURTH way (round 17, VERDICT r16
+    * #3): the backward enrichment with a 1-hour staleness bound, written
+    * as plain SQL — the tolerance rides the ON clause as the natural
+    * conjunct `p.t_us - c.c_us <= N`, which [[graft.plans.ResolveAsOfJoin]]
+    * lifts into the exec's `toleranceUs` instead of rejecting as a mixed
+    * predicate. DuckDB's native ASOF carries no tolerance, so the oracle
+    * re-derives the match with a bounded range join + per-left argmax —
+    * exactly the composition the exec avoids. */
+  def asofTolSqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    val s = extensionSession(spark)
+    Engine.tune(s)
+    asofPurchases(s, dir).createOrReplaceTempView("graft_asof_p")
+    asofClicks(s, dir).createOrReplaceTempView("graft_asof_c")
+    s.sql(
+      s"""SELECT p.event_id, p.user_id, p.t_us, p.value,
+         |       c.click_id, c.c_us AS click_us, c.click_value
+         |FROM graft_asof_p p ASOF LEFT JOIN graft_asof_c c
+         |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+         |     AND p.t_us - c.c_us <= $AsOfForwardTolUs
+         |ORDER BY p.event_id""".stripMargin)
+  }
+
   /** Impact-window width for [[intervalOverlap]] (1 hour in micros). */
   val ImpactWindowUs: Long = 3600000000L
 
@@ -1218,6 +1240,26 @@ object EventQueries {
         (least(col("c_end"), col("e_end")) -
           greatest(col("c_start"), col("e_start"))).as("overlap_us"))
       .orderBy("user_id", "click_id", "error_id")
+  }
+
+  /** [[intervalOverlap]] as an `INTERVAL JOIN` SQL STRING through the
+    * injected parser (round 17, VERDICT r16 #3 — the plane-sweep tier's
+    * SQL surface, completing what [[asofSqlEntry]] proved for the merge
+    * tier): custom syntax → [[graft.plans.UnresolvedIntervalJoin]] →
+    * [[graft.plans.ResolveIntervalJoin]] → the same plane-sweep exec,
+    * rows identical to the DSL twin and the oracle is the identical
+    * DuckDB IEJoin query. */
+  def intervalSqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    val s = extensionSession(spark)
+    Engine.tune(s)
+    impactWindows(s, dir, "click", "c_").createOrReplaceTempView("graft_ivl_c")
+    impactWindows(s, dir, "error", "e_").createOrReplaceTempView("graft_ivl_e")
+    s.sql(
+      """SELECT c.c_user AS user_id, c.c_id AS click_id, e.e_id AS error_id,
+        |       least(c.c_end, e.e_end) - greatest(c.c_start, e.e_start) AS overlap_us
+        |FROM graft_ivl_c c INTERVAL JOIN graft_ivl_e e
+        |  ON c.c_user = e.e_user AND e.e_start <= c.c_end AND e.e_end >= c.c_start
+        |ORDER BY user_id, click_id, error_id""".stripMargin)
   }
 
   /** The FORWARD + TOLERANCE face of the same custom operator (pandas
@@ -1391,7 +1433,25 @@ object EventQueries {
     "ev_asof_enrich" -> (asofEnrich _),
     "ev_asof_forward" -> (asofForward _),
     "ev_asof_sql" -> (asofSqlEntry _),
-    "ev_interval_join" -> (intervalOverlap _))
+    "ev_asof_tol_sql" -> (asofTolSqlEntry _),
+    "ev_interval_join" -> (intervalOverlap _),
+    "ev_interval_sql" -> (intervalSqlEntry _))
+
+  /** Shared by `ev_interval_join` and `ev_interval_sql` (round 17): the
+    * SQL spelling routes through the SAME plane-sweep exec, so the
+    * identical DuckDB IEJoin query gates both. */
+  private val IntervalOverlapOracle: String =
+    s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_s,
+       |             epoch_us(ts) + $ImpactWindowUs AS c_e
+       |           FROM events WHERE event_type = 'click'),
+       |e AS (SELECT user_id AS e_user, event_id AS error_id, epoch_us(ts) AS e_s,
+       |        epoch_us(ts) + $ImpactWindowUs AS e_e
+       |      FROM events WHERE event_type = 'error')
+       |SELECT c.user_id, c.click_id, e.error_id,
+       |       least(c.c_e, e.e_e) - greatest(c.c_s, e.e_s) AS overlap_us
+       |FROM c JOIN e ON c.user_id = e.e_user
+       |  AND e.e_s <= c.c_e AND e.e_e >= c.c_s
+       |ORDER BY 1, 2, 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the native-ASOF oracle a third time: parser-injected SQL syntax
@@ -1407,18 +1467,27 @@ object EventQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
         |ORDER BY p.event_id""".stripMargin,
-    "ev_interval_join" ->
-      s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_s,
-         |             epoch_us(ts) + $ImpactWindowUs AS c_e
-         |           FROM events WHERE event_type = 'click'),
-         |e AS (SELECT user_id AS e_user, event_id AS error_id, epoch_us(ts) AS e_s,
-         |        epoch_us(ts) + $ImpactWindowUs AS e_e
-         |      FROM events WHERE event_type = 'error')
-         |SELECT c.user_id, c.click_id, e.error_id,
-         |       least(c.c_e, e.e_e) - greatest(c.c_s, e.e_s) AS overlap_us
-         |FROM c JOIN e ON c.user_id = e.e_user
-         |  AND e.e_s <= c.c_e AND e.e_e >= c.c_s
-         |ORDER BY 1, 2, 3""".stripMargin,
+    // DuckDB's native ASOF has no tolerance clause: re-derive the bounded
+    // backward match as a range join + per-left argmax — exactly the
+    // composition the custom exec exists to avoid paying
+    "ev_asof_tol_sql" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us,
+         |        max(event_id) AS click_id, max(value) AS click_value
+         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |j AS (SELECT p.event_id, max(c.c_us) AS m_us
+         |      FROM p JOIN c ON p.user_id = c.c_user
+         |        AND c.c_us <= p.t_us
+         |        AND p.t_us - c.c_us <= $AsOfForwardTolUs
+         |      GROUP BY 1)
+         |SELECT p.event_id, p.user_id, p.t_us, p.value,
+         |       c.click_id, c.c_us AS click_us, c.click_value
+         |FROM p LEFT JOIN j USING (event_id)
+         |       LEFT JOIN c ON c.c_user = p.user_id AND c.c_us = j.m_us
+         |ORDER BY p.event_id""".stripMargin,
+    "ev_interval_join" -> IntervalOverlapOracle,
+    "ev_interval_sql" -> IntervalOverlapOracle,
     "ev_asof_forward" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
          |           FROM events WHERE event_type = 'purchase'),

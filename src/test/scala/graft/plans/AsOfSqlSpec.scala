@@ -209,4 +209,96 @@ class AsOfSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("view definition"), e.getMessage)
   }
+
+  // ---- TOLERANCE conjunct + INTERVAL JOIN surface (r17, VERDICT r16 #3) ----
+
+  test("a tolerance conjunct lifts into the exec and equals the DSL twin") {
+    views()
+    val tol = 3600000000L
+    val sql = s.sql(
+      s"""SELECT p.event_id, c.click_id, c.c_us
+         |FROM asql_p p ASOF LEFT JOIN asql_c c
+         |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+         |     AND p.t_us - c.c_us <= $tol
+         |ORDER BY p.event_id""".stripMargin)
+    val planTxt = sql.queryExecution.executedPlan.toString
+    assert(planTxt.contains("AsOfJoin") && planTxt.contains(tol.toString))
+    val dsl = AsOf.join(
+        graft.queries.EventQueries.asofPurchases(s, sf),
+        graft.queries.EventQueries.asofClicks(s, sf),
+        Seq("user_id" -> "c_user"), "t_us", "c_us",
+        toleranceUs = Some(tol))
+      .selectExpr("event_id", "click_id", "c_us").orderBy("event_id")
+    assert(sql.collect().toSeq == dsl.collect().toSeq)
+    // the bound BITES: some match of the unbounded as-of must age out
+    val unbounded = s.sql(
+      """SELECT count(click_id) AS n FROM asql_p p ASOF LEFT JOIN asql_c c
+        |  ON p.user_id = c.c_user AND p.t_us >= c.c_us""".stripMargin)
+      .head().getLong(0)
+    val bounded = sql.filter("click_id IS NOT NULL").count()
+    assert(bounded < unbounded && bounded > 0,
+      s"tolerance did not bite: $bounded vs $unbounded")
+  }
+
+  test("forward tolerance orients as right-minus-left; backward rejects it") {
+    views()
+    val tol = 3600000000L
+    val fwd = s.sql(
+      s"""SELECT p.event_id, c.click_id FROM asql_p p ASOF LEFT JOIN asql_c c
+         |  ON p.user_id = c.c_user AND p.t_us <= c.c_us
+         |     AND c.c_us - p.t_us <= $tol
+         |ORDER BY p.event_id""".stripMargin).collect().toSeq
+    val dsl = AsOf.join(
+        graft.queries.EventQueries.asofPurchases(s, sf),
+        graft.queries.EventQueries.asofClicks(s, sf),
+        Seq("user_id" -> "c_user"), "t_us", "c_us",
+        forward = true, toleranceUs = Some(tol))
+      .selectExpr("event_id", "click_id").orderBy("event_id").collect().toSeq
+    assert(fwd == dsl && fwd.nonEmpty)
+    // a backward time inequality with a forward-oriented bound is a
+    // usage error, not a silent wrong answer
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql(
+        s"""SELECT 1 FROM asql_p p ASOF LEFT JOIN asql_c c
+           |  ON p.user_id = c.c_user AND p.t_us >= c.c_us
+           |     AND c.c_us - p.t_us <= $tol""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("tolerance"), e.getMessage)
+  }
+
+  test("INTERVAL JOIN SQL plans the sweep exec and equals the DSL twin") {
+    val c = graft.queries.EventQueries.impactWindows(s, sf, "click", "c_")
+    val e = graft.queries.EventQueries.impactWindows(s, sf, "error", "e_")
+    c.createOrReplaceTempView("isql_c")
+    e.createOrReplaceTempView("isql_e")
+    val sql = s.sql(
+      """SELECT c.c_id, e.e_id
+        |FROM isql_c c INTERVAL JOIN isql_e e
+        |  ON c.c_user = e.e_user AND e.e_start <= c.c_end AND e.e_end >= c.c_start
+        |ORDER BY 1, 2""".stripMargin)
+    assert(sql.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    val dsl = Interval.join(c, e, Seq("c_user" -> "e_user"),
+        ("c_start", "c_end"), ("e_start", "e_end"))
+      .selectExpr("c_id", "e_id").orderBy("c_id", "e_id")
+    assert(sql.collect().toSeq == dsl.collect().toSeq && sql.count() > 0)
+    // and the registered SQL entry is plan-digest-equal to its DSL twin
+    val sqlEntry = graft.queries.EventQueries.intervalSqlEntry(s, sf)
+    val dslEntry = graft.queries.EventQueries.intervalOverlap(s, sf)
+    assert(PlanDigest.of(sqlEntry) == PlanDigest.of(dslEntry))
+  }
+
+  test("non-inner INTERVAL flavors and interval literals behave") {
+    views()
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      s.sql("SELECT 1 FROM asql_p p INTERVAL LEFT JOIN asql_c c ON p.user_id = c.c_user")
+    }
+    assert(e.getMessage.contains("INTERVAL JOIN"), e.getMessage)
+    // an interval LITERAL near an ordinary join is untouched
+    val lit = s.sql(
+      """SELECT count(*) AS n FROM asql_p p JOIN asql_c c
+        |  ON p.user_id = c.c_user
+        |WHERE p.t_us >= 0 AND TIMESTAMP '2020-01-01' + INTERVAL 1 HOUR
+        |  > TIMESTAMP '2020-01-01'""".stripMargin).head()
+    assert(lit.getLong(0) > 0)
+  }
 }
