@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+import graft.similarity.IndexStore
+
+/** The DSv2 WRITE face (GraftCatalog): staged-commit atomicity — a
+  * failed write leaves NO visible version and no visible row — plus the
+  * manifest-versioned append/truncate lifecycle, orphan sweep, codec
+  * round-trip over every supported type, and projection pruning. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private var n = 0
+  /** Fresh catalog (own root) per test — catalog instances are cached by
+    * name in the session, so each test registers a new name. */
+  private def freshCatalog(): (String, Path) = {
+    n += 1
+    val cat = s"gcspec$n"
+    val root = graft.TempDirs.create("gcat-spec")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  private def versions(tableDir: Path): Seq[String] = {
+    val v = tableDir.resolve(GraftCatalog.VersionsDir)
+    if (!Files.isDirectory(v)) Nil
+    else {
+      val l = Files.list(v)
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally l.close()
+    }
+  }
+
+  private def dataFiles(tableDir: Path): Set[String] = {
+    val d = tableDir.resolve(GraftCatalog.DataDir)
+    if (!Files.isDirectory(d)) Set.empty
+    else {
+      val l = Files.list(d)
+      try l.iterator().asScala.map(_.getFileName.toString).toSet
+      finally l.close()
+    }
+  }
+
+  test("create / insert / read round-trips every supported type incl. nulls") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.allt (
+      b BOOLEAN, i INT, l BIGINT, f FLOAT, d DOUBLE,
+      s STRING, bin BINARY, dt DATE, ts TIMESTAMP_NTZ)""")
+    spark.sql(s"""INSERT INTO $cat.allt VALUES
+      (true, 1, 10, CAST(1.5 AS FLOAT), 2.5, 'héllo', X'CAFE',
+       DATE'2020-06-01', TIMESTAMP_NTZ'2020-06-01 12:34:56.789'),
+      (NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)""")
+    val rows = spark.sql(s"SELECT * FROM $cat.allt ORDER BY l NULLS LAST").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getBoolean(0) && r0.getInt(1) == 1 && r0.getLong(2) == 10L)
+    assert(r0.getFloat(3) == 1.5f && r0.getDouble(4) == 2.5)
+    assert(r0.getString(5) == "héllo")
+    assert(r0.getAs[Array[Byte]](6).toSeq == Seq(0xCA.toByte, 0xFE.toByte))
+    assert(r0.getDate(7).toString == "2020-06-01")
+    assert(rows(1).toSeq.forall(_ == null))
+  }
+
+  test("a failed INSERT leaves no visible version, no visible row") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(0, 100)")
+    val dir = root.resolve("t")
+    val before = IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get
+    val versionsBefore = versions(dir).toSet
+    intercept[Exception] {
+      spark.sql(
+        s"""INSERT INTO $cat.t SELECT id,
+           |  CASE WHEN id = 50 THEN CAST(raise_error('boom') AS DOUBLE)
+           |       ELSE 0.5 END
+           |FROM range(0, 100)""".stripMargin)
+    }
+    // atomicity: pointer untouched, no new version dir, contents unchanged
+    assert(IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get == before)
+    assert(versions(dir).toSet == versionsBefore)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 100)
+  }
+
+  test("orphans of failed writes are swept after grace at the next commit") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(0, 10)")
+    val dir = root.resolve("t")
+    // plant an orphan the way a crashed (never-aborted) writer would:
+    // a pool file no manifest references
+    val orphan = dir.resolve(GraftCatalog.DataDir).resolve("part-crashed.gbin")
+    Files.writeString(orphan, "torn")
+    val prevGrace = GraftCatalog.GraceMs
+    GraftCatalog.GraceMs = 0L
+    try {
+      spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(10, 20)")
+      assert(!Files.exists(orphan), "grace-expired orphan must be swept")
+      // every surviving pool file is referenced by a surviving manifest
+      val referenced = versions(dir)
+        .flatMap(v => GraftCatalog.readManifest(
+          dir.resolve(GraftCatalog.VersionsDir).resolve(v)).map(_.file)).toSet
+      assert(dataFiles(dir).subsetOf(referenced))
+    } finally GraftCatalog.GraceMs = prevGrace
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 20)
+  }
+
+  test("overwrite truncates logically; version GC keeps current + previous") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    val dir = root.resolve("t")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(0, 100)")   // v1
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.t SELECT id, 0.5 FROM range(0, 10)") // v2
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 10)
+    // within grace: the superseded version (and its 100-row files) survive
+    assert(versions(dir).size == 2)
+    val prevGrace = GraftCatalog.GraceMs
+    GraftCatalog.GraceMs = 0L
+    try {
+      spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(10, 15)") // v3
+      // grace 0: only v3 (current) + v2 (immediate predecessor) remain,
+      // and v1's now-unreferenced 100-row files are swept from the pool
+      assert(versions(dir).size == 2, versions(dir).toString)
+      val referenced = versions(dir)
+        .flatMap(v => GraftCatalog.readManifest(
+          dir.resolve(GraftCatalog.VersionsDir).resolve(v)).map(_.file)).toSet
+      assert(dataFiles(dir) == referenced)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 15)
+    } finally GraftCatalog.GraceMs = prevGrace
+  }
+
+  test("projection pruning reaches the scan; reads snapshot the manifest") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, a DOUBLE, b STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5, 'x' FROM range(0, 50)")
+    val q = spark.sql(s"SELECT id FROM $cat.t")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=id"), s"expected pruned scan description:\n$plan")
+    assert(!plan.contains("cols=id,a,b"), s"scan not pruned:\n$plan")
+    assert(q.count() == 50)
+    // snapshot stability for an in-flight reader: a reader resolves the
+    // pointer ONCE at scan build (GraftScanBuilder.build); after a
+    // concurrent commit swaps the pointer, the resolved version dir and
+    // every data file its manifest references still exist (grace GC
+    // keeps the immediate predecessor unconditionally), so that reader
+    // finishes against its immutable snapshot
+    val dir = root.resolve("t")
+    val resolved = IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get
+    val beforeFiles = GraftCatalog.readManifest(resolved).map(_.file)
+    assert(beforeFiles.nonEmpty)
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5, 'y' FROM range(50, 80)")
+    assert(IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get != resolved)
+    assert(Files.isDirectory(resolved), "superseded version must survive grace")
+    assert(beforeFiles.forall(f =>
+      Files.exists(dir.resolve(GraftCatalog.DataDir).resolve(f))))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 80)
+  }
+
+  test("DDL guard rails: duplicate create, unsupported types, namespaces") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    intercept[Exception] { spark.sql(s"CREATE TABLE $cat.t (id BIGINT)") }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.t (id BIGINT)") // no throw
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.arr (xs ARRAY<INT>)")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.t2 (id BIGINT)")
+    }
+    // empty table reads as empty, not an error
+    spark.sql(s"CREATE TABLE $cat.empty (id BIGINT)")
+    assert(spark.sql(s"SELECT * FROM $cat.empty").collect().isEmpty)
+    // drop removes; re-create works
+    spark.sql(s"DROP TABLE $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.0)")
+    assert(spark.sql(s"SELECT * FROM $cat.t").collect().toSeq ==
+      Seq(Row(1L, 1.0)))
+  }
+}
