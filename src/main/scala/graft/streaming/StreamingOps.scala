@@ -1599,6 +1599,29 @@ object StreamingOps {
     runToMemory(spark, agg, minDataBatches = 3).orderBy("bucket")
   }
 
+  /** The custom DSv2 source under `Trigger.AvailableNow` (round 17,
+    * VERDICT r16 #2 — the admission-controlled half of the backfill
+    * contract `stream_available_now` proved for the file source):
+    * `prepareForTriggerAvailableNow` latches the backlog end BEFORE the
+    * first batch, so the 10k ids that "arrive" mid-run (`lateRows` =
+    * 30000) are never admitted — the run drains exactly the
+    * prepare-time 20k snapshot across ≥3 admission-bounded (5k/trigger)
+    * micro-batches and terminates ITSELF. Shares `stream_dsv2_source`'s
+    * oracle: the frozen snapshot must equal the plain drain of the
+    * un-grown source, so one admitted late id breaks the hash. */
+  def dsv2AvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val stream = spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "20000").option("parts", "4").option("rowsPerBatch", "5000")
+      .option("lateRows", "30000")
+      .load()
+    val agg = stream.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+    runToMemory(spark, agg, minDataBatches = 3, availableNow = true)
+      .orderBy("bucket")
+  }
+
   /** Native session windows (`session_window`): per-user sessions with a
     * 30-minute inactivity gap as a streaming aggregate — the declarative
     * dual of the `mapGroupsWithState` summary ([[sessionSummary]]) and of
@@ -2163,7 +2186,19 @@ object StreamingOps {
     "stream_attribution" -> (streamAttribution _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_lateness" -> (streamLateness _),
-    "stream_dsv2_source" -> (dsv2Stream _))
+    "stream_dsv2_source" -> (dsv2Stream _),
+    "stream_dsv2_available_now" -> (dsv2AvailableNow _))
+
+  /** Shared by `stream_dsv2_source` and `stream_dsv2_available_now`
+    * (round 17) — the connector's deterministic arithmetic over the
+    * 20k-id snapshot; the AvailableNow latch must not change a row. */
+  private val Dsv2SourceOracle =
+    """WITH src AS (
+      |  SELECT (i * 2654435761) % 2147483648 AS h
+      |  FROM range(0, 20000) t(i))
+      |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+      |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+      |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Shared by `stream_hourly_append` and `stream_available_now` (round
     * 16) — the watermark-closed hourly windows; the run-mode under test
@@ -2402,13 +2437,12 @@ object StreamingOps {
          |ORDER BY user_id, milestone""".stripMargin,
     // the connector's deterministic arithmetic reproduced from range();
     // complete mode over the drained bounded stream == the batch aggregate
-    "stream_dsv2_source" ->
-      """WITH src AS (
-        |  SELECT (i * 2654435761) % 2147483648 AS h
-        |  FROM range(0, 20000) t(i))
-        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
-        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
-        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "stream_dsv2_source" -> Dsv2SourceOracle,
+    // SAME oracle: the AvailableNow latch freezes admission at the
+    // prepare-time 20k snapshot, so the drained result must equal the
+    // plain source's — one admitted late id (of the 10k arriving
+    // mid-run) breaks the hash
+    "stream_dsv2_available_now" -> Dsv2SourceOracle,
     // gap-sessionization in exact integer micros; session starts when the
     // inter-event gap is >= 30 min (Spark merges only strictly-overlapping
     // session windows), emitted once end <= the final watermark

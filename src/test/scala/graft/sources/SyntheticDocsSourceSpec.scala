@@ -64,4 +64,36 @@ class SyntheticDocsSourceSpec extends SparkSpec {
       assert(row.getDouble(2) == (h % 1000L).toDouble / 1000.0)
     }
   }
+
+  // ---- Trigger.AvailableNow on the custom source (r17, VERDICT r16 #2) ----
+
+  private def growingStream() =
+    spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "1000").option("parts", "2")
+      .option("rowsPerBatch", "250").option("lateRows", "1500")
+      .load()
+      .groupBy().agg(count(lit(1)).as("cnt"),
+        min("id").as("lo"), max("id").as("hi"))
+
+  test("AvailableNow latches the backlog before the first batch") {
+    import graft.streaming.StreamingOps
+    // the latch: ids [1000, 1500) "arrive" mid-run but were not part of
+    // the prepare-time snapshot — never admitted; the run spans >= 2
+    // admission-bounded batches (250/trigger) and terminates ITSELF
+    val out = StreamingOps.runToMemory(spark, growingStream(),
+      minDataBatches = 2, availableNow = true)
+    assert(out.head() == org.apache.spark.sql.Row(1000L, 0L, 999L))
+    assert(StreamingOps.lastAvailableNowSelfTerminated)
+    assert(StreamingOps.lastAvailableNowDataBatches >= 2)
+  }
+
+  test("a default-trigger drain keeps consuming the grown backlog") {
+    import graft.streaming.StreamingOps
+    // control for the latch test: the SAME growing source under the
+    // default trigger drains to the grown 1500 — proving the AvailableNow
+    // stop above is the latch's doing, not a source inability
+    val out = StreamingOps.runToMemory(spark, growingStream(),
+      minDataBatches = 2)
+    assert(out.head() == org.apache.spark.sql.Row(1500L, 0L, 1499L))
+  }
 }
