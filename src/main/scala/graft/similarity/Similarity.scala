@@ -1276,6 +1276,40 @@ object Similarity {
     ivfTopKWith(spark, dir, assign, k = 3)
   }
 
+  /** Forgotten-key predicate of [[ivfForget]]: vec_id ≡ 7 (mod 10) — a
+    * deterministic tenth of the corpus, disjoint from the query set
+    * (vec_id < 4), shared verbatim with the oracle. */
+  val ForgetVecModulus = 10L
+  val ForgetVecRemainder = 7L
+
+  /** GDPR delete PROPAGATED INTO the served ANN artifact (round 17,
+    * VERDICT r16 #4 — the inverse of `sim_ivf_append`): `src_forget_*`
+    * reclaims table rows and old versions, but a published index version
+    * would keep SERVING deleted users' vectors. This query anti-joins
+    * the forgotten keys out of the published `ivf_assign` index and
+    * publishes the scrubbed assignment as a NEW index version through
+    * the same SnapshotPointer protocol; retrieval then runs purely over
+    * the surviving index. Cost is one scan of the assignment table
+    * against a broadcast key set — O(cells containing the keys) rows
+    * ever rewritten, the quantizer untouched (no retrain). The oracle
+    * re-derives retrieval from the PERSISTED scrubbed artifact, so a
+    * surviving forgotten vector in the index bytes (or a lost innocent
+    * one) breaks the hash; IvfForgetSpec pins the version lifecycle
+    * (old version serves until the pointer swap; GC unlinks it after
+    * grace). */
+  def ivfForget(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val scrubbed = IndexStore.ensure(spark, dir, "ivf_assign_forget") {
+      val base = IndexStore.ensure(spark, dir, "ivf_assign")(
+        ivfTrainedAssign(spark, dir))
+      val forgotten = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"))
+        .filter(col("vec_id") % ForgetVecModulus === ForgetVecRemainder)
+      base.join(broadcast(forgotten), Seq("vec_id"), "left_anti")
+    }
+    ivfTopKWith(spark, dir, scrubbed, k = 3)
+  }
+
   /** PQ retrieval against the PERSISTED codebooks + codes — the serve
     * half for PQ: the corpus is never re-encoded at query time (codes are
     * part of the index artifact); only the 4 query vectors are scored
@@ -1477,6 +1511,7 @@ object Similarity {
     "sim_rrf_fusion" -> (rrfFusion _),
     "sim_pq_trained" -> ((s: SparkSession, d: String) => pqTrainedTopK(s, d)),
     "sim_ivf_served" -> (ivfServedTopK _),
+    "sim_ivf_forget" -> (ivfForget _),
     "sim_pq_served" -> ((s: SparkSession, d: String) => pqServedTopK(s, d)),
     "sim_probe_sweep" -> (probeSweep _),
     "sim_pq_trained_recall" -> (pqTrainedRecallEval _),
@@ -1790,6 +1825,34 @@ object Similarity {
   private[graft] def ivfServedSql: String =
     s"""WITH tassign AS (
        |  SELECT vec_id, cell FROM ${IndexStore.duckdbScan("ivf_assign")}),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, a.cell
+       |  FROM embeddings e JOIN tassign a USING (vec_id)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, cell AS qcell
+       |      FROM corpus WHERE vec_id < 4),
+       |s AS (
+       |  SELECT q.qid, c.vec_id,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS n2a,
+       |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS n2b
+       |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.qid,
+       |       UNNEST(range(1, len(c.embedding) + 1)) t(i)
+       |  GROUP BY q.qid, c.vec_id),
+       |r AS (
+       |  SELECT qid, vec_id, round(dot / (sqrt(n2a) * sqrt(n2b)), 4) AS cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY round(dot / (sqrt(n2a) * sqrt(n2b)), 4) DESC,
+       |                                vec_id ASC) AS rn
+       |  FROM s)
+       |SELECT qid, vec_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Forget oracle: the served-retrieval body over the SCRUBBED
+    * persisted artifact — DuckDB reads the post-delete index bytes, so
+    * the gate covers both the anti-join (no forgotten vector survives
+    * as index content) and retrieval over the survivors. */
+  private[graft] def ivfForgetSql: String =
+    s"""WITH tassign AS (
+       |  SELECT vec_id, cell FROM ${IndexStore.duckdbScan("ivf_assign_forget")}),
        |corpus AS (
        |  SELECT e.vec_id, e.embedding, a.cell
        |  FROM embeddings e JOIN tassign a USING (vec_id)),
@@ -2378,6 +2441,7 @@ object Similarity {
         |FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
     "sim_pq_trained" -> pqTrainedSql,
     "sim_ivf_served" -> ivfServedSql,
+    "sim_ivf_forget" -> ivfForgetSql,
     "sim_pq_served" -> pqServedSql,
     "sim_probe_sweep" -> probeSweepSql,
     "sim_dim_sweep" -> {
