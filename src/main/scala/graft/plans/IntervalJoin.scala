@@ -242,19 +242,25 @@ object IntervalJoinStrategy extends SparkStrategy {
 object Interval {
   import org.apache.spark.sql.{DataFrame, GraftBridge}
 
+  /** `rightSuffix` is the same opt-in shared-name convention as
+    * [[AsOf.join]]: colliding right columns are renamed `name + suffix`
+    * internally; `keys`/`rightBounds` still name the originals. */
   def join(left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
-      leftBounds: (String, String), rightBounds: (String, String)): DataFrame = {
+      leftBounds: (String, String), rightBounds: (String, String),
+      rightSuffix: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     CustomJoins.ensureStrategy(spark, IntervalJoinStrategy)
-    CustomJoins.requireDistinctNames("interval join", left, right)
+    val (r, ren) = CustomJoins.applySuffix("interval join", left, right, rightSuffix)
+    CustomJoins.requireDistinctNames("interval join", left, r)
+    def rcol(name: String) = r(ren.getOrElse(name, name))
     GraftBridge.ofRows(spark, IntervalJoin(
       keys.map { case (l, _) => GraftBridge.expression(left(l)) },
-      keys.map { case (_, r) => GraftBridge.expression(right(r)) },
+      keys.map { case (_, k) => GraftBridge.expression(rcol(k)) },
       GraftBridge.expression(left(leftBounds._1)),
       GraftBridge.expression(left(leftBounds._2)),
-      GraftBridge.expression(right(rightBounds._1)),
-      GraftBridge.expression(right(rightBounds._2)),
-      GraftBridge.analyzed(left), GraftBridge.analyzed(right)))
+      GraftBridge.expression(rcol(rightBounds._1)),
+      GraftBridge.expression(rcol(rightBounds._2)),
+      GraftBridge.analyzed(left), GraftBridge.analyzed(r)))
   }
 }

@@ -172,4 +172,42 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("share column names"))
   }
+
+  // ---- rightSuffix shared-name convention (r17, VERDICT r16 #6) ----
+
+  test("rightSuffix joins shared-name frames with deterministic output names") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, "x"), (1L, 15L, "y")).toDF("k", "t", "v")
+    // every right name collides; keys/time still name the ORIGINALS
+    val j = AsOf.join(l, r, Seq("k" -> "k"), "t", "t",
+      rightSuffix = Some("_r"))
+    assert(j.columns.toSeq == Seq("k", "t", "v", "k_r", "t_r", "v_r"))
+    val rows = j.orderBy("t").select("t", "t_r", "v_r").collect().toSeq
+    assert(rows.map(x => (x.getLong(0), x.getLong(1), x.getString(2))) ==
+      Seq((10L, 5L, "x"), (20L, 15L, "y")))
+    // and equals the manual-rename twin row-for-row
+    val manual = AsOf.join(l,
+      r.withColumnsRenamed(Map("k" -> "k_r", "t" -> "t_r", "v" -> "v_r")),
+      Seq("k" -> "k_r"), "t", "t_r")
+    assert(j.collect().toSeq == manual.collect().toSeq)
+  }
+
+  test("rightSuffix works on the interval join; pathological suffix fails loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val r = Seq((1L, 5L, 15L), (1L, 11L, 20L)).toDF("k", "s", "e")
+    val j = Interval.join(l, r, Seq("k" -> "k"), ("s", "e"), ("s", "e"),
+      rightSuffix = Some("_r"))
+    assert(j.columns.toSeq == Seq("k", "s", "e", "k_r", "s_r", "e_r"))
+    assert(j.count() == 1) // only [5,15] overlaps [0,10]
+    // a suffix that lands on an EXISTING left name is still ambiguous —
+    // the distinct-names guard stays authoritative
+    val l2 = Seq((1L, 10L, 0L)).toDF("k", "t", "k_r")
+    val r2 = Seq((1L, 5L)).toDF("k", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l2, r2, Seq("k" -> "k"), "t", "rt", rightSuffix = Some("_r"))
+    }
+    assert(e.getMessage.contains("share column names"))
+  }
 }
