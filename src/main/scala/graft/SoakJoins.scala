@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale soak for the CUSTOM JOIN tiers (round 16): the as-of merge
@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
   * Both operators are O(rows) per partition past their one shuffle, so
   * the 100× time ratio is the number that would expose any accidental
   * per-key quadratic term (the failure mode these execs exist to
-  * avoid). */
+  * avoid).
+  *
+  * Round 17 (VERDICT r16 #7) adds the HEAD-TO-HEAD: the same as-of
+  * answered by the built-in union+window spelling (`rel_asof_join`'s
+  * shape — interleave both sides, one window sort per key, carry the
+  * last right row forward), gated by the identical closed form and
+  * measured next to the custom exec with load-invariant shuffle/input
+  * bytes per run — so the merge exec's O(|L|+|R|) claim is a measured
+  * line against the composition it replaces, not an argument. */
 object SoakJoins {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,16 +39,26 @@ object SoakJoins {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val bytes = new TaskBytesListener
+    spark.sparkContext.addSparkListener(bytes)
 
     val scales = Seq(100000L, 1000000L, 10000000L)
 
-    def timed(df: => org.apache.spark.sql.DataFrame): Double = {
-      def run(): Double = {
+    def timed(df: => DataFrame): (Double, IoBytes) = {
+      def run(): (Double, IoBytes) = {
+        Bench.drainListenerBus(spark.sparkContext)
+        val before = bytes.snapshot()
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        Bench.drainListenerBus(spark.sparkContext)
+        val after = bytes.snapshot()
+        (sec, IoBytes(after.shuffle - before.shuffle,
+          after.spill - before.spill, after.input - before.input,
+          after.cpuMs - before.cpuMs))
       }
-      math.min(run(), run())
+      val a = run(); val b = run()
+      if (a._1 <= b._1) a else b
     }
 
     val results = scales.map { n =>
@@ -53,12 +71,39 @@ object SoakJoins {
         (expr(s"id div $u") * 100).as("rt"))
       def asof = graft.plans.AsOf.join(leftAsof, rightAsof,
         Seq("lu" -> "ru"), "lt", "rt")
-      val aGate = asof.agg(count(lit(1)).as("c"),
-        count(col("rid")).as("m"), sum(col("lt") - col("rt")).as("g")).head()
-      require(aGate.getLong(0) == n && aGate.getLong(1) == n &&
-          aGate.getLong(2) == 10L * n,
-        s"asof gate violated at n=$n: $aGate (want $n, $n, ${10L * n})")
-      val tAsof = timed(asof)
+      // the BUILT-IN spelling of the same as-of (rel_asof_join's shape):
+      // tag + union both sides, per-key window sort by (t, side) with
+      // rights first on ties, carry the last right forward, keep lefts
+      def builtinAsof = {
+        import org.apache.spark.sql.expressions.Window
+        val tagged = rightAsof.select(col("ru").as("u"), col("rt").as("t"),
+            lit(0).as("is_l"), lit(null).cast("long").as("lid"),
+            col("rid"), col("rt").as("r_t"))
+          .unionAll(leftAsof.select(col("lu").as("u"), col("lt").as("t"),
+            lit(1).as("is_l"), col("lid"),
+            lit(null).cast("long").as("rid"),
+            lit(null).cast("long").as("r_t")))
+        val carry = Window.partitionBy("u")
+          .orderBy(asc("t"), asc("is_l"), asc("lid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("m_rid", last(col("rid"), ignoreNulls = true).over(carry))
+          .withColumn("m_rt", last(col("r_t"), ignoreNulls = true).over(carry))
+          .filter(col("is_l") === 1)
+          .select(col("u"), col("lid"), col("t").as("lt"),
+            col("m_rid").as("rid"), col("m_rt").as("rt"))
+      }
+      // ---- closed-form gates BEFORE timing counts (both spellings) ----
+      def gateAsof(df: DataFrame, what: String): Unit = {
+        val g = df.agg(count(lit(1)).as("c"),
+          count(col("rid")).as("m"), sum(col("lt") - col("rt")).as("g")).head()
+        require(g.getLong(0) == n && g.getLong(1) == n && g.getLong(2) == 10L * n,
+          s"$what gate violated at n=$n: $g (want $n, $n, ${10L * n})")
+      }
+      gateAsof(asof, "asof")
+      gateAsof(builtinAsof, "builtin asof")
+      val (tAsof, bAsof) = timed(asof)
+      val (tBi, bBi) = timed(builtinAsof)
 
       def leftIvl = spark.range(n).select(
         (col("id") % u).as("lu"), col("id").as("lid"),
@@ -74,18 +119,23 @@ object SoakJoins {
         sum(least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("g")).head()
       require(iGate.getLong(0) == n && iGate.getLong(1) == 10L * n,
         s"interval gate violated at n=$n: $iGate (want $n, ${10L * n})")
-      val tIvl = timed(ivl)
-      (n, tAsof, tIvl)
+      val (tIvl, bIvl) = timed(ivl)
+      (n, Seq(("asof", tAsof, bAsof), ("builtin_asof", tBi, bBi),
+        ("ivl", tIvl, bIvl)))
     }
-    val fields = results.map { case (n, ta, ti) =>
-      s""""asof$n":${String.format(java.util.Locale.ROOT, "%.3f", ta)},""" +
-        s""""ivl$n":${String.format(java.util.Locale.ROOT, "%.3f", ti)}"""
+
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val cells = results.flatMap { case (n, qs) =>
+      qs.map { case (q, t, b) =>
+        s""""${q}$n":{"sec":${fmt(t)},"shuffle":${b.shuffle},"input":${b.input},"spill":${b.spill},"cpu_ms":${b.cpuMs}}"""
+      }
     }.mkString(",")
-    val aX = results.last._2 / results.head._2
-    val iX = results.last._3 / results.head._3
-    println(s"""{"probe":"join_decades",$fields,""" +
-      s""""asof_x100":${String.format(java.util.Locale.ROOT, "%.2f", aX)},""" +
-      s""""ivl_x100":${String.format(java.util.Locale.ROOT, "%.2f", iX)}}""")
+    val names = results.head._2.map(_._1)
+    val ratios = names.map { q =>
+      val ts = results.map { case (_, qs) => qs.find(_._1 == q).get._2 }
+      s""""${q}_x100":${fmt(ts.last / ts.head)}"""
+    }.mkString(",")
+    println(s"""{"probe":"join_decades",$cells,$ratios}""")
     spark.stop()
   }
 }

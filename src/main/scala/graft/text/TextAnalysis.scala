@@ -1685,14 +1685,20 @@ object TextAnalysis {
         s"transform(sequence(0, size(w) - $DupSpanN), " +
           s"i -> array_join(slice(w, i + 1, $DupSpanN), ' '))")).as("gram"))
 
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    gramStream(Tables(spark, dir, "documents"))
+  /** The census body over any (doc_id, text) frame — shared verbatim by
+    * the registered query and [[graft.SoakText]]'s decade runs, so the
+    * soak prices exactly the registered plan. */
+  private[graft] def dupSpansFrom(docs: DataFrame): DataFrame =
+    gramStream(docs)
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
       .orderBy(desc("n_docs"), desc("n_occ"), asc("gram"))
       .limit(DupSpanTopK)
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    dupSpansFrom(Tables(spark, dir, "documents"))
   }
 
   /** Synthetic line width for [[lineDedup]]: the fixture corpus has no
@@ -1755,14 +1761,11 @@ object TextAnalysis {
     * stream in ONE equi-join on the gram — linear in corpus tokens, the
     * join's right side bounded by the duplicated vocabulary, never a
     * doc-pair product. */
-  def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
-    Engine.tune(spark)
-    val grams = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= DupSpanN)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $DupSpanN), " +
-          s"i -> array_join(slice(w, i + 1, $DupSpanN), ' '))")).as("gram"))
+  /** The coverage body over any (doc_id, text) frame — shared by the
+    * registered query and [[graft.SoakText]]. The gram stream is
+    * [[gramStream]] (identical expression to the census's). */
+  private[graft] def dupCoverageFrom(docs: DataFrame): DataFrame = {
+    val grams = gramStream(docs)
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -1773,6 +1776,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    dupCoverageFrom(Tables(spark, dir, "documents"))
   }
 
   /** Per-document character entropy (nats), the classic cheap curation
