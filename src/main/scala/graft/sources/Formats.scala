@@ -186,21 +186,85 @@ object Formats {
     * without DuckDB reading the custom format. */
   def dsv2Write(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.docs (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.docs ${rowsSql(0L, Dsv2WriteBase)}")
+    spark.sql(s"INSERT INTO $cat.docs ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.docs GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** Registers the graft catalog on the session (idempotent — same
+    * constants per process) and returns the catalog name. Shared with
+    * the streaming sink ([[graft.streaming.StreamingOps.dsv2StreamSink]]). */
+  private[graft] def ensureCatalog(spark: SparkSession): String = {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    "graft_cat"
+  }
+
+  /** The deterministic insert batch over [lo, hi) — the connector
+    * family's Knuth-hash arithmetic, shared by every write-face query. */
+  private def rowsSql(lo: Long, hi: Long): String =
+    s"""SELECT id,
+       |  CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket,
+       |  CAST(id * 2654435761 % 2147483648 % 1000 AS DOUBLE) / 1000.0 AS score
+       |FROM range($lo, $hi)""".stripMargin
+
+  /** SQL row-level DELETE on the catalog table (round 17 continuation):
+    * overwrite + append land the 12k-row table, then
+    * `DELETE FROM ... WHERE bucket = 3` routes through
+    * [[GraftTable.deleteWhere]] — only pool files containing matches are
+    * rewritten (survivors stream to fresh files, clean files carry over
+    * by reference), published as a new manifest version. The aggregate
+    * reads back through the same table; the oracle re-derives the
+    * survivor set from the range() arithmetic, so one surviving bucket-3
+    * row or one lost survivor breaks the hash. */
+  def dsv2Delete(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
     spark.sql(
-      "CREATE TABLE IF NOT EXISTS graft_cat.docs (id BIGINT, bucket INT, score DOUBLE)")
-    def rowsSql(lo: Long, hi: Long): String =
-      s"""SELECT id,
-         |  CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket,
-         |  CAST(id * 2654435761 % 2147483648 % 1000 AS DOUBLE) / 1000.0 AS score
-         |FROM range($lo, $hi)""".stripMargin
-    spark.sql(s"INSERT OVERWRITE TABLE graft_cat.docs ${rowsSql(0L, Dsv2WriteBase)}")
-    spark.sql(s"INSERT INTO graft_cat.docs ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+      s"CREATE TABLE IF NOT EXISTS $cat.del (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.del ${rowsSql(0L, Dsv2WriteBase)}")
+    spark.sql(s"INSERT INTO $cat.del ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    spark.sql(s"DELETE FROM $cat.del WHERE bucket = 3")
     spark.sql(
-      """SELECT bucket, count(*) AS cnt,
-        |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
-        |FROM graft_cat.docs GROUP BY bucket ORDER BY bucket""".stripMargin)
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.del GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** TIME TRAVEL on the catalog table (round 17 continuation): the
+    * overwrite snapshot and the post-append current version read side by
+    * side — `VERSION AS OF <seq>` resolves the commit sequence number
+    * stamped inside each immutable version dir (the seq is read off the
+    * CURRENT version minus one, so the query is deterministic no matter
+    * how many runs have grown the table's history). The oracle
+    * re-derives both snapshots from the range() arithmetic — a
+    * time-travel read that leaked an appended row (or lost one) breaks
+    * the hash. */
+  def dsv2TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.tt (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.tt ${rowsSql(0L, Dsv2WriteBase)}")
+    spark.sql(s"INSERT INTO $cat.tt ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    val cur = GraftCatalog.seqOf(graft.similarity.IndexStore.pointer
+      .resolve(java.nio.file.Paths.get(catalogRoot, "tt"),
+        GraftCatalog.PointerName).get)
+    spark.sql(
+      s"""SELECT 'past' AS snap, bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.tt VERSION AS OF '${cur - 1}' GROUP BY bucket
+         |UNION ALL
+         |SELECT 'current' AS snap, bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.tt GROUP BY bucket
+         |ORDER BY snap, bucket""".stripMargin)
   }
 
   /** Writes documents hive-partitioned by `lang` once per dir (marker
@@ -1282,7 +1346,9 @@ object Formats {
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_dsv2_scan" -> (dsv2Scan _),
-    "src_dsv2_write" -> (dsv2Write _))
+    "src_dsv2_write" -> (dsv2Write _),
+    "src_dsv2_delete" -> (dsv2Delete _),
+    "src_dsv2_time_travel" -> (dsv2TimeTravel _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -1641,5 +1707,30 @@ object Formats {
          |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
          |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
          |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
-         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin)
+         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the survivor set after DELETE WHERE bucket = 3, re-derived from
+    // the same arithmetic
+    "src_dsv2_delete" ->
+      s"""WITH src AS (
+         |  SELECT (i * 2654435761) % 2147483648 AS h
+         |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
+         |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM src WHERE h % 16 <> 3 GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // past = the overwrite snapshot [0, base); current = base + append —
+    // a time-travel read that leaks or loses an appended row mismatches
+    "src_dsv2_time_travel" ->
+      s"""WITH cur AS (
+         |  SELECT (i * 2654435761) % 2147483648 AS h, i
+         |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
+         |SELECT 'current' AS snap, CAST(h % 16 AS INTEGER) AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM cur GROUP BY 2
+         |UNION ALL
+         |SELECT 'past' AS snap, CAST(h % 16 AS INTEGER) AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM cur WHERE i < $Dsv2WriteBase GROUP BY 2
+         |ORDER BY snap, bucket""".stripMargin)
 }

@@ -109,6 +109,25 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident.name(), dir.toString, schema)
   }
 
+  /** TIME TRAVEL (`SELECT ... FROM t VERSION AS OF <seq>`): every commit
+    * stamps a monotone sequence number inside its immutable version dir;
+    * this resolves the requested seq to that version and returns a table
+    * PINNED to its manifest. Only versions still on disk resolve — a
+    * version GC'd past its grace is gone, exactly the table-format
+    * contract (history retention is the GC window). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident)
+    val schemaFile = dir.resolve(GraftCatalog.SchemaFile)
+    if (!Files.exists(schemaFile)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(Files.readString(schemaFile))
+      .asInstanceOf[StructType]
+    val want = version.trim
+    val found = GraftCatalog.findVersionBySeq(dir, want).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(s"${ident.name()}@v$want", dir.toString, schema,
+      pinnedVersion = Some(found))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -167,6 +186,14 @@ object GraftCatalog {
   val VersionsDir = ".v"
   val ManifestFile = "manifest"
   val PointerName = "current"
+  /** Monotone commit sequence number, stamped inside each version dir —
+    * the identifier `VERSION AS OF` resolves (tokens are random; users
+    * name history by ordinal, like a table format's snapshot id). */
+  val SeqFile = "_GRAFT_SEQ"
+  /** Idempotency tag of the commit (absent for plain batch writes) —
+    * the streaming sink's replay guard: a foreachBatch retry of the
+    * batch the CURRENT version already carries is a no-op. */
+  val TagFile = "_GRAFT_TAG"
 
   /** Superseded versions (and unreferenced data-file orphans) younger
     * than this are never collected — a reader that resolved the pointer
@@ -194,32 +221,147 @@ object GraftCatalog {
     IndexStore.pointer.resolve(tableDir, PointerName)
       .map(readManifest).getOrElse(Nil)
 
+  private def marker(version: Path, name: String): Option[String] =
+    try {
+      val f = version.resolve(name)
+      if (Files.exists(f)) Some(Files.readString(f).trim) else None
+    } catch { case NonFatal(_) => None }
+
+  /** Commit sequence number of a version dir (0 for a pre-seq legacy
+    * version — none exist in practice; first real commit is 1). */
+  private[sources] def seqOf(version: Path): Long =
+    marker(version, SeqFile).flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(0L)
+
+  /** Idempotency tag of a version dir, if its commit carried one. */
+  private[sources] def tagOf(version: Path): Option[String] =
+    marker(version, TagFile)
+
+  /** Resolve `VERSION AS OF seq` to a surviving version dir. */
+  private[sources] def findVersionBySeq(tableDir: Path, seq: String): Option[Path] = {
+    val vroot = tableDir.resolve(VersionsDir)
+    if (!Files.isDirectory(vroot)) None
+    else {
+      val listing = Files.list(vroot)
+      try listing.iterator().asScala
+        .find(p => marker(p, SeqFile).contains(seq))
+      finally listing.close()
+    }
+  }
+
   /** The commit critical section: under the per-table lock, publish a
-    * new manifest version = (previous entries unless truncating) ++
-    * `added`, swap the pointer, then GC grace-expired superseded
-    * versions and grace-expired unreferenced data-file orphans (failed
-    * writes' leftovers, speculative duplicates). */
+    * new manifest version = (previous entries unless truncating/
+    * replacing) ++ `added`, swap the pointer, then GC grace-expired
+    * superseded versions and grace-expired unreferenced data-file
+    * orphans (failed writes' leftovers, speculative duplicates).
+    *
+    * @param replaceWith when set, the new manifest is EXACTLY this list
+    *        (the delete path's rewritten survivor set) — `added` and
+    *        `truncate` are ignored.
+    * @param tag idempotency tag: when the CURRENT version already
+    *        carries this tag, the commit is a NO-OP (the streaming
+    *        sink's batch-replay guard — foreachBatch retries the last
+    *        batch wholesale after an unacknowledged success).
+    * @return the published (or already-current) version's seq. */
   private[sources] def commitVersion(tableDir: Path,
-      added: Seq[ManifestEntry], truncate: Boolean): Unit =
+      added: Seq[ManifestEntry], truncate: Boolean,
+      tag: Option[String] = None): Long =
     IndexStore.withArtifactLock(lockName(tableDir)) {
       val previous = IndexStore.pointer.resolve(tableDir, PointerName)
-      val base = if (truncate) Nil else previous.map(readManifest).getOrElse(Nil)
-      val token = UUID.randomUUID().toString.take(12)
-      val vdir = tableDir.resolve(VersionsDir).resolve(token)
-      Files.createDirectories(vdir)
-      Files.writeString(vdir.resolve(ManifestFile),
-        (base ++ added).map(e => s"${e.file}\t${e.rows}").mkString("\n"))
-      IndexStore.pointer.swap(tableDir, PointerName, vdir)
-      // stamp SUPERSESSION time so grace measures "since replaced"
-      previous.foreach { p =>
-        try Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case NonFatal(_) => () }
+      val replay = tag.isDefined && previous.exists(p => tagOf(p) == tag)
+      if (replay) seqOf(previous.get)
+      else {
+        val base =
+          if (truncate) Nil else previous.map(readManifest).getOrElse(Nil)
+        publishLocked(tableDir, base ++ added, tag)
       }
-      gcVersions(tableDir, keep = Set(token) ++
-        previous.map(_.getFileName.toString))
-      sweepOrphans(tableDir)
     }
+
+  /** Row-level DELETE (driver-orchestrated here; at 100 TB the per-file
+    * rewrite is a distributed job — the PROTOCOL is identical): under
+    * the commit lock, scan each referenced pool file once to find
+    * matches, rewrite ONLY the files that have any (survivors stream
+    * into a fresh pool file; clean files carry over BY REFERENCE in the
+    * new manifest), and publish the survivor manifest as a new version.
+    * The superseded version still references the pre-delete files, so
+    * in-flight readers and `VERSION AS OF` keep working until GC. */
+  private[sources] def deleteWhere(tableDir: Path, schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    IndexStore.withArtifactLock(lockName(tableDir)) {
+      def hit(row: InternalRow): Boolean =
+        filters.forall(f => GraftFilterEval.matches(f, row, schema))
+      val entries = currentManifest(tableDir)
+      var changed = false
+      val rewritten = entries.flatMap { e =>
+        val src = tableDir.resolve(DataDir).resolve(e.file)
+        def scanMatches(): Boolean = {
+          val in = new DataInputStream(new java.io.BufferedInputStream(
+            Files.newInputStream(src)))
+          try {
+            var row = GraftRowCodec.read(in, schema)
+            var found = false
+            while (row != null && !found) {
+              if (hit(row)) found = true
+              else row = GraftRowCodec.read(in, schema)
+            }
+            found
+          } finally in.close()
+        }
+        if (!scanMatches()) Some(e) // untouched: carried by reference
+        else {
+          changed = true
+          val newName = s"part-delete-${UUID.randomUUID().toString.take(12)}.gbin"
+          val types = schema.fields.map(_.dataType)
+          val in = new DataInputStream(new java.io.BufferedInputStream(
+            Files.newInputStream(src)))
+          val out = new DataOutputStream(new BufferedOutputStream(
+            Files.newOutputStream(tableDir.resolve(DataDir).resolve(newName))))
+          var kept = 0L
+          try {
+            var row = GraftRowCodec.read(in, schema)
+            while (row != null) {
+              if (!hit(row)) { GraftRowCodec.write(out, types, row); kept += 1 }
+              row = GraftRowCodec.read(in, schema)
+            }
+          } finally { in.close(); out.close() }
+          if (kept > 0) Some(ManifestEntry(newName, kept))
+          else {
+            Files.deleteIfExists(tableDir.resolve(DataDir).resolve(newName))
+            None // every row matched: the file disappears from the manifest
+          }
+        }
+      }
+      if (changed)
+        publishLocked(tableDir, rewritten)
+    }
+
+  /** Publish `entries` as the complete new manifest version. Caller MUST
+    * hold the per-table lock ([[IndexStore.withArtifactLock]]) — the
+    * POSIX channel lock does not re-enter, so this is the shared inner
+    * body of [[commitVersion]] and [[deleteWhere]], never called bare. */
+  private def publishLocked(tableDir: Path, entries: Seq[ManifestEntry],
+      tag: Option[String] = None): Long = {
+    val previous = IndexStore.pointer.resolve(tableDir, PointerName)
+    val seq = previous.map(seqOf).getOrElse(0L) + 1L
+    val token = UUID.randomUUID().toString.take(12)
+    val vdir = tableDir.resolve(VersionsDir).resolve(token)
+    Files.createDirectories(vdir)
+    Files.writeString(vdir.resolve(ManifestFile),
+      entries.map(e => s"${e.file}\t${e.rows}").mkString("\n"))
+    Files.writeString(vdir.resolve(SeqFile), seq.toString)
+    tag.foreach(t => Files.writeString(vdir.resolve(TagFile), t))
+    IndexStore.pointer.swap(tableDir, PointerName, vdir)
+    // stamp SUPERSESSION time so grace measures "since replaced"
+    previous.foreach { p =>
+      try Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case NonFatal(_) => () }
+    }
+    gcVersions(tableDir, keep = Set(token) ++
+      previous.map(_.getFileName.toString))
+    sweepOrphans(tableDir)
+    seq
+  }
 
   /** Best-effort removal of superseded versions past the grace window;
     * the freshly published version and its immediate predecessor are
@@ -270,10 +412,14 @@ object GraftCatalog {
   }
 }
 
-/** One catalog table: batch read of the current manifest snapshot +
-  * staged-commit batch write (append or truncate). */
+/** One catalog table: batch read of the current (or time-travel-pinned)
+  * manifest snapshot, staged-commit batch write (append or truncate),
+  * and filter-based SQL DELETE that rewrites ONLY the data files
+  * containing matches. A pinned (historical) table is read-only. */
 private[sources] class GraftTable(tableName: String, tableDir: String,
-    tableSchema: StructType) extends Table with SupportsRead with SupportsWrite {
+    tableSchema: StructType, pinnedVersion: Option[Path] = None)
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -282,21 +428,48 @@ private[sources] class GraftTable(tableName: String, tableDir: String,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableDir, tableSchema)
+    new GraftScanBuilder(tableDir, tableSchema, pinnedVersion)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(tableDir, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      s"$tableName is a historical snapshot (VERSION AS OF); writes go to the current table")
+    // commitTag (write option): idempotency tag for exactly-once sinks —
+    // a replayed commit whose tag the CURRENT version already carries is
+    // a no-op (the foreachBatch batch-id guard)
+    new GraftWriteBuilder(tableDir, tableSchema,
+      Option(info.options.get("commitTag")))
+  }
+
+  /** SQL `DELETE FROM t WHERE ...` (filter-convertible predicates on the
+    * supported comparable types): rewrites only the pool files with ≥1
+    * matching row — survivors stream into fresh pool files, untouched
+    * files carry over by reference — and publishes the survivor manifest
+    * as a new version through the same staged-commit path. Cost is
+    * O(files containing matches), the `src_forget_*` discipline. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(f => GraftFilterEval.supported(f, tableSchema))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(canDeleteWhere(filters), "unsupported DELETE predicate")
+    GraftCatalog.deleteWhere(Paths.get(tableDir), tableSchema, filters)
+  }
 }
 
-private class GraftScanBuilder(tableDir: String, schema: StructType)
+private class GraftScanBuilder(tableDir: String, schema: StructType,
+    pinnedVersion: Option[Path])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    // resolve the pointer ONCE: the scan reads an immutable snapshot —
-    // a commit racing this query cannot swap files mid-scan
-    val files = GraftCatalog.currentManifest(Paths.get(tableDir))
+    // resolve the pointer ONCE (or read the PINNED version's manifest):
+    // the scan reads an immutable snapshot — a commit racing this query
+    // cannot swap files mid-scan
+    val files = pinnedVersion match {
+      case Some(v) => GraftCatalog.readManifest(v)
+      case None => GraftCatalog.currentManifest(Paths.get(tableDir))
+    }
     new GraftTableScan(tableDir, schema, required, files)
   }
 }
@@ -350,13 +523,13 @@ private class GraftReaderFactory(schema: StructType,
   }
 }
 
-private class GraftWriteBuilder(tableDir: String, schema: StructType)
-  extends WriteBuilder with SupportsTruncate {
+private class GraftWriteBuilder(tableDir: String, schema: StructType,
+    commitTag: Option[String]) extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(tableDir, schema, truncateFirst)
+      new GraftBatchWrite(tableDir, schema, truncateFirst, commitTag)
     override def description(): String =
       s"graft_table dir=$tableDir truncate=$truncateFirst"
   }
@@ -367,14 +540,16 @@ private case class GraftFileMsg(file: String, rows: Long)
   extends WriterCommitMessage
 
 private class GraftBatchWrite(tableDir: String, schema: StructType,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, commitTag: Option[String]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(tableDir, schema)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftCatalog.commitVersion(Paths.get(tableDir),
       messages.toSeq.collect { case GraftFileMsg(f, n) =>
         GraftCatalog.ManifestEntry(f, n) },
-      truncateFirst)
+      truncateFirst, commitTag)
+    ()
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // unlink what committed tasks staged; files of FAILED tasks were
     // already unlinked by their writer's abort(), and anything a crash
@@ -421,6 +596,102 @@ private class GraftDataWriter(tableDir: String, schema: StructType,
   }
   override def close(): Unit =
     if (out != null) { try out.close() catch { case NonFatal(_) => () }; out = null }
+}
+
+/** Evaluates pushed v1 [[org.apache.spark.sql.sources.Filter]]s against
+  * codec rows for the DELETE path. Supported: And/Or, the comparison
+  * family, In, IsNull/IsNotNull, and the string predicates, over the
+  * comparable scalar types. `Not` is deliberately UNSUPPORTED: under
+  * three-valued SQL logic `NOT (x = v)` is UNKNOWN (row kept) for a
+  * null x, but a two-valued evaluator would return TRUE (row deleted) —
+  * rejecting it keeps `DELETE ... WHERE col <> v` a loud error instead
+  * of a silent null-row deletion. Null semantics of the supported
+  * leaves: a null operand never matches (SQL comparison contract), so
+  * "unknown" degrades to "kept", which is exactly DELETE's behavior. */
+private[sources] object GraftFilterEval {
+  import org.apache.spark.sql.sources._
+
+  private def comparable(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType => true
+    case _ => false
+  }
+
+  def supported(f: Filter, schema: StructType): Boolean = {
+    def col(a: String, strOnly: Boolean = false): Boolean =
+      schema.fieldNames.contains(a) &&
+        (if (strOnly) schema(a).dataType == StringType
+         else comparable(schema(a).dataType))
+    f match {
+      case And(l, r) => supported(l, schema) && supported(r, schema)
+      case Or(l, r) => supported(l, schema) && supported(r, schema)
+      case EqualTo(a, v) => v != null && col(a)
+      case GreaterThan(a, v) => v != null && col(a)
+      case GreaterThanOrEqual(a, v) => v != null && col(a)
+      case LessThan(a, v) => v != null && col(a)
+      case LessThanOrEqual(a, v) => v != null && col(a)
+      case In(a, vs) => vs != null && col(a)
+      case IsNull(a) => schema.fieldNames.contains(a)
+      case IsNotNull(a) => schema.fieldNames.contains(a)
+      case StringStartsWith(a, v) => v != null && col(a, strOnly = true)
+      case StringEndsWith(a, v) => v != null && col(a, strOnly = true)
+      case StringContains(a, v) => v != null && col(a, strOnly = true)
+      case _ => false
+    }
+  }
+
+  /** Row value of column `a` as an external scalar; None when null. */
+  private def value(row: InternalRow, schema: StructType, a: String): Option[Any] = {
+    val i = schema.fieldIndex(a)
+    if (row.isNullAt(i)) None
+    else Some(schema.fields(i).dataType match {
+      case BooleanType => row.getBoolean(i)
+      case IntegerType => row.getInt(i)
+      case LongType => row.getLong(i)
+      case FloatType => row.getFloat(i)
+      case DoubleType => row.getDouble(i)
+      case StringType => row.getUTF8String(i).toString
+      case other => throw new IllegalStateException(s"uncomparable $other")
+    })
+  }
+
+  /** x (row) vs v (filter literal), under the column's type family. */
+  private def cmp(schema: StructType, a: String, x: Any, v: Any): Int =
+    schema(a).dataType match {
+      case IntegerType | LongType =>
+        java.lang.Long.compare(x.asInstanceOf[Number].longValue(),
+          v.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(x.asInstanceOf[Number].doubleValue(),
+          v.asInstanceOf[Number].doubleValue())
+      case BooleanType =>
+        java.lang.Boolean.compare(x.asInstanceOf[Boolean], v.asInstanceOf[Boolean])
+      case StringType => x.toString.compareTo(v.toString)
+      case other => throw new IllegalStateException(s"uncomparable $other")
+    }
+
+  def matches(f: Filter, row: InternalRow, schema: StructType): Boolean = f match {
+    case And(l, r) => matches(l, row, schema) && matches(r, row, schema)
+    case Or(l, r) => matches(l, row, schema) || matches(r, row, schema)
+    case EqualTo(a, v) => value(row, schema, a).exists(cmp(schema, a, _, v) == 0)
+    case GreaterThan(a, v) => value(row, schema, a).exists(cmp(schema, a, _, v) > 0)
+    case GreaterThanOrEqual(a, v) =>
+      value(row, schema, a).exists(cmp(schema, a, _, v) >= 0)
+    case LessThan(a, v) => value(row, schema, a).exists(cmp(schema, a, _, v) < 0)
+    case LessThanOrEqual(a, v) =>
+      value(row, schema, a).exists(cmp(schema, a, _, v) <= 0)
+    case In(a, vs) => value(row, schema, a).exists(x =>
+      vs.exists(v => v != null && cmp(schema, a, x, v) == 0))
+    case IsNull(a) => value(row, schema, a).isEmpty
+    case IsNotNull(a) => value(row, schema, a).isDefined
+    case StringStartsWith(a, v) =>
+      value(row, schema, a).exists(_.toString.startsWith(v))
+    case StringEndsWith(a, v) =>
+      value(row, schema, a).exists(_.toString.endsWith(v))
+    case StringContains(a, v) =>
+      value(row, schema, a).exists(_.toString.contains(v))
+    case other => throw new IllegalStateException(s"unsupported filter $other")
+  }
 }
 
 /** Row codec of the graft table format: per row, per field in schema

@@ -1622,6 +1622,45 @@ object StreamingOps {
       .orderBy("bucket")
   }
 
+  /** Streaming → CATALOG-TABLE sink (round 17 continuation — the two
+    * faces meeting): each micro-batch of the custom DSv2 source lands in
+    * the graft catalog table through the DSv2 WRITE face. Batch 0
+    * truncate-overwrites (the fresh-backfill convention), later batches
+    * append, and every commit carries the batch id as its idempotency
+    * tag (`commitTag` write option) — a foreachBatch REPLAY of a
+    * committed-but-unacknowledged batch is a catalog-level NO-OP instead
+    * of a double append, which is how exactly-once landing is built on
+    * at-least-once delivery (the manifest version IS the transaction
+    * log). Result read back through the same table; the oracle is the
+    * 20k-row connector arithmetic a third time — one duplicated or
+    * dropped batch breaks the hash. */
+  def dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.sink (id BIGINT, bucket INT, score DOUBLE)")
+    val stream = spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "20000").option("parts", "4").option("rowsPerBatch", "5000")
+      .load()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val w = batch.writeTo(s"$cat.sink").option("commitTag", s"sinkbatch-$id")
+        if (id == 0L) w.overwrite(lit(true)) else w.append()
+      }
+      .options(ckptOption)
+      .start()
+    drainAndStop(q)
+    recordObserved(q)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches < 3) throw new IllegalStateException(
+      s"streaming sink ran $dataBatches data-carrying micro-batches, " +
+        "expected >= 3 (multi-trigger contract)")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.sink GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** Native session windows (`session_window`): per-user sessions with a
     * 30-minute inactivity gap as a streaming aggregate — the declarative
     * dual of the `mapGroupsWithState` summary ([[sessionSummary]]) and of
@@ -2187,7 +2226,8 @@ object StreamingOps {
     "stream_anomaly" -> (streamAnomaly _),
     "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _),
-    "stream_dsv2_available_now" -> (dsv2AvailableNow _))
+    "stream_dsv2_available_now" -> (dsv2AvailableNow _),
+    "stream_dsv2_sink" -> (dsv2StreamSink _))
 
   /** Shared by `stream_dsv2_source` and `stream_dsv2_available_now`
     * (round 17) — the connector's deterministic arithmetic over the
@@ -2443,6 +2483,10 @@ object StreamingOps {
     // plain source's — one admitted late id (of the 10k arriving
     // mid-run) breaks the hash
     "stream_dsv2_available_now" -> Dsv2SourceOracle,
+    // SAME oracle a third time: batch-tagged catalog commits must land
+    // each micro-batch exactly once — a duplicated (replayed) or
+    // dropped batch changes the counts
+    "stream_dsv2_sink" -> Dsv2SourceOracle,
     // gap-sessionization in exact integer micros; session starts when the
     // inter-event gap is >= 30 min (Spark merges only strictly-overlapping
     // session windows), emitted once end <= the final watermark

@@ -160,6 +160,85 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 80)
   }
 
+  // ---- row-level DELETE, time travel, replay idempotency (r17 cont.) ----
+
+  test("DELETE rewrites only matched files; survivors carry by reference") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, grp STRING, v DOUBLE)")
+    val dir = root.resolve("t")
+    // two separate commits -> at least two pool files with disjoint ids
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'a', 0.5 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'b', 0.5 FROM range(100, 200)")
+    val before = GraftCatalog.currentManifest(dir).map(_.file).toSet
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'b' AND id >= 150")
+    val after = GraftCatalog.currentManifest(dir)
+    // the 'a' files contained no match: carried over BY REFERENCE
+    val aFiles = before.filter(f => after.exists(_.file == f))
+    assert(aFiles.nonEmpty, "untouched files must carry over by name")
+    assert(after.map(_.rows).sum == 150)
+    val rows = spark.sql(
+      s"SELECT grp, count(*) AS n FROM $cat.t GROUP BY grp ORDER BY grp").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 100L), ("b", 50L)))
+    // a delete matching EVERYTHING in a file drops it from the manifest
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'b'")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 100)
+    // null semantics: rows with NULL in the predicate column are KEPT
+    spark.sql(s"INSERT INTO $cat.t VALUES (999, NULL, 1.0)")
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'a' AND id < 10")
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
+    assert(n == 91, s"90 a-rows + the null-grp row, got $n")
+    // an unsupported predicate (NOT under three-valued logic) fails loudly
+    intercept[Exception] { spark.sql(s"DELETE FROM $cat.t WHERE grp <> 'a'") }
+  }
+
+  test("VERSION AS OF reads the pinned snapshot; writes to it are refused") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(0, 10)")   // seq 1
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(10, 30)") // seq 2
+    spark.sql(s"DELETE FROM $cat.t WHERE id >= 25")                     // seq 3
+    val dir = root.resolve("t")
+    val cur = GraftCatalog.seqOf(
+      graft.similarity.IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get)
+    assert(cur == 3L)
+    def countAt(seq: Long): Long = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.t VERSION AS OF '$seq'").head().getLong(0)
+    assert(countAt(1) == 10 && countAt(2) == 30 && countAt(3) == 25)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 25)
+    // a GC'd (or never-existing) version fails loudly
+    intercept[Exception] { countAt(99) }
+    // historical snapshots are read-only
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VERSION AS OF '1' VALUES (1, 1.0)")
+    }
+  }
+
+  test("a tagged commit replayed against the same current version is a no-op") {
+    import org.apache.spark.sql.functions.lit
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    val dir = root.resolve("t")
+    def batch(lo: Int, hi: Int) = {
+      import spark.implicits._
+      (lo until hi).map(i => (i.toLong, 0.5)).toDF("id", "v")
+    }
+    batch(0, 10).writeTo(s"$cat.t").option("commitTag", "b0").overwrite(lit(true))
+    batch(10, 20).writeTo(s"$cat.t").option("commitTag", "b1").append()
+    val seqAfterB1 = GraftCatalog.seqOf(
+      graft.similarity.IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get)
+    // the foreachBatch replay scenario: the SAME batch lands again with
+    // the SAME tag — the catalog must not double-append
+    batch(10, 20).writeTo(s"$cat.t").option("commitTag", "b1").append()
+    val seqAfterReplay = GraftCatalog.seqOf(
+      graft.similarity.IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get)
+    assert(seqAfterReplay == seqAfterB1, "replay must not publish a version")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 20)
+    // a NEW tag appends normally
+    batch(20, 25).writeTo(s"$cat.t").option("commitTag", "b2").append()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 25)
+  }
+
   test("DDL guard rails: duplicate create, unsupported types, namespaces") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
