@@ -208,7 +208,7 @@ object Formats {
 
   /** The deterministic insert batch over [lo, hi) — the connector
     * family's Knuth-hash arithmetic, shared by every write-face query. */
-  private def rowsSql(lo: Long, hi: Long): String =
+  private[graft] def rowsSql(lo: Long, hi: Long): String =
     s"""SELECT id,
        |  CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket,
        |  CAST(id * 2654435761 % 2147483648 % 1000 AS DOUBLE) / 1000.0 AS score

@@ -425,7 +425,7 @@ private[sources] class GraftTable(tableName: String, tableDir: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, tableSchema, pinnedVersion)
@@ -488,6 +488,67 @@ private class GraftTableScan(tableDir: String, schema: StructType,
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, required.fieldNames)
+
+  /** The TABLE-AS-STREAM face (the Delta-streaming-source shape):
+    * offsets are COMMIT SEQUENCE numbers, each trigger admits ONE
+    * version's worth of newly-appended files (the manifest DIFF between
+    * the two seqs — append-only history required; a truncate/delete in
+    * the offset range fails loudly rather than silently replaying or
+    * dropping rows). Recovery replays any (start, end] deterministically
+    * from the surviving version dirs, so the history a streaming reader
+    * may still need is bounded by the GC grace — exactly a table
+    * format's stream-source retention contract. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+    val dir = Paths.get(tableDir)
+    new MicroBatchStream with SupportsAdmissionControl {
+      private def currentSeq: Long =
+        IndexStore.pointer.resolve(dir, GraftCatalog.PointerName)
+          .map(GraftCatalog.seqOf).getOrElse(0L)
+      private def filesAt(seq: Long): Seq[GraftCatalog.ManifestEntry] =
+        if (seq <= 0L) Nil
+        else GraftCatalog.readManifest(GraftCatalog.findVersionBySeq(dir, seq.toString)
+          .getOrElse(throw new IllegalStateException(
+            s"version $seq of $tableDir is gone (GC'd past the grace window); " +
+              "a streaming reader's lag must stay inside the retention grace")))
+      override def initialOffset(): Offset = GraftSeqOffset(0L)
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "admission-controlled source: engine must call latestOffset(start, limit)")
+      // one committed VERSION per trigger — the replayable unit
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+        GraftSeqOffset(math.min(start.asInstanceOf[GraftSeqOffset].seq + 1L, currentSeq))
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(1)
+      override def reportLatestOffset(): Offset = GraftSeqOffset(currentSeq)
+      override def deserializeOffset(json: String): Offset =
+        GraftSeqOffset(json.trim.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.asInstanceOf[GraftSeqOffset].seq
+        val e = end.asInstanceOf[GraftSeqOffset].seq
+        val before = filesAt(s)
+        val after = filesAt(e)
+        val beforeNames = before.map(_.file).toSet
+        // append-only contract: every pre-existing file must survive
+        val lost = beforeNames -- after.map(_.file).toSet
+        if (lost.nonEmpty) throw new IllegalStateException(
+          s"streaming a graft table requires append-only history; version " +
+            s"range ($s, $e] removed files: ${lost.take(3).mkString(", ")}")
+        after.filterNot(f => beforeNames.contains(f.file))
+          .map(f => GraftFileSplit(
+            dir.resolve(GraftCatalog.DataDir).resolve(f.file).toString))
+          .toArray[InputPartition]
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftReaderFactory(schema, required.fieldNames)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+  }
+}
+
+private case class GraftSeqOffset(seq: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = seq.toString
 }
 
 private case class GraftFileSplit(path: String) extends InputPartition

@@ -1661,6 +1661,33 @@ object StreamingOps {
          |FROM $cat.sink GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** CATALOG TABLE AS A STREAM (round 17 continuation — the last face of
+    * the table's source/sink matrix): four SQL INSERTs land four commit
+    * versions, then `readStream.table` consumes them through the graft
+    * table's micro-batch face — offsets are commit seqs, admission is
+    * ONE VERSION PER TRIGGER (each version's manifest diff is the
+    * replayable unit), and an append-only-violating history fails loudly
+    * instead of silently replaying or dropping rows. Four versions → ≥4
+    * data-carrying triggers into the complete-mode aggregate; the oracle
+    * is the 20k-row connector arithmetic — a version consumed twice or
+    * skipped breaks the hash. */
+  def dsv2TableStream(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    // fresh history per run: the stream replays the table FROM SEQ 0, so
+    // the table must hold exactly this run's four versions
+    spark.sql(s"DROP TABLE IF EXISTS $cat.feed")
+    spark.sql(
+      s"CREATE TABLE $cat.feed (id BIGINT, bucket INT, score DOUBLE)")
+    for (b <- 0 until 4)
+      spark.sql(s"INSERT INTO $cat.feed ${graft.sources.Formats.rowsSql(b * 5000L, (b + 1) * 5000L)}")
+    val stream = spark.readStream.table(s"$cat.feed")
+    val agg = stream.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+    runToMemory(spark, agg, minDataBatches = 3).orderBy("bucket")
+  }
+
   /** Native session windows (`session_window`): per-user sessions with a
     * 30-minute inactivity gap as a streaming aggregate — the declarative
     * dual of the `mapGroupsWithState` summary ([[sessionSummary]]) and of
@@ -2227,7 +2254,8 @@ object StreamingOps {
     "stream_lateness" -> (streamLateness _),
     "stream_dsv2_source" -> (dsv2Stream _),
     "stream_dsv2_available_now" -> (dsv2AvailableNow _),
-    "stream_dsv2_sink" -> (dsv2StreamSink _))
+    "stream_dsv2_sink" -> (dsv2StreamSink _),
+    "stream_dsv2_table_source" -> (dsv2TableStream _))
 
   /** Shared by `stream_dsv2_source` and `stream_dsv2_available_now`
     * (round 17) — the connector's deterministic arithmetic over the
@@ -2487,6 +2515,9 @@ object StreamingOps {
     // each micro-batch exactly once — a duplicated (replayed) or
     // dropped batch changes the counts
     "stream_dsv2_sink" -> Dsv2SourceOracle,
+    // and a fourth: the table-as-stream must deliver each commit version
+    // exactly once (one trigger per version, manifest-diff partitions)
+    "stream_dsv2_table_source" -> Dsv2SourceOracle,
     // gap-sessionization in exact integer micros; session starts when the
     // inter-event gap is >= 30 min (Spark merges only strictly-overlapping
     // session windows), emitted once end <= the final watermark

@@ -239,6 +239,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 25)
   }
 
+  test("table-as-stream: one version per trigger; non-append history fails loudly") {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.functions._
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(${b * 10}, ${b * 10 + 10})")
+    val agg = spark.readStream.table(s"$cat.t")
+      .groupBy().agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    // three committed versions -> three data-carrying triggers
+    val out = StreamingOps.runToMemory(spark, agg, minDataBatches = 3)
+    assert(out.head() == org.apache.spark.sql.Row(30L, 0L, 29L))
+    // a DELETE rewrites history: the version range is no longer
+    // append-only and a fresh stream must fail loudly, not misreplay
+    spark.sql(s"DELETE FROM $cat.t WHERE id < 5")
+    val e = intercept[Exception] {
+      StreamingOps.runToMemory(spark, agg, minDataBatches = 1)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("append-only")), chain(e).mkString(" | "))
+  }
+
   test("DDL guard rails: duplicate create, unsupported types, namespaces") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
