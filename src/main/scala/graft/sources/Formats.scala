@@ -267,6 +267,34 @@ object Formats {
          |ORDER BY snap, bucket""".stripMargin)
   }
 
+  /** COMPACTION of the catalog table (round 17 continuation — the
+    * OPTIMIZE maintenance face): overwrite + append land ≥2 versions'
+    * worth of small pool files (per-task staging multiplies them), then
+    * [[GraftCatalog.compact]] coalesces the manifest to ONE file behind
+    * the same pointer-swap commit. The aggregate reads back through the
+    * compacted table; the oracle is the write-face arithmetic UNCHANGED
+    * — a compaction that loses, duplicates, or reorders-into-corruption
+    * a single row breaks the hash, and the spec separately pins the
+    * file-count drop plus the superseded version's survival for time
+    * travel. */
+  def dsv2Compact(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.cmp (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.cmp ${rowsSql(0L, Dsv2WriteBase)}")
+    spark.sql(s"INSERT INTO $cat.cmp ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    val tdir = java.nio.file.Paths.get(catalogRoot, "cmp")
+    GraftCatalog.compact(tdir)
+    val files = GraftCatalog.currentManifest(tdir)
+    require(files.size == 1,
+      s"compaction must leave one pool file, found ${files.size}")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.cmp GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** Writes documents hive-partitioned by `lang` once per dir (marker
     * guarded, like [[materialize]]) — the layout a curation pipeline
     * lands its output in so downstream jobs prune whole partitions. */
@@ -1348,7 +1376,8 @@ object Formats {
     "src_dsv2_scan" -> (dsv2Scan _),
     "src_dsv2_write" -> (dsv2Write _),
     "src_dsv2_delete" -> (dsv2Delete _),
-    "src_dsv2_time_travel" -> (dsv2TimeTravel _))
+    "src_dsv2_time_travel" -> (dsv2TimeTravel _),
+    "src_dsv2_compact" -> (dsv2Compact _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -1702,6 +1731,14 @@ object Formats {
     // arithmetic, so the codec round-trip and the manifest accumulation
     // are both under the hash without DuckDB reading the custom format
     "src_dsv2_write" ->
+      s"""WITH src AS (
+         |  SELECT (i * 2654435761) % 2147483648 AS h
+         |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
+         |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // compaction must not change a row: the write-face oracle verbatim
+    "src_dsv2_compact" ->
       s"""WITH src AS (
          |  SELECT (i * 2654435761) % 2147483648 AS h
          |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))

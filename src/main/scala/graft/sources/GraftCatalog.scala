@@ -335,6 +335,52 @@ object GraftCatalog {
         publishLocked(tableDir, rewritten)
     }
 
+  /** Schema of the table at `tableDir` (from its committed schema.json). */
+  private[sources] def tableSchema(tableDir: Path): StructType =
+    DataType.fromJson(Files.readString(tableDir.resolve(SchemaFile)))
+      .asInstanceOf[StructType]
+
+  /** COMPACTION (the OPTIMIZE face every table format ships): coalesce
+    * the current manifest's pool files into ONE file and publish the
+    * result as a new version — content identical, small-file count gone.
+    * Driver-orchestrated here (files are test-sized); at 100 TB the same
+    * protocol runs as a distributed bin-packing job whose output files
+    * replace their inputs in the new manifest. The superseded version
+    * still references the small files (in-flight readers, time travel)
+    * until the grace GC; the orphan sweep reclaims them after. No-op
+    * (current seq returned, no new version) when the table already has
+    * ≤1 file. Readers are never blocked: this is one more staged commit
+    * behind the same pointer swap. */
+  private[sources] def compact(tableDir: Path): Long =
+    IndexStore.withArtifactLock(lockName(tableDir)) {
+      val previous = IndexStore.pointer.resolve(tableDir, PointerName)
+      val entries = previous.map(readManifest).getOrElse(Nil)
+      if (entries.size <= 1) previous.map(seqOf).getOrElse(0L)
+      else {
+        val schema = tableSchema(tableDir)
+        val types = schema.fields.map(_.dataType)
+        val newName = s"part-compact-${UUID.randomUUID().toString.take(12)}.gbin"
+        val out = new DataOutputStream(new BufferedOutputStream(
+          Files.newOutputStream(tableDir.resolve(DataDir).resolve(newName))))
+        var rows = 0L
+        try entries.foreach { e =>
+          val in = new DataInputStream(new java.io.BufferedInputStream(
+            Files.newInputStream(tableDir.resolve(DataDir).resolve(e.file))))
+          try {
+            var row = GraftRowCodec.read(in, schema)
+            while (row != null) {
+              GraftRowCodec.write(out, types, row)
+              rows += 1
+              row = GraftRowCodec.read(in, schema)
+            }
+          } finally in.close()
+        } finally out.close()
+        require(rows == entries.map(_.rows).sum,
+          s"compaction row conservation violated: $rows vs ${entries.map(_.rows).sum}")
+        publishLocked(tableDir, Seq(ManifestEntry(newName, rows)))
+      }
+    }
+
   /** Publish `entries` as the complete new manifest version. Caller MUST
     * hold the per-table lock ([[IndexStore.withArtifactLock]]) — the
     * POSIX channel lock does not re-enter, so this is the shared inner

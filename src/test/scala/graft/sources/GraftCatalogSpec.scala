@@ -262,6 +262,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("append-only")), chain(e).mkString(" | "))
   }
 
+  test("compaction coalesces to one file, conserves rows, keeps history") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(100, 150)")
+    val dir = root.resolve("t")
+    val preCompactSeq = GraftCatalog.seqOf(
+      IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get)
+    val preFiles = GraftCatalog.currentManifest(dir)
+    assert(preFiles.size >= 2)
+    val seq = GraftCatalog.compact(dir)
+    assert(seq == preCompactSeq + 1)
+    val post = GraftCatalog.currentManifest(dir)
+    assert(post.size == 1 && post.head.rows == 150)
+    assert(spark.sql(s"SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM $cat.t")
+      .head() == Row(150L, 0L, 149L))
+    // time travel to the pre-compact version still sees the small files
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.t VERSION AS OF '$preCompactSeq'")
+      .head().getLong(0) == 150)
+    // compacting a single-file table is a no-op (same seq, no new version)
+    assert(GraftCatalog.compact(dir) == seq)
+  }
+
   test("DDL guard rails: duplicate create, unsupported types, namespaces") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
