@@ -176,7 +176,20 @@ class GraftCatalog extends TableCatalog {
       throw new NoSuchTableException(oldIdent)
     if (Files.exists(to.resolve(GraftCatalog.SchemaFile)))
       throw new TableAlreadyExistsException(newIdent)
-    Files.move(from, to)
+    IndexStore.withArtifactLock(GraftCatalog.lockName(from)) {
+      // the current-version pointer stores an ABSOLUTE target; moving
+      // the directory would leave it dangling (resolve → None → the
+      // renamed table silently reads as EMPTY). Capture the current
+      // version's token before the move and re-swap against the new
+      // path after — same atomic-pointer discipline as a commit.
+      val token = IndexStore.pointer.resolve(from, GraftCatalog.PointerName)
+        .map(_.getFileName.toString)
+      Files.move(from, to)
+      token.foreach { t =>
+        IndexStore.pointer.swap(to, GraftCatalog.PointerName,
+          to.resolve(GraftCatalog.VersionsDir).resolve(t))
+      }
+    }
   }
 }
 

@@ -306,5 +306,13 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.0)")
     assert(spark.sql(s"SELECT * FROM $cat.t").collect().toSeq ==
       Seq(Row(1L, 1.0)))
+    // RENAME re-points the absolute current-version pointer: the renamed
+    // table must read its data, not silently resolve empty
+    spark.sql(s"ALTER TABLE $cat.t RENAME TO t2")
+    assert(spark.sql(s"SELECT * FROM $cat.t2").collect().toSeq ==
+      Seq(Row(1L, 1.0)))
+    spark.sql(s"INSERT INTO $cat.t2 VALUES (2, 2.0)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t2").head().getLong(0) == 2)
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.t").collect() }
   }
 }
