@@ -295,6 +295,138 @@ object Formats {
          |FROM $cat.cmp GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** FILE SKIPPING on the catalog table (round 17 continuation — the
+    * data-skipping face every table format lives on at 100 TB): four
+    * contiguous id-range inserts land files whose manifest min/max
+    * cannot overlap, then a range predicate prunes the earlier batches'
+    * files at PLANNING time ([[GraftStatsSkip]] over the per-file stats
+    * the writers collected). The query REQUIRES the scan's files=K/N
+    * description to show real pruning (K < N), so a silent
+    * skip-nothing regression fails the verify run itself, and the
+    * oracle re-derives the surviving range's aggregate — a skip that
+    * was not conservative (a lost row) breaks the hash. */
+  def dsv2Skipping(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.skip (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.skip ${rowsSql(0L, 3000L)}")
+    spark.sql(s"INSERT INTO $cat.skip ${rowsSql(3000L, 6000L)}")
+    spark.sql(s"INSERT INTO $cat.skip ${rowsSql(6000L, 9000L)}")
+    spark.sql(s"INSERT INTO $cat.skip ${rowsSql(9000L, 12000L)}")
+    val q = spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.skip WHERE id >= 9000 GROUP BY bucket ORDER BY bucket""".stripMargin)
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+      throw new IllegalStateException(s"no graft scan in plan:\n$desc"))
+    val (live, total) = (m.group(1).toInt, m.group(2).toInt)
+    require(live < total && live > 0,
+      s"stats must prune the pre-9000 batches' files, scanned $live/$total")
+    q
+  }
+
+  /** STATISTICS-DRIVEN BROADCAST off the catalog table: the scan reports
+    * manifest-exact rows/bytes ([[SupportsReportStatistics]]), so a
+    * 16-row graft dimension joined to a 100k-row derived fact is
+    * broadcast WITHOUT a hint — the planning decision that separates a
+    * shuffle-both-sides disaster from a map-side join at 100 TB. The
+    * query REQUIRES BroadcastHashJoin in the executed plan; the oracle
+    * re-derives the join arithmetic cross-engine. */
+  def dsv2StatsJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.dim16 (bucket INT, tier STRING)")
+    spark.sql(
+      s"""INSERT OVERWRITE TABLE $cat.dim16
+         |SELECT CAST(id AS INT) AS bucket,
+         |  CASE WHEN id < 4 THEN 'hot' WHEN id < 10 THEN 'warm' ELSE 'cold' END AS tier
+         |FROM range(0, 16)""".stripMargin)
+    val q = spark.sql(
+      s"""SELECT d.tier, count(*) AS cnt,
+         |  CAST(sum(CAST(f.score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM (${rowsSql(0L, 100000L)}) f
+         |JOIN $cat.dim16 d ON f.bucket = d.bucket
+         |GROUP BY d.tier ORDER BY d.tier""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("BroadcastHashJoin"),
+      s"manifest statistics must drive an unhinted broadcast:\n$plan")
+    q
+  }
+
+  /** SQL `UPDATE` on the catalog table (round 17 continuation — the
+    * row-level-operation face): routed through
+    * [[GraftRowLevelOperation]] as group-based COPY-ON-WRITE — the COW
+    * scan's pushed predicate prunes clean files by manifest stats, Spark
+    * rewrites the affected files' rows (matched rows updated, the rest
+    * carried verbatim), and the commit swaps exactly those files out of
+    * the manifest, refusing if another commit raced in. The oracle
+    * re-derives the updated table from the range() arithmetic — one
+    * row double-updated, missed, or lost breaks the hash. */
+  def dsv2Update(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.upd (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.upd ${rowsSql(0L, Dsv2WriteBase)}")
+    spark.sql(s"INSERT INTO $cat.upd ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    spark.sql(s"UPDATE $cat.upd SET score = score + 1.0 WHERE bucket = 3")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.upd GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** SQL `MERGE INTO` the catalog table — the upsert every incremental
+    * pipeline lands on: a source overlapping half the table updates the
+    * matched half (score doubles) and inserts the new half, through the
+    * same group-based COW commit. The oracle re-derives the three id
+    * regimes (untouched / updated / inserted) from range() arithmetic. */
+  def dsv2Merge(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.mrg (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.mrg ${rowsSql(0L, 12000L)}")
+    spark.sql(
+      s"""MERGE INTO $cat.mrg t
+         |USING (${rowsSql(6000L, 18000L)}) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET score = t.score + s.score
+         |WHEN NOT MATCHED THEN INSERT (id, bucket, score) VALUES (s.id, s.bucket, s.score)
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.mrg GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** SCHEMA EVOLUTION on the catalog table: `ALTER TABLE ADD COLUMN`
+    * widens the schema WITHOUT touching a data file — each manifest
+    * entry records its write-time width, readers null-fill the evolved
+    * tail of pre-ALTER files. The aggregate separates the two eras
+    * (count(score) counts only post-ALTER rows); the oracle re-derives
+    * both eras from range() arithmetic with NULL for the old era. The
+    * table is dropped and re-created each run because a second ALTER of
+    * the same name must fail loudly (duplicate column). */
+  def dsv2Evolve(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, bucket INT)")
+    spark.sql(
+      s"""INSERT INTO $cat.ev
+         |SELECT id, CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket
+         |FROM range(0, 6000)""".stripMargin)
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $cat.ev ${rowsSql(6000L, 12000L)}")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt, count(score) AS cnt_scored,
+         |  CAST(sum(CAST(coalesce(score, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.ev GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** Writes documents hive-partitioned by `lang` once per dir (marker
     * guarded, like [[materialize]]) — the layout a curation pipeline
     * lands its output in so downstream jobs prune whole partitions. */
@@ -1377,7 +1509,12 @@ object Formats {
     "src_dsv2_write" -> (dsv2Write _),
     "src_dsv2_delete" -> (dsv2Delete _),
     "src_dsv2_time_travel" -> (dsv2TimeTravel _),
-    "src_dsv2_compact" -> (dsv2Compact _))
+    "src_dsv2_compact" -> (dsv2Compact _),
+    "src_dsv2_skipping" -> (dsv2Skipping _),
+    "src_dsv2_stats_join" -> (dsv2StatsJoin _),
+    "src_dsv2_update" -> (dsv2Update _),
+    "src_dsv2_merge" -> (dsv2Merge _),
+    "src_dsv2_evolve" -> (dsv2Evolve _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -1769,5 +1906,61 @@ object Formats {
          |  count(*) AS cnt,
          |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
          |FROM cur WHERE i < $Dsv2WriteBase GROUP BY 2
-         |ORDER BY snap, bucket""".stripMargin)
+         |ORDER BY snap, bucket""".stripMargin,
+    // file skipping prunes the pre-9000 batches at planning time; the
+    // oracle gates the SURVIVING range's aggregate, so a non-conservative
+    // skip (a lost row) breaks the hash and the query's own files=K/N
+    // require breaks a skip-nothing regression
+    "src_dsv2_skipping" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(9000, 12000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the 16-row graft dimension joined to the 100k derived fact — the
+    // query itself requires the unhinted BroadcastHashJoin; the oracle
+    // gates the join arithmetic
+    "src_dsv2_stats_join" ->
+      """WITH f AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 100000) t(i)),
+        |d AS (
+        |  SELECT CAST(i AS INTEGER) AS bucket,
+        |    CASE WHEN i < 4 THEN 'hot' WHEN i < 10 THEN 'warm' ELSE 'cold' END AS tier
+        |  FROM range(0, 16) t(i))
+        |SELECT d.tier, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(f.h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM f JOIN d ON CAST(f.h % 16 AS INTEGER) = d.bucket
+        |GROUP BY d.tier ORDER BY d.tier""".stripMargin,
+    // UPDATE ... WHERE bucket = 3 adds 1.0 to the matched rows' scores —
+    // the oracle re-derives the post-update table from the arithmetic
+    "src_dsv2_update" ->
+      s"""WITH src AS (
+         |  SELECT (i * 2654435761) % 2147483648 AS h
+         |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
+         |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0
+         |    + CASE WHEN h % 16 = 3 THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // MERGE regimes: [0,6000) untouched, [6000,12000) matched (score
+    // doubles), [12000,18000) inserted — re-derived from the arithmetic
+    "src_dsv2_merge" ->
+      """WITH src AS (
+        |  SELECT i, (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 18000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0
+        |    * CASE WHEN i >= 6000 AND i < 12000 THEN 2.0 ELSE 1.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // two schema eras: [0,6000) written pre-ALTER (score NULL via the
+    // width ledger), [6000,12000) post-ALTER with real scores
+    "src_dsv2_evolve" ->
+      """WITH src AS (
+        |  SELECT i, (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 12000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(count(CASE WHEN i >= 6000 THEN 1 END) AS BIGINT) AS cnt_scored,
+        |  CAST(sum(CAST(CASE WHEN i >= 6000 THEN CAST(h % 1000 AS DOUBLE) / 1000.0 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -155,8 +155,75 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident.name(), dir.toString, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** SCHEMA EVOLUTION, the additive-only discipline (what survives at
+    * 100 TB where a rewrite of every file is off the table): `ALTER
+    * TABLE ADD COLUMN` appends a NULLABLE column to the end of the
+    * schema; no data file is touched. Every manifest entry records its
+    * write-time width (`cols`), so readers parse old files as the
+    * schema's cols-wide prefix and null-fill the tail. Everything
+    * non-additive — positioned adds, NOT NULL adds, drops, renames, type
+    * changes — is rejected loudly: those require a rewrite (or a
+    * name-mapping layer) this format deliberately does not fake. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    val schemaFile = dir.resolve(GraftCatalog.SchemaFile)
+    if (!Files.exists(schemaFile)) throw new NoSuchTableException(ident)
+    IndexStore.withArtifactLock(GraftCatalog.lockName(dir)) {
+      val schema = DataType.fromJson(Files.readString(schemaFile))
+        .asInstanceOf[StructType]
+      val evolved = changes.foldLeft(schema) { (s, change) =>
+        change match {
+          case add: TableChange.AddColumn =>
+            if (add.fieldNames().length != 1)
+              throw new UnsupportedOperationException(
+                "graft tables have flat schemas; nested ADD COLUMN is not supported")
+            val name = add.fieldNames().head
+            if (s.fieldNames.exists(_.equalsIgnoreCase(name)))
+              throw new IllegalArgumentException(s"column $name already exists")
+            if (!add.isNullable)
+              throw new UnsupportedOperationException(
+                "ADD COLUMN must be nullable: existing files null-fill the new column")
+            if (add.position() != null)
+              throw new UnsupportedOperationException(
+                "ADD COLUMN is append-only: a positioned add would shift the " +
+                  "ordinal-encoded files under every reader")
+            if (!GraftRowCodec.supported(add.dataType()))
+              throw new UnsupportedOperationException(
+                s"unsupported column type: $name: ${add.dataType().sql}")
+            s.add(StructField(name, add.dataType(), nullable = true,
+              metadata = Option(add.comment()).map(c =>
+                new MetadataBuilder().putString("comment", c).build())
+                .getOrElse(Metadata.empty)))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"unsupported ALTER TABLE change: $other (graft tables evolve " +
+                "by nullable ADD COLUMN only)")
+        }
+      }
+      // refuse while any surviving manifest entry predates the width
+      // ledger: a legacy (cols = -1) entry means "full schema as of
+      // today", which stops being well-defined the moment the schema
+      // widens under it
+      val vroot = dir.resolve(GraftCatalog.VersionsDir)
+      if (Files.isDirectory(vroot)) {
+        val listing = Files.list(vroot)
+        val legacy =
+          try listing.iterator().asScala
+            .flatMap(v => GraftCatalog.readManifest(v))
+            .exists(_.cols < 0)
+          finally listing.close()
+        if (legacy) throw new UnsupportedOperationException(
+          "table has pre-evolution manifest entries (no width ledger); " +
+            "compact before altering")
+      }
+      val tmp = dir.resolve(
+        s".${GraftCatalog.SchemaFile}.${UUID.randomUUID().toString.take(8)}")
+      Files.writeString(tmp, evolved.json)
+      Files.move(tmp, schemaFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      new GraftTable(ident.name(), dir.toString, evolved)
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
@@ -207,6 +274,8 @@ object GraftCatalog {
     * the streaming sink's replay guard: a foreachBatch retry of the
     * batch the CURRENT version already carries is a no-op. */
   val TagFile = "_GRAFT_TAG"
+  /** Name of the file-lineage metadata column every graft table exposes. */
+  val FileMetaCol = "_file"
 
   /** Superseded versions (and unreferenced data-file orphans) younger
     * than this are never collected — a reader that resolved the pointer
@@ -214,8 +283,27 @@ object GraftCatalog {
     * discipline. Spec-tunable. */
   @volatile var GraceMs: Long = 10L * 60L * 1000L
 
-  /** One data file of one committed version: pool file name + rows. */
-  final case class ManifestEntry(file: String, rows: Long)
+  /** One data file of one committed version.
+    *
+    * Manifest line format (tab-separated; the v1 2-field form is still
+    * parsed): `file \t rows \t cols \t bytes \t stats`.
+    *
+    *  - `cols`: how many leading schema fields the file was WRITTEN with —
+    *    the schema-evolution ledger (a file written before an ADD COLUMN
+    *    is narrower than the current schema; readers null-fill the tail).
+    *    -1 = pre-evolution legacy, meaning "the full schema as of today"
+    *    (ALTER refuses to run while any such entry survives, so the
+    *    ambiguity can never become real).
+    *  - `bytes`: exact on-disk size, the scan's statistics report (the
+    *    input to Catalyst's broadcast decision). -1 = unknown (legacy).
+    *  - `stats`: base64 per-column min/max/nullCount ([[GraftStats]]) —
+    *    the file-skipping index. "-" = absent (legacy).
+    */
+  final case class ManifestEntry(file: String, rows: Long,
+      cols: Int = -1, bytes: Long = -1L,
+      stats: Option[GraftStats.FileStats] = None) {
+    def colsOr(schemaWidth: Int): Int = if (cols < 0) schemaWidth else cols
+  }
 
   private[sources] def lockName(tableDir: Path): String =
     "gcat_" + tableDir.toAbsolutePath.toString
@@ -225,10 +313,20 @@ object GraftCatalog {
     val f = version.resolve(ManifestFile)
     if (!Files.exists(f)) Nil
     else Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { line =>
-      val Array(name, rows) = line.split('\t')
-      ManifestEntry(name, rows.toLong)
+      line.split('\t') match {
+        case Array(name, rows) => ManifestEntry(name, rows.toLong)
+        case Array(name, rows, cols, bytes, stats) =>
+          ManifestEntry(name, rows.toLong, cols.toInt, bytes.toLong,
+            if (stats == "-") None else Some(GraftStats.decode(stats)))
+        case other => throw new IllegalStateException(
+          s"corrupt manifest line (${other.length} fields): $line")
+      }
     }
   }
+
+  private def manifestLine(e: ManifestEntry): String =
+    s"${e.file}\t${e.rows}\t${e.cols}\t${e.bytes}\t" +
+      e.stats.map(GraftStats.encode).getOrElse("-")
 
   private[sources] def currentManifest(tableDir: Path): Seq[ManifestEntry] =
     IndexStore.pointer.resolve(tableDir, PointerName)
@@ -298,6 +396,30 @@ object GraftCatalog {
     * new manifest), and publish the survivor manifest as a new version.
     * The superseded version still references the pre-delete files, so
     * in-flight readers and `VERSION AS OF` keep working until GC. */
+  /** Row of the table's FULL current width from a file row of prefix
+    * width `cols` — the evolved tail stays null (ADD COLUMN contract). */
+  private def padded(row: InternalRow, cols: Int,
+      schema: StructType): InternalRow =
+    if (cols == schema.length) row
+    else {
+      val out = new GenericInternalRow(schema.length)
+      var i = 0
+      while (i < cols) {
+        out.update(i, row.get(i, schema.fields(i).dataType))
+        i += 1
+      }
+      out
+    }
+
+  /** FILE SKIPPING for the maintenance paths: a delete predicate that
+    * provably matches nothing in a file (by its manifest stats) lets the
+    * file carry over WITHOUT the per-row scan — the same pruning the
+    * read path does at planning time. */
+  private def statsProveNoMatch(e: ManifestEntry, schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    e.stats.exists(st => filters.exists(f =>
+      GraftStatsSkip.canSkip(f, schema, st, e.rows)))
+
   private[sources] def deleteWhere(tableDir: Path, schema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     IndexStore.withArtifactLock(lockName(tableDir)) {
@@ -307,39 +429,49 @@ object GraftCatalog {
       var changed = false
       val rewritten = entries.flatMap { e =>
         val src = tableDir.resolve(DataDir).resolve(e.file)
+        val fileSchema = StructType(schema.fields.take(e.colsOr(schema.length)))
         def scanMatches(): Boolean = {
           val in = new DataInputStream(new java.io.BufferedInputStream(
             Files.newInputStream(src)))
           try {
-            var row = GraftRowCodec.read(in, schema)
+            var row = GraftRowCodec.read(in, fileSchema)
             var found = false
             while (row != null && !found) {
-              if (hit(row)) found = true
-              else row = GraftRowCodec.read(in, schema)
+              if (hit(padded(row, fileSchema.length, schema))) found = true
+              else row = GraftRowCodec.read(in, fileSchema)
             }
             found
           } finally in.close()
         }
-        if (!scanMatches()) Some(e) // untouched: carried by reference
+        if (statsProveNoMatch(e, schema, filters)) Some(e) // skipped by stats
+        else if (!scanMatches()) Some(e) // untouched: carried by reference
         else {
           changed = true
           val newName = s"part-delete-${UUID.randomUUID().toString.take(12)}.gbin"
           val types = schema.fields.map(_.dataType)
+          val stats = new GraftStats.Collector(schema)
           val in = new DataInputStream(new java.io.BufferedInputStream(
             Files.newInputStream(src)))
+          val dst = tableDir.resolve(DataDir).resolve(newName)
           val out = new DataOutputStream(new BufferedOutputStream(
-            Files.newOutputStream(tableDir.resolve(DataDir).resolve(newName))))
+            Files.newOutputStream(dst)))
           var kept = 0L
           try {
-            var row = GraftRowCodec.read(in, schema)
+            var row = GraftRowCodec.read(in, fileSchema)
             while (row != null) {
-              if (!hit(row)) { GraftRowCodec.write(out, types, row); kept += 1 }
-              row = GraftRowCodec.read(in, schema)
+              val full = padded(row, fileSchema.length, schema)
+              if (!hit(full)) {
+                GraftRowCodec.write(out, types, full)
+                stats.update(full)
+                kept += 1
+              }
+              row = GraftRowCodec.read(in, fileSchema)
             }
           } finally { in.close(); out.close() }
-          if (kept > 0) Some(ManifestEntry(newName, kept))
+          if (kept > 0) Some(ManifestEntry(newName, kept, schema.length,
+            Files.size(dst), Some(stats.result())))
           else {
-            Files.deleteIfExists(tableDir.resolve(DataDir).resolve(newName))
+            Files.deleteIfExists(dst)
             None // every row matched: the file disappears from the manifest
           }
         }
@@ -372,27 +504,41 @@ object GraftCatalog {
       else {
         val schema = tableSchema(tableDir)
         val types = schema.fields.map(_.dataType)
+        val stats = new GraftStats.Collector(schema)
         val newName = s"part-compact-${UUID.randomUUID().toString.take(12)}.gbin"
+        val dst = tableDir.resolve(DataDir).resolve(newName)
         val out = new DataOutputStream(new BufferedOutputStream(
-          Files.newOutputStream(tableDir.resolve(DataDir).resolve(newName))))
+          Files.newOutputStream(dst)))
         var rows = 0L
         try entries.foreach { e =>
+          val fileSchema =
+            StructType(schema.fields.take(e.colsOr(schema.length)))
           val in = new DataInputStream(new java.io.BufferedInputStream(
             Files.newInputStream(tableDir.resolve(DataDir).resolve(e.file))))
           try {
-            var row = GraftRowCodec.read(in, schema)
+            var row = GraftRowCodec.read(in, fileSchema)
             while (row != null) {
-              GraftRowCodec.write(out, types, row)
+              val full = padded(row, fileSchema.length, schema)
+              GraftRowCodec.write(out, types, full)
+              stats.update(full)
               rows += 1
-              row = GraftRowCodec.read(in, schema)
+              row = GraftRowCodec.read(in, fileSchema)
             }
           } finally in.close()
         } finally out.close()
         require(rows == entries.map(_.rows).sum,
           s"compaction row conservation violated: $rows vs ${entries.map(_.rows).sum}")
-        publishLocked(tableDir, Seq(ManifestEntry(newName, rows)))
+        publishLocked(tableDir, Seq(ManifestEntry(newName, rows,
+          schema.length, Files.size(dst), Some(stats.result()))))
       }
     }
+
+  /** The row-level (COW) commit's publish seam: caller MUST hold the
+    * per-table lock — it verifies its no-conflict precondition and
+    * replaces the scanned files' entries in the same critical section. */
+  private[sources] def replaceFiles(tableDir: Path,
+      entries: Seq[ManifestEntry]): Long =
+    publishLocked(tableDir, entries)
 
   /** Publish `entries` as the complete new manifest version. Caller MUST
     * hold the per-table lock ([[IndexStore.withArtifactLock]]) — the
@@ -406,7 +552,7 @@ object GraftCatalog {
     val vdir = tableDir.resolve(VersionsDir).resolve(token)
     Files.createDirectories(vdir)
     Files.writeString(vdir.resolve(ManifestFile),
-      entries.map(e => s"${e.file}\t${e.rows}").mkString("\n"))
+      entries.map(manifestLine).mkString("\n"))
     Files.writeString(vdir.resolve(SeqFile), seq.toString)
     tag.foreach(t => Files.writeString(vdir.resolve(TagFile), t))
     IndexStore.pointer.swap(tableDir, PointerName, vdir)
@@ -478,7 +624,24 @@ object GraftCatalog {
 private[sources] class GraftTable(tableName: String, tableDir: String,
     tableSchema: StructType, pinnedVersion: Option[Path] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file`: which pool file a row lives in — the file-granular lineage
+    * every table format exposes. Doubles as the row-level operations'
+    * required metadata attribute: its presence makes Spark take the
+    * metadata-aware write path, which hands carried-over rows to the
+    * two-arg `DataWriter.write(metadata, row)` and projected row parts
+    * to the one-arg path (without it, ReplaceDataExec feeds the writer
+    * UNPROJECTED rows with the leading `__row_operation` column). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftCatalog.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data-pool file containing the row"
+    })
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -513,14 +676,180 @@ private[sources] class GraftTable(tableName: String, tableDir: String,
     require(canDeleteWhere(filters), "unsupported DELETE predicate")
     GraftCatalog.deleteWhere(Paths.get(tableDir), tableSchema, filters)
   }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` with predicates the
+    * metadata path can't express, e.g. `<>` under three-valued logic):
+    * GROUP-BASED COPY-ON-WRITE at file granularity. Spark's rewrite
+    * plans read back the affected groups IN FULL through the operation's
+    * scan (its pushed filters prune at file granularity — false
+    * positives read extra rows, never lose one), compute the replacement
+    * rows, and the operation's write swaps exactly the scanned files out
+    * of the manifest in one staged commit. A commit that raced in
+    * between is detected by sequence number and fails loudly
+    * (serializable, not lost-update). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      s"$tableName is a historical snapshot (VERSION AS OF); DML goes to the current table")
+    () => new GraftRowLevelOperation(tableDir, tableSchema, info.command())
+  }
+}
+
+/** One group-based (copy-on-write) row-level operation: the scan pins
+  * the manifest snapshot and records which files survived file skipping
+  * (= the REPLACED groups); the write publishes (manifest − scanned) ++
+  * staged as one version, refusing if any other commit landed since the
+  * scan pinned its snapshot. */
+private class GraftRowLevelOperation(tableDir: String, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import GraftCatalog.ManifestEntry
+
+  /** (seq at scan, full manifest, files the scan planned) — pinned by
+    * the FIRST scan build and reused if planning builds the scan again,
+    * so every face of the rewrite plan sees one immutable snapshot. */
+  @volatile private var pinned: Option[(Long, Seq[ManifestEntry], Seq[ManifestEntry])] = None
+
+  private[sources] def pinScan(live: Seq[ManifestEntry],
+      all: Seq[ManifestEntry], seq: Long): Seq[ManifestEntry] =
+    synchronized {
+      pinned match {
+        case Some((_, _, scanned)) =>
+          // group-based planning builds ONE scan and reuses it across
+          // the rewrite plan; a rebuild with a DIFFERENT file set would
+          // desynchronize "rows read" from "files replaced" — fail loud
+          // rather than lose rows
+          if (live.map(_.file).toSet != scanned.map(_.file).toSet)
+            throw new IllegalStateException(
+              "row-level scan rebuilt with a different file set; " +
+                "unsupported plan shape")
+          scanned
+        case None => pinned = Some((seq, all, live)); live
+      }
+    }
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(this, tableDir, schema)
+
+  /** Requiring `_file` routes ReplaceDataExec through the metadata-aware
+    * writing task, which applies the ROW PROJECTION before handing rows
+    * to the writer (see [[GraftTable.metadataColumns]]). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftCatalog.FileMetaCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+            new GraftWriterFactory(tableDir, schema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val (scanSeq, all, scanned) = pinned.getOrElse(
+              throw new IllegalStateException(
+                "row-level write committed without a pinned scan"))
+            val staged = messages.toSeq.collect {
+              case m: GraftFileMsg if m.file.nonEmpty => m.toEntry }
+            // a fully-skipped operation (stats proved no file could
+            // match) replaces nothing — publish no version at all
+            if (scanned.isEmpty && staged.isEmpty) return
+            val dir = Paths.get(tableDir)
+            IndexStore.withArtifactLock(GraftCatalog.lockName(dir)) {
+              val curSeq = IndexStore.pointer
+                .resolve(dir, GraftCatalog.PointerName)
+                .map(GraftCatalog.seqOf).getOrElse(0L)
+              if (curSeq != scanSeq) {
+                // loud serializable-conflict abort: unlink our staged
+                // files, leave the table exactly as the winner left it
+                staged.foreach(e => try Files.deleteIfExists(
+                  dir.resolve(GraftCatalog.DataDir).resolve(e.file))
+                catch { case NonFatal(_) => () })
+                throw new IllegalStateException(
+                  s"concurrent commit detected: table moved from version " +
+                    s"$scanSeq to $curSeq during the row-level operation; retry")
+              }
+              val scannedNames = scanned.map(_.file).toSet
+              GraftCatalog.replaceFiles(dir,
+                all.filterNot(e => scannedNames.contains(e.file)) ++ staged)
+            }
+            ()
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case GraftFileMsg(f, _, _, _, _) if f.nonEmpty =>
+                try Files.deleteIfExists(
+                  Paths.get(tableDir, GraftCatalog.DataDir, f))
+                catch { case NonFatal(_) => () }
+              case _ => ()
+            }
+        }
+        override def description(): String =
+          s"graft_table_cow dir=$tableDir cmd=$cmd"
+      }
+    }
+  }
+
+  override def description(): String = s"graft COW $cmd on $tableDir"
+}
+
+/** The COW operation's scan builder: same pushdown + file skipping as
+  * the read path, but build() pins the operation's snapshot and records
+  * the surviving files as the groups the write will replace. */
+private class GraftCowScanBuilder(op: GraftRowLevelOperation,
+    tableDir: String, schema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  private var required: StructType = schema
+  private var skippingFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    skippingFilters = filters.filter(f => GraftStatsSkip.usable(f, schema))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    skippingFilters
+  override def build(): Scan = {
+    val dir = Paths.get(tableDir)
+    val (seq, all) = IndexStore.pointer.resolve(dir, GraftCatalog.PointerName)
+      .map(v => (GraftCatalog.seqOf(v), GraftCatalog.readManifest(v)))
+      .getOrElse((0L, Nil))
+    val live =
+      if (skippingFilters.isEmpty) all
+      else all.filterNot(e => e.stats.exists(st =>
+        skippingFilters.exists(f =>
+          GraftStatsSkip.canSkip(f, schema, st, e.rows))))
+    val scanned = op.pinScan(live, all, seq)
+    new GraftTableScan(tableDir, schema, required, scanned, all.size)
+  }
 }
 
 private class GraftScanBuilder(tableDir: String, schema: StructType,
     pinnedVersion: Option[Path])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = schema
+  private var skippingFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** File skipping is INEXACT (whole-file granularity): every filter is
+    * returned as a residual for Spark to re-evaluate per row; the usable
+    * ones are additionally kept to prune manifest entries at build time
+    * (and reported via `pushedFilters` so EXPLAIN shows them). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    skippingFilters = filters.filter(f => GraftStatsSkip.usable(f, schema))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    skippingFilters
   override def build(): Scan = {
     // resolve the pointer ONCE (or read the PINNED version's manifest):
     // the scan reads an immutable snapshot — a commit racing this query
@@ -529,24 +858,51 @@ private class GraftScanBuilder(tableDir: String, schema: StructType,
       case Some(v) => GraftCatalog.readManifest(v)
       case None => GraftCatalog.currentManifest(Paths.get(tableDir))
     }
-    new GraftTableScan(tableDir, schema, required, files)
+    // PLANNING-TIME file skipping: drop every file one of the pushed
+    // (conjunctive) filters proves empty; files without stats survive
+    val live =
+      if (skippingFilters.isEmpty) files
+      else files.filterNot(e => e.stats.exists(st =>
+        skippingFilters.exists(f =>
+          GraftStatsSkip.canSkip(f, schema, st, e.rows))))
+    new GraftTableScan(tableDir, schema, required, live, files.size)
   }
 }
 
 private class GraftTableScan(tableDir: String, schema: StructType,
-    required: StructType, files: Seq[GraftCatalog.ManifestEntry])
-  extends Scan with Batch {
+    required: StructType, files: Seq[GraftCatalog.ManifestEntry],
+    totalFiles: Int)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_table dir=$tableDir files=${files.size} " +
+    s"graft_table dir=$tableDir files=${files.size}/$totalFiles " +
       s"rows=${files.map(_.rows).sum} cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     files.map(e => GraftFileSplit(
-      Paths.get(tableDir, GraftCatalog.DataDir, e.file).toString))
+      Paths.get(tableDir, GraftCatalog.DataDir, e.file).toString,
+      e.colsOr(schema.length)))
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, required.fieldNames)
+
+  /** Post-skipping size/rows off the manifest — the numbers Catalyst's
+    * join planning consumes (a small graft table under the broadcast
+    * threshold is broadcast WITHOUT a hint; spec-pinned). Legacy entries
+    * without recorded bytes fall back to the live file size. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override val numRows: java.util.OptionalLong =
+        java.util.OptionalLong.of(files.map(_.rows).sum)
+      override val sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(files.map { e =>
+          if (e.bytes >= 0L) e.bytes
+          else try Files.size(
+            Paths.get(tableDir, GraftCatalog.DataDir, e.file))
+          catch { case NonFatal(_) => 0L }
+        }.sum)
+    }
 
   /** The TABLE-AS-STREAM face (the Delta-streaming-source shape):
     * offsets are COMMIT SEQUENCE numbers, each trigger admits ONE
@@ -594,7 +950,8 @@ private class GraftTableScan(tableDir: String, schema: StructType,
             s"range ($s, $e] removed files: ${lost.take(3).mkString(", ")}")
         after.filterNot(f => beforeNames.contains(f.file))
           .map(f => GraftFileSplit(
-            dir.resolve(GraftCatalog.DataDir).resolve(f.file).toString))
+            dir.resolve(GraftCatalog.DataDir).resolve(f.file).toString,
+            f.colsOr(schema.length)))
           .toArray[InputPartition]
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -610,27 +967,46 @@ private case class GraftSeqOffset(seq: Long)
   override def json(): String = seq.toString
 }
 
-private case class GraftFileSplit(path: String) extends InputPartition
+/** `cols` = the file's write-time schema width (manifest ledger): a
+  * file written before an ADD COLUMN parses as the schema's cols-wide
+  * prefix and the reader null-fills the evolved tail. */
+private case class GraftFileSplit(path: String, cols: Int)
+  extends InputPartition
 
 private class GraftReaderFactory(schema: StructType,
     requiredNames: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[GraftFileSplit]
-    val ordinals = requiredNames.map(n => schema.fieldIndex(n))
+    val fileSchema = StructType(schema.fields.take(split.cols))
+    // ordinal ≥ 0: data column; FileOrd: the _file metadata column (a
+    // declared table column of that name shadows the metadata column)
+    val FileOrd = -1
+    val ordinals: Array[Int] = requiredNames.map { n =>
+      if (schema.fieldNames.contains(n)) schema.fieldIndex(n)
+      else if (n == GraftCatalog.FileMetaCol) FileOrd
+      else schema.fieldIndex(n) // throws the standard missing-field error
+    }
+    val fileName = UTF8String.fromString(
+      Paths.get(split.path).getFileName.toString)
     val in = new DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(Paths.get(split.path))))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = {
-        val full = GraftRowCodec.read(in, schema)
+        val full = GraftRowCodec.read(in, fileSchema)
         if (full == null) false
         else {
           // projection-level pruning: the row format parses every field,
-          // but only the REQUIRED ordinals are emitted
+          // but only the REQUIRED ordinals are emitted; ordinals past the
+          // file's write-time width are the evolved tail — null by
+          // definition (ADD COLUMN is nullable-only)
           val out = new GenericInternalRow(ordinals.length)
           var i = 0
           while (i < ordinals.length) {
-            out.update(i, full.get(ordinals(i), schema.fields(ordinals(i)).dataType))
+            val o = ordinals(i)
+            if (o == FileOrd) out.update(i, fileName)
+            else if (o < split.cols)
+              out.update(i, full.get(o, schema.fields(o).dataType))
             i += 1
           }
           current = out
@@ -655,9 +1031,16 @@ private class GraftWriteBuilder(tableDir: String, schema: StructType,
   }
 }
 
-/** One staged file's identity, sent back from a committed writer task. */
-private case class GraftFileMsg(file: String, rows: Long)
-  extends WriterCommitMessage
+/** One staged file's identity, sent back from a committed writer task:
+  * name, rows, write-time schema width, exact bytes, and the base64
+  * per-column stats the manifest persists for file skipping. */
+private case class GraftFileMsg(file: String, rows: Long, cols: Int,
+    bytes: Long, statsB64: String)
+  extends WriterCommitMessage {
+  def toEntry: GraftCatalog.ManifestEntry =
+    GraftCatalog.ManifestEntry(file, rows, cols, bytes,
+      Some(GraftStats.decode(statsB64)))
+}
 
 private class GraftBatchWrite(tableDir: String, schema: StructType,
     truncateFirst: Boolean, commitTag: Option[String]) extends BatchWrite {
@@ -665,8 +1048,8 @@ private class GraftBatchWrite(tableDir: String, schema: StructType,
     new GraftWriterFactory(tableDir, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftCatalog.commitVersion(Paths.get(tableDir),
-      messages.toSeq.collect { case GraftFileMsg(f, n) =>
-        GraftCatalog.ManifestEntry(f, n) },
+      messages.toSeq.collect {
+        case m: GraftFileMsg if m.file.nonEmpty => m.toEntry },
       truncateFirst, commitTag)
     ()
   }
@@ -675,7 +1058,7 @@ private class GraftBatchWrite(tableDir: String, schema: StructType,
     // already unlinked by their writer's abort(), and anything a crash
     // left behind is unreferenced and falls to the grace-aged sweep
     messages.foreach {
-      case GraftFileMsg(f, _) =>
+      case GraftFileMsg(f, _, _, _, _) if f.nonEmpty =>
         try Files.deleteIfExists(
           Paths.get(tableDir, GraftCatalog.DataDir, f))
         catch { case NonFatal(_) => () }
@@ -700,15 +1083,30 @@ private class GraftDataWriter(tableDir: String, schema: StructType,
   private var out: DataOutputStream =
     new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(path)))
   private val types = schema.fields.map(_.dataType)
+  private val stats = new GraftStats.Collector(schema)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     GraftRowCodec.write(out, types, row)
+    stats.update(row)
     rows += 1
   }
+  /** Metadata-carrying write (the row-level operations' carried-over
+    * rows arrive here with their origin `_file`): the metadata is
+    * lineage, not content — the row lands in THIS writer's file. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
   override def commit(): WriterCommitMessage = {
     out.close(); out = null
-    GraftFileMsg(fileName, rows)
+    if (rows == 0L) {
+      // an empty task (common under local[32] fan-out) contributes
+      // nothing: unlink the staged file, report "no file" (empty name)
+      // so the manifest never accumulates zero-row entries
+      Files.deleteIfExists(path)
+      GraftFileMsg("", 0L, schema.length, 0L, "")
+    } else
+      GraftFileMsg(fileName, rows, schema.length, Files.size(path),
+        GraftStats.encode(stats.result()))
   }
   override def abort(): Unit = {
     if (out != null) { try out.close() catch { case NonFatal(_) => () }; out = null }
@@ -857,7 +1255,9 @@ private[sources] object GraftRowCodec {
 
   /** Next full row, or null at clean EOF. A torn trailing row (the file
     * of a crashed UNCOMMITTED writer — never referenced by a manifest,
-    * so never legitimately read) would surface as EOFException, loudly. */
+    * so never legitimately read) would surface as EOFException, loudly.
+    * `schema` is the file's WRITE-TIME schema (its manifest `cols`-wide
+    * prefix of the table schema under evolution). */
   def read(in: DataInputStream, schema: StructType): InternalRow = {
     val marker = in.read()
     if (marker < 0) return null
@@ -886,5 +1286,281 @@ private[sources] object GraftRowCodec {
       i += 1
     }
     row
+  }
+}
+
+/** Per-file column statistics of the graft table format — the FILE
+  * SKIPPING index (what a table format's manifest min/max columns are
+  * for: at 100 TB a selective predicate must prune files at PLANNING
+  * time, not feed them to executors to filter row by row).
+  *
+  * Per stats-supported column (the comparable scalars — boolean, int,
+  * long, float, double, string): null count plus min/max of the non-null
+  * values. String bounds are TRUNCATED to [[MaxStringBound]] chars —
+  * a truncated min is still a valid lower bound as-is, a truncated max
+  * is rounded UP to its prefix successor (or dropped when no successor
+  * exists), so every persisted bound stays conservative. Float/double
+  * bounds use `java.lang.Double.compare` total order (NaN above
+  * everything) on BOTH the collect and the skip side, so NaN-carrying
+  * files are never skipped incorrectly.
+  *
+  * Encoding: a tag-typed binary stream (same discipline as
+  * [[GraftRowCodec]]) base64'd into one manifest field — immune to the
+  * tab/newline collisions a JSON string bound could smuggle into the
+  * line-oriented manifest. */
+private[sources] object GraftStats {
+
+  /** Bounds are truncated to this many UTF-16 units before persisting. */
+  val MaxStringBound = 64
+
+  /** One column's file-level stats. `min`/`max` are external scalars
+    * (Boolean/Int/Long/Float/Double/String), None when the file has no
+    * non-null value (or a string max with no valid rounded-up bound). */
+  final case class ColStats(nulls: Long, min: Option[Any], max: Option[Any])
+
+  /** Column name → stats. Keyed by NAME, not ordinal: a file written
+    * before an ADD COLUMN simply has no entry for the new column. */
+  type FileStats = Map[String, ColStats]
+
+  def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType => true
+    case _ => false
+  }
+
+  /** Total-order compare of two stat/literal values under the column's
+    * type family — the single comparator shared by the collector and the
+    * skip evaluator (a mismatch between the two would turn "conservative
+    * bound" into "wrong bound"). */
+  def cmp(dt: DataType, x: Any, y: Any): Int = dt match {
+    case IntegerType | LongType =>
+      java.lang.Long.compare(x.asInstanceOf[Number].longValue(),
+        y.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(x.asInstanceOf[Number].doubleValue(),
+        y.asInstanceOf[Number].doubleValue())
+    case BooleanType =>
+      java.lang.Boolean.compare(x.asInstanceOf[Boolean], y.asInstanceOf[Boolean])
+    case StringType => x.toString.compareTo(y.toString)
+    case other => throw new IllegalStateException(s"no stats order for $other")
+  }
+
+  /** Smallest string > every string with prefix `s` (s truncated): bump
+    * the last bumpable UTF-16 unit and cut. None when all units are
+    * ￿ (no finite upper bound exists at this length). */
+  private[sources] def prefixSuccessor(s: String): Option[String] = {
+    val cs = s.toCharArray
+    var i = cs.length - 1
+    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+  }
+
+  /** Streaming stats collector over the write-time schema — one per
+    * writer task (and one per driver-side rewrite stream). */
+  final class Collector(schema: StructType) {
+    private val n = schema.length
+    private val nulls = new Array[Long](n)
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private val track: Array[Boolean] =
+      schema.fields.map(f => supported(f.dataType))
+
+    def update(row: InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i)) nulls(i) += 1
+        else if (track(i)) {
+          val dt = schema.fields(i).dataType
+          val v: Any = dt match {
+            case BooleanType => row.getBoolean(i)
+            case IntegerType => row.getInt(i)
+            case LongType => row.getLong(i)
+            case FloatType => row.getFloat(i)
+            case DoubleType => row.getDouble(i)
+            case StringType => row.getUTF8String(i).toString
+            case other => throw new IllegalStateException(s"untracked $other")
+          }
+          if (mins(i) == null || cmp(dt, v, mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || cmp(dt, v, maxs(i)) > 0) maxs(i) = v
+        }
+        i += 1
+      }
+    }
+
+    def result(): FileStats =
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if track(i) =>
+          val (lo, hi) = f.dataType match {
+            case StringType =>
+              val lo = Option(mins(i)).map(_.toString.take(MaxStringBound))
+              val hi = Option(maxs(i)).map(_.toString).flatMap { s =>
+                if (s.length <= MaxStringBound) Some(s)
+                else prefixSuccessor(s.take(MaxStringBound))
+              }
+              (lo: Option[Any], hi: Option[Any])
+            case _ => (Option(mins(i)), Option(maxs(i)))
+          }
+          f.name -> ColStats(nulls(i), lo, hi)
+      }.toMap
+  }
+
+  // ---- codec: tag-typed binary, base64'd into one manifest field ----
+
+  private val TagBool = 1; private val TagInt = 2; private val TagLong = 3
+  private val TagFloat = 4; private val TagDouble = 5; private val TagString = 6
+
+  private def writeValue(out: DataOutputStream, v: Any): Unit = v match {
+    case b: Boolean => out.writeByte(TagBool); out.writeBoolean(b)
+    case i: Int => out.writeByte(TagInt); out.writeInt(i)
+    case l: Long => out.writeByte(TagLong); out.writeLong(l)
+    case f: Float => out.writeByte(TagFloat); out.writeFloat(f)
+    case d: Double => out.writeByte(TagDouble); out.writeDouble(d)
+    case s: String => out.writeByte(TagString); out.writeUTF(s)
+    case other => throw new IllegalStateException(s"unencodable stat $other")
+  }
+
+  private def readValue(in: DataInputStream): Any = in.readByte().toInt match {
+    case TagBool => in.readBoolean()
+    case TagInt => in.readInt()
+    case TagLong => in.readLong()
+    case TagFloat => in.readFloat()
+    case TagDouble => in.readDouble()
+    case TagString => in.readUTF()
+    case other => throw new IllegalStateException(s"corrupt stat tag $other")
+  }
+
+  def encode(stats: FileStats): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(stats.size)
+    stats.toSeq.sortBy(_._1).foreach { case (name, cs) =>
+      out.writeUTF(name)
+      out.writeLong(cs.nulls)
+      out.writeBoolean(cs.min.isDefined); cs.min.foreach(writeValue(out, _))
+      out.writeBoolean(cs.max.isDefined); cs.max.foreach(writeValue(out, _))
+    }
+    out.flush()
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  def decode(s: String): FileStats = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(s)))
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val name = in.readUTF()
+      val nulls = in.readLong()
+      val min = if (in.readBoolean()) Some(readValue(in)) else None
+      val max = if (in.readBoolean()) Some(readValue(in)) else None
+      name -> ColStats(nulls, min, max)
+    }.toMap
+  }
+}
+
+/** The file-skipping evaluator: given one pushed v1 Filter and one
+  * manifest entry's stats, decides whether NO row of that file can
+  * satisfy the filter. STRICTLY CONSERVATIVE: any missing stat, unknown
+  * column, unsupported leaf, or null literal answers "cannot skip".
+  * Filters arrive as a conjunction (Spark splits on And before pushing),
+  * so a file is skipped when ANY single pushed filter proves it empty;
+  * inside one filter, And skips if either side does, Or only if both do.
+  *
+  * This is also the GROUP-SKIPPING contract of the row-level-operation
+  * scan ([[GraftRowLevelOperation]]): group-based copy-on-write requires
+  * whole files containing ANY possible match to be read back in full —
+  * file-granular, false-positive-tolerant, false-negative-free pruning
+  * is exactly what min/max skipping provides. */
+private[sources] object GraftStatsSkip {
+  import org.apache.spark.sql.sources._
+  import GraftStats.{ColStats, FileStats, cmp}
+
+  /** Can this filter contribute to file skipping at all (worth reporting
+    * as pushed)? Same leaf set `canSkip` understands. */
+  def usable(f: Filter, schema: StructType): Boolean = {
+    def col(a: String): Boolean =
+      schema.fieldNames.contains(a) && GraftStats.supported(schema(a).dataType)
+    f match {
+      case And(l, r) => usable(l, schema) || usable(r, schema)
+      case Or(l, r) => usable(l, schema) && usable(r, schema)
+      case EqualTo(a, v) => v != null && col(a)
+      case EqualNullSafe(a, _) => col(a)
+      case GreaterThan(a, v) => v != null && col(a)
+      case GreaterThanOrEqual(a, v) => v != null && col(a)
+      case LessThan(a, v) => v != null && col(a)
+      case LessThanOrEqual(a, v) => v != null && col(a)
+      case In(a, vs) => vs != null && col(a)
+      case IsNull(a) => col(a)
+      case IsNotNull(a) => col(a)
+      case StringStartsWith(a, v) =>
+        v != null && schema.fieldNames.contains(a) &&
+          schema(a).dataType == StringType
+      case _ => false
+    }
+  }
+
+  /** True ⇒ provably no row of the file matches `f`. `rows` is the
+    * file's manifest row count (for the all-null test). */
+  def canSkip(f: Filter, schema: StructType, stats: FileStats,
+      rows: Long): Boolean = {
+    def st(a: String): Option[(ColStats, DataType)] =
+      if (!schema.fieldNames.contains(a)) None
+      else stats.get(a).filter(_ => GraftStats.supported(schema(a).dataType))
+        .map(cs => (cs, schema(a).dataType))
+    // a column written before an ADD COLUMN has no stats entry BUT is
+    // all-null by construction in this file — indistinguishable here
+    // from "legacy no-stats", so absence stays "cannot skip" and the
+    // evolution path keeps correctness without extra bookkeeping
+    def allNull(cs: ColStats): Boolean = cs.nulls == rows
+    def noNonNullBelowEq(cs: ColStats, dt: DataType, v: Any): Boolean =
+      allNull(cs) || cs.min.exists(lo => cmp(dt, lo, v) > 0) // min > v
+    def noNonNullAboveEq(cs: ColStats, dt: DataType, v: Any): Boolean =
+      allNull(cs) || cs.max.exists(hi => cmp(dt, hi, v) < 0) // max < v
+    def outsideRange(cs: ColStats, dt: DataType, v: Any): Boolean =
+      allNull(cs) ||
+        cs.min.exists(lo => cmp(dt, v, lo) < 0) ||
+        cs.max.exists(hi => cmp(dt, v, hi) > 0)
+    f match {
+      case And(l, r) =>
+        canSkip(l, schema, stats, rows) || canSkip(r, schema, stats, rows)
+      case Or(l, r) =>
+        canSkip(l, schema, stats, rows) && canSkip(r, schema, stats, rows)
+      case EqualTo(a, v) =>
+        v != null && st(a).exists { case (cs, dt) => outsideRange(cs, dt, v) }
+      case EqualNullSafe(a, v) =>
+        st(a).exists { case (cs, dt) =>
+          if (v == null) cs.nulls == 0L else outsideRange(cs, dt, v)
+        }
+      case GreaterThan(a, v) => // need some x > v: skip if max <= v
+        v != null && st(a).exists { case (cs, dt) =>
+          allNull(cs) || cs.max.exists(hi => cmp(dt, hi, v) <= 0)
+        }
+      case GreaterThanOrEqual(a, v) =>
+        v != null && st(a).exists { case (cs, dt) => noNonNullAboveEq(cs, dt, v) }
+      case LessThan(a, v) => // need some x < v: skip if min >= v
+        v != null && st(a).exists { case (cs, dt) =>
+          allNull(cs) || cs.min.exists(lo => cmp(dt, lo, v) >= 0)
+        }
+      case LessThanOrEqual(a, v) =>
+        v != null && st(a).exists { case (cs, dt) => noNonNullBelowEq(cs, dt, v) }
+      case In(a, vs) =>
+        vs != null && st(a).exists { case (cs, dt) =>
+          allNull(cs) || vs.forall(v => v == null || outsideRange(cs, dt, v))
+        }
+      case IsNull(a) =>
+        st(a).exists { case (cs, _) => cs.nulls == 0L }
+      case IsNotNull(a) =>
+        st(a).exists { case (cs, _) => allNull(cs) }
+      case StringStartsWith(a, p) =>
+        // matches live in [p, prefixSuccessor(p)): skip if max < p or
+        // min >= the successor (when one exists)
+        p != null && st(a).exists { case (cs, dt) =>
+          allNull(cs) ||
+            cs.max.exists(hi => cmp(dt, hi, p) < 0) ||
+            GraftStats.prefixSuccessor(p).exists(u =>
+              cs.min.exists(lo => cmp(dt, lo, u) >= 0))
+        }
+      case _ => false
+    }
   }
 }

@@ -188,8 +188,19 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $cat.t WHERE grp = 'a' AND id < 10")
     val n = spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
     assert(n == 91, s"90 a-rows + the null-grp row, got $n")
-    // an unsupported predicate (NOT under three-valued logic) fails loudly
-    intercept[Exception] { spark.sql(s"DELETE FROM $cat.t WHERE grp <> 'a'") }
+    // a NOT predicate is beyond the metadata path (two-valued eval would
+    // silently delete NULL rows) — it now routes through the group-based
+    // COW rewrite, where Spark's own three-valued logic keeps UNKNOWN
+    // rows: nothing here is provably <> 'a', so nothing is deleted
+    spark.sql(s"DELETE FROM $cat.t WHERE grp <> 'a'")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 91)
+    // and with a provably-matching row present, ONLY that row goes
+    spark.sql(s"INSERT INTO $cat.t VALUES (1000, 'b', 1.0)")
+    spark.sql(s"DELETE FROM $cat.t WHERE grp <> 'a'")
+    val postNot = spark.sql(
+      s"SELECT count(*) AS n, count(grp) AS ng FROM $cat.t").head()
+    assert(postNot.getLong(0) == 91 && postNot.getLong(1) == 90,
+      s"the b row deleted, the NULL row kept: $postNot")
   }
 
   test("VERSION AS OF reads the pinned snapshot; writes to it are refused") {
