@@ -729,6 +729,15 @@ private class GraftRowLevelOperation(tableDir: String, schema: StructType,
       }
     }
 
+  /** Runtime group filtering callback ([[GraftCowScan.filter]]): shrink
+    * the pinned replace set to the files the runtime filter kept. */
+  private[sources] def narrowScanned(keep: Set[String]): Unit =
+    synchronized {
+      pinned = pinned.map { case (seq, all, scanned) =>
+        (seq, all, scanned.filter(e => keep.contains(e.file)))
+      }
+    }
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -826,7 +835,44 @@ private class GraftCowScanBuilder(op: GraftRowLevelOperation,
         skippingFilters.exists(f =>
           GraftStatsSkip.canSkip(f, schema, st, e.rows))))
     val scanned = op.pinScan(live, all, seq)
-    new GraftTableScan(tableDir, schema, required, scanned, all.size)
+    new GraftCowScan(op, tableDir, schema, required, scanned, all.size)
+  }
+}
+
+/** The COW scan: a [[GraftTableScan]] that additionally accepts
+  * RUNTIME GROUP FILTERING (the selective-MERGE optimization): Spark's
+  * RowLevelOperationRuntimeGroupFiltering computes the DISTINCT `_file`
+  * values of rows matching the operation's condition (via a separate
+  * plain scan of the table) and pushes them here as an IN filter before
+  * execution — files proven match-free shrink BOTH the scan and the
+  * operation's replace set, so a MERGE touching one file rewrites one
+  * file even when no static predicate exists to skip on. */
+private class GraftCowScan(op: GraftRowLevelOperation, tableDir: String,
+    schema: StructType, required: StructType,
+    scanned: Seq[GraftCatalog.ManifestEntry], totalFiles: Int)
+  extends GraftTableScan(tableDir, schema, required, scanned, totalFiles)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftCatalog.FileMetaCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // only _file filters narrow; anything else is ignored (conservative)
+    val keep: Option[Set[String]] = filters.collectFirst {
+      case In(a, vs) if a == GraftCatalog.FileMetaCol =>
+        vs.collect { case s: String => s }.toSet
+      case EqualTo(a, v: String) if a == GraftCatalog.FileMetaCol => Set(v)
+    }
+    keep.foreach { names =>
+      files = files.filter(e => names.contains(e.file))
+      // the replace set must shrink WITH the scan: runtime-filtered-out
+      // files are never read, so their rows are never written back —
+      // they carry over by reference instead of being lost
+      op.narrowScanned(names)
+    }
   }
 }
 
@@ -870,10 +916,14 @@ private class GraftScanBuilder(tableDir: String, schema: StructType,
 }
 
 private class GraftTableScan(tableDir: String, schema: StructType,
-    required: StructType, files: Seq[GraftCatalog.ManifestEntry],
+    required: StructType, initialFiles: Seq[GraftCatalog.ManifestEntry],
     totalFiles: Int)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  /** Live file set — the COW subclass narrows it at RUNTIME (group
+    * filtering); the base scan never mutates it after construction. */
+  @volatile protected var files: Seq[GraftCatalog.ManifestEntry] =
+    initialFiles
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

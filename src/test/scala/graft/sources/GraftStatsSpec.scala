@@ -226,6 +226,36 @@ class GraftStatsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 125L)
   }
 
+  test("runtime group filtering: a selective MERGE rewrites only matching files") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    // two commits; MERGE has no static predicate to skip on (the source
+    // ids are only known at runtime), so without runtime group filtering
+    // EVERY file would be rewritten
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 1.0 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 1.0 FROM range(100, 200)")
+    val dir = root.resolve("t")
+    val before = GraftCatalog.currentManifest(dir).map(_.file).toSet
+    spark.sql(
+      s"""MERGE INTO $cat.t t
+         |USING (SELECT id, 5.0 AS v FROM range(190, 210)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+         |""".stripMargin)
+    val after = GraftCatalog.currentManifest(dir)
+    // the dynamic _file subquery proves the sub-190 files match-free:
+    // they carry over BY REFERENCE (same pool file names)
+    val carried = before.intersect(after.map(_.file).toSet)
+    assert(carried.nonEmpty,
+      "runtime group filtering must carry match-free files by reference")
+    val out = spark.sql(
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(CAST(v AS DECIMAL(10,1))) AS DOUBLE) AS s FROM $cat.t""".stripMargin).head()
+    // 190 rows at 1.0, 10 updated to 5.0, 10 inserted at 5.0
+    assert(out == Row(210L, 190.0 + 50.0 + 50.0))
+  }
+
   test("a commit racing a row-level operation is detected, not lost") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
