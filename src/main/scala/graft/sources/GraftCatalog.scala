@@ -647,7 +647,8 @@ private[sources] class GraftTable(tableName: String, tableDir: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, tableSchema, pinnedVersion)
@@ -659,7 +660,7 @@ private[sources] class GraftTable(tableName: String, tableDir: String,
     // a replayed commit whose tag the CURRENT version already carries is
     // a no-op (the foreachBatch batch-id guard)
     new GraftWriteBuilder(tableDir, tableSchema,
-      Option(info.options.get("commitTag")))
+      Option(info.options.get("commitTag")), info.queryId())
   }
 
   /** SQL `DELETE FROM t WHERE ...` (filter-convertible predicates on the
@@ -1070,15 +1071,55 @@ private class GraftReaderFactory(schema: StructType,
 }
 
 private class GraftWriteBuilder(tableDir: String, schema: StructType,
-    commitTag: Option[String]) extends WriteBuilder with SupportsTruncate {
+    commitTag: Option[String], queryId: String)
+  extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(tableDir, schema, truncateFirst, commitTag)
+    /** NATIVE STREAMING SINK (`df.writeStream.toTable(...)`): every epoch
+      * is one staged manifest commit tagged `(queryId, epochId)`, so an
+      * epoch REPLAYED after an unacknowledged success (the exactly-once
+      * failure mode) is a catalog-level no-op against the version it
+      * already published — the same TagFile guard the foreachBatch sink
+      * uses, without the user writing any sink code. Complete-mode
+      * streams arrive with truncate(): each epoch then REPLACES the
+      * table (truncate + stage) in its one atomic commit. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          new GraftStreamingWriterFactory(tableDir, schema)
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = {
+          GraftCatalog.commitVersion(Paths.get(tableDir),
+            messages.toSeq.collect {
+              case m: GraftFileMsg if m.file.nonEmpty => m.toEntry },
+            truncateFirst, Some(s"epoch-$queryId-$epochId"))
+          ()
+        }
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit =
+          messages.foreach {
+            case GraftFileMsg(f, _, _, _, _) if f.nonEmpty =>
+              try Files.deleteIfExists(
+                Paths.get(tableDir, GraftCatalog.DataDir, f))
+              catch { case NonFatal(_) => () }
+            case _ => ()
+          }
+      }
     override def description(): String =
       s"graft_table dir=$tableDir truncate=$truncateFirst"
   }
+}
+
+private class GraftStreamingWriterFactory(tableDir: String,
+    schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tableDir, schema, partitionId, taskId)
 }
 
 /** One staged file's identity, sent back from a committed writer task:

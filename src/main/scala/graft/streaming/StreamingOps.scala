@@ -1661,6 +1661,40 @@ object StreamingOps {
          |FROM $cat.sink GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** NATIVE STREAMING SINK into the catalog table (round 17
+    * continuation): `writeStream.toTable` through the table's
+    * STREAMING_WRITE face — no foreachBatch plumbing; every epoch is one
+    * staged manifest commit tagged (queryId, epochId), so an epoch
+    * replayed after an unacknowledged success is a catalog-level no-op
+    * (the exactly-once contract, now engine-managed). The table is
+    * dropped and re-created per run (epoch tags are per-query; a rerun
+    * is a NEW query appending to a fresh table). ≥3 data-carrying
+    * epochs enforced; the oracle is the 20k-row connector arithmetic —
+    * a double-committed or lost epoch breaks the hash. */
+  def dsv2NativeStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nsink")
+    spark.sql(
+      s"CREATE TABLE $cat.nsink (id BIGINT, bucket INT, score DOUBLE)")
+    val stream = spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "20000").option("parts", "4").option("rowsPerBatch", "5000")
+      .load()
+    val q = stream.writeStream
+      .options(ckptOption)
+      .toTable(s"$cat.nsink")
+    drainAndStop(q)
+    recordObserved(q)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches < 3) throw new IllegalStateException(
+      s"native streaming sink ran $dataBatches data-carrying micro-batches, " +
+        "expected >= 3 (multi-trigger contract)")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.nsink GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** CATALOG TABLE AS A STREAM (round 17 continuation — the last face of
     * the table's source/sink matrix): four SQL INSERTs land four commit
     * versions, then `readStream.table` consumes them through the graft
@@ -2255,6 +2289,7 @@ object StreamingOps {
     "stream_dsv2_source" -> (dsv2Stream _),
     "stream_dsv2_available_now" -> (dsv2AvailableNow _),
     "stream_dsv2_sink" -> (dsv2StreamSink _),
+    "stream_dsv2_native_sink" -> (dsv2NativeStreamSink _),
     "stream_dsv2_table_source" -> (dsv2TableStream _))
 
   /** Shared by `stream_dsv2_source` and `stream_dsv2_available_now`
@@ -2515,6 +2550,8 @@ object StreamingOps {
     // each micro-batch exactly once — a duplicated (replayed) or
     // dropped batch changes the counts
     "stream_dsv2_sink" -> Dsv2SourceOracle,
+    // the native sink lands the same 20k connector rows, epoch-tagged
+    "stream_dsv2_native_sink" -> Dsv2SourceOracle,
     // and a fourth: the table-as-stream must deliver each commit version
     // exactly once (one trigger per version, manifest-diff partitions)
     "stream_dsv2_table_source" -> Dsv2SourceOracle,

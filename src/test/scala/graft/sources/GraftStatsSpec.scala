@@ -303,6 +303,35 @@ class GraftStatsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 190L)
   }
 
+  test("native streaming write: epochs append; a replayed epoch is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    val ckpt = graft.TempDirs.create("gstat-ckpt").toString
+    val q = spark.readStream.format("graft.sources.SyntheticDocsSource")
+      .option("rows", "200").option("parts", "2").option("rowsPerBatch", "50")
+      .load()
+      .selectExpr("id", "score AS v")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.t")
+    q.awaitTermination(60000)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 200L)
+    // every committed version carries its epoch tag (exactly-once ledger)
+    val dir = root.resolve("t")
+    val cur = IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get
+    val tag = GraftCatalog.tagOf(cur)
+    assert(tag.exists(_.startsWith("epoch-")), tag.toString)
+    // the replay scenario: the SAME epoch commit lands again (driver died
+    // after publishing, before acking the checkpoint) — catalog no-op
+    val seqBefore = GraftCatalog.seqOf(cur)
+    GraftCatalog.commitVersion(dir, Nil, truncate = false, tag = tag)
+    val curAfter = IndexStore.pointer.resolve(dir, GraftCatalog.PointerName).get
+    assert(GraftCatalog.seqOf(curAfter) == seqBefore, "replay must not publish")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 200L)
+  }
+
   test("stats round-trip the manifest codec exactly") {
     import GraftStats._
     val stats: FileStats = Map(
