@@ -328,7 +328,7 @@ object GraftCatalog {
     s"${e.file}\t${e.rows}\t${e.cols}\t${e.bytes}\t" +
       e.stats.map(GraftStats.encode).getOrElse("-")
 
-  private[sources] def currentManifest(tableDir: Path): Seq[ManifestEntry] =
+  private[graft] def currentManifest(tableDir: Path): Seq[ManifestEntry] =
     IndexStore.pointer.resolve(tableDir, PointerName)
       .map(readManifest).getOrElse(Nil)
 
