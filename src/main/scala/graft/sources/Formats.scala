@@ -389,6 +389,8 @@ object Formats {
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $cat.mrg (id BIGINT, bucket INT, score DOUBLE)")
     spark.sql(s"INSERT OVERWRITE TABLE $cat.mrg ${rowsSql(0L, 12000L)}")
+    val mdir = java.nio.file.Paths.get(catalogRoot, "mrg")
+    val beforeMerge = GraftCatalog.currentManifest(mdir).map(_.file).toSet
     spark.sql(
       s"""MERGE INTO $cat.mrg t
          |USING (${rowsSql(6000L, 18000L)}) s
@@ -396,10 +398,68 @@ object Formats {
          |WHEN MATCHED THEN UPDATE SET score = t.score + s.score
          |WHEN NOT MATCHED THEN INSERT (id, bucket, score) VALUES (s.id, s.bucket, s.score)
          |""".stripMargin)
+    // runtime group filtering must have carried the match-free sub-6000
+    // files BY REFERENCE (no static predicate exists on a key-equality
+    // MERGE — only the dynamic _file subquery can prune here)
+    val carried = beforeMerge.intersect(
+      GraftCatalog.currentManifest(mdir).map(_.file).toSet)
+    require(carried.nonEmpty,
+      "runtime group filtering must carry match-free files by reference")
     spark.sql(
       s"""SELECT bucket, count(*) AS cnt,
          |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
          |FROM $cat.mrg GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** CLUSTERED REWRITE restores file skipping (the OPTIMIZE/ORDER BY
+    * layout-management story): the insert SCATTERS ids by a modular
+    * bijection (i·2654435761 mod 12000 — the multiplier is coprime to
+    * 12000), so every writer task's contiguous i-range lands a file
+    * spanning essentially the FULL id range and min/max skipping is
+    * provably useless (the query asserts files=N/N on the range
+    * predicate). One `INSERT OVERWRITE ... SELECT * FROM self ORDER BY
+    * id` re-lands the same rows globally sorted (the scan reads its
+    * planning-time manifest snapshot while the write stages new files —
+    * snapshot isolation makes self-overwrite safe), after which each
+    * file holds a contiguous id slice and the SAME predicate prunes
+    * most files (asserted). The oracle gates the post-rewrite aggregate,
+    * so a row lost or duplicated by the self-overwrite breaks the hash. */
+  def dsv2Cluster(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.clus")
+    spark.sql(s"CREATE TABLE $cat.clus (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(
+      s"""INSERT INTO $cat.clus
+         |SELECT id,
+         |  CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket,
+         |  CAST(id * 2654435761 % 2147483648 % 1000 AS DOUBLE) / 1000.0 AS score
+         |FROM (SELECT (i * 2654435761) % 12000 AS id FROM range(0, 12000) t(i))""".stripMargin)
+    def scanned(pred: String): (Int, Int) = {
+      val plan = spark.sql(s"SELECT count(*) AS n FROM $cat.clus WHERE $pred")
+        .queryExecution.executedPlan.toString
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).getOrElse(
+        throw new IllegalStateException(s"no graft scan in plan:\n$plan"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val (preLive, preTotal) = scanned("id >= 9000")
+    require(preLive == preTotal && preTotal >= 4,
+      s"striped layout must defeat skipping, got $preLive/$preTotal")
+    // explicit range repartition (AQE honors a user-specified partition
+    // count; a bare global ORDER BY would be coalesced to one file at
+    // this volume) + within-partition sort: each rewritten file holds a
+    // contiguous, disjoint id slice
+    spark.sql(
+      s"""INSERT OVERWRITE TABLE $cat.clus
+         |SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id, bucket, score
+         |FROM $cat.clus SORT BY id""".stripMargin)
+    val (postLive, postTotal) = scanned("id >= 9000")
+    require(postLive < postTotal && postLive > 0,
+      s"sorted rewrite must restore skipping, got $postLive/$postTotal")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.clus WHERE id >= 9000 GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
   /** SCHEMA EVOLUTION on the catalog table: `ALTER TABLE ADD COLUMN`
@@ -1514,7 +1574,8 @@ object Formats {
     "src_dsv2_stats_join" -> (dsv2StatsJoin _),
     "src_dsv2_update" -> (dsv2Update _),
     "src_dsv2_merge" -> (dsv2Merge _),
-    "src_dsv2_evolve" -> (dsv2Evolve _))
+    "src_dsv2_evolve" -> (dsv2Evolve _),
+    "src_dsv2_cluster" -> (dsv2Cluster _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -1952,6 +2013,16 @@ object Formats {
         |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0
         |    * CASE WHEN i >= 6000 AND i < 12000 THEN 2.0 ELSE 1.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the striped-then-sorted table holds exactly the [0,12000) id set
+    // at every step; the gated aggregate is the surviving range, same
+    // shape as the skipping oracle
+    "src_dsv2_cluster" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(9000, 12000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
     // two schema eras: [0,6000) written pre-ALTER (score NULL via the
     // width ledger), [6000,12000) post-ALTER with real scores

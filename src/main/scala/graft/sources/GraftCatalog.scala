@@ -965,9 +965,17 @@ private class GraftTableScan(tableDir: String, schema: StructType,
     * may still need is bounded by the GC grace — exactly a table
     * format's stream-source retention contract. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
     val dir = Paths.get(tableDir)
-    new MicroBatchStream with SupportsAdmissionControl {
+    new MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+      // freeze-at-start for Trigger.AvailableNow: the backfill drains
+      // versions up to the seq LATCHED at prepare time and terminates —
+      // a commit landing mid-drain is the NEXT run's work, exactly the
+      // SyntheticDocsSource latch contract on the table's seq axis
+      @volatile private var latchedSeq: Long = -1L
+      override def prepareForTriggerAvailableNow(): Unit =
+        latchedSeq = currentSeq
       private def currentSeq: Long =
         IndexStore.pointer.resolve(dir, GraftCatalog.PointerName)
           .map(GraftCatalog.seqOf).getOrElse(0L)
@@ -981,9 +989,14 @@ private class GraftTableScan(tableDir: String, schema: StructType,
       override def latestOffset(): Offset =
         throw new UnsupportedOperationException(
           "admission-controlled source: engine must call latestOffset(start, limit)")
-      // one committed VERSION per trigger — the replayable unit
-      override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-        GraftSeqOffset(math.min(start.asInstanceOf[GraftSeqOffset].seq + 1L, currentSeq))
+      // one committed VERSION per trigger — the replayable unit; under
+      // AvailableNow, admission additionally never passes the latch
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val cap =
+          if (latchedSeq >= 0L) math.min(latchedSeq, currentSeq)
+          else currentSeq
+        GraftSeqOffset(math.min(start.asInstanceOf[GraftSeqOffset].seq + 1L, cap))
+      }
       override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(1)
       override def reportLatestOffset(): Offset = GraftSeqOffset(currentSeq)
       override def deserializeOffset(json: String): Offset =

@@ -273,6 +273,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("append-only")), chain(e).mkString(" | "))
   }
 
+  test("table-as-stream under AvailableNow: drain to the latch, resume incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(${b * 10}, ${b * 10 + 10})")
+    val ckpt = graft.TempDirs.create("gcat-an-ckpt").toString
+    val outDir = graft.TempDirs.create("gcat-an-out").toString
+    def drain(): Unit = {
+      // file sink: the one built-in sink that RECOVERS from a checkpoint,
+      // which is the whole point of the resumed-backfill contract
+      val q = spark.readStream.table(s"$cat.t")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    }
+    drain() // backfill: three latched versions, then stop
+    assert(spark.read.parquet(outDir).count() == 30L)
+    // new commits land AFTER the first drain; a resumed AvailableNow run
+    // picks up exactly the delta from the checkpointed seq
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0.5 FROM range(30, 45)")
+    drain()
+    assert(spark.read.parquet(outDir).count() == 45L)
+    // nothing new: a third run terminates having admitted nothing
+    drain()
+    assert(spark.read.parquet(outDir).count() == 45L)
+  }
+
   test("compaction coalesces to one file, conserves rows, keeps history") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v DOUBLE)")
