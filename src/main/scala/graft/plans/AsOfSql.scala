@@ -389,8 +389,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(sqlText, delegate.parsePlan)
+  // `OPTIMIZE <catalog>.<table>` — a whole-statement maintenance verb
+  // (no valid Spark statement starts with this keyword, so claiming the
+  // prefix is safe); matched on the MASK so a leading comment can't
+  // hide it and a literal can't fake it. Statement-only: parseQuery
+  // (subquery position) rejects it via the delegate's normal error.
+  private val OptimizeStmt = "(?i)^\\s*OPTIMIZE\\s".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val mask = masked(sqlText)
+    OptimizeStmt.findFirstMatchIn(mask) match {
+      case Some(m) =>
+        val rest = sqlText.substring(m.end).trim
+          .stripSuffix(";").trim
+        if (rest.isEmpty) parseError("OPTIMIZE requires a table name")
+        // the delegate parses the (possibly backtick-quoted) name, so
+        // quoting rules stay exactly Spark's
+        OptimizeGraftTable(delegate.parseMultipartIdentifier(rest))
+      case None => rewrite(sqlText, delegate.parsePlan)
+    }
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(sqlText, delegate.parseQuery)
 

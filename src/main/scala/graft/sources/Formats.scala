@@ -411,6 +411,32 @@ object Formats {
          |FROM $cat.mrg GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** The `OPTIMIZE <catalog>.<table>` SQL VERB (round 17 continuation):
+    * the same compaction [[dsv2Compact]] drives through the API, now as
+    * a statement through the injected parser ([[graft.plans
+    * .GraftSqlParser]] → [[graft.plans.OptimizeGraftTable]]) on an
+    * extensions-enabled session — the maintenance verb a SQL-only user
+    * runs. The command's result row is asserted (files_after == 1) and
+    * the aggregate reads back through the compacted table under the
+    * write-face oracle: content must be byte-identical to the
+    * uncompacted table. */
+  def dsv2Optimize(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.queries.EventQueries.extensionSession(spark)
+    Engine.tune(s)
+    val cat = ensureCatalog(s)
+    s.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.opt (id BIGINT, bucket INT, score DOUBLE)")
+    s.sql(s"INSERT OVERWRITE TABLE $cat.opt ${rowsSql(0L, Dsv2WriteBase)}")
+    s.sql(s"INSERT INTO $cat.opt ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    val r = s.sql(s"OPTIMIZE $cat.opt").head()
+    require(r.getInt(2) == 1 && r.getLong(3) == Dsv2WriteBase + Dsv2WriteAppend,
+      s"OPTIMIZE must compact to one file conserving rows, got $r")
+    s.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.opt GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** CLUSTERED REWRITE restores file skipping (the OPTIMIZE/ORDER BY
     * layout-management story): the insert SCATTERS ids by a modular
     * bijection (i·2654435761 mod 12000 — the multiplier is coprime to
@@ -1575,7 +1601,8 @@ object Formats {
     "src_dsv2_update" -> (dsv2Update _),
     "src_dsv2_merge" -> (dsv2Merge _),
     "src_dsv2_evolve" -> (dsv2Evolve _),
-    "src_dsv2_cluster" -> (dsv2Cluster _))
+    "src_dsv2_cluster" -> (dsv2Cluster _),
+    "src_dsv2_optimize" -> (dsv2Optimize _))
 
   /** Oracles read the parquet ORIGINAL — round-trip fidelity is the test. */
   private val pricingSql =
@@ -2014,6 +2041,14 @@ object Formats {
         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0
         |    * CASE WHEN i >= 6000 AND i < 12000 THEN 2.0 ELSE 1.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // OPTIMIZE must not change a row: the write-face oracle verbatim
+    "src_dsv2_optimize" ->
+      s"""WITH src AS (
+         |  SELECT (i * 2654435761) % 2147483648 AS h
+         |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
+         |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the striped-then-sorted table holds exactly the [0,12000) id set
     // at every step; the gated aggregate is the surviving range, same
     // shape as the skipping oracle

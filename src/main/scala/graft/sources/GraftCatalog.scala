@@ -496,7 +496,7 @@ object GraftCatalog {
     * (current seq returned, no new version) when the table already has
     * ≤1 file. Readers are never blocked: this is one more staged commit
     * behind the same pointer swap. */
-  private[sources] def compact(tableDir: Path): Long =
+  private[graft] def compact(tableDir: Path): Long =
     IndexStore.withArtifactLock(lockName(tableDir)) {
       val previous = IndexStore.pointer.resolve(tableDir, PointerName)
       val entries = previous.map(readManifest).getOrElse(Nil)
