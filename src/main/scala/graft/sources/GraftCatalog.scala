@@ -1248,6 +1248,7 @@ private[sources] object GraftFilterEval {
       case And(l, r) => supported(l, schema) && supported(r, schema)
       case Or(l, r) => supported(l, schema) && supported(r, schema)
       case EqualTo(a, v) => v != null && col(a)
+      case EqualNullSafe(a, _) => col(a) // <=> is two-valued by definition
       case GreaterThan(a, v) => v != null && col(a)
       case GreaterThanOrEqual(a, v) => v != null && col(a)
       case LessThan(a, v) => v != null && col(a)
@@ -1296,6 +1297,10 @@ private[sources] object GraftFilterEval {
     case And(l, r) => matches(l, row, schema) && matches(r, row, schema)
     case Or(l, r) => matches(l, row, schema) || matches(r, row, schema)
     case EqualTo(a, v) => value(row, schema, a).exists(cmp(schema, a, _, v) == 0)
+    case EqualNullSafe(a, v) => value(row, schema, a) match {
+      case None => v == null
+      case Some(x) => v != null && cmp(schema, a, x, v) == 0
+    }
     case GreaterThan(a, v) => value(row, schema, a).exists(cmp(schema, a, _, v) > 0)
     case GreaterThanOrEqual(a, v) =>
       value(row, schema, a).exists(cmp(schema, a, _, v) >= 0)

@@ -332,6 +332,39 @@ class GraftStatsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 200L)
   }
 
+  test("_file metadata column: user-selectable lineage, manifest-consistent") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 40)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(40, 60)")
+    val perFile = spark.sql(
+      s"SELECT _file, count(*) AS n FROM $cat.t GROUP BY _file").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val manifest = GraftCatalog.currentManifest(root.resolve("t"))
+      .map(e => (e.file, e.rows)).toMap
+    assert(perFile == manifest, s"$perFile vs $manifest")
+    // _file is metadata: SELECT * must NOT include it
+    assert(spark.sql(s"SELECT * FROM $cat.t").schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("concurrent appends serialize on the table lock; none is lost") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 6).map { b =>
+      Future {
+        spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(${b * 100}, ${b * 100 + 100})")
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    // all six commits landed: every id exactly once
+    val out = spark.sql(
+      s"SELECT count(*) AS n, count(DISTINCT id) AS d, CAST(sum(id) AS BIGINT) AS s FROM $cat.t").head()
+    assert(out == Row(600L, 600L, 600L * 599L / 2))
+  }
+
   test("stats round-trip the manifest codec exactly") {
     import GraftStats._
     val stats: FileStats = Map(
