@@ -820,7 +820,47 @@ object Dedup {
     "dedup_keep_quality" -> (keepByQuality _),
     "pipeline_curation" -> (curationFunnel _),
     "pipeline_curation_observed" -> (curationFunnelObserved _),
-    "pipeline_pretrain" -> (pretrainFunnel _))
+    "pipeline_pretrain" -> (pretrainFunnel _),
+    "pipeline_merge_upsert" -> (mergeUpsert _))
+
+  /** INCREMENTAL CORPUS UPSERT (round 17 continuation — the nightly
+    * pattern every living training corpus runs): yesterday's corpus
+    * snapshot lives in a graft catalog table; tonight's crawl batch
+    * lands via `MERGE INTO` — re-crawled docs bump a revision counter
+    * and refresh their stats, brand-new docs insert at rev 1, docs the
+    * crawler missed stay untouched. The MERGE routes through the
+    * group-based copy-on-write tier (runtime group filtering carries
+    * match-free pool files by reference), and the oracle re-derives the
+    * post-merge corpus state from the documents parquet — one doc
+    * double-bumped, missed, or lost breaks the hash. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.corpus")
+    spark.sql(
+      s"CREATE TABLE $cat.corpus (doc_id BIGINT, lang STRING, n_chars BIGINT, rev INT)")
+    Tables(spark, dir, "documents").createOrReplaceTempView("graft_docs_upsert")
+    // yesterday's snapshot: every doc the old crawl had (2/3 of the corpus)
+    spark.sql(
+      s"""INSERT INTO $cat.corpus
+         |SELECT doc_id, lang, n_chars, 1 FROM graft_docs_upsert
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    // tonight's batch: the even half — overlapping and disjoint docs both
+    spark.sql(
+      s"""MERGE INTO $cat.corpus t
+         |USING (SELECT doc_id, lang, n_chars FROM graft_docs_upsert
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET rev = t.rev + 1, n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars, rev)
+         |  VALUES (s.doc_id, s.lang, s.n_chars, 1)
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, count(*) AS cnt,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(rev) AS BIGINT) AS sum_rev
+         |FROM $cat.corpus GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 
   /** The full pretraining-data funnel — [[curationFunnel]]'s five
     * stages extended to the two a pretraining run actually ships:
@@ -1393,5 +1433,16 @@ object Dedup {
          |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
          |  UNION ALL SELECT 6, 'packed_sequences', (SELECT n FROM ns))
          |ORDER BY stage_no""".stripMargin
-    })
+    },
+    // post-merge corpus state from the documents parquet: survivors are
+    // (old snapshot: id%3<>0) UNION (tonight's batch: id%2=0); rev is 2
+    // exactly where both held (re-crawled), else 1
+    "pipeline_merge_upsert" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |                THEN 2 ELSE 1 END) AS BIGINT) AS sum_rev
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -389,24 +389,42 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  // `OPTIMIZE <catalog>.<table>` — a whole-statement maintenance verb
-  // (no valid Spark statement starts with this keyword, so claiming the
-  // prefix is safe); matched on the MASK so a leading comment can't
-  // hide it and a literal can't fake it. Statement-only: parseQuery
-  // (subquery position) rejects it via the delegate's normal error.
+  // `OPTIMIZE <table>` / `VACUUM <table> [RETAIN n HOURS]` — the
+  // whole-statement maintenance verbs (no valid Spark statement starts
+  // with OPTIMIZE; Spark's own VACUUM lexes only for its delta-lake
+  // reserved error, so claiming the prefixes is safe); matched on the
+  // MASK so a leading comment can't hide them and a literal can't fake
+  // them. Statement-only: parseQuery (subquery position) rejects both
+  // via the delegate's normal error.
   private val OptimizeStmt = "(?i)^\\s*OPTIMIZE\\s".r
+  private val VacuumStmt = "(?i)^\\s*VACUUM\\s".r
+  private val RetainClause = "(?i)\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*$".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val mask = masked(sqlText)
+    def nameAfter(m: scala.util.matching.Regex.Match): String = {
+      val rest = sqlText.substring(m.end).trim.stripSuffix(";").trim
+      if (rest.isEmpty) parseError("the maintenance verb requires a table name")
+      rest
+    }
     OptimizeStmt.findFirstMatchIn(mask) match {
       case Some(m) =>
-        val rest = sqlText.substring(m.end).trim
-          .stripSuffix(";").trim
-        if (rest.isEmpty) parseError("OPTIMIZE requires a table name")
         // the delegate parses the (possibly backtick-quoted) name, so
         // quoting rules stay exactly Spark's
-        OptimizeGraftTable(delegate.parseMultipartIdentifier(rest))
-      case None => rewrite(sqlText, delegate.parsePlan)
+        OptimizeGraftTable(delegate.parseMultipartIdentifier(nameAfter(m)))
+      case None => VacuumStmt.findFirstMatchIn(mask) match {
+        case Some(m) =>
+          val rest = nameAfter(m)
+          RetainClause.findFirstMatchIn(rest) match {
+            case Some(r) =>
+              VacuumGraftTable(
+                delegate.parseMultipartIdentifier(rest.substring(0, r.start)),
+                Some(r.group(1).toLong))
+            case None =>
+              VacuumGraftTable(delegate.parseMultipartIdentifier(rest), None)
+          }
+        case None => rewrite(sqlText, delegate.parsePlan)
+      }
     }
   }
   override def parseQuery(sqlText: String): LogicalPlan =

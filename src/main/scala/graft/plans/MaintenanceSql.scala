@@ -22,6 +22,54 @@ import graft.sources.GraftCatalog
   * state, so the command needs the explicit two-part `catalog.table`
   * name — the same registration a cluster user wrote to mount the
   * catalog. Non-graft catalogs are refused loudly. */
+/** `VACUUM <catalog>.<table> [RETAIN <n> HOURS]` — the explicit-GC verb:
+  * reclaims superseded versions and unreferenced pool files older than
+  * the retention (default: the catalog's grace window). The CURRENT
+  * version is always kept; the retention window IS the in-flight-reader
+  * and time-travel protection, the standard table-format contract.
+  * Returns (versions_removed, files_removed). */
+case class VacuumGraftTable(parts: Seq[String], retainHours: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("versions_removed", IntegerType, nullable = false)(),
+    AttributeReference("files_removed", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.resolveGraftTable(spark, "VACUUM", parts)
+    val retainMs = retainHours.map(_ * 3600L * 1000L)
+      .getOrElse(GraftCatalog.GraceMs)
+    val (v, f) = GraftCatalog.vacuum(dir, retainMs)
+    Seq(Row(v, f))
+  }
+}
+
+private[plans] object MaintenanceSql {
+  /** Shared table resolution of the maintenance verbs: the PUBLIC conf
+    * surface (`spark.sql.catalog.<name>` / `.root`), graft catalogs
+    * only, loud on anything else. */
+  def resolveGraftTable(spark: SparkSession, op: String,
+      parts: Seq[String]): java.nio.file.Path = {
+    def fail(msg: String): Nothing = CustomJoinResolution.fail(op, msg)
+    val (catName, table) = parts match {
+      case Seq(c, t) => (c, t)
+      case _ => fail(s"$op requires a two-part graft table name " +
+        s"(catalog.table); got ${parts.mkString(".")}")
+    }
+    val impl = spark.conf.getOption(s"spark.sql.catalog.$catName").getOrElse(
+      fail(s"$catName is not a registered catalog"))
+    if (impl != classOf[GraftCatalog].getName)
+      fail(s"$catName is not a graft catalog (found $impl); $op " +
+        "operates on graft tables only")
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catName.root")
+      .getOrElse("/tmp/graft_catalog")
+    val dir = Paths.get(root, table)
+    if (!Files.exists(dir.resolve(GraftCatalog.SchemaFile)))
+      fail(s"table $catName.$table does not exist")
+    dir
+  }
+}
+
 case class OptimizeGraftTable(parts: Seq[String]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -30,26 +78,8 @@ case class OptimizeGraftTable(parts: Seq[String]) extends LeafRunnableCommand {
     AttributeReference("files_after", IntegerType, nullable = false)(),
     AttributeReference("row_count", LongType, nullable = false)())
 
-  private def fail(msg: String): Nothing =
-    CustomJoinResolution.fail("OPTIMIZE", msg)
-
   override def run(spark: SparkSession): Seq[Row] = {
-    val (catName, table) = parts match {
-      case Seq(c, t) => (c, t)
-      case _ => fail(
-        s"OPTIMIZE requires a two-part graft table name " +
-          s"(catalog.table); got ${parts.mkString(".")}")
-    }
-    val impl = spark.conf.getOption(s"spark.sql.catalog.$catName").getOrElse(
-      fail(s"$catName is not a registered catalog"))
-    if (impl != classOf[GraftCatalog].getName)
-      fail(s"$catName is not a graft catalog (found $impl); OPTIMIZE " +
-        "compacts graft tables only")
-    val root = spark.conf.getOption(s"spark.sql.catalog.$catName.root")
-      .getOrElse("/tmp/graft_catalog")
-    val dir = Paths.get(root, table)
-    if (!Files.exists(dir.resolve(GraftCatalog.SchemaFile)))
-      fail(s"table $catName.$table does not exist")
+    val dir = MaintenanceSql.resolveGraftTable(spark, "OPTIMIZE", parts)
     val before = GraftCatalog.currentManifest(dir).size
     val seq = GraftCatalog.compact(dir)
     val after = GraftCatalog.currentManifest(dir)

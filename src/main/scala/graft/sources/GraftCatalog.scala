@@ -563,27 +563,48 @@ object GraftCatalog {
       catch { case NonFatal(_) => () }
     }
     gcVersions(tableDir, keep = Set(token) ++
-      previous.map(_.getFileName.toString))
-    sweepOrphans(tableDir)
+      previous.map(_.getFileName.toString), GraceMs)
+    sweepOrphans(tableDir, GraceMs)
     seq
   }
 
+  /** EXPLICIT GC — the `VACUUM <table> [RETAIN n HOURS]` verb: under the
+    * table lock, collect superseded versions and unreferenced pool files
+    * older than `retainMs` (the CURRENT version is always kept). The
+    * in-flight-reader protection IS the retention window — `RETAIN 0`
+    * reclaims everything not current, including the time-travel history,
+    * exactly the table-format contract (and exactly why formats warn on
+    * zero retention). Returns (versions removed, orphan files removed). */
+  private[graft] def vacuum(tableDir: Path, retainMs: Long): (Int, Int) =
+    IndexStore.withArtifactLock(lockName(tableDir)) {
+      val keep = IndexStore.pointer.resolve(tableDir, PointerName)
+        .map(_.getFileName.toString).toSet
+      val v = gcVersions(tableDir, keep, retainMs)
+      val o = sweepOrphans(tableDir, retainMs)
+      (v, o)
+    }
+
   /** Best-effort removal of superseded versions past the grace window;
-    * the freshly published version and its immediate predecessor are
-    * always kept (in-flight readers). */
-  private def gcVersions(tableDir: Path, keep: Set[String]): Unit = {
+    * versions named in `keep` (the freshly published one and its
+    * immediate predecessor on the commit path — in-flight readers) are
+    * always kept. Returns how many versions were removed. */
+  private def gcVersions(tableDir: Path, keep: Set[String],
+      graceMs: Long): Int = {
     val vroot = tableDir.resolve(VersionsDir)
     val now = System.currentTimeMillis()
+    var removed = 0
     if (Files.isDirectory(vroot)) {
       val listing = Files.list(vroot)
       try listing.forEach { p =>
         val expired =
-          try now - Files.getLastModifiedTime(p).toMillis >= GraceMs
+          try now - Files.getLastModifiedTime(p).toMillis >= graceMs
           catch { case NonFatal(_) => false }
         if (!keep.contains(p.getFileName.toString) && expired)
-          try IndexStore.deleteRecursively(p) catch { case NonFatal(_) => () }
+          try { IndexStore.deleteRecursively(p); removed += 1 }
+          catch { case NonFatal(_) => () }
       } finally listing.close()
     }
+    removed
   }
 
   /** Best-effort removal of data-pool files REFERENCED BY NO surviving
@@ -591,8 +612,9 @@ object GraftCatalog {
     * writes, crashed drivers, and speculative task duplicates. Runs
     * under the commit lock, so no concurrent commit can be mid-way to
     * referencing a file this sweep looks at (a not-yet-committed
-    * writer's files are younger than any realistic grace anyway). */
-  private def sweepOrphans(tableDir: Path): Unit = {
+    * writer's files are younger than any realistic grace anyway).
+    * Returns how many files were unlinked. */
+  private def sweepOrphans(tableDir: Path, graceMs: Long): Int = {
     val vroot = tableDir.resolve(VersionsDir)
     val referenced: Set[String] =
       if (!Files.isDirectory(vroot)) Set.empty
@@ -604,16 +626,19 @@ object GraftCatalog {
       }
     val dataDir = tableDir.resolve(DataDir)
     val now = System.currentTimeMillis()
+    var removed = 0
     if (Files.isDirectory(dataDir)) {
       val listing = Files.list(dataDir)
       try listing.forEach { p =>
         val expired =
-          try now - Files.getLastModifiedTime(p).toMillis >= GraceMs
+          try now - Files.getLastModifiedTime(p).toMillis >= graceMs
           catch { case NonFatal(_) => false }
         if (!referenced.contains(p.getFileName.toString) && expired)
-          try Files.deleteIfExists(p) catch { case NonFatal(_) => () }
+          try { Files.deleteIfExists(p); removed += 1 }
+          catch { case NonFatal(_) => () }
       } finally listing.close()
     }
+    removed
   }
 }
 

@@ -1695,6 +1695,47 @@ object StreamingOps {
          |FROM $cat.nsink GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** TABLE-TO-TABLE STREAMING HOP (the medallion pattern every lakehouse
+    * pipeline runs): a bronze catalog table fed by four SQL INSERTs is
+    * consumed AS A STREAM (offsets = commit seqs, one version per
+    * trigger), transformed, and landed in a silver catalog table through
+    * the NATIVE streaming sink under `Trigger.AvailableNow` — the
+    * backfill drains the versions latched at start and self-terminates,
+    * each epoch one tagged atomic commit. Everything in the hop is this
+    * round's connector surface composed end to end: table-as-stream
+    * source → epoch-tagged streaming write → batch read-back. The
+    * oracle re-derives the filtered transform from the insert
+    * arithmetic — a version skipped, replayed, or an epoch
+    * double-committed breaks the hash. */
+  def dsv2Medallion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.bronze")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.silver")
+    spark.sql(s"CREATE TABLE $cat.bronze (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"CREATE TABLE $cat.silver (id BIGINT, bucket INT, boosted DOUBLE)")
+    for (b <- 0 until 4)
+      spark.sql(s"INSERT INTO $cat.bronze ${graft.sources.Formats.rowsSql(b * 5000L, (b + 1) * 5000L)}")
+    val q = spark.readStream.table(s"$cat.bronze")
+      .filter(col("bucket") < 8) // silver keeps the low half
+      .select(col("id"), col("bucket"),
+        (col("score") * lit(2.0)).as("boosted"))
+      .writeStream
+      .options(ckptOption)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.silver")
+    awaitSelfTermination(q)
+    val dataBatches = lastAvailableNowDataBatches
+    if (dataBatches < 3) throw new IllegalStateException(
+      s"medallion hop ran $dataBatches data-carrying micro-batches, " +
+        "expected >= 3 (one per bronze version)")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(boosted AS DECIMAL(18,6))) AS DOUBLE) AS sum_boosted
+         |FROM $cat.silver GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** CATALOG TABLE AS A STREAM (round 17 continuation — the last face of
     * the table's source/sink matrix): four SQL INSERTs land four commit
     * versions, then `readStream.table` consumes them through the graft
@@ -2290,6 +2331,7 @@ object StreamingOps {
     "stream_dsv2_available_now" -> (dsv2AvailableNow _),
     "stream_dsv2_sink" -> (dsv2StreamSink _),
     "stream_dsv2_native_sink" -> (dsv2NativeStreamSink _),
+    "stream_dsv2_medallion" -> (dsv2Medallion _),
     "stream_dsv2_table_source" -> (dsv2TableStream _))
 
   /** Shared by `stream_dsv2_source` and `stream_dsv2_available_now`
@@ -2552,6 +2594,14 @@ object StreamingOps {
     "stream_dsv2_sink" -> Dsv2SourceOracle,
     // the native sink lands the same 20k connector rows, epoch-tagged
     "stream_dsv2_native_sink" -> Dsv2SourceOracle,
+    // the bronze->silver hop: low-half buckets, score doubled
+    "stream_dsv2_medallion" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 20000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 * 2.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_boosted
+        |FROM src WHERE h % 16 < 8 GROUP BY bucket ORDER BY bucket""".stripMargin,
     // and a fourth: the table-as-stream must deliver each commit version
     // exactly once (one trigger per version, manifest-diff partitions)
     "stream_dsv2_table_source" -> Dsv2SourceOracle,

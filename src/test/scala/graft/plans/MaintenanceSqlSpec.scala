@@ -38,6 +38,36 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(s.sql(s"OPTIMIZE `$cat`.`t`;").head().getInt(2) == 1)
   }
 
+  test("VACUUM reclaims history by retention; current always survives") {
+    val cat = freshCatalog()
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    s.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    s.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)")        // seq 1
+    s.sql(s"INSERT OVERWRITE TABLE $cat.t SELECT id FROM range(0, 5)") // seq 2
+    s.sql(s"INSERT INTO $cat.t SELECT id FROM range(5, 8)")         // seq 3
+    // default retention (grace): young history survives a bare VACUUM
+    val r0 = s.sql(s"VACUUM $cat.t").head()
+    assert(r0.getInt(0) == 0, r0.toString)
+    assert(s.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF '2'")
+      .head().getLong(0) == 5L)
+    // plant an orphan (a crashed writer's leftover)
+    val orphan = java.nio.file.Paths.get(root, "t",
+      graft.sources.GraftCatalog.DataDir, "part-crashed.gbin")
+    java.nio.file.Files.writeString(orphan, "torn")
+    // RETAIN 0: all superseded versions + the orphan go; current stays
+    val r1 = s.sql(s"VACUUM $cat.t RETAIN 0 HOURS").head()
+    assert(r1.getInt(0) >= 2 && r1.getInt(1) >= 1, r1.toString)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) == 8L)
+    // time travel to the vacuumed version now fails loudly
+    intercept[Exception] {
+      s.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF '1'").collect()
+    }
+    // idempotent: nothing left to collect
+    assert(s.sql(s"VACUUM $cat.t RETAIN 0 HOURS").head() ==
+      org.apache.spark.sql.Row(0, 0))
+  }
+
   test("OPTIMIZE guard rails fail loudly") {
     val cat = freshCatalog()
     intercept[Exception] { s.sql(s"OPTIMIZE $cat.nope") } // missing table
