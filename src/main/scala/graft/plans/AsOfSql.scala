@@ -399,6 +399,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeStmt = "(?i)^\\s*OPTIMIZE\\s".r
   private val VacuumStmt = "(?i)^\\s*VACUUM\\s".r
   private val RetainClause = "(?i)\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*$".r
+  // DESCRIBE HISTORY is not valid delegate SQL (DESCRIBE expects TABLE/
+  // QUERY/FUNCTION...), so claiming the two-word prefix is safe
+  private val HistoryStmt = "(?i)^\\s*DESCRIBE\\s+HISTORY\\s".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val mask = masked(sqlText)
@@ -412,7 +415,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // the delegate parses the (possibly backtick-quoted) name, so
         // quoting rules stay exactly Spark's
         OptimizeGraftTable(delegate.parseMultipartIdentifier(nameAfter(m)))
-      case None => VacuumStmt.findFirstMatchIn(mask) match {
+      case None => HistoryStmt.findFirstMatchIn(mask) match {
+        case Some(m) =>
+          DescribeGraftHistory(delegate.parseMultipartIdentifier(nameAfter(m)))
+        case None => vacuumOrDelegate(sqlText, mask)
+      }
+    }
+  }
+
+  private def vacuumOrDelegate(sqlText: String, mask: String): LogicalPlan = {
+    def nameAfter(m: scala.util.matching.Regex.Match): String = {
+      val rest = sqlText.substring(m.end).trim.stripSuffix(";").trim
+      if (rest.isEmpty) parseError("the maintenance verb requires a table name")
+      rest
+    }
+    VacuumStmt.findFirstMatchIn(mask) match {
         case Some(m) =>
           val rest = nameAfter(m)
           RetainClause.findFirstMatchIn(rest) match {
@@ -425,7 +442,6 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           }
         case None => rewrite(sqlText, delegate.parsePlan)
       }
-    }
   }
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(sqlText, delegate.parseQuery)

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
 
 import graft.sources.GraftCatalog
 
@@ -22,6 +22,32 @@ import graft.sources.GraftCatalog
   * state, so the command needs the explicit two-part `catalog.table`
   * name — the same registration a cluster user wrote to mount the
   * catalog. Non-graft catalogs are refused loudly. */
+/** `DESCRIBE HISTORY <catalog>.<table>` — the audit face every table
+  * format ships: one row per SURVIVING version (history retention is
+  * the GC window, so what this lists is exactly what `VERSION AS OF`
+  * can still serve), newest first: commit seq, supersession/publish
+  * mtime, file count, row count, idempotency tag (streaming-epoch
+  * commits), and whether it is the current version. */
+case class DescribeGraftHistory(parts: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("modified_at", TimestampType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("row_count", LongType, nullable = false)(),
+    AttributeReference("commit_tag", StringType, nullable = true)(),
+    AttributeReference("is_current", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.resolveGraftTable(spark, "DESCRIBE HISTORY", parts)
+    GraftCatalog.describeHistory(dir).map { h =>
+      Row(h.seq, new java.sql.Timestamp(h.modifiedMs), h.files, h.rows,
+        h.tag.orNull, h.isCurrent)
+    }
+  }
+}
+
 /** `VACUUM <catalog>.<table> [RETAIN <n> HOURS]` — the explicit-GC verb:
   * reclaims superseded versions and unreferenced pool files older than
   * the retention (default: the catalog's grace window). The CURRENT

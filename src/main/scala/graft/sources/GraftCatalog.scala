@@ -568,6 +568,32 @@ object GraftCatalog {
     seq
   }
 
+  /** One surviving version's audit row ([[describeHistory]]). */
+  private[graft] final case class VersionInfo(seq: Long, modifiedMs: Long,
+      files: Int, rows: Long, tag: Option[String], isCurrent: Boolean)
+
+  /** Audit listing of every SURVIVING version, newest first — the
+    * `DESCRIBE HISTORY` verb's body. What this lists is exactly what
+    * `VERSION AS OF` can still resolve (retention = the GC window). */
+  private[graft] def describeHistory(tableDir: Path): Seq[VersionInfo] = {
+    val current = IndexStore.pointer.resolve(tableDir, PointerName)
+      .map(_.getFileName.toString)
+    val vroot = tableDir.resolve(VersionsDir)
+    if (!Files.isDirectory(vroot)) Nil
+    else {
+      val listing = Files.list(vroot)
+      try listing.iterator().asScala.map { v =>
+        val entries = readManifest(v)
+        VersionInfo(seqOf(v),
+          try Files.getLastModifiedTime(v).toMillis
+          catch { case NonFatal(_) => 0L },
+          entries.size, entries.map(_.rows).sum, tagOf(v),
+          current.contains(v.getFileName.toString))
+      }.toSeq.sortBy(-_.seq)
+      finally listing.close()
+    }
+  }
+
   /** EXPLICIT GC — the `VACUUM <table> [RETAIN n HOURS]` verb: under the
     * table lock, collect superseded versions and unreferenced pool files
     * older than `retainMs` (the CURRENT version is always kept). The

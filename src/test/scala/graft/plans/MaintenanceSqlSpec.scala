@@ -68,6 +68,27 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(0, 0))
   }
 
+  test("DESCRIBE HISTORY lists surviving versions, newest first") {
+    val cat = freshCatalog()
+    s.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    s.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)")           // seq 1
+    s.sql(s"INSERT INTO $cat.t SELECT id FROM range(10, 30)")          // seq 2
+    s.sql(s"INSERT OVERWRITE TABLE $cat.t SELECT id FROM range(0, 5)") // seq 3
+    val h = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(h.map(r => (r.getInt(2) > 0, r.getLong(3))).toSeq
+      .map(_._2) == Seq(5L, 30L, 10L))
+    assert(h.map(_.getBoolean(5)).toSeq == Seq(true, false, false))
+    // after VACUUM RETAIN 0, history shrinks to the current version and
+    // DESCRIBE HISTORY agrees with what VERSION AS OF can still serve
+    s.sql(s"VACUUM $cat.t RETAIN 0 HOURS")
+    val h2 = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
+    assert(h2.map(_.getLong(0)).toSeq == Seq(3L))
+    // the streaming sink's epoch commits surface their tag here
+    // (batch commits carry none)
+    assert(h2.forall(_.isNullAt(4)))
+  }
+
   test("OPTIMIZE guard rails fail loudly") {
     val cat = freshCatalog()
     intercept[Exception] { s.sql(s"OPTIMIZE $cat.nope") } // missing table
