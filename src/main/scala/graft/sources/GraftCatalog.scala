@@ -63,6 +63,14 @@ import graft.similarity.IndexStore
   * Identifiers are single-part (`catalog.table`); namespaces are
   * rejected loudly rather than silently flattened.
   *
+  * Tables are deliberately UNPARTITIONED (CREATE with a PARTITIONED BY
+  * clause is a loud error): per-file min/max stats + planning-time file
+  * skipping subsume identity-partition pruning at file granularity
+  * (`src_dsv2_skipping`), and the clustered-rewrite path
+  * (`src_dsv2_cluster`) gives the layout control partitioning would —
+  * without the small-file explosion hash/time partitioning inflicts on
+  * a format whose commit unit is the file.
+  *
   * Usage: `spark.sql.catalog.<name> = graft.sources.GraftCatalog`,
   * `spark.sql.catalog.<name>.root = <dir>`.
   */
@@ -137,6 +145,13 @@ class GraftCatalog extends TableCatalog {
     val bad = schema.fields.filterNot(f => GraftRowCodec.supported(f.dataType))
     if (bad.nonEmpty) throw new UnsupportedOperationException(
       s"unsupported column types: ${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}")
+    // `_file` is the table's metadata column AND the row-level
+    // operations' group-filter attribute — a data column of that name
+    // would shadow it and desynchronize the COW write path's metadata
+    // projection; reserve it loudly
+    if (schema.fieldNames.exists(_.equalsIgnoreCase(GraftCatalog.FileMetaCol)))
+      throw new UnsupportedOperationException(
+        s"${GraftCatalog.FileMetaCol} is a reserved metadata column name")
     val dir = dirFor(ident)
     // creation serializes on the same per-table lock commits use, so two
     // racing CREATEs collapse to one winner + one loud AlreadyExists
@@ -180,6 +195,9 @@ class GraftCatalog extends TableCatalog {
             val name = add.fieldNames().head
             if (s.fieldNames.exists(_.equalsIgnoreCase(name)))
               throw new IllegalArgumentException(s"column $name already exists")
+            if (name.equalsIgnoreCase(GraftCatalog.FileMetaCol))
+              throw new UnsupportedOperationException(
+                s"${GraftCatalog.FileMetaCol} is a reserved metadata column name")
             if (!add.isNullable)
               throw new UnsupportedOperationException(
                 "ADD COLUMN must be nullable: existing files null-fill the new column")

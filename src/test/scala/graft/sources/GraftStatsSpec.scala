@@ -345,6 +345,10 @@ class GraftStatsSpec extends SparkSpec {
     assert(perFile == manifest, s"$perFile vs $manifest")
     // _file is metadata: SELECT * must NOT include it
     assert(spark.sql(s"SELECT * FROM $cat.t").schema.fieldNames.toSeq == Seq("id"))
+    // ...and the name is reserved: a data column would shadow the
+    // metadata column and break the COW group-filter attribute
+    intercept[Exception] { spark.sql(s"CREATE TABLE $cat.bad (_file STRING)") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.t ADD COLUMN _file STRING") }
   }
 
   test("concurrent appends serialize on the table lock; none is lost") {
