@@ -403,46 +403,84 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // QUERY/FUNCTION...), so claiming the two-word prefix is safe
   private val HistoryStmt = "(?i)^\\s*DESCRIBE\\s+HISTORY\\s".r
 
+  /** Text after a maintenance verb with COMMENTS blanked (quote-aware —
+    * a `--` inside a literal or backtick identifier is data): the mask
+    * can't be used directly because it also blanks the backtick-quoted
+    * identifiers the delegate must still parse. So comment regions are
+    * identified as "raw differs from mask AND raw starts a comment
+    * opener at an unmasked boundary" — equivalently, re-scan the raw
+    * tail with the same lexer rules, blanking only comments. */
+  private def stripComments(text: String): String = {
+    val out = text.toCharArray
+    var i = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        i += 1
+        while (i < out.length && out(i) != c) {
+          if (c != '`' && out(i) == '\\' && i + 1 < out.length) i += 1
+          i += 1
+        }
+        if (i < out.length) i += 1
+      } else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
+        while (i < out.length && out(i) != '\n') { out(i) = ' '; i += 1 }
+      } else if (c == '/' && i + 1 < out.length && out(i + 1) == '*') {
+        var depth = 1
+        out(i) = ' '; out(i + 1) = ' '; i += 2
+        while (i < out.length && depth > 0) {
+          if (out(i) == '/' && i + 1 < out.length && out(i + 1) == '*') {
+            depth += 1; out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (out(i) == '*' && i + 1 < out.length && out(i + 1) == '/') {
+            depth -= 1; out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else { out(i) = ' '; i += 1 }
+        }
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** The table-name tail of a maintenance statement: raw text after the
+    * matched verb, comments blanked, trailing `;` and whitespace
+    * stripped. Backtick quoting survives for the delegate to parse. */
+  private def nameAfter(sqlText: String,
+      m: scala.util.matching.Regex.Match): String = {
+    val rest = stripComments(sqlText.substring(m.end))
+      .trim.stripSuffix(";").trim
+    if (rest.isEmpty) parseError("the maintenance verb requires a table name")
+    rest
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     val mask = masked(sqlText)
-    def nameAfter(m: scala.util.matching.Regex.Match): String = {
-      val rest = sqlText.substring(m.end).trim.stripSuffix(";").trim
-      if (rest.isEmpty) parseError("the maintenance verb requires a table name")
-      rest
-    }
     OptimizeStmt.findFirstMatchIn(mask) match {
       case Some(m) =>
         // the delegate parses the (possibly backtick-quoted) name, so
         // quoting rules stay exactly Spark's
-        OptimizeGraftTable(delegate.parseMultipartIdentifier(nameAfter(m)))
+        OptimizeGraftTable(
+          delegate.parseMultipartIdentifier(nameAfter(sqlText, m)))
       case None => HistoryStmt.findFirstMatchIn(mask) match {
         case Some(m) =>
-          DescribeGraftHistory(delegate.parseMultipartIdentifier(nameAfter(m)))
+          DescribeGraftHistory(
+            delegate.parseMultipartIdentifier(nameAfter(sqlText, m)))
         case None => vacuumOrDelegate(sqlText, mask)
       }
     }
   }
 
-  private def vacuumOrDelegate(sqlText: String, mask: String): LogicalPlan = {
-    def nameAfter(m: scala.util.matching.Regex.Match): String = {
-      val rest = sqlText.substring(m.end).trim.stripSuffix(";").trim
-      if (rest.isEmpty) parseError("the maintenance verb requires a table name")
-      rest
-    }
+  private def vacuumOrDelegate(sqlText: String, mask: String): LogicalPlan =
     VacuumStmt.findFirstMatchIn(mask) match {
-        case Some(m) =>
-          val rest = nameAfter(m)
-          RetainClause.findFirstMatchIn(rest) match {
-            case Some(r) =>
-              VacuumGraftTable(
-                delegate.parseMultipartIdentifier(rest.substring(0, r.start)),
-                Some(r.group(1).toLong))
-            case None =>
-              VacuumGraftTable(delegate.parseMultipartIdentifier(rest), None)
-          }
-        case None => rewrite(sqlText, delegate.parsePlan)
-      }
-  }
+      case Some(m) =>
+        val rest = nameAfter(sqlText, m)
+        RetainClause.findFirstMatchIn(rest) match {
+          case Some(r) =>
+            VacuumGraftTable(
+              delegate.parseMultipartIdentifier(rest.substring(0, r.start)),
+              Some(r.group(1).toLong))
+          case None =>
+            VacuumGraftTable(delegate.parseMultipartIdentifier(rest), None)
+        }
+      case None => rewrite(sqlText, delegate.parsePlan)
+    }
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(sqlText, delegate.parseQuery)
 

@@ -615,16 +615,24 @@ object GraftCatalog {
   /** EXPLICIT GC — the `VACUUM <table> [RETAIN n HOURS]` verb: under the
     * table lock, collect superseded versions and unreferenced pool files
     * older than `retainMs` (the CURRENT version is always kept). The
-    * in-flight-reader protection IS the retention window — `RETAIN 0`
-    * reclaims everything not current, including the time-travel history,
-    * exactly the table-format contract (and exactly why formats warn on
-    * zero retention). Returns (versions removed, orphan files removed). */
+    * in-flight-READER protection is the retention window — `RETAIN 0`
+    * reclaims all superseded history, including time travel, exactly
+    * the table-format contract (and why formats warn on zero retention).
+    *
+    * The ORPHAN sweep additionally floors the retention at [[GraceMs]]:
+    * an "unreferenced" pool file younger than the grace may be an
+    * IN-FLIGHT WRITER'S staged file (tasks stage without the table
+    * lock; only the driver's commit references them) — sweeping it
+    * would let that commit publish a manifest over deleted bytes
+    * (review finding, this round). Version GC has no such hazard
+    * (version dirs are only ever created under the lock).
+    * Returns (versions removed, orphan files removed). */
   private[graft] def vacuum(tableDir: Path, retainMs: Long): (Int, Int) =
     IndexStore.withArtifactLock(lockName(tableDir)) {
       val keep = IndexStore.pointer.resolve(tableDir, PointerName)
         .map(_.getFileName.toString).toSet
       val v = gcVersions(tableDir, keep, retainMs)
-      val o = sweepOrphans(tableDir, retainMs)
+      val o = sweepOrphans(tableDir, math.max(retainMs, GraceMs))
       (v, o)
     }
 
@@ -1110,6 +1118,13 @@ private class GraftReaderFactory(schema: StructType,
     requiredNames: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[GraftFileSplit]
+    // a file WIDER than this reader's schema means the table object was
+    // resolved before a concurrent ALTER+INSERT — silently clamping
+    // would desynchronize the codec stream mid-row; fail loud instead
+    if (split.cols > schema.length) throw new IllegalStateException(
+      s"data file written with ${split.cols} columns but this reader's " +
+        s"table snapshot has ${schema.length}; re-resolve the table " +
+        "(stale relation across a concurrent ALTER TABLE)")
     val fileSchema = StructType(schema.fields.take(split.cols))
     // ordinal ≥ 0: data column; FileOrd: the _file metadata column (a
     // declared table column of that name shadows the metadata column)
@@ -1347,20 +1362,12 @@ private[sources] object GraftFilterEval {
     })
   }
 
-  /** x (row) vs v (filter literal), under the column's type family. */
+  /** x (row) vs v (filter literal), under the column's type family —
+    * delegated to [[GraftStats.cmp]] so the row evaluator, the stats
+    * collector, and the skip evaluator share ONE Spark-consistent order
+    * (UTF-8 binary strings, -0.0 == 0.0 doubles). */
   private def cmp(schema: StructType, a: String, x: Any, v: Any): Int =
-    schema(a).dataType match {
-      case IntegerType | LongType =>
-        java.lang.Long.compare(x.asInstanceOf[Number].longValue(),
-          v.asInstanceOf[Number].longValue())
-      case FloatType | DoubleType =>
-        java.lang.Double.compare(x.asInstanceOf[Number].doubleValue(),
-          v.asInstanceOf[Number].doubleValue())
-      case BooleanType =>
-        java.lang.Boolean.compare(x.asInstanceOf[Boolean], v.asInstanceOf[Boolean])
-      case StringType => x.toString.compareTo(v.toString)
-      case other => throw new IllegalStateException(s"uncomparable $other")
-    }
+    GraftStats.cmp(schema(a).dataType, x, v)
 
   def matches(f: Filter, row: InternalRow, schema: StructType): Boolean = f match {
     case And(l, r) => matches(l, row, schema) && matches(r, row, schema)
@@ -1507,31 +1514,59 @@ private[sources] object GraftStats {
   }
 
   /** Total-order compare of two stat/literal values under the column's
-    * type family — the single comparator shared by the collector and the
-    * skip evaluator (a mismatch between the two would turn "conservative
-    * bound" into "wrong bound"). */
+    * type family — the single comparator shared by the collector, the
+    * skip evaluator, and the row-level filter evaluator. It must agree
+    * with SPARK'S OWN evaluation order, or a stats bound becomes a
+    * wrong bound and skipping silently drops matching rows:
+    *
+    *  - strings compare as UTF-8 BYTES (Spark's `UTF8String` binary
+    *    order) — UTF-16 `String.compareTo` disagrees for supplementary
+    *    characters vs [U+E000, U+FFFF] (review finding, this round);
+    *  - floats/doubles normalize `-0.0 == 0.0` first (Spark's
+    *    SQLOrderingUtil contract) — raw `Double.compare` puts
+    *    -0.0 < 0.0, which would let `max = -0.0` skip a `>= 0.0`
+    *    predicate Spark evaluates as true. NaN stays greatest and
+    *    equal to itself, matching Spark. */
   def cmp(dt: DataType, x: Any, y: Any): Int = dt match {
     case IntegerType | LongType =>
       java.lang.Long.compare(x.asInstanceOf[Number].longValue(),
         y.asInstanceOf[Number].longValue())
     case FloatType | DoubleType =>
-      java.lang.Double.compare(x.asInstanceOf[Number].doubleValue(),
-        y.asInstanceOf[Number].doubleValue())
+      val a = x.asInstanceOf[Number].doubleValue()
+      val b = y.asInstanceOf[Number].doubleValue()
+      if (a == b) 0 else java.lang.Double.compare(a, b)
     case BooleanType =>
       java.lang.Boolean.compare(x.asInstanceOf[Boolean], y.asInstanceOf[Boolean])
-    case StringType => x.toString.compareTo(y.toString)
+    case StringType =>
+      UTF8String.fromString(x.toString).compareTo(
+        UTF8String.fromString(y.toString))
     case other => throw new IllegalStateException(s"no stats order for $other")
   }
 
-  /** Smallest string > every string with prefix `s` (s truncated): bump
-    * the last bumpable UTF-16 unit and cut. None when all units are
-    * ￿ (no finite upper bound exists at this length). */
+  /** Smallest string > every string with prefix `s` under UTF-8 BINARY
+    * order. Sound only when the prefix is pure ASCII (byte order ==
+    * char order, and the bumped char stays single-byte); None otherwise
+    * — a None just means "no upper bound", which skipping treats
+    * conservatively. (Bumping a UTF-16 unit is NOT sound in general: a
+    * bump can land in the surrogate range, whose lone-char UTF-8
+    * encoding collapses to '?' and sorts BELOW the prefix.) */
   private[sources] def prefixSuccessor(s: String): Option[String] = {
-    val cs = s.toCharArray
-    var i = cs.length - 1
-    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
-    if (i < 0) None
-    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+    if (!s.forall(c => c < 0x80)) None
+    else {
+      var i = s.length - 1
+      while (i >= 0 && s(i) >= 0x7f) i -= 1
+      if (i < 0) None
+      else Some(s.substring(0, i) + (s(i) + 1).toChar)
+    }
+  }
+
+  /** `s` truncated to at most [[MaxStringBound]] UTF-16 units WITHOUT
+    * splitting a surrogate pair — the kept prefix's UTF-8 bytes are a
+    * strict prefix of the original's, so it is a valid binary-order
+    * LOWER bound (a split pair would encode as '?', breaking that). */
+  private def truncateForMin(s: String): String = {
+    val t = s.take(MaxStringBound)
+    if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
   }
 
   /** Streaming stats collector over the write-time schema — one per
@@ -1571,7 +1606,7 @@ private[sources] object GraftStats {
         case (f, i) if track(i) =>
           val (lo, hi) = f.dataType match {
             case StringType =>
-              val lo = Option(mins(i)).map(_.toString.take(MaxStringBound))
+              val lo = Option(mins(i)).map(s => truncateForMin(s.toString))
               val hi = Option(maxs(i)).map(_.toString).flatMap { s =>
                 if (s.length <= MaxStringBound) Some(s)
                 else prefixSuccessor(s.take(MaxStringBound))

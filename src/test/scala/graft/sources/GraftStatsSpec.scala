@@ -93,10 +93,41 @@ class GraftStatsSpec extends SparkSpec {
       .head().getLong(0) == 50L)
   }
 
+  test("skipping order agrees with SPARK's evaluation order (review-found class)") {
+    // (1) strings: UTF-16 String.compareTo puts U+E000 ABOVE a
+    // supplementary char; Spark's UTF8 binary order puts it BELOW.
+    // A U+E000 row must survive a `< '😀'` predicate's skipping.
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (s STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE s < '😀'")
+      .head().getLong(0) == 1L,
+      "UTF-16-ordered stats would have skipped the U+E000 file")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE s > '😀'")
+      .head().getLong(0) == 0L)
+    // (2) doubles: raw Double.compare puts -0.0 < 0.0; Spark evaluates
+    // -0.0 >= 0.0 as TRUE. A -0.0 row must survive a `>= 0.0` skip.
+    spark.sql(s"CREATE TABLE $cat.d (v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.d VALUES (CAST(-0.0 AS DOUBLE))")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.d WHERE v >= 0.0")
+      .head().getLong(0) == 1L,
+      "raw-Double-ordered stats would have skipped the -0.0 file")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.d WHERE v <= 0.0")
+      .head().getLong(0) == 1L)
+    // (3) the ASCII-only prefix successor: a non-ASCII 64-char prefix
+    // yields NO upper bound (conservative), never a wrong one
+    assert(GraftStats.prefixSuccessor("é" * 64).isEmpty)
+    assert(GraftStats.prefixSuccessor("abc").contains("abd"))
+  }
+
   test("string bounds truncate conservatively; prefix successor rounds up") {
     assert(GraftStats.prefixSuccessor("abc").contains("abd"))
-    assert(GraftStats.prefixSuccessor("a" + Char.MaxValue).contains("b"))
+    // non-ASCII prefixes have no sound byte-order successor: None, not
+    // a UTF-16 bump (which can collapse below the prefix in UTF-8)
+    assert(GraftStats.prefixSuccessor("a" + Char.MaxValue).isEmpty)
     assert(GraftStats.prefixSuccessor(Char.MaxValue.toString).isEmpty)
+    // DEL (0x7f) is not bumpable (successor must stay single-byte)
+    assert(GraftStats.prefixSuccessor("a").contains("b"))
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (s STRING)")
     val long = "k" * 200 // forces bound truncation at 64 chars
