@@ -36,6 +36,12 @@ object GraftStatsProps extends Properties("GraftStatsSkip") {
     Gen.const("k" * 64 + "zzz"),
     Gen.const("￿" * 64 + "a"),
     Gen.const("héllo😀" * 12),
+    // the UTF-16-vs-UTF-8 divergence class the round's review fix
+    // closed: U+E000 sorts ABOVE a supplementary char in UTF-16 code
+    // units but BELOW it in UTF-8 bytes — with the Spark-consistent
+    // comparator these now exercise both sides of that boundary
+    Gen.const(""), Gen.const("😀"), Gen.const("😀"),
+    Gen.const("a" * 33), // >64 chars, non-ASCII truncation path
     Gen.listOfN(70, Gen.oneOf('a', 'b', '￿')).map(_.mkString))
 
   private def opt[A](g: Gen[A]): Gen[Option[A]] =
@@ -67,8 +73,8 @@ object GraftStatsProps extends Properties("GraftStatsSkip") {
   // exercised
   private val litL: Gen[Long] = Gen.oneOf(
     Gen.choose(-60L, 60L), Gen.oneOf(Long.MinValue, Long.MaxValue)).flatMap(identity(_))
-  private val litD: Gen[Double] = Gen.oneOf(0.0, 1.5, -2.25, Double.NaN,
-    Double.PositiveInfinity, 100.0)
+  private val litD: Gen[Double] = Gen.oneOf(0.0, -0.0, 1.5, -2.25,
+    Double.NaN, Double.PositiveInfinity, 100.0)
   private val litS: Gen[String] = strPool
   private def colLit: Gen[(String, Any)] = Gen.oneOf(
     litL.map(v => ("l", v: Any)),
