@@ -267,6 +267,36 @@ object Formats {
          |ORDER BY snap, bucket""".stripMargin)
   }
 
+  /** TIME TRAVEL BY INSTANT (`TIMESTAMP AS OF` — the other half of the
+    * time-travel pair): the overwrite and append land two commits, each
+    * stamping its publish time inside the immutable version dir; the
+    * query reads the table AS OF the FIRST commit's own publish instant
+    * (>= semantics: the highest version published at-or-before the
+    * instant) next to the current state. Deterministic per run — the
+    * probed instant is read back off the version marker itself, never
+    * the wall clock. The oracle re-derives both snapshots from range()
+    * arithmetic, exactly the VERSION-AS-OF twin's gate. */
+  def dsv2TimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ttts")
+    spark.sql(s"CREATE TABLE $cat.ttts (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.ttts ${rowsSql(0L, Dsv2WriteBase)}")
+    val tdir = java.nio.file.Paths.get(catalogRoot, "ttts")
+    val firstPublishMs = GraftCatalog.describeHistory(tdir).last.modifiedMs
+    spark.sql(s"INSERT INTO $cat.ttts ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")
+    val asOf = java.time.Instant.ofEpochMilli(firstPublishMs).toString
+    spark.sql(
+      s"""SELECT 'past' AS snap, bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.ttts TIMESTAMP AS OF '$asOf' GROUP BY bucket
+         |UNION ALL
+         |SELECT 'current' AS snap, bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.ttts GROUP BY bucket
+         |ORDER BY snap, bucket""".stripMargin)
+  }
+
   /** COMPACTION of the catalog table (round 17 continuation — the
     * OPTIMIZE maintenance face): overwrite + append land ≥2 versions'
     * worth of small pool files (per-task staging multiplies them), then
@@ -1595,6 +1625,7 @@ object Formats {
     "src_dsv2_write" -> (dsv2Write _),
     "src_dsv2_delete" -> (dsv2Delete _),
     "src_dsv2_time_travel" -> (dsv2TimeTravel _),
+    "src_dsv2_time_travel_ts" -> (dsv2TimeTravelTs _),
     "src_dsv2_compact" -> (dsv2Compact _),
     "src_dsv2_skipping" -> (dsv2Skipping _),
     "src_dsv2_stats_join" -> (dsv2StatsJoin _),
@@ -1982,6 +2013,22 @@ object Formats {
     // past = the overwrite snapshot [0, base); current = base + append —
     // a time-travel read that leaks or loses an appended row mismatches
     "src_dsv2_time_travel" ->
+      s"""WITH cur AS (
+         |  SELECT (i * 2654435761) % 2147483648 AS h, i
+         |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))
+         |SELECT 'current' AS snap, CAST(h % 16 AS INTEGER) AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM cur GROUP BY 2
+         |UNION ALL
+         |SELECT 'past' AS snap, CAST(h % 16 AS INTEGER) AS bucket,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM cur WHERE i < $Dsv2WriteBase GROUP BY 2
+         |ORDER BY snap, bucket""".stripMargin,
+    // the TIMESTAMP AS OF twin: same two snapshots, resolved by the
+    // first commit's own publish instant instead of its seq
+    "src_dsv2_time_travel_ts" ->
       s"""WITH cur AS (
          |  SELECT (i * 2654435761) % 2147483648 AS h, i
          |  FROM range(0, ${Dsv2WriteBase + Dsv2WriteAppend}) t(i))

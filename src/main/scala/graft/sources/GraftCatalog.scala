@@ -136,6 +136,25 @@ class GraftCatalog extends TableCatalog {
       pinnedVersion = Some(found))
   }
 
+  /** TIME TRAVEL by instant (`SELECT ... FROM t TIMESTAMP AS OF <ts>`):
+    * resolves to the highest-seq surviving version PUBLISHED at or
+    * before the instant (each commit stamps its publish time inside the
+    * immutable version dir — the dir mtime is unusable, being re-stamped
+    * at supersession for the grace clock). Spark hands the instant in
+    * MICROseconds. Same retention contract as `VERSION AS OF`: history
+    * reaches only as far as the GC grace. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirFor(ident)
+    val schemaFile = dir.resolve(GraftCatalog.SchemaFile)
+    if (!Files.exists(schemaFile)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(Files.readString(schemaFile))
+      .asInstanceOf[StructType]
+    val found = GraftCatalog.findVersionByTime(dir, timestampMicros / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(s"${ident.name()}@t$timestampMicros", dir.toString, schema,
+      pinnedVersion = Some(found))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -292,6 +311,10 @@ object GraftCatalog {
     * the streaming sink's replay guard: a foreachBatch retry of the
     * batch the CURRENT version already carries is a no-op. */
   val TagFile = "_GRAFT_TAG"
+  /** PUBLISH time of the commit in epoch millis — `TIMESTAMP AS OF`
+    * resolves against this marker, NOT the dir mtime (mtime is
+    * re-stamped at supersession so grace measures "since replaced"). */
+  val TsFile = "_GRAFT_TS"
   /** Name of the file-lineage metadata column every graft table exposes. */
   val FileMetaCol = "_file"
 
@@ -365,6 +388,28 @@ object GraftCatalog {
   /** Idempotency tag of a version dir, if its commit carried one. */
   private[sources] def tagOf(version: Path): Option[String] =
     marker(version, TagFile)
+
+  /** Publish time of a version dir in epoch millis (None: pre-marker
+    * legacy — such a version never resolves by timestamp). */
+  private[sources] def tsOf(version: Path): Option[Long] =
+    marker(version, TsFile).flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  /** Resolve `TIMESTAMP AS OF t` to the HIGHEST-seq surviving version
+    * published at or before `t` — the table as a reader at that instant
+    * saw it. None when the table had no version yet (or the one it had
+    * has been GC'd past its grace: retention is the history window). */
+  private[sources] def findVersionByTime(tableDir: Path,
+      epochMs: Long): Option[Path] = {
+    val vroot = tableDir.resolve(VersionsDir)
+    if (!Files.isDirectory(vroot)) None
+    else {
+      val listing = Files.list(vroot)
+      try listing.iterator().asScala
+        .flatMap(p => tsOf(p).filter(_ <= epochMs).map(ts => (seqOf(p), p)))
+        .toSeq.sortBy(_._1).lastOption.map(_._2)
+      finally listing.close()
+    }
+  }
 
   /** Resolve `VERSION AS OF seq` to a surviving version dir. */
   private[sources] def findVersionBySeq(tableDir: Path, seq: String): Option[Path] = {
@@ -572,6 +617,11 @@ object GraftCatalog {
     Files.writeString(vdir.resolve(ManifestFile),
       entries.map(manifestLine).mkString("\n"))
     Files.writeString(vdir.resolve(SeqFile), seq.toString)
+    // strictly MONOTONE publish stamps: two commits in the same clock
+    // millisecond would make TIMESTAMP AS OF at that instant ambiguous
+    val publishMs = math.max(System.currentTimeMillis(),
+      previous.flatMap(tsOf).map(_ + 1L).getOrElse(Long.MinValue))
+    Files.writeString(vdir.resolve(TsFile), publishMs.toString)
     tag.foreach(t => Files.writeString(vdir.resolve(TagFile), t))
     IndexStore.pointer.swap(tableDir, PointerName, vdir)
     // stamp SUPERSESSION time so grace measures "since replaced"
@@ -602,9 +652,12 @@ object GraftCatalog {
       val listing = Files.list(vroot)
       try listing.iterator().asScala.map { v =>
         val entries = readManifest(v)
+        // publish time from the immutable marker (the mtime is re-stamped
+        // at supersession for the grace clock); legacy fallback: mtime
         VersionInfo(seqOf(v),
-          try Files.getLastModifiedTime(v).toMillis
-          catch { case NonFatal(_) => 0L },
+          tsOf(v).getOrElse(
+            try Files.getLastModifiedTime(v).toMillis
+            catch { case NonFatal(_) => 0L }),
           entries.size, entries.map(_.rows).sum, tagOf(v),
           current.contains(v.getFileName.toString))
       }.toSeq.sortBy(-_.seq)

@@ -225,6 +225,28 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves by publish instant; bounds fail loudly") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)")  // seq 1
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10, 30)") // seq 2
+    val dir = root.resolve("t")
+    val hist = GraftCatalog.describeHistory(dir)
+    assert(hist.map(_.seq) == Seq(2L, 1L))
+    // publish stamps are strictly monotone (same-ms commits disambiguated)
+    assert(hist.head.modifiedMs > hist.last.modifiedMs)
+    def countAt(ms: Long): Long = spark.sql(
+      s"""SELECT count(*) AS n FROM $cat.t TIMESTAMP AS OF
+         |'${java.time.Instant.ofEpochMilli(ms)}'""".stripMargin)
+      .head().getLong(0)
+    assert(countAt(hist.last.modifiedMs) == 10L)      // at seq 1's instant
+    assert(countAt(hist.head.modifiedMs - 1) == 10L)  // just before seq 2
+    assert(countAt(hist.head.modifiedMs) == 30L)      // at seq 2's instant
+    assert(countAt(hist.head.modifiedMs + 60000) == 30L) // future → current
+    // before the first commit: no version existed — loud, not empty
+    intercept[Exception] { countAt(hist.last.modifiedMs - 60000) }
+  }
+
   test("a tagged commit replayed against the same current version is a no-op") {
     import org.apache.spark.sql.functions.lit
     val (cat, root) = freshCatalog()
