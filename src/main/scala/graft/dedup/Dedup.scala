@@ -821,7 +821,85 @@ object Dedup {
     "pipeline_curation" -> (curationFunnel _),
     "pipeline_curation_observed" -> (curationFunnelObserved _),
     "pipeline_pretrain" -> (pretrainFunnel _),
-    "pipeline_merge_upsert" -> (mergeUpsert _))
+    "pipeline_merge_upsert" -> (mergeUpsert _),
+    "pipeline_content_upsert" -> (contentUpsert _),
+    "pipeline_mirror_sync" -> (mirrorSync _))
+
+  /** CONTENT-ADDRESSED UPSERT (the change-detection refinement of
+    * [[mergeUpsert]]): the corpus table carries each doc's md5 content
+    * hash; tonight's recrawl of the even half arrives with SOME pages
+    * actually changed (every 10th doc gained a ' v2' suffix). The MERGE
+    * uses a CONDITIONAL MATCHED clause — `WHEN MATCHED AND t.hash <>
+    * s.hash THEN UPDATE` — so unchanged re-crawls cost NO rewrite (rev
+    * stays 1, the row is untouched) and only genuinely-changed pages
+    * bump their revision. The oracle re-derives hashes (DuckDB md5 ==
+    * Spark md5) and the changed set from the id arithmetic. */
+  def contentUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.corpus2")
+    spark.sql(
+      s"""CREATE TABLE $cat.corpus2
+         |(doc_id BIGINT, lang STRING, content_hash STRING, n_chars BIGINT, rev INT)""".stripMargin)
+    Tables(spark, dir, "documents").createOrReplaceTempView("graft_docs_cu")
+    spark.sql(
+      s"""INSERT INTO $cat.corpus2
+         |SELECT doc_id, lang, md5(text), n_chars, 1 FROM graft_docs_cu""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO $cat.corpus2 t
+         |USING (SELECT doc_id,
+         |         md5(CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2')
+         |                  ELSE text END) AS content_hash,
+         |         n_chars + CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS n_chars
+         |       FROM graft_docs_cu WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.content_hash <> s.content_hash THEN
+         |  UPDATE SET content_hash = s.content_hash, n_chars = s.n_chars,
+         |             rev = t.rev + 1
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, count(*) AS cnt,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(rev) AS BIGINT) AS sum_rev
+         |FROM $cat.corpus2 GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** FULL MIRROR SYNC — MERGE's complete action matrix in one statement
+    * (`WHEN MATCHED UPDATE` / `WHEN NOT MATCHED INSERT` / `WHEN NOT
+    * MATCHED BY SOURCE DELETE`): the corpus table must become EXACTLY
+    * tonight's snapshot — upsert what the snapshot has, delete what it
+    * lost — the CDC-mirror verb every downstream replica runs. Initial
+    * corpus = docs with id%3≠0; snapshot = the even half; final state =
+    * exactly the even ids, rev 2 where the doc survived the transition,
+    * rev 1 where it is snapshot-new. The oracle re-derives that state
+    * from the id arithmetic. */
+  def mirrorSync(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mirror")
+    spark.sql(
+      s"CREATE TABLE $cat.mirror (doc_id BIGINT, lang STRING, n_chars BIGINT, rev INT)")
+    Tables(spark, dir, "documents").createOrReplaceTempView("graft_docs_ms")
+    spark.sql(
+      s"""INSERT INTO $cat.mirror
+         |SELECT doc_id, lang, n_chars, 1 FROM graft_docs_ms
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO $cat.mirror t
+         |USING (SELECT doc_id, lang, n_chars FROM graft_docs_ms
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, rev = t.rev + 1
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars, rev)
+         |  VALUES (s.doc_id, s.lang, s.n_chars, 1)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT lang, count(*) AS cnt,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(rev) AS BIGINT) AS sum_rev
+         |FROM $cat.mirror GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 
   /** INCREMENTAL CORPUS UPSERT (round 17 continuation — the nightly
     * pattern every living training corpus runs): yesterday's corpus
@@ -1444,5 +1522,23 @@ object Dedup {
         |                THEN 2 ELSE 1 END) AS BIGINT) AS sum_rev
         |FROM documents
         |WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // content-addressed upsert: every doc present; only even ids that
+    // actually changed (id % 10 = 0, the ' v2' suffix) bumped rev and
+    // gained 3 chars — an unconditional-update MERGE would mismatch
+    "pipeline_content_upsert" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars + CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS sum_rev
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // mirror sync: final state is EXACTLY the snapshot (even ids);
+    // rev 2 where the doc pre-existed (id%3<>0), rev 1 where inserted
+    "pipeline_mirror_sync" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 2 ELSE 1 END) AS BIGINT) AS sum_rev
+        |FROM documents
+        |WHERE doc_id % 2 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin)
 }
