@@ -281,7 +281,7 @@ object Formats {
     val cat = ensureCatalog(spark)
     spark.sql(s"DROP TABLE IF EXISTS $cat.ttts")
     spark.sql(s"CREATE TABLE $cat.ttts (id BIGINT, bucket INT, score DOUBLE)")
-    spark.sql(s"INSERT INTO $cat.ttts ${rowsSql(0L, Dsv2WriteBase)}")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.ttts ${rowsSql(0L, Dsv2WriteBase)}")
     val tdir = java.nio.file.Paths.get(catalogRoot, "ttts")
     val firstPublishMs = GraftCatalog.describeHistory(tdir).last.modifiedMs
     spark.sql(s"INSERT INTO $cat.ttts ${rowsSql(Dsv2WriteBase, Dsv2WriteBase + Dsv2WriteAppend)}")

@@ -108,12 +108,18 @@ class GraftCatalog extends TableCatalog {
       finally listing.close()
     }
 
-  override def loadTable(ident: Identifier): Table = {
+  /** (dir, committed schema) of an existing table — the shared preamble
+    * of the three loadTable overloads; throws NoSuchTable otherwise. */
+  private def resolved(ident: Identifier): (Path, StructType) = {
     val dir = dirFor(ident)
     val schemaFile = dir.resolve(GraftCatalog.SchemaFile)
     if (!Files.exists(schemaFile)) throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(Files.readString(schemaFile))
-      .asInstanceOf[StructType]
+    (dir, DataType.fromJson(Files.readString(schemaFile))
+      .asInstanceOf[StructType])
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (dir, schema) = resolved(ident)
     new GraftTable(ident.name(), dir.toString, schema)
   }
 
@@ -124,11 +130,7 @@ class GraftCatalog extends TableCatalog {
     * version GC'd past its grace is gone, exactly the table-format
     * contract (history retention is the GC window). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = dirFor(ident)
-    val schemaFile = dir.resolve(GraftCatalog.SchemaFile)
-    if (!Files.exists(schemaFile)) throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(Files.readString(schemaFile))
-      .asInstanceOf[StructType]
+    val (dir, schema) = resolved(ident)
     val want = version.trim
     val found = GraftCatalog.findVersionBySeq(dir, want).getOrElse(
       throw new NoSuchTableException(ident))
@@ -144,11 +146,7 @@ class GraftCatalog extends TableCatalog {
     * MICROseconds. Same retention contract as `VERSION AS OF`: history
     * reaches only as far as the GC grace. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val dir = dirFor(ident)
-    val schemaFile = dir.resolve(GraftCatalog.SchemaFile)
-    if (!Files.exists(schemaFile)) throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(Files.readString(schemaFile))
-      .asInstanceOf[StructType]
+    val (dir, schema) = resolved(ident)
     val found = GraftCatalog.findVersionByTime(dir, timestampMicros / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftTable(s"${ident.name()}@t$timestampMicros", dir.toString, schema,
@@ -315,6 +313,14 @@ object GraftCatalog {
     * resolves against this marker, NOT the dir mtime (mtime is
     * re-stamped at supersession so grace measures "since replaced"). */
   val TsFile = "_GRAFT_TS"
+  /** Written immediately AFTER the pointer swap: its presence means the
+    * version was ONCE CURRENT. The history faces (`VERSION AS OF`,
+    * `TIMESTAMP AS OF`, DESCRIBE HISTORY) resolve only committed
+    * versions — a crashed writer's pre-swap dir (manifest + seq + ts
+    * already on disk) must never serve as table state (review finding,
+    * this round). The pointer target itself counts as committed even if
+    * the crash window between swap and marker was hit. */
+  val CommittedFile = "_GRAFT_COMMITTED"
   /** Name of the file-lineage metadata column every graft table exposes. */
   val FileMetaCol = "_file"
 
@@ -394,31 +400,45 @@ object GraftCatalog {
   private[sources] def tsOf(version: Path): Option[Long] =
     marker(version, TsFile).flatMap(s => scala.util.Try(s.toLong).toOption)
 
-  /** Resolve `TIMESTAMP AS OF t` to the HIGHEST-seq surviving version
-    * published at or before `t` — the table as a reader at that instant
-    * saw it. None when the table had no version yet (or the one it had
-    * has been GC'd past its grace: retention is the history window). */
+  /** Resolve `TIMESTAMP AS OF t` to the highest-seq surviving COMMITTED
+    * version published at or before `t` — the table as a reader at that
+    * instant saw it. None when the table had no version yet (or the one
+    * it had was GC'd past its grace: retention is the history window). */
   private[sources] def findVersionByTime(tableDir: Path,
       epochMs: Long): Option[Path] = {
     val vroot = tableDir.resolve(VersionsDir)
     if (!Files.isDirectory(vroot)) None
     else {
+      val cur = currentToken(tableDir)
       val listing = Files.list(vroot)
       try listing.iterator().asScala
-        .flatMap(p => tsOf(p).filter(_ <= epochMs).map(ts => (seqOf(p), p)))
-        .toSeq.sortBy(_._1).lastOption.map(_._2)
+        .filter(p => committed(p, cur) && tsOf(p).exists(_ <= epochMs))
+        .toSeq.maxByOption(seqOf)
       finally listing.close()
     }
   }
 
-  /** Resolve `VERSION AS OF seq` to a surviving version dir. */
+  /** Was this version ever CURRENT (post-swap marker, or it IS the
+    * pointer target — covering the swap-to-marker crash window)? Only
+    * committed versions may serve through the history faces. */
+  private def committed(version: Path, current: Option[String]): Boolean =
+    Files.exists(version.resolve(CommittedFile)) ||
+      current.contains(version.getFileName.toString)
+
+  private def currentToken(tableDir: Path): Option[String] =
+    IndexStore.pointer.resolve(tableDir, PointerName)
+      .map(_.getFileName.toString)
+
+  /** Resolve `VERSION AS OF seq` to a surviving COMMITTED version dir
+    * (a crashed writer's pre-swap dir carries a seq too — never it). */
   private[sources] def findVersionBySeq(tableDir: Path, seq: String): Option[Path] = {
     val vroot = tableDir.resolve(VersionsDir)
     if (!Files.isDirectory(vroot)) None
     else {
+      val cur = currentToken(tableDir)
       val listing = Files.list(vroot)
       try listing.iterator().asScala
-        .find(p => marker(p, SeqFile).contains(seq))
+        .find(p => marker(p, SeqFile).contains(seq) && committed(p, cur))
       finally listing.close()
     }
   }
@@ -617,13 +637,26 @@ object GraftCatalog {
     Files.writeString(vdir.resolve(ManifestFile),
       entries.map(manifestLine).mkString("\n"))
     Files.writeString(vdir.resolve(SeqFile), seq.toString)
-    // strictly MONOTONE publish stamps: two commits in the same clock
-    // millisecond would make TIMESTAMP AS OF at that instant ambiguous
-    val publishMs = math.max(System.currentTimeMillis(),
-      previous.flatMap(tsOf).map(_ + 1L).getOrElse(Long.MinValue))
+    // strictly MONOTONE publish stamps that NEVER run ahead of the wall
+    // clock: a stamp in the future would break read-your-writes for
+    // `TIMESTAMP AS OF now()` (review finding). Two commits in the same
+    // clock millisecond instead WAIT for the next tick — bounded by 1 ms
+    // per same-ms predecessor, under a lock where a commit already costs
+    // a Spark job.
+    val floor = previous.flatMap(tsOf).getOrElse(Long.MinValue)
+    var publishMs = System.currentTimeMillis()
+    while (publishMs <= floor) {
+      try Thread.sleep(1L)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      publishMs = System.currentTimeMillis()
+    }
     Files.writeString(vdir.resolve(TsFile), publishMs.toString)
     tag.foreach(t => Files.writeString(vdir.resolve(TagFile), t))
     IndexStore.pointer.swap(tableDir, PointerName, vdir)
+    // committed marker AFTER the swap: only versions that were once
+    // current resolve through the history faces
+    try Files.writeString(vdir.resolve(CommittedFile), "1")
+    catch { case NonFatal(_) => () }
     // stamp SUPERSESSION time so grace measures "since replaced"
     previous.foreach { p =>
       try Files.setLastModifiedTime(p,
@@ -644,13 +677,13 @@ object GraftCatalog {
     * `DESCRIBE HISTORY` verb's body. What this lists is exactly what
     * `VERSION AS OF` can still resolve (retention = the GC window). */
   private[graft] def describeHistory(tableDir: Path): Seq[VersionInfo] = {
-    val current = IndexStore.pointer.resolve(tableDir, PointerName)
-      .map(_.getFileName.toString)
+    val current = currentToken(tableDir)
     val vroot = tableDir.resolve(VersionsDir)
     if (!Files.isDirectory(vroot)) Nil
     else {
       val listing = Files.list(vroot)
-      try listing.iterator().asScala.map { v =>
+      try listing.iterator().asScala
+        .filter(v => committed(v, current)).map { v =>
         val entries = readManifest(v)
         // publish time from the immutable marker (the mtime is re-stamped
         // at supersession for the grace clock); legacy fallback: mtime

@@ -247,6 +247,33 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { countAt(hist.last.modifiedMs - 60000) }
   }
 
+  test("a crashed pre-swap version dir never serves through the history faces") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)") // seq 1
+    val dir = root.resolve("t")
+    // plant what a writer crashing BETWEEN manifest write and pointer
+    // swap leaves behind: a version dir with manifest + seq + ts but NO
+    // committed marker (it was never current); give it a duplicate seq
+    // and the newest stamp to make it the most attractive candidate
+    val zombie = dir.resolve(GraftCatalog.VersionsDir).resolve("zombie123")
+    Files.createDirectories(zombie)
+    Files.writeString(zombie.resolve(GraftCatalog.ManifestFile),
+      "part-phantom.gbin\t999\t1\t1\t-")
+    Files.writeString(zombie.resolve(GraftCatalog.SeqFile), "1")
+    Files.writeString(zombie.resolve(GraftCatalog.TsFile),
+      (System.currentTimeMillis() + 1000L).toString)
+    // VERSION AS OF 1 resolves the COMMITTED seq-1 dir, not the zombie
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF '1'")
+      .head().getLong(0) == 10L)
+    // DESCRIBE HISTORY hides it
+    val hist = GraftCatalog.describeHistory(dir)
+    assert(hist.map(_.seq) == Seq(1L) && hist.head.rows == 10L)
+    // TIMESTAMP AS OF anything resolves committed versions only
+    assert(GraftCatalog.findVersionByTime(dir, Long.MaxValue)
+      .exists(_.getFileName.toString != "zombie123"))
+  }
+
   test("a tagged commit replayed against the same current version is a no-op") {
     import org.apache.spark.sql.functions.lit
     val (cat, root) = freshCatalog()
