@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   *    the tail — no static predicate exists, so flatness here is the
   *    RUNTIME GROUP FILTER working (matching `_file`s computed at run
   *    time, match-free files carried by reference);
+  *  - `cat_changes_tail`: net CHANGE FEED of the fixed 50k-row tail
+  *    update ([[graft.sources.GraftChangeFeed]]) — the feed is a
+  *    manifest diff read at O(files the commit rewrote), so following a
+  *    mutating table costs the consumer the change volume, never the
+  *    table;
   *  - `cat_scan_slice`: aggregate over the fixed first-100k-id slice —
   *    planning-time file skipping; input bytes flat;
   *  - `cat_full_scan`: the deliberate linear CONTRAST — if this didn't
@@ -99,6 +104,9 @@ object SoakCatalog {
         spark.sql(
           s"UPDATE $t SET score = score + 1.0 WHERE id >= ${n - 50000} AND id < $n")
       }
+      // seq of the LAST timed update commit — the change-feed leg reads
+      // exactly that commit's net changes
+      val updSeq = graft.sources.GraftChangeFeed.currentSeq(root.resolve("t"))
       // ON is pure key equality: only the RUNTIME group filter can save
       // the match-free files here (run 1 matches the 25k tail + inserts
       // 25k; run 2 matches all 50k)
@@ -126,6 +134,17 @@ object SoakCatalog {
           s"SELECT CAST(sum(id) AS BIGINT) AS s, count(*) AS n FROM $t")
           .collect()
       }
+      // CHANGE FEED of the fixed 50k-row tail update: the feed is a
+      // manifest diff read at O(files the commit rewrote) — table size
+      // must not matter. Closed-form gate first: exactly 50k preimages
+      // + 50k postimages net (the rewritten files' carried rows cancel).
+      val netUpd = graft.sources.GraftChangeFeed.net(
+        spark, root.resolve("t").toString, updSeq - 1, updSeq)
+      require(netUpd.count() == 100000L,
+        s"n=$n change-feed gate violated (want 50k pre + 50k post)")
+      val (tCdc, bCdc) = timed {
+        netUpd.groupBy("_change_type").count().collect()
+      }
       // ---- exact end-state gate: base + 2 timed appends + the merge's
       // 25k inserted ids (second merge run matched them — no doubles) ----
       val end = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
@@ -134,6 +153,7 @@ object SoakCatalog {
       Seq(("cat_append", n, files, tApp, bApp),
         ("cat_update_tail", n, files, tUpd, bUpd),
         ("cat_merge_tail", n, files, tMrg, bMrg),
+        ("cat_changes_tail", n, files, tCdc, bCdc),
         ("cat_scan_slice", n, files, tSli, bSli),
         ("cat_full_scan", n, files, tFul, bFul))
     }

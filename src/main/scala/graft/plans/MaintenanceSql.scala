@@ -37,13 +37,14 @@ case class DescribeGraftHistory(parts: Seq[String])
     AttributeReference("files", IntegerType, nullable = false)(),
     AttributeReference("row_count", LongType, nullable = false)(),
     AttributeReference("commit_tag", StringType, nullable = true)(),
-    AttributeReference("is_current", BooleanType, nullable = false)())
+    AttributeReference("is_current", BooleanType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.resolveGraftTable(spark, "DESCRIBE HISTORY", parts)
     GraftCatalog.describeHistory(dir).map { h =>
       Row(h.seq, new java.sql.Timestamp(h.modifiedMs), h.files, h.rows,
-        h.tag.orNull, h.isCurrent)
+        h.tag.orNull, h.isCurrent, h.kind.orNull)
     }
   }
 }

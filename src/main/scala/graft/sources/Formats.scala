@@ -543,6 +543,54 @@ object Formats {
          |FROM $cat.ev GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** CHANGE DATA FEED over the catalog table (round 17 continuation IV —
+    * the CDC face every table format grows): a scripted lifecycle lands
+    * one commit of every mutating kind — load (INSERT OVERWRITE), SQL
+    * UPDATE, SQL DELETE, append, then OPTIMIZE-compaction — and the feed
+    * ([[GraftChangeFeed]]) is read back as MINIMAL NET CHANGES over the
+    * post-load range: the update surfaces as paired
+    * `update_preimage`/`update_postimage` rows for EXACTLY the matched
+    * rows (the rewritten files' carried rows cancel in the net
+    * reduction), the delete as `delete` rows for exactly the matched
+    * rows, the append as `insert` rows, and the compaction as NOTHING
+    * (data-change-false — an OPTIMIZE must not replay the table to
+    * consumers; asserted in-query, as is the kind ledger on the
+    * history). The feed is COMPUTED from manifest diffs at
+    * O(files-the-commits-rewrote) cost — never stored, never O(table).
+    * The oracle re-derives every change class from the range()
+    * arithmetic — one phantom change, lost change, or mislabeled image
+    * breaks the hash. */
+  def dsv2Changes(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.cdc")
+    spark.sql(s"CREATE TABLE $cat.cdc (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.cdc ${rowsSql(0L, 12000L)}") // seq 1
+    spark.sql(s"UPDATE $cat.cdc SET score = score + 1.0 WHERE bucket = 3") // 2
+    spark.sql(s"DELETE FROM $cat.cdc WHERE bucket = 5") // 3
+    spark.sql(s"INSERT INTO $cat.cdc ${rowsSql(12000L, 14000L)}") // 4
+    val tdir = java.nio.file.Paths.get(catalogRoot, "cdc")
+    val compactSeq = GraftCatalog.compact(tdir) // 5
+    require(compactSeq == 5L,
+      s"lifecycle must land 5 commits, pointer is at $compactSeq")
+    val kinds = GraftCatalog.describeHistory(tdir).sortBy(_.seq).flatMap(_.kind)
+    require(kinds == Seq(GraftCatalog.Kind.Truncate, GraftCatalog.Kind.Update,
+        GraftCatalog.Kind.Delete, GraftCatalog.Kind.Append,
+        GraftCatalog.Kind.Compact),
+      s"commit kinds mis-stamped on the history: $kinds")
+    val net = GraftChangeFeed.net(spark, tdir.toString,
+      fromSeq = 1L, toSeq = compactSeq)
+    require(net.where(col(GraftChangeFeed.CommitSeqCol) === compactSeq)
+        .limit(1).count() == 0L,
+      "OPTIMIZE must be invisible to the change feed (data-change-false)")
+    net.select(col(GraftChangeFeed.ChangeTypeCol).as("change_type"),
+        col("bucket"), col("score"))
+      .groupBy("change_type", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+      .orderBy("change_type", "bucket")
+  }
+
   /** Writes documents hive-partitioned by `lang` once per dir (marker
     * guarded, like [[materialize]]) — the layout a curation pipeline
     * lands its output in so downstream jobs prune whole partitions. */
@@ -1632,6 +1680,7 @@ object Formats {
     "src_dsv2_update" -> (dsv2Update _),
     "src_dsv2_merge" -> (dsv2Merge _),
     "src_dsv2_evolve" -> (dsv2Evolve _),
+    "src_dsv2_changes" -> (dsv2Changes _),
     "src_dsv2_cluster" -> (dsv2Cluster _),
     "src_dsv2_optimize" -> (dsv2Optimize _))
 
@@ -2106,6 +2155,37 @@ object Formats {
         |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the net change feed over the scripted lifecycle: update pre/post
+    // images for the matched bucket-3 rows, deletes for bucket 5,
+    // inserts for the append — compaction invisible (asserted in-query)
+    "src_dsv2_changes" ->
+      """WITH pre AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 12000) t(i)),
+        |app AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(12000, 14000) t(i)),
+        |changes AS (
+        |  SELECT 'update_preimage' AS change_type,
+        |    CAST(h % 16 AS INTEGER) AS bucket,
+        |    CAST(h % 1000 AS DOUBLE) / 1000.0 AS score
+        |  FROM pre WHERE h % 16 = 3
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(h % 16 AS INTEGER),
+        |    CAST(h % 1000 AS DOUBLE) / 1000.0 + 1.0
+        |  FROM pre WHERE h % 16 = 3
+        |  UNION ALL
+        |  SELECT 'delete', CAST(h % 16 AS INTEGER),
+        |    CAST(h % 1000 AS DOUBLE) / 1000.0
+        |  FROM pre WHERE h % 16 = 5
+        |  UNION ALL
+        |  SELECT 'insert', CAST(h % 16 AS INTEGER),
+        |    CAST(h % 1000 AS DOUBLE) / 1000.0
+        |  FROM app)
+        |SELECT change_type, bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM changes GROUP BY change_type, bucket
+        |ORDER BY change_type, bucket""".stripMargin,
     // two schema eras: [0,6000) written pre-ALTER (score NULL via the
     // width ledger), [6000,12000) post-ALTER with real scores
     "src_dsv2_evolve" ->

@@ -321,6 +321,28 @@ object GraftCatalog {
     * this round). The pointer target itself counts as committed even if
     * the crash window between swap and marker was hit. */
   val CommittedFile = "_GRAFT_COMMITTED"
+  /** COMMIT KIND of the version — what operation published it. The
+    * change-feed faces ([[GraftChangeFeed]]) need it to (a) label the
+    * manifest diff (an UPDATE's removed/added rows are pre/post images,
+    * a MERGE's are retract pairs) and (b) recognize DATA-CHANGE-FALSE
+    * commits (compaction / clustered rewrite move bytes, not rows — the
+    * feed must emit NOTHING for them, or every OPTIMIZE would replay the
+    * whole table to downstream consumers). Versions predating the marker
+    * are readable as table state but only serve the change feed when
+    * their diff is pure-append (anything else fails loudly rather than
+    * guess). */
+  val KindFile = "_GRAFT_KIND"
+  /** The [[KindFile]] values. `Compact` is the only DATA-CHANGE-FALSE
+    * kind: content identity is enforced by the compaction row-conservation
+    * check, so the change feed may skip the version entirely. */
+  object Kind {
+    val Append = "append"
+    val Truncate = "truncate"
+    val Delete = "delete"
+    val Update = "update"
+    val Merge = "merge"
+    val Compact = "compact"
+  }
   /** Name of the file-lineage metadata column every graft table exposes. */
   val FileMetaCol = "_file"
 
@@ -395,6 +417,11 @@ object GraftCatalog {
   private[sources] def tagOf(version: Path): Option[String] =
     marker(version, TagFile)
 
+  /** Commit kind of a version dir (None: pre-marker legacy — the change
+    * feed then accepts only a pure-append diff for it). */
+  private[graft] def kindOf(version: Path): Option[String] =
+    marker(version, KindFile)
+
   /** Publish time of a version dir in epoch millis (None: pre-marker
     * legacy — such a version never resolves by timestamp). */
   private[sources] def tsOf(version: Path): Option[Long] =
@@ -467,7 +494,8 @@ object GraftCatalog {
       else {
         val base =
           if (truncate) Nil else previous.map(readManifest).getOrElse(Nil)
-        publishLocked(tableDir, base ++ added, tag)
+        publishLocked(tableDir, base ++ added, tag,
+          if (truncate) Kind.Truncate else Kind.Append)
       }
     }
 
@@ -560,7 +588,7 @@ object GraftCatalog {
         }
       }
       if (changed)
-        publishLocked(tableDir, rewritten)
+        publishLocked(tableDir, rewritten, kind = Kind.Delete)
     }
 
   /** Schema of the table at `tableDir` (from its committed schema.json). */
@@ -612,7 +640,8 @@ object GraftCatalog {
         require(rows == entries.map(_.rows).sum,
           s"compaction row conservation violated: $rows vs ${entries.map(_.rows).sum}")
         publishLocked(tableDir, Seq(ManifestEntry(newName, rows,
-          schema.length, Files.size(dst), Some(stats.result()))))
+          schema.length, Files.size(dst), Some(stats.result()))),
+          kind = Kind.Compact)
       }
     }
 
@@ -620,15 +649,15 @@ object GraftCatalog {
     * per-table lock — it verifies its no-conflict precondition and
     * replaces the scanned files' entries in the same critical section. */
   private[sources] def replaceFiles(tableDir: Path,
-      entries: Seq[ManifestEntry]): Long =
-    publishLocked(tableDir, entries)
+      entries: Seq[ManifestEntry], kind: String): Long =
+    publishLocked(tableDir, entries, kind = kind)
 
   /** Publish `entries` as the complete new manifest version. Caller MUST
     * hold the per-table lock ([[IndexStore.withArtifactLock]]) — the
     * POSIX channel lock does not re-enter, so this is the shared inner
     * body of [[commitVersion]] and [[deleteWhere]], never called bare. */
   private def publishLocked(tableDir: Path, entries: Seq[ManifestEntry],
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None, kind: String = Kind.Append): Long = {
     val previous = IndexStore.pointer.resolve(tableDir, PointerName)
     val seq = previous.map(seqOf).getOrElse(0L) + 1L
     val token = UUID.randomUUID().toString.take(12)
@@ -651,6 +680,7 @@ object GraftCatalog {
       publishMs = System.currentTimeMillis()
     }
     Files.writeString(vdir.resolve(TsFile), publishMs.toString)
+    Files.writeString(vdir.resolve(KindFile), kind)
     tag.foreach(t => Files.writeString(vdir.resolve(TagFile), t))
     IndexStore.pointer.swap(tableDir, PointerName, vdir)
     // committed marker AFTER the swap: only versions that were once
@@ -671,7 +701,8 @@ object GraftCatalog {
 
   /** One surviving version's audit row ([[describeHistory]]). */
   private[graft] final case class VersionInfo(seq: Long, modifiedMs: Long,
-      files: Int, rows: Long, tag: Option[String], isCurrent: Boolean)
+      files: Int, rows: Long, tag: Option[String], isCurrent: Boolean,
+      kind: Option[String] = None)
 
   /** Audit listing of every SURVIVING version, newest first — the
     * `DESCRIBE HISTORY` verb's body. What this lists is exactly what
@@ -692,7 +723,7 @@ object GraftCatalog {
             try Files.getLastModifiedTime(v).toMillis
             catch { case NonFatal(_) => 0L }),
           entries.size, entries.map(_.rows).sum, tagOf(v),
-          current.contains(v.getFileName.toString))
+          current.contains(v.getFileName.toString), kindOf(v))
       }.toSeq.sortBy(-_.seq)
       finally listing.close()
     }
@@ -946,8 +977,14 @@ private class GraftRowLevelOperation(tableDir: String, schema: StructType,
                     s"$scanSeq to $curSeq during the row-level operation; retry")
               }
               val scannedNames = scanned.map(_.file).toSet
+              import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+              val kind = cmd match {
+                case Command.UPDATE => GraftCatalog.Kind.Update
+                case Command.DELETE => GraftCatalog.Kind.Delete
+                case _ => GraftCatalog.Kind.Merge
+              }
               GraftCatalog.replaceFiles(dir,
-                all.filterNot(e => scannedNames.contains(e.file)) ++ staged)
+                all.filterNot(e => scannedNames.contains(e.file)) ++ staged, kind)
             }
             ()
           }

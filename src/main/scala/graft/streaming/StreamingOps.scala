@@ -1763,6 +1763,63 @@ object StreamingOps {
     runToMemory(spark, agg, minDataBatches = 3).orderBy("bucket")
   }
 
+  /** STREAMING CHANGE DATA FEED off the catalog table (round 17
+    * continuation IV): the table-as-stream face requires append-only
+    * history; THIS face lets a consumer follow a table mutated by
+    * UPDATE/DELETE/MERGE. A scripted lifecycle lands load → UPDATE →
+    * DELETE → append → OPTIMIZE, then the change feed
+    * ([[graft.sources.GraftChangeFeed]]) is consumed as a STREAM from
+    * seq 0 under `Trigger.AvailableNow` — offsets are commit seqs, one
+    * version's retract-form change rows per trigger (removed files read
+    * as delete-side, added as insert-side: exact under apply semantics,
+    * zero shuffle in the source), and the compaction version emits
+    * NOTHING (data-change-false). The consumer then APPLIES the feed —
+    * insert-side rows minus delete-side retractions, the foreachBatch-
+    * MERGE a downstream mirror runs — and the reconstructed mirror must
+    * equal the table's final state under the range()-arithmetic oracle:
+    * a lost retraction, replayed version, or leaked compaction row
+    * breaks the hash. */
+  def dsv2CdcStream(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.cdcs")
+    spark.sql(s"CREATE TABLE $cat.cdcs (id BIGINT, bucket INT, score DOUBLE)")
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.cdcs ${graft.sources.Formats.rowsSql(0L, 6000L)}")
+    spark.sql(s"UPDATE $cat.cdcs SET score = score + 1.0 WHERE bucket = 3")
+    spark.sql(s"DELETE FROM $cat.cdcs WHERE bucket = 5")
+    spark.sql(s"INSERT INTO $cat.cdcs ${graft.sources.Formats.rowsSql(6000L, 8000L)}")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val tdir = java.nio.file.Paths.get(root, "cdcs")
+    graft.sources.GraftCatalog.compact(tdir)
+    val feed = spark.readStream
+      .format("graft.sources.GraftChangeFeed")
+      .option("table", tdir.toString)
+      .option("startingSeq", "0")
+      .load()
+    // 4 data-carrying triggers = the four mutating commits; the compact
+    // version must contribute NO batch rows (its trigger admits the seq
+    // but plans zero splits)
+    val retract = runToMemory(spark, feed, mode = "append",
+      minDataBatches = 4, availableNow = true)
+    val seqs = retract.select(col(graft.sources.GraftChangeFeed.CommitSeqCol))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (seqs != Seq(1L, 2L, 3L, 4L)) throw new IllegalStateException(
+      s"feed must carry exactly the four mutating commits, got seqs $seqs")
+    val typ = col(graft.sources.GraftChangeFeed.ChangeTypeCol)
+    val ins = retract.where(typ.isin("insert", "update_postimage"))
+      .select("id", "bucket", "score")
+    val del = retract.where(typ.isin("delete", "update_preimage"))
+      .select("id", "bucket", "score")
+    // APPLY the retract feed: multiset cancellation reconstructs the
+    // table (order-free from an empty start — every retraction has its
+    // matching earlier insert-side row)
+    ins.exceptAll(del)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+      .orderBy("bucket")
+  }
+
   /** Native session windows (`session_window`): per-user sessions with a
     * 30-minute inactivity gap as a streaming aggregate — the declarative
     * dual of the `mapGroupsWithState` summary ([[sessionSummary]]) and of
@@ -2332,7 +2389,8 @@ object StreamingOps {
     "stream_dsv2_sink" -> (dsv2StreamSink _),
     "stream_dsv2_native_sink" -> (dsv2NativeStreamSink _),
     "stream_dsv2_medallion" -> (dsv2Medallion _),
-    "stream_dsv2_table_source" -> (dsv2TableStream _))
+    "stream_dsv2_table_source" -> (dsv2TableStream _),
+    "stream_dsv2_cdc_source" -> (dsv2CdcStream _))
 
   /** Shared by `stream_dsv2_source` and `stream_dsv2_available_now`
     * (round 17) — the connector's deterministic arithmetic over the
@@ -2605,6 +2663,28 @@ object StreamingOps {
     // and a fourth: the table-as-stream must deliver each commit version
     // exactly once (one trigger per version, manifest-diff partitions)
     "stream_dsv2_table_source" -> Dsv2SourceOracle,
+    // the mirror reconstructed by APPLYING the streamed retract feed must
+    // equal the table's final state: [0,6000) with bucket 3 boosted and
+    // bucket 5 deleted, plus the [6000,8000) append
+    "stream_dsv2_cdc_source" ->
+      """WITH pre AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 6000) t(i)),
+        |app AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(6000, 8000) t(i)),
+        |cur AS (
+        |  SELECT CAST(h % 16 AS INTEGER) AS bucket,
+        |    CAST(h % 1000 AS DOUBLE) / 1000.0
+        |      + CASE WHEN h % 16 = 3 THEN 1.0 ELSE 0.0 END AS score
+        |  FROM pre WHERE h % 16 <> 5
+        |  UNION ALL
+        |  SELECT CAST(h % 16 AS INTEGER),
+        |    CAST(h % 1000 AS DOUBLE) / 1000.0
+        |  FROM app)
+        |SELECT bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM cur GROUP BY bucket ORDER BY bucket""".stripMargin,
     // gap-sessionization in exact integer micros; session starts when the
     // inter-event gap is >= 30 min (Spark merges only strictly-overlapping
     // session windows), emitted once end <= the final watermark

@@ -92,6 +92,8 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     s.sql(s"INSERT OVERWRITE TABLE $cat.t SELECT id FROM range(0, 5)") // seq 3
     val h = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // the operation column carries each commit's kind marker
+    assert(h.map(_.getString(6)).toSeq == Seq("truncate", "append", "append"))
     assert(h.map(r => (r.getInt(2) > 0, r.getLong(3))).toSeq
       .map(_._2) == Seq(5L, 30L, 10L))
     assert(h.map(_.getBoolean(5)).toSeq == Seq(true, false, false))
