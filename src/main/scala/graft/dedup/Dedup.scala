@@ -822,6 +822,7 @@ object Dedup {
     "pipeline_curation_observed" -> (curationFunnelObserved _),
     "pipeline_pretrain" -> (pretrainFunnel _),
     "pipeline_merge_upsert" -> (mergeUpsert _),
+    "pipeline_scd2_mirror" -> (scd2Mirror _),
     "pipeline_content_upsert" -> (contentUpsert _),
     "pipeline_mirror_sync" -> (mirrorSync _))
 
@@ -911,6 +912,62 @@ object Dedup {
     * match-free pool files by reference), and the oracle re-derives the
     * post-merge corpus state from the documents parquet — one doc
     * double-bumped, missed, or lost breaks the hash. */
+  /** CDC → SCD2 (round 17 continuation V): the corpus catalog table is
+    * mutated through its lifecycle — snapshot load, content-refreshing
+    * MERGE (+7 chars on re-crawled docs, new docs inserted), GDPR
+    * takedown DELETE — and the TYPE-2 DIMENSION every warehouse keeps is
+    * materialized FROM THE CHANGE FEED alone: insert-side net changes
+    * are version births (`valid_from` = commit seq), delete-side are
+    * deaths (`valid_to`), one left join pairs them, and in-query gates
+    * pin the 1:1 pairing and forward intervals. This is the canonical
+    * CDC consumption pattern (downstream history without rescanning the
+    * table — cost O(changed rows) per sync); the oracle re-derives every
+    * version interval from the documents parquet cross-engine. */
+  def scd2Mirror(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = graft.sources.Formats.ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.scd")
+    spark.sql(
+      s"CREATE TABLE $cat.scd (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Tables(spark, dir, "documents").createOrReplaceTempView("graft_docs_scd2")
+    spark.sql(
+      s"""INSERT OVERWRITE TABLE $cat.scd
+         |SELECT doc_id, lang, n_chars FROM graft_docs_scd2
+         |WHERE doc_id % 3 <> 0""".stripMargin) // seq 1: yesterday's snapshot
+    spark.sql(
+      s"""MERGE INTO $cat.scd t
+         |USING (SELECT doc_id, lang, n_chars FROM graft_docs_scd2
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 7
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+         |  VALUES (s.doc_id, s.lang, s.n_chars)
+         |""".stripMargin) // seq 2: tonight's re-crawl
+    spark.sql(s"DELETE FROM $cat.scd WHERE lang = 'de'") // seq 3: takedown
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val tdir = java.nio.file.Paths.get(root, "scd")
+    val net = graft.sources.GraftChangeFeed.net(spark, tdir.toString,
+      0L, graft.sources.GraftChangeFeed.currentSeq(tdir))
+    val typ = col(graft.sources.GraftChangeFeed.ChangeTypeCol)
+    val seq = col(graft.sources.GraftChangeFeed.CommitSeqCol)
+    val births = net.where(typ.isin("insert", "update_postimage"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        seq.as("valid_from"))
+    val deaths = net.where(typ.isin("delete", "update_preimage"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), seq.as("valid_to"))
+    val scd2 = births.join(deaths, Seq("doc_id", "lang", "n_chars"), "left")
+    val nB = births.count()
+    val nS = scd2.count()
+    require(nS == nB, s"SCD2 pairing must stay 1:1: $nB births, $nS rows")
+    require(scd2.where(col("valid_to") <= col("valid_from"))
+        .limit(1).count() == 0L,
+      "every version interval must run forward")
+    scd2.groupBy(col("lang"), col("valid_to").isNull.as("is_current"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("n_chars").cast("bigint").as("sum_chars"))
+      .orderBy("lang", "is_current")
+  }
+
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val cat = graft.sources.Formats.ensureCatalog(spark)
@@ -1512,6 +1569,30 @@ object Dedup {
          |  UNION ALL SELECT 6, 'packed_sequences', (SELECT n FROM ns))
          |ORDER BY stage_no""".stripMargin
     },
+    // every version interval re-derived from documents: v1 rows (the
+    // id%3<>0 snapshot) die at the merge if re-crawled (even id) else at
+    // the takedown if de; v2 rows (+7 chars) and merge-inserts (id%6=0)
+    // die only at the takedown
+    "pipeline_scd2_mirror" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2
+        |         WHEN lang = 'de' THEN 3 END AS t
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, lang, n_chars + 7 AS n_chars,
+        |    CASE WHEN lang = 'de' THEN 3 END AS t
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0),
+        |vi AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN lang = 'de' THEN 3 END AS t
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |scd AS (
+        |  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |  UNION ALL SELECT * FROM vi)
+        |SELECT lang, (t IS NULL) AS is_current, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM scd GROUP BY lang, is_current ORDER BY lang, is_current""".stripMargin,
     // post-merge corpus state from the documents parquet: survivors are
     // (old snapshot: id%3<>0) UNION (tonight's batch: id%2=0); rev is 2
     // exactly where both held (re-crawled), else 1

@@ -591,6 +591,54 @@ object Formats {
       .orderBy("change_type", "bucket")
   }
 
+  /** WRITE-TIME CONTRACTS on the catalog table (round 17 continuation V
+    * — the data-quality face every table format grows): CHECK
+    * constraints live as `graft.check.*` TBLPROPERTIES
+    * ([[GraftConstraints]]) and are enforced ON EVERY COMMIT with the
+    * format's own statistics — a staged file whose min/max/nullCount
+    * prove the predicate passes with zero extra reads; only unprovable
+    * files are scanned. The query scripts the contract end to end: a
+    * violating INSERT and a violating UPDATE both FAIL ATOMICALLY
+    * (loudly naming the constraint; history length and content
+    * unchanged — asserted in-query), then a conforming UPDATE lands,
+    * and the read-back aggregate must hash-match the oracle's
+    * re-derivation — a leaked violating row, a lost conforming one, or
+    * a constraint that silently stopped enforcing all break the gate. */
+  def dsv2Constraint(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    def failsNaming(name: String)(sql: String): Unit = {
+      val named =
+        try { spark.sql(sql); false }
+        catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage).exists(_.contains(name)))
+        }
+      require(named, s"statement must fail naming constraint '$name': $sql")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $cat.cons")
+    spark.sql(
+      s"""CREATE TABLE $cat.cons (id BIGINT NOT NULL, bucket INT, score DOUBLE)
+         |TBLPROPERTIES ('graft.check.score_range' = 'score >= 0.0 AND score < 3.0',
+         |  'graft.check.bucket_pos' = 'bucket >= 0')""".stripMargin)
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.cons ${rowsSql(0L, 12000L)}")
+    val tdir = java.nio.file.Paths.get(catalogRoot, "cons")
+    val before = GraftCatalog.describeHistory(tdir).size
+    // scores land in [0, 1): a +9 update or a 5.0 insert breaks the cap
+    failsNaming("score_range")(s"INSERT INTO $cat.cons VALUES (99999, 1, 5.0)")
+    failsNaming("score_range")(
+      s"UPDATE $cat.cons SET score = score + 9.0 WHERE bucket = 3")
+    require(GraftCatalog.describeHistory(tdir).size == before,
+      "failed commits must publish no version")
+    // the conforming update lands (bucket-3 scores move to [1, 2))
+    spark.sql(s"UPDATE $cat.cons SET score = score + 1.0 WHERE bucket = 3")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.cons GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** Writes documents hive-partitioned by `lang` once per dir (marker
     * guarded, like [[materialize]]) — the layout a curation pipeline
     * lands its output in so downstream jobs prune whole partitions. */
@@ -1681,6 +1729,7 @@ object Formats {
     "src_dsv2_merge" -> (dsv2Merge _),
     "src_dsv2_evolve" -> (dsv2Evolve _),
     "src_dsv2_changes" -> (dsv2Changes _),
+    "src_dsv2_constraint" -> (dsv2Constraint _),
     "src_dsv2_cluster" -> (dsv2Cluster _),
     "src_dsv2_optimize" -> (dsv2Optimize _))
 
@@ -2186,6 +2235,17 @@ object Formats {
         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         |FROM changes GROUP BY change_type, bucket
         |ORDER BY change_type, bucket""".stripMargin,
+    // violating commits rejected atomically (asserted in-query); the
+    // surviving state is the 12k load with the conforming bucket-3 +1.0
+    // update — the src_dsv2_update shape on the 12k base
+    "src_dsv2_constraint" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 12000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0
+        |    + CASE WHEN h % 16 = 3 THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
     // two schema eras: [0,6000) written pre-ALTER (score NULL via the
     // width ledger), [6000,12000) post-ALTER with real scores
     "src_dsv2_evolve" ->

@@ -169,6 +169,11 @@ class GraftCatalog extends TableCatalog {
     if (schema.fieldNames.exists(_.equalsIgnoreCase(GraftCatalog.FileMetaCol)))
       throw new UnsupportedOperationException(
         s"${GraftCatalog.FileMetaCol} is a reserved metadata column name")
+    // CHECK constraints arrive as TBLPROPERTIES — parse them NOW so a
+    // defective predicate is a CREATE-time error, never a latent one
+    // the first commit trips over (nothing to validate: table is empty)
+    val declaredProps = properties.asScala.toMap
+    GraftConstraints.fromProperties(declaredProps, schema)
     val dir = dirFor(ident)
     // creation serializes on the same per-table lock commits use, so two
     // racing CREATEs collapse to one winner + one loud AlreadyExists
@@ -183,6 +188,8 @@ class GraftCatalog extends TableCatalog {
       Files.writeString(tmp, schema.json)
       Files.move(tmp, dir.resolve(GraftCatalog.SchemaFile),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (declaredProps.nonEmpty)
+        GraftCatalog.writePropsLocked(dir, declaredProps)
     }
     new GraftTable(ident.name(), dir.toString, schema)
   }
@@ -203,7 +210,34 @@ class GraftCatalog extends TableCatalog {
     IndexStore.withArtifactLock(GraftCatalog.lockName(dir)) {
       val schema = DataType.fromJson(Files.readString(schemaFile))
         .asInstanceOf[StructType]
-      val evolved = changes.foldLeft(schema) { (s, change) =>
+      // property changes (SET/UNSET TBLPROPERTIES) ride the same ALTER
+      // verb: setting a CHECK constraint parses it against the CURRENT
+      // schema and VALIDATES THE EXISTING DATA first (stats-cleared
+      // files free, the rest scanned) — a constraint the table already
+      // violates is refused, never silently recorded-but-false
+      val (propChanges, schemaChanges) = changes.partition {
+        case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+        case _ => false
+      }
+      if (propChanges.nonEmpty) {
+        val updated = propChanges.foldLeft(GraftCatalog.readProps(dir)) {
+          (p, change) => change match {
+            case set: TableChange.SetProperty =>
+              p.updated(set.property(), set.value())
+            case rm: TableChange.RemoveProperty => p - rm.property()
+            case other => throw new IllegalStateException(s"unreachable $other")
+          }
+        }
+        val prior = GraftCatalog.readProps(dir)
+        val newChecks = GraftConstraints.fromProperties(updated, schema)
+          .filterNot(c =>
+            prior.get(GraftConstraints.Prefix + c.name).contains(c.text))
+        if (newChecks.nonEmpty)
+          GraftConstraints.validateEntries(dir, schema,
+            GraftCatalog.currentManifest(dir), newChecks)
+        GraftCatalog.writePropsLocked(dir, updated)
+      }
+      val evolved = schemaChanges.foldLeft(schema) { (s, change) =>
         change match {
           case add: TableChange.AddColumn =>
             if (add.fieldNames().length != 1)
@@ -240,7 +274,7 @@ class GraftCatalog extends TableCatalog {
       // today", which stops being well-defined the moment the schema
       // widens under it
       val vroot = dir.resolve(GraftCatalog.VersionsDir)
-      if (Files.isDirectory(vroot)) {
+      if (schemaChanges.nonEmpty && Files.isDirectory(vroot)) {
         val listing = Files.list(vroot)
         val legacy =
           try listing.iterator().asScala
@@ -297,6 +331,11 @@ class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
   val SchemaFile = "schema.json"
+  /** Table properties (java.util.Properties text format — JDK-native
+    * escaping; atomic tmp+move writes like the schema). `graft.check.
+    * <name>` keys are CHECK constraints ([[GraftConstraints]]) enforced
+    * on every commit. */
+  val PropsFile = "table.properties"
   val DataDir = "data"
   val VersionsDir = ".v"
   val ManifestFile = "manifest"
@@ -422,6 +461,43 @@ object GraftCatalog {
   private[graft] def kindOf(version: Path): Option[String] =
     marker(version, KindFile)
 
+  private[sources] def readProps(tableDir: Path): Map[String, String] = {
+    val f = tableDir.resolve(PropsFile)
+    if (!Files.exists(f)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+    }
+  }
+
+  /** Atomic (tmp+move) property write; caller holds the table lock. */
+  private[sources] def writePropsLocked(tableDir: Path,
+      props: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val tmp = tableDir.resolve(s".$PropsFile.${UUID.randomUUID().toString.take(8)}")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    Files.move(tmp, tableDir.resolve(PropsFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The commit-time CHECK/NOT NULL gate over this commit's NEW files:
+    * parse the table's constraints and validate `added` (stats-cleared
+    * files cost nothing). Throwing here aborts the commit BEFORE any
+    * version is published — the caller's abort path (or the orphan
+    * sweep) reclaims the staged files; the table is unchanged. */
+  private[sources] def enforceConstraints(tableDir: Path,
+      added: Seq[ManifestEntry]): Unit =
+    if (added.nonEmpty) {
+      val schema = tableSchema(tableDir)
+      GraftConstraints.validateEntries(tableDir, schema, added,
+        GraftConstraints.fromProperties(readProps(tableDir), schema))
+    }
+
   /** Publish time of a version dir in epoch millis (None: pre-marker
     * legacy — such a version never resolves by timestamp). */
   private[sources] def tsOf(version: Path): Option[Long] =
@@ -492,6 +568,7 @@ object GraftCatalog {
       val replay = tag.isDefined && previous.exists(p => tagOf(p) == tag)
       if (replay) seqOf(previous.get)
       else {
+        enforceConstraints(tableDir, added)
         val base =
           if (truncate) Nil else previous.map(readManifest).getOrElse(Nil)
         publishLocked(tableDir, base ++ added, tag,
@@ -839,6 +916,10 @@ private[sources] class GraftTable(tableName: String, tableDir: String,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  /** Stored table properties (SHOW TBLPROPERTIES / DESCRIBE EXTENDED);
+    * `graft.check.*` entries are the live CHECK constraints. */
+  override def properties(): util.Map[String, String] =
+    GraftCatalog.readProps(Paths.get(tableDir)).asJava
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -976,6 +1057,11 @@ private class GraftRowLevelOperation(tableDir: String, schema: StructType,
                   s"concurrent commit detected: table moved from version " +
                     s"$scanSeq to $curSeq during the row-level operation; retry")
               }
+              // CHECK/NOT NULL gate over the rewritten rows: an UPDATE/
+              // MERGE that would land a violating row aborts here, before
+              // any manifest moves (the engine's abort unlinks the staged
+              // files; the winner-visible table is unchanged)
+              GraftCatalog.enforceConstraints(dir, staged)
               val scannedNames = scanned.map(_.file).toSet
               import org.apache.spark.sql.connector.write.RowLevelOperation.Command
               val kind = cmd match {

@@ -176,6 +176,28 @@ class GraftChangeFeedSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
   }
 
+  test("SQL users reach the feed via CREATE TEMPORARY VIEW ... USING") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.v (id BIGINT)")
+    // one writer task (range numSlices=1) → ONE pool file, so the
+    // delete's rewrite shape below is deterministic
+    spark.sql(s"INSERT INTO $cat.v SELECT id FROM range(0, 25, 1, 1)") // 1
+    spark.sql(s"DELETE FROM $cat.v WHERE id < 5") // 2
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW v_changes
+         |USING graft.sources.GraftChangeFeed
+         |OPTIONS (table '${root.resolve("v")}', fromSeq '0', toSeq '2')""".stripMargin)
+    val byType = spark.sql(
+      s"""SELECT ${GraftChangeFeed.ChangeTypeCol} AS t, count(*) AS n
+         |FROM v_changes GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw retract form: 25 inserts (seq 1), then the delete commit's
+    // rewritten file pairs — delete side counts 25 (the full old file),
+    // insert side the 20 survivors again
+    assert(byType("delete") == 25L && byType("insert") == 25L + 20L)
+    spark.catalog.dropTempView("v_changes")
+  }
+
   test("schema evolution: pre-ALTER files' preimages null-fill the tail") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (id BIGINT)")
