@@ -110,6 +110,6 @@ case class OptimizeGraftTable(parts: Seq[String]) extends LeafRunnableCommand {
     val before = GraftCatalog.currentManifest(dir).size
     val seq = GraftCatalog.compact(dir)
     val after = GraftCatalog.currentManifest(dir)
-    Seq(Row(seq, before, after.size, after.map(_.rows).sum))
+    Seq(Row(seq, before, after.size, after.map(_.liveRows).sum))
   }
 }

@@ -639,6 +639,73 @@ object Formats {
          |FROM $cat.cons GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 
+  /** DELETION-VECTOR deletes (round 17 continuation VI — merge-on-read,
+    * the design Delta/Iceberg grew because COW prices small deletes at
+    * O(file) writes): with `graft.delete.mode` = `dv`, a DELETE writes a
+    * per-file mask of row ordinals instead of rewriting data files —
+    * cost O(matched rows), ZERO data-file writes (file names asserted
+    * unchanged in-query). A second DELETE unions into a fresh immutable
+    * DV (each version pins its exact mask, so time travel is free);
+    * readers pay one forward cursor per file; OPTIMIZE materializes the
+    * masks away (asserted: one file, no DV, live rows conserved). The
+    * final aggregate reads the materialized table under the range()
+    * oracle — a resurrected masked row, a lost survivor, or a
+    * mis-unioned mask all break the hash. */
+  def dsv2DvDelete(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.dv")
+    spark.sql(
+      s"""CREATE TABLE $cat.dv (id BIGINT, bucket INT, score DOUBLE)
+         |TBLPROPERTIES ('graft.delete.mode' = 'dv')""".stripMargin)
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.dv ${rowsSql(0L, 12000L)}")
+    val tdir = java.nio.file.Paths.get(catalogRoot, "dv")
+    val before = GraftCatalog.currentManifest(tdir).map(_.file).toSet
+    spark.sql(s"DELETE FROM $cat.dv WHERE id >= 4000 AND id < 5000")
+    spark.sql(s"DELETE FROM $cat.dv WHERE id >= 9000 AND id < 9500")
+    val m = GraftCatalog.currentManifest(tdir)
+    require(m.map(_.file).toSet == before,
+      "dv deletes must not rewrite or drop any data file here")
+    require(m.map(_.rows).sum == 12000L && m.map(_.liveRows).sum == 10500L,
+      s"mask accounting broken: ${m.map(_.rows).sum} physical, " +
+        s"${m.map(_.liveRows).sum} live")
+    GraftCatalog.compact(tdir)
+    val after = GraftCatalog.currentManifest(tdir)
+    require(after.size == 1 && after.forall(_.dv.isEmpty) &&
+      after.head.rows == 10500L,
+      s"OPTIMIZE must materialize the masks away, got $after")
+    spark.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.dv GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** The change feed over DV deletes: a mask-only commit's change set is
+    * read in DELTA mode — exactly the ordinals this commit masked, one
+    * pass of the masked file, no diffing of survivors (they were never
+    * rewritten). The second delete's delta must exclude the first's
+    * rows; the oracle re-derives both deleted ranges per bucket. */
+  def dsv2DvChanges(spark: SparkSession, dir: String): DataFrame = {
+    Engine.tune(spark)
+    val cat = ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.dvc")
+    spark.sql(
+      s"""CREATE TABLE $cat.dvc (id BIGINT, bucket INT, score DOUBLE)
+         |TBLPROPERTIES ('graft.delete.mode' = 'dv')""".stripMargin)
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.dvc ${rowsSql(0L, 12000L)}") // 1
+    spark.sql(s"DELETE FROM $cat.dvc WHERE id >= 4000 AND id < 5000") // 2
+    spark.sql(s"DELETE FROM $cat.dvc WHERE id >= 4500 AND id < 6000") // 3
+    val tdir = java.nio.file.Paths.get(catalogRoot, "dvc")
+    val net = GraftChangeFeed.net(spark, tdir.toString, 1L, 3L)
+    net.select(col(GraftChangeFeed.ChangeTypeCol).as("change_type"),
+        col(GraftChangeFeed.CommitSeqCol).as("seq"),
+        col("bucket"), col("score"))
+      .groupBy("change_type", "seq", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+      .orderBy("change_type", "seq", "bucket")
+  }
+
   /** Writes documents hive-partitioned by `lang` once per dir (marker
     * guarded, like [[materialize]]) — the layout a curation pipeline
     * lands its output in so downstream jobs prune whole partitions. */
@@ -1730,6 +1797,8 @@ object Formats {
     "src_dsv2_evolve" -> (dsv2Evolve _),
     "src_dsv2_changes" -> (dsv2Changes _),
     "src_dsv2_constraint" -> (dsv2Constraint _),
+    "src_dsv2_dv_delete" -> (dsv2DvDelete _),
+    "src_dsv2_dv_changes" -> (dsv2DvChanges _),
     "src_dsv2_cluster" -> (dsv2Cluster _),
     "src_dsv2_optimize" -> (dsv2Optimize _))
 
@@ -2246,6 +2315,30 @@ object Formats {
         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0
         |    + CASE WHEN h % 16 = 3 THEN 1.0 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // survivors after the two masked ranges, materialized by OPTIMIZE
+    // (in-query asserts pin the zero-rewrite and mask accounting)
+    "src_dsv2_dv_delete" ->
+      """WITH src AS (
+        |  SELECT (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 12000) t(i)
+        |  WHERE (i < 4000 OR i >= 5000) AND (i < 9000 OR i >= 9500))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // per-commit delta deletes: seq 2 masks [4000,5000), seq 3 masks
+    // only the NEWLY masked [4500,6000) minus the already-dead overlap
+    "src_dsv2_dv_changes" ->
+      """WITH d AS (
+        |  SELECT 2 AS seq, (i * 2654435761) % 2147483648 AS h
+        |  FROM range(4000, 5000) t(i)
+        |  UNION ALL
+        |  SELECT 3, (i * 2654435761) % 2147483648
+        |  FROM range(5000, 6000) t(i))
+        |SELECT 'delete' AS change_type, CAST(seq AS BIGINT) AS seq,
+        |  CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM d GROUP BY change_type, seq, bucket
+        |ORDER BY change_type, seq, bucket""".stripMargin,
     // two schema eras: [0,6000) written pre-ALTER (score NULL via the
     // width ledger), [6000,12000) post-ALTER with real scores
     "src_dsv2_evolve" ->

@@ -391,10 +391,18 @@ object GraftCatalog {
     * discipline. Spec-tunable. */
   @volatile var GraceMs: Long = 10L * 60L * 1000L
 
+  /** A data file's DELETION VECTOR: `file` holds the sorted PHYSICAL row
+    * ordinals masked out of its data file, `masked` their count. DV
+    * files are immutable — a further delete writes the UNION as a new
+    * DV file, so every manifest version pins its exact mask and time
+    * travel needs no bookkeeping. */
+  final case class Dv(file: String, masked: Long)
+
   /** One data file of one committed version.
     *
-    * Manifest line format (tab-separated; the v1 2-field form is still
-    * parsed): `file \t rows \t cols \t bytes \t stats`.
+    * Manifest line format (tab-separated; the v1 2-field and v2 5-field
+    * forms are still parsed):
+    * `file \t rows \t cols \t bytes \t stats \t dv`.
     *
     *  - `cols`: how many leading schema fields the file was WRITTEN with —
     *    the schema-evolution ledger (a file written before an ADD COLUMN
@@ -409,8 +417,13 @@ object GraftCatalog {
     */
   final case class ManifestEntry(file: String, rows: Long,
       cols: Int = -1, bytes: Long = -1L,
-      stats: Option[GraftStats.FileStats] = None) {
+      stats: Option[GraftStats.FileStats] = None,
+      dv: Option[Dv] = None) {
     def colsOr(schemaWidth: Int): Int = if (cols < 0) schemaWidth else cols
+    /** Rows a reader actually sees: physical minus the DV mask. The
+      * per-file stats stay the PHYSICAL rows' (a superset's bounds —
+      * sound for skipping, conservative never wrong). */
+    def liveRows: Long = rows - dv.map(_.masked).getOrElse(0L)
   }
 
   private[sources] def lockName(tableDir: Path): String =
@@ -426,6 +439,13 @@ object GraftCatalog {
         case Array(name, rows, cols, bytes, stats) =>
           ManifestEntry(name, rows.toLong, cols.toInt, bytes.toLong,
             if (stats == "-") None else Some(GraftStats.decode(stats)))
+        case Array(name, rows, cols, bytes, stats, dv) =>
+          ManifestEntry(name, rows.toLong, cols.toInt, bytes.toLong,
+            if (stats == "-") None else Some(GraftStats.decode(stats)),
+            if (dv == "-") None else dv.split(':') match {
+              case Array(f, n) => Some(Dv(f, n.toLong))
+              case _ => throw new IllegalStateException(s"corrupt dv field: $dv")
+            })
         case other => throw new IllegalStateException(
           s"corrupt manifest line (${other.length} fields): $line")
       }
@@ -434,7 +454,8 @@ object GraftCatalog {
 
   private def manifestLine(e: ManifestEntry): String =
     s"${e.file}\t${e.rows}\t${e.cols}\t${e.bytes}\t" +
-      e.stats.map(GraftStats.encode).getOrElse("-")
+      e.stats.map(GraftStats.encode).getOrElse("-") + "\t" +
+      e.dv.map(d => s"${d.file}:${d.masked}").getOrElse("-")
 
   private[graft] def currentManifest(tableDir: Path): Seq[ManifestEntry] =
     IndexStore.pointer.resolve(tableDir, PointerName)
@@ -611,6 +632,70 @@ object GraftCatalog {
   private[sources] def deleteWhere(tableDir: Path, schema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     IndexStore.withArtifactLock(lockName(tableDir)) {
+      if (readProps(tableDir).get("graft.delete.mode").contains("dv"))
+        deleteWhereDv(tableDir, schema, filters)
+      else deleteWhereCow(tableDir, schema, filters)
+    }
+
+  /** MERGE-ON-READ delete (`graft.delete.mode` = `dv`, the deletion-
+    * vector design every modern format grew for exactly this reason): a
+    * delete touching k rows of an f-row file writes a DV of k ordinals
+    * instead of rewriting f rows — cost O(matched rows) + one scan of
+    * unskippable files, ZERO data-file writes. The new manifest carries
+    * the SAME data files with fattened masks (a further delete unions
+    * into a fresh immutable DV file, so each version pins its exact
+    * mask and time travel is free); a fully-masked file drops out.
+    * Readers pay a forward cursor per file; `OPTIMIZE` materializes
+    * masks away. Caller holds the table lock. */
+  private def deleteWhereDv(tableDir: Path, schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    def hit(row: InternalRow): Boolean =
+      filters.forall(f => GraftFilterEval.matches(f, row, schema))
+    val entries = currentManifest(tableDir)
+    var changed = false
+    val updated = entries.flatMap { e =>
+      val fileSchema = StructType(schema.fields.take(e.colsOr(schema.length)))
+      if (statsProveNoMatch(e, schema, filters)) Some(e)
+      else {
+        val mask = GraftDv.cursor(tableDir, e.dv)
+        val matched = Array.newBuilder[Long]
+        val in = new DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(tableDir.resolve(DataDir).resolve(e.file))))
+        try {
+          var pos = -1L
+          var row = GraftRowCodec.read(in, fileSchema)
+          while (row != null) {
+            pos += 1
+            if (!mask.masked(pos) && hit(padded(row, fileSchema.length, schema)))
+              matched += pos
+            row = GraftRowCodec.read(in, fileSchema)
+          }
+        } finally in.close()
+        val fresh = matched.result()
+        if (fresh.isEmpty) Some(e)
+        else {
+          changed = true
+          val old = e.dv.map(d =>
+            GraftDv.read(tableDir.resolve(DataDir).resolve(d.file)))
+            .getOrElse(Array.emptyLongArray)
+          val union = (old ++ fresh).sorted
+          if (union.length.toLong >= e.rows) None // fully masked: drop
+          else {
+            val name = s"part-dv-${UUID.randomUUID().toString.take(12)}.gdv"
+            GraftDv.write(tableDir.resolve(DataDir).resolve(name), union)
+            Some(e.copy(dv = Some(Dv(name, union.length.toLong))))
+          }
+        }
+      }
+    }
+    if (changed)
+      publishLocked(tableDir, updated, kind = Kind.Delete)
+  }
+
+  /** COPY-ON-WRITE delete (the default `graft.delete.mode`): files with
+    * matches are rewritten without them. Caller holds the table lock. */
+  private def deleteWhereCow(tableDir: Path, schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
       def hit(row: InternalRow): Boolean =
         filters.forall(f => GraftFilterEval.matches(f, row, schema))
       val entries = currentManifest(tableDir)
@@ -619,13 +704,17 @@ object GraftCatalog {
         val src = tableDir.resolve(DataDir).resolve(e.file)
         val fileSchema = StructType(schema.fields.take(e.colsOr(schema.length)))
         def scanMatches(): Boolean = {
+          val mask = GraftDv.cursor(tableDir, e.dv)
           val in = new DataInputStream(new java.io.BufferedInputStream(
             Files.newInputStream(src)))
           try {
+            var pos = -1L
             var row = GraftRowCodec.read(in, fileSchema)
             var found = false
             while (row != null && !found) {
-              if (hit(padded(row, fileSchema.length, schema))) found = true
+              pos += 1
+              if (!mask.masked(pos) &&
+                hit(padded(row, fileSchema.length, schema))) found = true
               else row = GraftRowCodec.read(in, fileSchema)
             }
             found
@@ -645,10 +734,15 @@ object GraftCatalog {
             Files.newOutputStream(dst)))
           var kept = 0L
           try {
+            val mask = GraftDv.cursor(tableDir, e.dv)
+            var pos = -1L
             var row = GraftRowCodec.read(in, fileSchema)
             while (row != null) {
+              pos += 1
               val full = padded(row, fileSchema.length, schema)
-              if (!hit(full)) {
+              // already-masked rows died earlier: the rewrite drops them
+              // physically (and the fresh file carries no DV)
+              if (!mask.masked(pos) && !hit(full)) {
                 GraftRowCodec.write(out, types, full)
                 stats.update(full)
                 kept += 1
@@ -688,7 +782,10 @@ object GraftCatalog {
     IndexStore.withArtifactLock(lockName(tableDir)) {
       val previous = IndexStore.pointer.resolve(tableDir, PointerName)
       val entries = previous.map(readManifest).getOrElse(Nil)
-      if (entries.size <= 1) previous.map(seqOf).getOrElse(0L)
+      // a single UNMASKED file is already optimal; a masked one still
+      // compacts (materializing its deletion vector away)
+      if (entries.size <= 1 && entries.forall(_.dv.isEmpty))
+        previous.map(seqOf).getOrElse(0L)
       else {
         val schema = tableSchema(tableDir)
         val types = schema.fields.map(_.dataType)
@@ -701,21 +798,27 @@ object GraftCatalog {
         try entries.foreach { e =>
           val fileSchema =
             StructType(schema.fields.take(e.colsOr(schema.length)))
+          val mask = GraftDv.cursor(tableDir, e.dv)
           val in = new DataInputStream(new java.io.BufferedInputStream(
             Files.newInputStream(tableDir.resolve(DataDir).resolve(e.file))))
           try {
+            var pos = -1L
             var row = GraftRowCodec.read(in, fileSchema)
             while (row != null) {
-              val full = padded(row, fileSchema.length, schema)
-              GraftRowCodec.write(out, types, full)
-              stats.update(full)
-              rows += 1
+              pos += 1
+              if (!mask.masked(pos)) {
+                val full = padded(row, fileSchema.length, schema)
+                GraftRowCodec.write(out, types, full)
+                stats.update(full)
+                rows += 1
+              }
               row = GraftRowCodec.read(in, fileSchema)
             }
           } finally in.close()
         } finally out.close()
-        require(rows == entries.map(_.rows).sum,
-          s"compaction row conservation violated: $rows vs ${entries.map(_.rows).sum}")
+        // masks are MATERIALIZED here: conservation counts live rows
+        require(rows == entries.map(_.liveRows).sum,
+          s"compaction row conservation violated: $rows vs ${entries.map(_.liveRows).sum}")
         publishLocked(tableDir, Seq(ManifestEntry(newName, rows,
           schema.length, Files.size(dst), Some(stats.result()))),
           kind = Kind.Compact)
@@ -799,7 +902,7 @@ object GraftCatalog {
           tsOf(v).getOrElse(
             try Files.getLastModifiedTime(v).toMillis
             catch { case NonFatal(_) => 0L }),
-          entries.size, entries.map(_.rows).sum, tagOf(v),
+          entries.size, entries.map(_.liveRows).sum, tagOf(v),
           current.contains(v.getFileName.toString), kindOf(v))
       }.toSeq.sortBy(-_.seq)
       finally listing.close()
@@ -866,8 +969,11 @@ object GraftCatalog {
       if (!Files.isDirectory(vroot)) Set.empty
       else {
         val listing = Files.list(vroot)
+        // deletion-vector files are pool citizens too: referenced by the
+        // manifest entry that carries them, swept once no version does
         try listing.iterator().asScala
-          .flatMap(v => readManifest(v).map(_.file)).toSet
+          .flatMap(v => readManifest(v).flatMap(e =>
+            e.file +: e.dv.map(_.file).toSeq)).toSet
         finally listing.close()
       }
     val dataDir = tableDir.resolve(DataDir)
@@ -1215,11 +1321,12 @@ private class GraftTableScan(tableDir: String, schema: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_table dir=$tableDir files=${files.size}/$totalFiles " +
-      s"rows=${files.map(_.rows).sum} cols=${required.fieldNames.mkString(",")}"
+      s"rows=${files.map(_.liveRows).sum} cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     files.map(e => GraftFileSplit(
       Paths.get(tableDir, GraftCatalog.DataDir, e.file).toString,
-      e.colsOr(schema.length)))
+      e.colsOr(schema.length),
+      e.dv.map(d => Paths.get(tableDir, GraftCatalog.DataDir, d.file).toString)))
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, required.fieldNames)
@@ -1231,7 +1338,7 @@ private class GraftTableScan(tableDir: String, schema: StructType,
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override val numRows: java.util.OptionalLong =
-        java.util.OptionalLong.of(files.map(_.rows).sum)
+        java.util.OptionalLong.of(files.map(_.liveRows).sum)
       override val sizeInBytes: java.util.OptionalLong =
         java.util.OptionalLong.of(files.map { e =>
           if (e.bytes >= 0L) e.bytes
@@ -1298,10 +1405,23 @@ private class GraftTableScan(tableDir: String, schema: StructType,
         if (lost.nonEmpty) throw new IllegalStateException(
           s"streaming a graft table requires append-only history; version " +
             s"range ($s, $e] removed files: ${lost.take(3).mkString(", ")}")
+        // a deletion-vector delete removes ROWS without removing files —
+        // equally append-only-violating, equally loud (the change feed is
+        // the face that can follow it)
+        val beforeDv = before.map(f => f.file -> f.dv).toMap
+        val masked = after.filter(f =>
+          beforeDv.get(f.file).exists(_ != f.dv))
+        if (masked.nonEmpty) throw new IllegalStateException(
+          s"streaming a graft table requires append-only history; version " +
+            s"range ($s, $e] grew deletion vectors on: " +
+            masked.take(3).map(_.file).mkString(", ") +
+            " — use the change feed (GraftChangeFeed) to follow deletes")
         after.filterNot(f => beforeNames.contains(f.file))
           .map(f => GraftFileSplit(
             dir.resolve(GraftCatalog.DataDir).resolve(f.file).toString,
-            f.colsOr(schema.length)))
+            f.colsOr(schema.length),
+            f.dv.map(d =>
+              dir.resolve(GraftCatalog.DataDir).resolve(d.file).toString)))
           .toArray[InputPartition]
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -1319,8 +1439,10 @@ private case class GraftSeqOffset(seq: Long)
 
 /** `cols` = the file's write-time schema width (manifest ledger): a
   * file written before an ADD COLUMN parses as the schema's cols-wide
-  * prefix and the reader null-fills the evolved tail. */
-private case class GraftFileSplit(path: String, cols: Int)
+  * prefix and the reader null-fills the evolved tail. `dvPath` = the
+  * file's deletion vector, if any — the reader masks those ordinals. */
+private case class GraftFileSplit(path: String, cols: Int,
+    dvPath: Option[String] = None)
   extends InputPartition
 
 private class GraftReaderFactory(schema: StructType,
@@ -1345,12 +1467,20 @@ private class GraftReaderFactory(schema: StructType,
     }
     val fileName = UTF8String.fromString(
       Paths.get(split.path).getFileName.toString)
+    val mask = new GraftDv.Cursor(split.dvPath
+      .map(p => GraftDv.read(Paths.get(p))).getOrElse(Array.emptyLongArray))
     val in = new DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(Paths.get(split.path))))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      private var pos = -1L
       override def next(): Boolean = {
-        val full = GraftRowCodec.read(in, fileSchema)
+        var full = GraftRowCodec.read(in, fileSchema)
+        pos += 1
+        while (full != null && mask.masked(pos)) {
+          full = GraftRowCodec.read(in, fileSchema)
+          pos += 1
+        }
         if (full == null) false
         else {
           // projection-level pruning: the row format parses every field,
@@ -1604,6 +1734,48 @@ private[sources] object GraftFilterEval {
       value(row, schema, a).exists(_.toString.contains(v))
     case other => throw new IllegalStateException(s"unsupported filter $other")
   }
+}
+
+/** DELETION-VECTOR codec + streaming mask cursor. A DV file is a count
+  * followed by that many SORTED physical row ordinals (longs). Readers
+  * stream rows in physical order, so masking is a single forward cursor
+  * — O(1) amortized per row, no per-row lookup structure. */
+private[sources] object GraftDv {
+  def write(path: Path, sortedOrdinals: Array[Long]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(path)))
+    try {
+      out.writeLong(sortedOrdinals.length.toLong)
+      var i = 0
+      while (i < sortedOrdinals.length) { out.writeLong(sortedOrdinals(i)); i += 1 }
+    } finally out.close()
+  }
+
+  def read(path: Path): Array[Long] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(path)))
+    try {
+      val n = in.readLong().toInt
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = in.readLong(); i += 1 }
+      a
+    } finally in.close()
+  }
+
+  /** Forward cursor over a sorted mask: call with ascending ordinals. */
+  final class Cursor(sorted: Array[Long]) {
+    private var i = 0
+    def masked(ordinal: Long): Boolean = {
+      while (i < sorted.length && sorted(i) < ordinal) i += 1
+      i < sorted.length && sorted(i) == ordinal
+    }
+  }
+  /** A cursor for an optional DV file next to the table's data dir. */
+  def cursor(tableDir: Path, dv: Option[GraftCatalog.Dv]): Cursor =
+    new Cursor(dv.map(d =>
+      read(tableDir.resolve(GraftCatalog.DataDir).resolve(d.file)))
+      .getOrElse(Array.emptyLongArray))
 }
 
 /** Row codec of the graft table format: per row, per field in schema

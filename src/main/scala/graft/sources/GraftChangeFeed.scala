@@ -129,19 +129,33 @@ object GraftChangeFeed {
         val afterNames = after.map(_.file).toSet
         val removed = before.filterNot(e => afterNames.contains(e.file))
         val added = after.filterNot(e => beforeNames.contains(e.file))
+        // a deletion-vector delete keeps the file and fattens its mask:
+        // the change set is exactly the NEWLY masked ordinals (read in
+        // delta mode), cost O(one pass of that file)
+        val beforeDv = before.map(e => e.file -> e.dv).toMap
+        val dvGrown = after.filter(e =>
+          beforeNames.contains(e.file) && beforeDv(e.file) != e.dv)
         val (delTag, insTag) = kind match {
           case Some(GraftCatalog.Kind.Update) => (UpdatePre, UpdatePost)
           case Some(_) => (Delete, Insert)
-          case None if removed.isEmpty => (Delete, Insert) // legacy, pure append
+          case None if removed.isEmpty && dvGrown.isEmpty =>
+            (Delete, Insert) // legacy, pure append
           case None => throw new IllegalStateException(
             s"commit $s of $dir predates the kind marker and is not pure " +
               "append; its diff cannot be labeled — read snapshots instead")
         }
+        def data(f: String): String =
+          dir.resolve(GraftCatalog.DataDir).resolve(f).toString
         def split(e: GraftCatalog.ManifestEntry, tag: String) =
-          GraftChangeSplit(
-            dir.resolve(GraftCatalog.DataDir).resolve(e.file).toString,
-            e.colsOr(schema.length), tag, s, tsMs)
-        removed.map(split(_, delTag)) ++ added.map(split(_, insTag))
+          GraftChangeSplit(data(e.file), e.colsOr(schema.length), tag, s,
+            tsMs, maskDv = e.dv.map(d => data(d.file)))
+        removed.map(split(_, delTag)) ++ added.map(split(_, insTag)) ++
+          dvGrown.map { e =>
+            GraftChangeSplit(data(e.file), e.colsOr(schema.length), delTag,
+              s, tsMs,
+              deltaDv = Some((beforeDv(e.file).map(d => data(d.file)),
+                data(e.dv.get.file))))
+          }
       }
     }
   }
@@ -259,9 +273,14 @@ private class GraftChangeScanBuilder(dir: Path, tableSchema: StructType,
 /** One data file read AS a change set: every row tagged with the commit's
   * change type / seq / publish time. `cols` is the file's write-time
   * schema width (the evolution ledger — older, narrower files null-fill
-  * the evolved tail exactly as the snapshot read path does). */
+  * the evolved tail exactly as the snapshot read path does). `maskDv`
+  * masks ordinals that died in EARLIER commits (they are not part of
+  * this change set); `deltaDv = (oldDv, newDv)` switches the reader to
+  * DELTA mode — emit ONLY the ordinals newly masked by this commit. */
 private case class GraftChangeSplit(path: String, cols: Int,
-    changeType: String, seq: Long, tsMs: Long) extends InputPartition
+    changeType: String, seq: Long, tsMs: Long,
+    maskDv: Option[String] = None,
+    deltaDv: Option[(Option[String], String)] = None) extends InputPartition
 
 private class GraftChangeReaderFactory(tableSchema: StructType,
     requiredNames: Array[String]) extends PartitionReaderFactory {
@@ -282,12 +301,32 @@ private class GraftChangeReaderFactory(tableSchema: StructType,
     }
     val tag = UTF8String.fromString(split.changeType)
     val tsMicros: Any = if (split.tsMs > 0L) split.tsMs * 1000L else null
+    // emit(pos): delta mode emits exactly the newly masked ordinals
+    // (new DV minus old DV); normal mode emits everything the mask
+    // (rows dead BEFORE this commit) does not cover
+    val emit: GraftDv.Cursor = split.deltaDv match {
+      case Some((oldDv, newDv)) =>
+        val old = oldDv.map(p => GraftDv.read(Paths.get(p)))
+          .getOrElse(Array.emptyLongArray).toSet
+        new GraftDv.Cursor(
+          GraftDv.read(Paths.get(newDv)).filterNot(old.contains))
+      case None => new GraftDv.Cursor(split.maskDv
+        .map(p => GraftDv.read(Paths.get(p))).getOrElse(Array.emptyLongArray))
+    }
+    val deltaMode = split.deltaDv.isDefined
     val in = new DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(Paths.get(split.path))))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      private var pos = -1L
       override def next(): Boolean = {
-        val full = GraftRowCodec.read(in, fileSchema)
+        var full = GraftRowCodec.read(in, fileSchema)
+        pos += 1
+        // delta mode: keep ordinals IN the delta; normal: keep those OUT
+        while (full != null && emit.masked(pos) != deltaMode) {
+          full = GraftRowCodec.read(in, fileSchema)
+          pos += 1
+        }
         if (full == null) false
         else {
           val out = new GenericInternalRow(ordinals.length)

@@ -253,11 +253,16 @@ private[sources] object GraftConstraints {
     // a NOT NULL column outside an old file's width would be all-null —
     // but ADD COLUMN is nullable-only, so it cannot be declared NOT NULL
     val nn = nonNullable.filter(a => fileSchema.fieldNames.contains(a))
+    val mask = GraftDv.cursor(tableDir, e.dv)
+    var pos = -1L
     val in = new DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(tableDir.resolve(GraftCatalog.DataDir).resolve(e.file))))
     try {
       var row = GraftRowCodec.read(in, fileSchema)
       while (row != null) {
+        pos += 1
+        if (mask.masked(pos)) { row = GraftRowCodec.read(in, fileSchema) }
+        else {
         nn.foreach { a =>
           if (row.isNullAt(fileSchema.fieldIndex(a)))
             throw new IllegalStateException(
@@ -276,6 +281,7 @@ private[sources] object GraftConstraints {
           }
         }
         row = GraftRowCodec.read(in, fileSchema)
+        }
       }
     } finally in.close()
   }
