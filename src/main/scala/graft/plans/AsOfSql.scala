@@ -450,14 +450,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     rest
   }
 
+  // `OPTIMIZE <t> ZORDER BY (c1, c2, ...)` — the multi-dimensional
+  // clustering clause on the compaction verb (matched on the
+  // comment-stripped tail, after the table name)
+  private val ZorderClause =
+    "(?i)\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*$".r
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     val mask = masked(sqlText)
     OptimizeStmt.findFirstMatchIn(mask) match {
       case Some(m) =>
         // the delegate parses the (possibly backtick-quoted) name, so
         // quoting rules stay exactly Spark's
-        OptimizeGraftTable(
-          delegate.parseMultipartIdentifier(nameAfter(sqlText, m)))
+        val tail = nameAfter(sqlText, m)
+        ZorderClause.findFirstMatchIn(tail) match {
+          case Some(z) =>
+            val cols = z.group(1).split(',').map(_.trim).filter(_.nonEmpty)
+              .toSeq.map { c =>
+                delegate.parseMultipartIdentifier(c) match {
+                  case Seq(one) => one
+                  case parts => parseError(
+                    s"ZORDER BY takes simple column names; got ${parts.mkString(".")}")
+                }
+              }
+            if (cols.isEmpty) parseError("ZORDER BY requires at least one column")
+            OptimizeGraftTable(
+              delegate.parseMultipartIdentifier(tail.substring(0, z.start).trim),
+              zorderBy = cols)
+          case None =>
+            OptimizeGraftTable(delegate.parseMultipartIdentifier(tail))
+        }
       case None => HistoryStmt.findFirstMatchIn(mask) match {
         case Some(m) =>
           DescribeGraftHistory(

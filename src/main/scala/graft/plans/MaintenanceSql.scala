@@ -97,7 +97,12 @@ private[plans] object MaintenanceSql {
   }
 }
 
-case class OptimizeGraftTable(parts: Seq[String]) extends LeafRunnableCommand {
+/** `OPTIMIZE <t>` coalesces the pool into one file; `OPTIMIZE <t>
+  * ZORDER BY (c1, ...)` instead rewrites the table multi-dimensionally
+  * clustered ([[GraftCatalog.compactZorder]]) so per-file min/max prune
+  * on every named column. Both publish data-change-false commits. */
+case class OptimizeGraftTable(parts: Seq[String],
+    zorderBy: Seq[String] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -108,7 +113,9 @@ case class OptimizeGraftTable(parts: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.resolveGraftTable(spark, "OPTIMIZE", parts)
     val before = GraftCatalog.currentManifest(dir).size
-    val seq = GraftCatalog.compact(dir)
+    val seq =
+      if (zorderBy.isEmpty) GraftCatalog.compact(dir)
+      else GraftCatalog.compactZorder(dir, zorderBy)
     val after = GraftCatalog.currentManifest(dir)
     Seq(Row(seq, before, after.size, after.map(_.liveRows).sum))
   }

@@ -706,6 +706,61 @@ object Formats {
       .orderBy("change_type", "seq", "bucket")
   }
 
+  /** `OPTIMIZE ... ZORDER BY` (round 17 continuation VI): the
+    * single-key clustered rewrite ([[dsv2Cluster]]) cannot serve TWO
+    * query dimensions at once — sorting by `id` destroys any `score`
+    * locality. The z-order verb rewrites the table along the
+    * interleaved-bit curve over per-column QUANTILE buckets, so every
+    * output file covers a tight range in BOTH dimensions and the
+    * manifest stats prune on either predicate or their conjunction.
+    * The query proves all three pruning regimes in-plan (scattered
+    * layout: 0 pruning; post-ZORDER: each single-dim predicate prunes,
+    * the 2-dim box prunes hardest) and reads the box aggregate back
+    * under the range() oracle — the rewrite is content-identical, so
+    * one lost or duplicated row breaks the hash. */
+  def dsv2Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.queries.EventQueries.extensionSession(spark)
+    Engine.tune(s)
+    val cat = ensureCatalog(s)
+    s.sql(s"DROP TABLE IF EXISTS $cat.zo")
+    s.sql(s"CREATE TABLE $cat.zo (id BIGINT, bucket INT, score DOUBLE)")
+    // modular-bijection scatter: every writer task's file spans
+    // essentially the full id AND score ranges — min/max useless
+    s.sql(
+      s"""INSERT INTO $cat.zo
+         |SELECT id,
+         |  CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket,
+         |  CAST(id * 2654435761 % 2147483648 % 1000 AS DOUBLE) / 1000.0 AS score
+         |FROM (SELECT (i * 2654435761) % 12000 AS id FROM range(0, 12000) t(i))""".stripMargin)
+    def live(pred: String): (Int, Int) = {
+      val plan = s.sql(s"SELECT count(*) AS n FROM $cat.zo WHERE $pred")
+        .queryExecution.executedPlan.toString
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).getOrElse(
+        throw new IllegalStateException(s"no graft scan in plan:\n$plan"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val box = "id >= 9000 AND score < 0.1"
+    val (preLive, preTotal) = live(box)
+    require(preLive == preTotal && preTotal >= 4,
+      s"scattered layout must defeat skipping, got $preLive/$preTotal")
+    val r = s.sql(s"OPTIMIZE $cat.zo ZORDER BY (id, score)").head()
+    require(r.getInt(2) == 16 && r.getLong(3) == 12000L,
+      s"ZORDER must rewrite into 16 files conserving rows, got $r")
+    val (idLive, t1) = live("id >= 9000")
+    val (scLive, t2) = live("score < 0.1")
+    val (boxLive, t3) = live(box)
+    require(t1 == 16 && idLive > 0 && idLive < 16,
+      s"z-order must prune on the id dimension, got $idLive/$t1")
+    require(scLive > 0 && scLive < 16,
+      s"z-order must prune on the score dimension, got $scLive/$t2")
+    require(boxLive > 0 && boxLive <= math.min(idLive, scLive),
+      s"the 2-dim box must prune hardest: $boxLive vs $idLive/$scLive")
+    s.sql(
+      s"""SELECT bucket, count(*) AS cnt,
+         |  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+         |FROM $cat.zo WHERE $box GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
   /** Writes documents hive-partitioned by `lang` once per dir (marker
     * guarded, like [[materialize]]) — the layout a curation pipeline
     * lands its output in so downstream jobs prune whole partitions. */
@@ -1799,6 +1854,7 @@ object Formats {
     "src_dsv2_constraint" -> (dsv2Constraint _),
     "src_dsv2_dv_delete" -> (dsv2DvDelete _),
     "src_dsv2_dv_changes" -> (dsv2DvChanges _),
+    "src_dsv2_zorder" -> (dsv2Zorder _),
     "src_dsv2_cluster" -> (dsv2Cluster _),
     "src_dsv2_optimize" -> (dsv2Optimize _))
 
@@ -2339,6 +2395,17 @@ object Formats {
         |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         |FROM d GROUP BY change_type, seq, bucket
         |ORDER BY change_type, seq, bucket""".stripMargin,
+    // the z-ordered rewrite is content-identical: the box aggregate is
+    // plain arithmetic over the surviving (id, score) region
+    "src_dsv2_zorder" ->
+      """WITH src AS (
+        |  SELECT i AS id, (i * 2654435761) % 2147483648 AS h
+        |  FROM range(0, 12000) t(i))
+        |SELECT CAST(h % 16 AS INTEGER) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(h % 1000 AS DOUBLE) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        |FROM src
+        |WHERE id >= 9000 AND CAST(h % 1000 AS DOUBLE) / 1000.0 < 0.1
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // two schema eras: [0,6000) written pre-ALTER (score NULL via the
     // width ledger), [6000,12000) post-ALTER with real scores
     "src_dsv2_evolve" ->

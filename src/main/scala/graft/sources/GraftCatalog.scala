@@ -825,6 +825,127 @@ object GraftCatalog {
       }
     }
 
+  /** Z-ORDER compaction (`OPTIMIZE <t> ZORDER BY (c1, ...)`): rewrite
+    * the table MULTI-DIMENSIONALLY clustered so the per-file min/max
+    * stats prune on EVERY named column at once — the layout-management
+    * verb a 100 TB deployment runs when one sort key isn't enough.
+    * Each column is bucketized into 256 QUANTILE buckets (equal-height,
+    * so skew cannot collapse the curve), bucket ids are BIT-INTERLEAVED
+    * into a z-value, rows are written in z order split into `outFiles`
+    * chunks — each chunk then covers a tight range in every dimension.
+    * Content-identical (live-row conservation enforced) and published
+    * as a DATA-CHANGE-FALSE compact commit: invisible to the change
+    * feed, masks materialized away. Driver-orchestrated here like
+    * [[compact]] (files are test-sized); at scale the same protocol is
+    * a range-partitioned distributed sort — the quantile step is
+    * `approxQuantile`, the rest identical. */
+  private[graft] def compactZorder(tableDir: Path, zcols: Seq[String],
+      outFiles: Int = 16): Long =
+    IndexStore.withArtifactLock(lockName(tableDir)) {
+      val schema = tableSchema(tableDir)
+      require(zcols.nonEmpty, "ZORDER BY requires at least one column")
+      val ords = zcols.map { c =>
+        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        if (i < 0) throw new IllegalArgumentException(
+          s"ZORDER BY column $c does not exist")
+        if (!GraftStats.supported(schema.fields(i).dataType))
+          throw new IllegalArgumentException(
+            s"ZORDER BY column $c: ${schema.fields(i).dataType.sql} has no " +
+              "stats order (boolean/int/bigint/float/double/string only)")
+        i
+      }
+      val previous = IndexStore.pointer.resolve(tableDir, PointerName)
+      val entries = previous.map(readManifest).getOrElse(Nil)
+      if (entries.isEmpty) previous.map(seqOf).getOrElse(0L)
+      else {
+        // read every live row (masks materialized by the rewrite)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        entries.foreach { e =>
+          val fileSchema =
+            StructType(schema.fields.take(e.colsOr(schema.length)))
+          val mask = GraftDv.cursor(tableDir, e.dv)
+          val in = new DataInputStream(new java.io.BufferedInputStream(
+            Files.newInputStream(tableDir.resolve(DataDir).resolve(e.file))))
+          try {
+            var pos = -1L
+            var row = GraftRowCodec.read(in, fileSchema)
+            while (row != null) {
+              pos += 1
+              if (!mask.masked(pos))
+                rows += padded(row, fileSchema.length, schema)
+              row = GraftRowCodec.read(in, fileSchema)
+            }
+          } finally in.close()
+        }
+        require(rows.length.toLong == entries.map(_.liveRows).sum,
+          s"zorder read lost rows: ${rows.length} vs ${entries.map(_.liveRows).sum}")
+        // 256 equal-height bucket boundaries per dimension (nulls sort
+        // below everything and take bucket 0)
+        val boundaries: Seq[Array[Any]] = ords.map { o =>
+          val dt = schema.fields(o).dataType
+          val vals = rows.iterator.filterNot(_.isNullAt(o))
+            .map(r => GraftFilterEval.external(r, schema, o)).toArray
+          java.util.Arrays.sort(vals.asInstanceOf[Array[AnyRef]],
+            new java.util.Comparator[AnyRef] {
+              override def compare(a: AnyRef, b: AnyRef): Int =
+                GraftStats.cmp(dt, a, b)
+            })
+          if (vals.isEmpty) Array.empty[Any] // all-null dimension
+          else (1 until 256).map(k => vals((k.toLong * vals.length / 256).toInt
+            .min(vals.length - 1))).toArray[Any]
+        }
+        def bucket(r: InternalRow, dim: Int): Int = {
+          val o = ords(dim)
+          if (r.isNullAt(o)) 0
+          else {
+            val dt = schema.fields(o).dataType
+            val v = GraftFilterEval.external(r, schema, o)
+            val bs = boundaries(dim)
+            // first boundary > v == this value's bucket
+            var lo = 0; var hi = bs.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (GraftStats.cmp(dt, bs(mid), v) <= 0) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+        }
+        def zval(r: InternalRow): Long = {
+          var z = 0L
+          var bit = 0
+          while (bit < 8) { // 8 bits per dim, MSB-first interleave
+            var d = 0
+            while (d < ords.length) {
+              z = (z << 1) | ((bucket(r, d) >> (7 - bit)) & 1)
+              d += 1
+            }
+            bit += 1
+          }
+          z
+        }
+        val sorted = rows.map(r => (zval(r), r)).sortBy(_._1).map(_._2)
+        val types = schema.fields.map(_.dataType)
+        val nOut = math.max(1, math.min(outFiles, sorted.length))
+        val out = (0 until nOut).map { i =>
+          val lo = (i.toLong * sorted.length / nOut).toInt
+          val hi = ((i + 1).toLong * sorted.length / nOut).toInt
+          val name = s"part-zorder-${UUID.randomUUID().toString.take(12)}.gbin"
+          val dst = tableDir.resolve(DataDir).resolve(name)
+          val stats = new GraftStats.Collector(schema)
+          val os = new DataOutputStream(new BufferedOutputStream(
+            Files.newOutputStream(dst)))
+          try (lo until hi).foreach { j =>
+            GraftRowCodec.write(os, types, sorted(j)); stats.update(sorted(j))
+          } finally os.close()
+          ManifestEntry(name, (hi - lo).toLong, schema.length,
+            Files.size(dst), Some(stats.result()))
+        }.filter(_.rows > 0L)
+        require(out.map(_.rows).sum == sorted.length.toLong,
+          "zorder rewrite must conserve rows")
+        publishLocked(tableDir, out, kind = Kind.Compact)
+      }
+    }
+
   /** The row-level (COW) commit's publish seam: caller MUST hold the
     * per-table lock — it verifies its no-conflict precondition and
     * replaces the scanned files' entries in the same critical section. */
@@ -1689,8 +1810,14 @@ private[sources] object GraftFilterEval {
   /** Row value of column `a` as an external scalar; None when null. */
   private def value(row: InternalRow, schema: StructType, a: String): Option[Any] = {
     val i = schema.fieldIndex(a)
-    if (row.isNullAt(i)) None
-    else Some(schema.fields(i).dataType match {
+    if (row.isNullAt(i)) None else Some(external(row, schema, i))
+  }
+
+  /** Non-null row value at ordinal `i` as an external scalar (caller
+    * checks isNullAt) — shared with the z-order bucketizer. */
+  private[sources] def external(row: InternalRow, schema: StructType,
+      i: Int): Any =
+    schema.fields(i).dataType match {
       case BooleanType => row.getBoolean(i)
       case IntegerType => row.getInt(i)
       case LongType => row.getLong(i)
@@ -1698,8 +1825,7 @@ private[sources] object GraftFilterEval {
       case DoubleType => row.getDouble(i)
       case StringType => row.getUTF8String(i).toString
       case other => throw new IllegalStateException(s"uncomparable $other")
-    })
-  }
+    }
 
   /** x (row) vs v (filter literal), under the column's type family —
     * delegated to [[GraftStats.cmp]] so the row evaluator, the stats

@@ -166,7 +166,10 @@ object GraftChangeFeed {
     * and multiplicity is preserved exactly (a row inserted twice nets
     * two inserts). One hash aggregation — the only shuffle in the feed,
     * keyed by row content, so it scales with CHANGED rows, not table
-    * size. */
+    * size. Multiplicity restore materializes a per-group `sequence`
+    * array, fine to ~1e6 copies of ONE identical row in ONE commit; a
+    * corpus hotter than that should consume the grouped form (drop the
+    * explode) and carry the count. */
   def net(spark: SparkSession, tableDir: String,
       fromSeq: Long, toSeq: Long): DataFrame = {
     val schema = GraftCatalog.tableSchema(Paths.get(tableDir))

@@ -107,6 +107,40 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(h2.forall(_.isNullAt(4)))
   }
 
+  test("OPTIMIZE ZORDER BY rewrites multi-dimensionally clustered, content-identical, feed-invisible") {
+    val cat = freshCatalog()
+    s.sql(s"CREATE TABLE $cat.z (a BIGINT, b DOUBLE)")
+    // scatter both dims so a plain sort on either cannot serve the other
+    s.sql(
+      s"""INSERT INTO $cat.z
+         |SELECT (i * 37) % 4000 AS a, CAST((i * 911) % 4000 AS DOUBLE) AS b
+         |FROM range(0, 4000) t(i)""".stripMargin)
+    val sumBefore = s.sql(s"SELECT CAST(sum(a + b) AS BIGINT) FROM $cat.z")
+      .head().getLong(0)
+    val r = s.sql(s"OPTIMIZE $cat.z ZORDER BY (a, b)").head()
+    assert(r.getInt(2) == 16 && r.getLong(3) == 4000L)
+    assert(s.sql(s"SELECT CAST(sum(a + b) AS BIGINT) FROM $cat.z")
+      .head().getLong(0) == sumBefore)
+    def live(pred: String): Int = {
+      val plan = s.sql(s"SELECT count(*) FROM $cat.z WHERE $pred")
+        .queryExecution.executedPlan.toString
+      "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+    }
+    assert(live("a < 500") < 16 && live("b < 500.0") < 16,
+      "both dimensions must prune after the z-order rewrite")
+    // data-change-false: the zorder commit is invisible to the feed
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val seq = graft.sources.GraftChangeFeed.currentSeq(
+      java.nio.file.Paths.get(root, "z"))
+    assert(s.read.format("graft.sources.GraftChangeFeed")
+      .option("table", s"$root/z")
+      .option("fromSeq", (seq - 1).toString).option("toSeq", seq.toString)
+      .load().isEmpty)
+    // guard rails: unknown and unordered columns are loud
+    intercept[Exception] { s.sql(s"OPTIMIZE $cat.z ZORDER BY (nope)") }
+    intercept[Exception] { s.sql(s"OPTIMIZE $cat.z ZORDER BY ()") }
+  }
+
   test("OPTIMIZE guard rails fail loudly") {
     val cat = freshCatalog()
     intercept[Exception] { s.sql(s"OPTIMIZE $cat.nope") } // missing table
