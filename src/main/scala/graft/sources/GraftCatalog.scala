@@ -165,10 +165,15 @@ class GraftCatalog extends TableCatalog {
     // `_file` is the table's metadata column AND the row-level
     // operations' group-filter attribute — a data column of that name
     // would shadow it and desynchronize the COW write path's metadata
-    // projection; reserve it loudly
-    if (schema.fieldNames.exists(_.equalsIgnoreCase(GraftCatalog.FileMetaCol)))
+    // projection; the change feed's three output columns would collide
+    // with a data column of the same name (the feed reader resolves by
+    // name and would emit tag/seq/ts over the user's data). Reserve all
+    // four loudly at DDL time.
+    schema.fieldNames.find(n => GraftCatalog.ReservedCols.exists(
+        n.equalsIgnoreCase)).foreach { n =>
       throw new UnsupportedOperationException(
-        s"${GraftCatalog.FileMetaCol} is a reserved metadata column name")
+        s"$n is a reserved column name (metadata/change-feed)")
+    }
     // CHECK constraints arrive as TBLPROPERTIES — parse them NOW so a
     // defective predicate is a CREATE-time error, never a latent one
     // the first commit trips over (nothing to validate: table is empty)
@@ -220,7 +225,8 @@ class GraftCatalog extends TableCatalog {
         case _ => false
       }
       if (propChanges.nonEmpty) {
-        val updated = propChanges.foldLeft(GraftCatalog.readProps(dir)) {
+        val prior = GraftCatalog.readProps(dir)
+        val updated = propChanges.foldLeft(prior) {
           (p, change) => change match {
             case set: TableChange.SetProperty =>
               p.updated(set.property(), set.value())
@@ -228,7 +234,6 @@ class GraftCatalog extends TableCatalog {
             case other => throw new IllegalStateException(s"unreachable $other")
           }
         }
-        val prior = GraftCatalog.readProps(dir)
         val newChecks = GraftConstraints.fromProperties(updated, schema)
           .filterNot(c =>
             prior.get(GraftConstraints.Prefix + c.name).contains(c.text))
@@ -246,9 +251,9 @@ class GraftCatalog extends TableCatalog {
             val name = add.fieldNames().head
             if (s.fieldNames.exists(_.equalsIgnoreCase(name)))
               throw new IllegalArgumentException(s"column $name already exists")
-            if (name.equalsIgnoreCase(GraftCatalog.FileMetaCol))
+            if (GraftCatalog.ReservedCols.exists(name.equalsIgnoreCase))
               throw new UnsupportedOperationException(
-                s"${GraftCatalog.FileMetaCol} is a reserved metadata column name")
+                s"$name is a reserved column name (metadata/change-feed)")
             if (!add.isNullable)
               throw new UnsupportedOperationException(
                 "ADD COLUMN must be nullable: existing files null-fill the new column")
@@ -384,6 +389,12 @@ object GraftCatalog {
   }
   /** Name of the file-lineage metadata column every graft table exposes. */
   val FileMetaCol = "_file"
+  /** Column names a graft table may not declare: the metadata column
+    * plus the change feed's three output columns (the feed reader
+    * resolves by name — a data column of the same name would silently
+    * receive tag/seq/ts instead of its data). */
+  val ReservedCols: Seq[String] =
+    Seq(FileMetaCol, "_change_type", "_commit_seq", "_commit_ts")
 
   /** Superseded versions (and unreferenced data-file orphans) younger
     * than this are never collected — a reader that resolved the pointer
@@ -606,8 +617,9 @@ object GraftCatalog {
     * The superseded version still references the pre-delete files, so
     * in-flight readers and `VERSION AS OF` keep working until GC. */
   /** Row of the table's FULL current width from a file row of prefix
-    * width `cols` — the evolved tail stays null (ADD COLUMN contract). */
-  private def padded(row: InternalRow, cols: Int,
+    * width `cols` — the evolved tail stays null (ADD COLUMN contract).
+    * Shared with the constraint validator. */
+  private[sources] def padded(row: InternalRow, cols: Int,
       schema: StructType): InternalRow =
     if (cols == schema.length) row
     else {
@@ -844,6 +856,11 @@ object GraftCatalog {
     IndexStore.withArtifactLock(lockName(tableDir)) {
       val schema = tableSchema(tableDir)
       require(zcols.nonEmpty, "ZORDER BY requires at least one column")
+      // 8 bits per dimension in a 64-bit z-value: more than 8 columns
+      // would shift the leading dimensions' bits out and silently
+      // destroy the clustering — refuse loudly instead
+      require(zcols.length <= 8,
+        s"ZORDER BY supports at most 8 columns, got ${zcols.length}")
       val ords = zcols.map { c =>
         val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
         if (i < 0) throw new IllegalArgumentException(
@@ -911,12 +928,16 @@ object GraftCatalog {
           }
         }
         def zval(r: InternalRow): Long = {
+          // bucketize each dimension ONCE per row, then interleave
+          val bk = new Array[Int](ords.length)
+          var d = 0
+          while (d < ords.length) { bk(d) = bucket(r, d); d += 1 }
           var z = 0L
           var bit = 0
           while (bit < 8) { // 8 bits per dim, MSB-first interleave
-            var d = 0
+            d = 0
             while (d < ords.length) {
-              z = (z << 1) | ((bucket(r, d) >> (7 - bit)) & 1)
+              z = (z << 1) | ((bk(d) >> (7 - bit)) & 1)
               d += 1
             }
             bit += 1

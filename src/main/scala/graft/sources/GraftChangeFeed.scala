@@ -198,6 +198,11 @@ object GraftChangeFeed {
 
 private class GraftChangeFeedTable(dir: Path) extends Table with SupportsRead {
   private val tableSchema = GraftCatalog.tableSchema(dir)
+  // the default batch end is pinned when the TABLE resolves (one per
+  // `load()`): every action over that DataFrame reads the same snapshot
+  // range even if commits land between them — scans are rebuilt per
+  // action, so the pin cannot live any later
+  private val pinnedEnd: Long = GraftChangeFeed.currentSeq(dir)
   override def name(): String = s"graft_changes(${dir.getFileName})"
   override def schema(): StructType = GraftChangeFeed.feedSchema(tableSchema)
   override def capabilities(): util.Set[TableCapability] =
@@ -205,15 +210,16 @@ private class GraftChangeFeedTable(dir: Path) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftChangeScanBuilder(dir, tableSchema,
       options.getLong("fromSeq", 0L),
-      Option(options.get("toSeq")).map(_.toLong),
+      Option(options.get("toSeq")).map(_.toLong).getOrElse(pinnedEnd),
       options.getLong("startingSeq", -1L))
 }
 
-/** `toSeq` None = "current at scan build" (batch); `startingSeq` -1 =
-  * "current when the stream initializes" (a new stream tails NEW
-  * changes; 0 backfills the whole surviving history first). */
+/** `toSeq` defaults to the table-resolution pin (see
+  * [[GraftChangeFeedTable]]); `startingSeq` -1 = "current when the
+  * stream initializes" (a new stream tails NEW changes; 0 backfills the
+  * whole surviving history first). */
 private class GraftChangeScanBuilder(dir: Path, tableSchema: StructType,
-    fromSeq: Long, toSeq: Option[Long], startingSeq: Long)
+    fromSeq: Long, toSeq: Long, startingSeq: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private val full = GraftChangeFeed.feedSchema(tableSchema)
   private var required: StructType = full
@@ -223,10 +229,9 @@ private class GraftChangeScanBuilder(dir: Path, tableSchema: StructType,
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft_changes dir=$dir from=$fromSeq to=${toSeq.getOrElse(-1L)}"
+      s"graft_changes dir=$dir from=$fromSeq to=$toSeq"
     override def planInputPartitions(): Array[InputPartition] =
-      GraftChangeFeed.changeSplits(dir, tableSchema, fromSeq,
-        toSeq.getOrElse(GraftChangeFeed.currentSeq(dir)))
+      GraftChangeFeed.changeSplits(dir, tableSchema, fromSeq, toSeq)
         .toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftChangeReaderFactory(tableSchema, required.fieldNames)

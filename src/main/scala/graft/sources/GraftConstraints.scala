@@ -72,6 +72,11 @@ private[sources] object GraftConstraints {
     parts.map(p => parseConjunct(name, p.trim, schema))
   }
 
+  /** Identifier character for keyword boundaries — underscore included,
+    * so `or_id` / `flag_and_mask` stay column names, not keywords. */
+  private def wordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
   private def splitTopLevelAnd(name: String, text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -90,14 +95,13 @@ private[sources] object GraftConstraints {
       } else if (c == '\'') { inStr = true; cur.append(c) }
       else if ((c == 'A' || c == 'a') && i + 3 <= text.length &&
         text.substring(i, math.min(i + 3, text.length)).equalsIgnoreCase("and") &&
-        (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))) &&
-        (i + 3 >= text.length || !Character.isLetterOrDigit(text.charAt(i + 3))) &&
-        i + 3 <= text.length) {
+        (i == 0 || !wordChar(text.charAt(i - 1))) &&
+        (i + 3 >= text.length || !wordChar(text.charAt(i + 3)))) {
         out += cur.toString; cur.clear(); i += 2
       } else if ((c == 'O' || c == 'o') && i + 2 <= text.length &&
         text.substring(i, math.min(i + 2, text.length)).equalsIgnoreCase("or") &&
-        (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))) &&
-        (i + 2 >= text.length || !Character.isLetterOrDigit(text.charAt(i + 2)))) {
+        (i == 0 || !wordChar(text.charAt(i - 1))) &&
+        (i + 2 >= text.length || !wordChar(text.charAt(i + 2)))) {
         fail(name, "OR is not supported (conjunctions only)")
       } else cur.append(c)
       i += 1
@@ -272,7 +276,7 @@ private[sources] object GraftConstraints {
         checks.foreach { c =>
           // conjuncts outside an old file's width: the value is null by
           // evolution, and null passes CHECK — evaluate on the padded row
-          val full = pad(row, fileSchema.length, schema)
+          val full = GraftCatalog.padded(row, fileSchema.length, schema)
           c.conjuncts.foreach { conj =>
             if (violates(conj, full, schema))
               throw new IllegalStateException(
@@ -286,16 +290,4 @@ private[sources] object GraftConstraints {
     } finally in.close()
   }
 
-  private def pad(row: InternalRow, cols: Int,
-      schema: StructType): InternalRow =
-    if (cols == schema.length) row
-    else {
-      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(schema.length)
-      var i = 0
-      while (i < cols) {
-        out.update(i, row.get(i, schema.fields(i).dataType))
-        i += 1
-      }
-      out
-    }
 }

@@ -136,9 +136,12 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       .option("table", s"$root/z")
       .option("fromSeq", (seq - 1).toString).option("toSeq", seq.toString)
       .load().isEmpty)
-    // guard rails: unknown and unordered columns are loud
+    // guard rails: unknown, empty, and over-wide column lists are loud
     intercept[Exception] { s.sql(s"OPTIMIZE $cat.z ZORDER BY (nope)") }
     intercept[Exception] { s.sql(s"OPTIMIZE $cat.z ZORDER BY ()") }
+    intercept[Exception] { // 9 dims would shift the leading bits out
+      s.sql(s"OPTIMIZE $cat.z ZORDER BY (a, b, a, b, a, b, a, b, a)")
+    }
   }
 
   test("OPTIMIZE guard rails fail loudly") {

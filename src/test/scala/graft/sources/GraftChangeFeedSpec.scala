@@ -198,6 +198,29 @@ class GraftChangeFeedSpec extends SparkSpec {
     spark.catalog.dropTempView("v_changes")
   }
 
+  test("the feed's column names are reserved at DDL; a snapshot df stays pinned") {
+    val (cat, root) = freshCatalog()
+    // a data column named like a feed column would silently receive the
+    // feed's tag/seq/ts — refused at CREATE and at ALTER
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (id BIGINT, `_commit_seq` BIGINT)")
+    }
+    spark.sql(s"CREATE TABLE $cat.p (id BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.p ADD COLUMN `_change_type` STRING")
+    }
+    // a feed DataFrame without toSeq pins "current" AT SCAN BUILD: a
+    // commit landing between two actions must not change its contents
+    spark.sql(s"INSERT INTO $cat.p SELECT id FROM range(0, 30)")
+    val df = spark.read.format("graft.sources.GraftChangeFeed")
+      .option("table", root.resolve("p").toString).option("fromSeq", "0")
+      .load()
+    val first = df.count()
+    spark.sql(s"INSERT INTO $cat.p SELECT id FROM range(30, 60)")
+    assert(df.count() == first && first == 30L,
+      "two actions over one snapshot feed must agree")
+  }
+
   test("schema evolution: pre-ALTER files' preimages null-fill the tail") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (id BIGINT)")

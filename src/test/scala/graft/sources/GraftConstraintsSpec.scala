@@ -163,6 +163,12 @@ class GraftConstraintsSpec extends SparkSpec {
     bad("'graft.check.a' = 'b = 1'") // binary: no stats order
     bad("'graft.check.a' = \"s = 'unterminated\"")
     bad("'graft.check.a' = ''")
+    // identifiers containing 'and'/'or' around underscores stay names
+    n += 1
+    spark.sql(s"CREATE TABLE $cat.u$n (or_id BIGINT, flag_and_mask BIGINT) " +
+      "TBLPROPERTIES ('graft.check.a' = 'or_id >= 0 AND flag_and_mask <= 7')")
+    spark.sql(s"INSERT INTO $cat.u$n VALUES (1, 5)")
+    intercept[Exception] { spark.sql(s"INSERT INTO $cat.u$n VALUES (1, 9)") }
     // string literals with AND/OR inside stay literal
     n += 1
     spark.sql(s"CREATE TABLE $cat.ok$n (s STRING) " +
