@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   *    grow ~10× per decade while the others stay flat, the soak would
   *    be measuring noise, not design.
   *
+  * Plus the COW-vs-DV delete HEAD-TO-HEAD (`cat_delete_{cow,dv}_n*`):
+  * the same scattered `bucket = 3` delete on fresh side tables per
+  * mode — copy-on-write rewrites ~15/16 of the table, deletion vectors
+  * write 8 bytes per masked row; pool-bytes-written and wall recorded,
+  * `wDv < wCow` gated in-soak.
+  *
   * Closed-form gates run BEFORE timing counts (the SoakBasket
   * discipline): exact row counts and id sums from range() arithmetic at
   * every scale, plus an exact end-state count after all timed DML
@@ -79,6 +85,8 @@ object SoakCatalog {
 
     val Batch = 100000L
     val scales = Seq(200000L, 600000L, 2000000L)
+    // (mode, n, wall sec, pool bytes written) of the delete head-to-head
+    val delRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
     val results = scales.flatMap { n =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"CREATE TABLE $t (id BIGINT, bucket INT, score DOUBLE)")
@@ -150,6 +158,54 @@ object SoakCatalog {
       val end = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
       require(end == n + 2 * Batch + 25000L,
         s"n=$n end-state violated: $end vs ${n + 2 * Batch + 25000L}")
+      // COW vs DV delete HEAD-TO-HEAD: the same SCATTERED delete
+      // (`bucket = 3` — every file holds ~1/16 matches, the shape DVs
+      // exist for; a tail delete would just drop whole files in both
+      // modes) on two fresh n-row side tables, one per delete mode.
+      // Deletes are not idempotent, so these time ONE run (no warm
+      // min-of-2); the decisive number is POOL BYTES WRITTEN — COW pays
+      // a rewrite of EVERY file (~15/16 of the table), DV pays only the
+      // 8-bytes-per-masked-row vectors.
+      def poolBytes(name: String): Long = {
+        val d = root.resolve(name).resolve("data")
+        if (!java.nio.file.Files.isDirectory(d)) 0L
+        else {
+          val l = java.nio.file.Files.list(d)
+          try {
+            val it = l.iterator()
+            var s = 0L
+            while (it.hasNext) s += java.nio.file.Files.size(it.next())
+            s
+          } finally l.close()
+        }
+      }
+      def deleteProbe(mode: String): (Double, Long) = {
+        val t2 = s"soak_cat.del_$mode"
+        spark.sql(s"DROP TABLE IF EXISTS $t2")
+        val props =
+          if (mode == "dv") " TBLPROPERTIES ('graft.delete.mode' = 'dv')"
+          else ""
+        spark.sql(s"CREATE TABLE $t2 (id BIGINT, bucket INT, score DOUBLE)$props")
+        spark.sql(s"INSERT INTO $t2 ${rowsSql(0L, n)}")
+        val matches = spark.sql(
+          s"SELECT count(*) AS c FROM $t2 WHERE bucket = 3").head().getLong(0)
+        val bytesBefore = poolBytes(s"del_$mode")
+        val t0 = System.nanoTime()
+        spark.sql(s"DELETE FROM $t2 WHERE bucket = 3")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val written = poolBytes(s"del_$mode") - bytesBefore
+        val left = spark.sql(s"SELECT count(*) AS c FROM $t2").head().getLong(0)
+        require(left == n - matches, s"delete probe $mode lost rows: $left")
+        spark.sql(s"DROP TABLE $t2")
+        (sec, written)
+      }
+      val (tDelCow, wCow) = deleteProbe("cow")
+      val (tDelDv, wDv) = deleteProbe("dv")
+      require(wDv < wCow,
+        s"dv delete must write less than cow: $wDv vs $wCow bytes")
+      delRows += (("cow", n, tDelCow, wCow))
+      delRows += (("dv", n, tDelDv, wDv))
+
       Seq(("cat_append", n, files, tApp, bApp),
         ("cat_update_tail", n, files, tUpd, bUpd),
         ("cat_merge_tail", n, files, tMrg, bMrg),
@@ -167,7 +223,10 @@ object SoakCatalog {
       val ts = results.filter(_._1 == q).sortBy(_._2).map(_._4)
       s""""decade_$q":${fmt(ts.last / ts.head)}"""
     }.mkString(",")
-    println(s"""{"probe":"catalog_decade",$cells,$decades}""")
+    val dels = delRows.map { case (mode, n, t, w) =>
+      s""""cat_delete_${mode}_n$n":{"sec":${fmt(t)},"pool_bytes_written":$w}"""
+    }.mkString(",")
+    println(s"""{"probe":"catalog_decade",$cells,$decades,$dels}""")
     spark.stop()
   }
 }
