@@ -207,12 +207,24 @@ object Formats {
   }
 
   /** The deterministic insert batch over [lo, hi) — the connector
-    * family's Knuth-hash arithmetic, shared by every write-face query. */
-  private[graft] def rowsSql(lo: Long, hi: Long): String =
+    * family's Knuth-hash arithmetic, shared by every write-face query.
+    * `slices > 0` pins range()'s partition count, which pins the FILE
+    * LAYOUT the insert produces: without it the file count tracks the
+    * session's core count (`leafNodeDefaultParallelism`), so a query
+    * whose in-query assertions are file-granular (the DV-delete "no
+    * data file rewritten or dropped" fileset equality) silently changes
+    * scenario at a different `SPARK_GRAFT_CPUS` — at 32 cores the 12k
+    * rows land in 375-row files and a 1000-id range delete fully masks
+    * whole files, which the DV path legitimately DROPS (documented in
+    * [[GraftCatalog]]). Found by the r17 optimization baseline bench:
+    * green at 8 cores (verify) / failed at 32 (bench). */
+  private[graft] def rowsSql(lo: Long, hi: Long, slices: Int = 0): String = {
+    val range = if (slices > 0) s"range($lo, $hi, 1, $slices)" else s"range($lo, $hi)"
     s"""SELECT id,
        |  CAST(id * 2654435761 % 2147483648 % 16 AS INT) AS bucket,
        |  CAST(id * 2654435761 % 2147483648 % 1000 AS DOUBLE) / 1000.0 AS score
-       |FROM range($lo, $hi)""".stripMargin
+       |FROM $range""".stripMargin
+  }
 
   /** SQL row-level DELETE on the catalog table (round 17 continuation):
     * overwrite + append land the 12k-row table, then
@@ -658,7 +670,11 @@ object Formats {
     spark.sql(
       s"""CREATE TABLE $cat.dv (id BIGINT, bucket INT, score DOUBLE)
          |TBLPROPERTIES ('graft.delete.mode' = 'dv')""".stripMargin)
-    spark.sql(s"INSERT OVERWRITE TABLE $cat.dv ${rowsSql(0L, 12000L)}")
+    // 4 pinned slices ⇒ 3000-row files: the two range deletes (1000 +
+    // 500 ids) can never fully mask a file, so the fileset-equality
+    // assertion below holds at ANY core count (the driver benches this
+    // at several) — see rowsSql's slices note
+    spark.sql(s"INSERT OVERWRITE TABLE $cat.dv ${rowsSql(0L, 12000L, slices = 4)}")
     val tdir = java.nio.file.Paths.get(catalogRoot, "dv")
     val before = GraftCatalog.currentManifest(tdir).map(_.file).toSet
     spark.sql(s"DELETE FROM $cat.dv WHERE id >= 4000 AND id < 5000")

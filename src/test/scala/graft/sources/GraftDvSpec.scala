@@ -152,4 +152,25 @@ class GraftDvSpec extends SparkSpec {
     // block a new constraint
     spark.sql(s"ALTER TABLE $cat.w SET TBLPROPERTIES ('graft.check.idmin' = 'id >= 10')")
   }
+
+  test("the registered DV-delete scenario is layout-independent (32-way range parallelism)") {
+    // r17 optimization-round regression: src_dsv2_dv_delete's in-query
+    // fileset-equality assertion held only while range()'s default slice
+    // count kept files bigger than the deleted id ranges — at
+    // SPARK_GRAFT_CPUS=32 the 12k rows landed in 375-row files, a 1000-id
+    // delete fully masked whole files, and the DV path's documented
+    // fully-masked-file DROP broke the "no file dropped" require. The
+    // insert now pins 4 slices; this spec drives the exact failing
+    // condition (leaf parallelism 32) through the REGISTERED query.
+    val key = "spark.sql.leafNodeDefaultParallelism"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "32")
+    try {
+      val out = Formats.dsv2DvDelete(spark, "/root/testdata/sf0.001")
+      assert(out.count() == 16L) // one row per bucket
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
