@@ -30,5 +30,17 @@ object Engine {
     set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     set("spark.sql.session.timeZone", "UTC")
+    // ObjectHashAggregate (the exec that runs TypedImperativeAggregates:
+    // graft_topk, graft_bottomk, collect_*) falls back to SORT-based
+    // aggregation after only 128 distinct groups per partition by
+    // default — for the LSH bucket aggregates (groups ≈ bands × docs)
+    // that means every partial agg degenerates into a full sort of the
+    // banded stream. The graft buffers are small and bounded (≤ k
+    // longs), so a much larger in-memory map is safe: at 512k entries ×
+    // ~200 B/entry the worst case is ~100 MB per task, within a normal
+    // executor's per-task budget, and the fallback still guards above
+    // it. (r17 optimization, guide §1.2 step 2.)
+    set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (512 * 1024).toString)
   }
 }

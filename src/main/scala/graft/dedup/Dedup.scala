@@ -70,18 +70,48 @@ object Dedup {
     val bands = Tables(spark, dir, "documents")
       .select(col("doc_id"), posexplode(bandsCol))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
-    val small = bands.groupBy("band", "sig")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, MaxBucket))
-      .select("band", "sig")
-    val capped = bands.join(small, Seq("band", "sig"))
-    capped.alias("a")
-      .join(capped.alias("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    bucketPairs(bands, Seq("band", "sig"), col("doc_id"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The LSH bucket→pairs core (r17 optimization, guide §2.3/§2.4): one
+    * aggregation pass collects each bucket's row count AND its members
+    * (bounded: [[graft.functions.BottomKLongTuples]] keeps at most
+    * [[MaxBucket]] smallest payload tuples per bucket — exact for every
+    * bucket that survives the 2..MaxBucket prune, O(MaxBucket) state for
+    * a pathological mega-bucket), then expands all ordered pairs LOCALLY
+    * from the ≤MaxBucket-element arrays. Replaces the count→filter→
+    * join-back→SELF-JOIN spelling, which evaluated the scan + signature
+    * kernel up to four times and paid two join exchanges to recover
+    * members the count pass had already seen (measured plan: 4× Scan+
+    * kernel, 14 Exchange/Broadcast nodes → 1× Scan, 2 Exchanges).
+    * Bucket-size semantics are the COUNT's (null payloads collect
+    * nothing, exactly as a null key joined nothing before). `payload`
+    * may carry extra BIGINT columns (e.g. the full hash for a Hamming
+    * confirm); pairs emit `doc_a < doc_b` plus `a_<col>`/`b_<col>` for
+    * each extra. Output is DISTINCT pairs, unordered — callers add
+    * their total order. */
+  private[graft] def bucketPairs(banded: DataFrame, keys: Seq[String],
+      payload: Column*): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val ds = GraftBridge.column(
+      graft.functions.BottomKLongTuples(
+        payload.map(GraftBridge.expression), MaxBucket)
+        .toAggregateExpression())
+    val extras = payload.indices.drop(1)
+    val pairFields =
+      Seq("x.c0 AS doc_a", "y.c0 AS doc_b") ++
+        extras.flatMap(i => Seq(s"x.c$i AS a_c$i", s"y.c$i AS b_c$i"))
+    val buckets = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"), ds.as("ds"))
+      .filter(col("bsz").between(2, MaxBucket))
+    buckets
+      .select(explode(expr(
+        s"""flatten(transform(ds, (x, i) ->
+           |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+           |    struct(${pairFields.mkString(", ")}))))""".stripMargin)).as("p"))
+      .select(col("p.*"))
+      .distinct()
   }
 
   /** Exact word-bigram Jaccard on a 1-in-50 doc sample (pairwise
@@ -703,19 +733,14 @@ object Dedup {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val small = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, MaxBucket))
-      .select("band", "key")
-    val capped = banded.join(small, Seq("band", "key"))
-    capped.alias("a")
-      .join(capped.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    // one-pass bounded bucket→pairs (see bucketPairs), hash carried as
+    // payload so the Hamming confirm never joins back to the signatures
+    bucketPairs(banded, Seq("band", "key"), col("doc_id"), col("simhash"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(a_c1 ^ b_c1)").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
-      .distinct()
+      // no second distinct: bucketPairs already deduplicated
+      // (doc_a, doc_b, hash_a, hash_b) and hamming is derived from them
       .orderBy("doc_a", "doc_b")
   }
 
@@ -769,21 +794,17 @@ object Dedup {
       val bands = Tables(spark, dir, "documents")
         .select(col("doc_id"), posexplode(bandsCol))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
-      val small = bands.groupBy("band", "sig")
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz").between(2, MaxBucket))
-        .select("band", "sig")
-      val capped = bands.join(small, Seq("band", "sig"))
-      capped.alias("a")
-        .join(capped.alias("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      bucketPairs(bands, Seq("band", "sig"), col("doc_id"))
     }
+    // truth and each geometry's candidate set are referenced TWICE below
+    // (count + semi-join); both are pair-table-sized, so materialize each
+    // once instead of re-running the shingle / LSH pipelines per
+    // reference (r17 optimization — the sweep previously executed the
+    // ngramJaccard pipeline twice and each LSH pipeline twice)
     val truth = ngramJaccard(spark, dir).select(col("da"), col("db"))
+      .localCheckpoint(true)
     def geometryRow(w: Int): DataFrame = {
-      val cand = candPairs(w)
+      val cand = candPairs(w).localCheckpoint(true)
       val caught = truth.join(cand,
         col("da") === col("doc_a") && col("db") === col("doc_b"), "left_semi")
       cand.agg(count(lit(1)).as("n_candidates"))

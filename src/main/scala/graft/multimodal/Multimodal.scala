@@ -512,19 +512,15 @@ object Multimodal {
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col(hcol),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val small = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, graft.dedup.Dedup.MaxBucket))
-      .select("band", "key")
-    val capped = banded.join(small, Seq("band", "key"))
-    capped.alias("a")
-      .join(capped.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr(s"bit_count(a.$hcol ^ b.$hcol)").as("hamming"))
+    // one-pass bounded bucket→pairs (graft.dedup.Dedup.bucketPairs): the
+    // count + members land in ONE aggregation pass and pair expansion is
+    // local, instead of count→filter→join-back→self-join re-evaluating
+    // the fingerprint scan per reference (r17 optimization)
+    graft.dedup.Dedup.bucketPairs(banded, Seq("band", "key"),
+        col("doc_id"), col(hcol))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(a_c1 ^ b_c1)").as("hamming"))
       .filter(col("hamming") <= graft.dedup.Dedup.MaxHamming)
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
