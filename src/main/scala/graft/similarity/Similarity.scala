@@ -20,6 +20,37 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Exact-integer argmin shared by every nearest-centroid assignment
+    * (r17 optimization, guide §2.3 "aggregate before you shuffle"): per
+    * `keys` group, the `c_label` minimizing (`distCol`, c_label) — a
+    * k=1 [[graft.functions.BottomKLongTuples]] aggregate, which runs as
+    * ObjectHashAggregate with MAP-SIDE partial aggregation, so the
+    * argmin exchange carries ONE row per group instead of one per
+    * (group, centroid) and runs no per-group sort. Replaces the
+    * `row_number().over(partitionBy(keys).orderBy(dist, c_label)) = 1`
+    * window, whose exchange shipped all |centroids| rows per group and
+    * sorted them. NOT `min(struct(dist, c_label))`: a struct-typed agg
+    * buffer is immutable, which silently downgrades the whole aggregate
+    * to SortAggregate — measured 1.5-5× SLOWER than the window it was
+    * meant to replace across the sim family before this landed on the
+    * bounded-tuple aggregate. Identical result either way: (dist,
+    * c_label) is a total order over exact integers, so the
+    * lexicographic minimum IS the argmin with the smallest-label
+    * tiebreak. */
+  private def argminLabel(dists: DataFrame, keys: Seq[String],
+      distCol: String): DataFrame = {
+    val labelType = dists.schema("c_label").dataType
+    val m = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BottomKLongTuples(
+        Seq(col(distCol).cast("long"), col("c_label").cast("long"))
+          .map(org.apache.spark.sql.GraftBridge.expression), 1)
+        .toAggregateExpression())
+    dists.groupBy(keys.map(col): _*)
+      .agg(m.as("_m"))
+      .select(keys.map(col) :+
+        col("_m")(0).getField("c1").cast(labelType).as("c_label"): _*)
+  }
+
   /** LSH bucket id per vector: `planes` sign bits of deterministic integer
     * hyperplane projections — one per-row kernel call
     * (functions.LshBucket), no plane-explode, no aggregate shuffle.
@@ -467,17 +498,32 @@ object Similarity {
     val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
         floor(col("col").cast("double") * 1024).cast("long").as("xq"))
-    // exact integer distance to every centroid, argmin with label
-    // tiebreak — one row_number window over (dist, label), not a
-    // min-aggregate + self-join (which replans the distance subtree)
+    // exact integer distance to every centroid, then the n nearest with
+    // label tiebreak — n = 1 is the codegen min(struct) argmin
+    // (argminLabel), n > 1 a bounded BottomK collect + local posexplode;
+    // both partial-aggregate map-side, so the per-vector exchange carries
+    // ≤ n rows instead of all |centroids| rows + a sort (r17, guide §2.3)
     val dists = vdim.join(broadcast(cent), Seq("dim"))
       .groupBy("vec_id", "c_label")
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
-    val argmin = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
-    dists.withColumn("rk", row_number().over(argmin))
-      .filter(col("rk") <= n)
-      .select(col("vec_id"), col("c_label").as("cell"), col("rk"))
+    if (n == 1)
+      argminLabel(dists, Seq("vec_id"), "dist")
+        .select(col("vec_id"), col("c_label").as("cell"), lit(1).as("rk"))
+    else {
+      // the aggregate is BIGINT-only; c_label may be INT — cast into the
+      // tuple and back out so the output schema is exactly the window
+      // spelling's
+      val labelType = dists.schema("c_label").dataType
+      val ds = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BottomKLongTuples(
+          Seq(col("dist").cast("long"), col("c_label").cast("long"))
+            .map(org.apache.spark.sql.GraftBridge.expression), n)
+          .toAggregateExpression())
+      dists.groupBy("vec_id").agg(ds.as("ds"))
+        .select(col("vec_id"), posexplode(col("ds")))
+        .select(col("vec_id"), col("col.c1").cast(labelType).as("cell"),
+          (col("pos") + 1).as("rk"))
+    }
   }
 
   /** INCREMENTAL INDEX APPEND (round 16) — the production answer to
@@ -524,10 +570,7 @@ object Similarity {
     val dists = vdim.join(broadcast(cent), Seq("dim"))
       .groupBy("vec_id", "c_label")
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
-    val argmin = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
-    dists.withColumn("rk", row_number().over(argmin))
-      .filter(col("rk") === 1)
+    argminLabel(dists, Seq("vec_id"), "dist")
       .select(col("vec_id"), col("c_label").as("cell"))
   }
 
@@ -580,10 +623,7 @@ object Similarity {
     val dists = vdim.join(broadcast(cent), Seq("dim"))
       .groupBy("vec_id", "c_label")
       .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
-    val argmin = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
-    dists.withColumn("rk", row_number().over(argmin))
-      .filter(col("rk") === 1)
+    argminLabel(dists, Seq("vec_id"), "dist")
       .select(col("vec_id"), col("c_label").as("cell"))
   }
 
@@ -680,14 +720,16 @@ object Similarity {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val vdim = emb.select(col("vec_id"), posexplode(col("embedding")))
+    // one materialization carrying both the quantized (assignment) and
+    // exact-DECIMAL (update) component views — was two checkpoints over
+    // two explodes of the same corpus (r17 optimization)
+    val comps = emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
-        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
-      .localCheckpoint(true)
-    val vd = emb.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"),
         col("col").cast("string").cast("decimal(38,30)").as("v"))
       .localCheckpoint(true)
+    val vdim = comps.select(col("vec_id"), col("dim"), col("xq"))
+    val vd = comps.select(col("vec_id"), col("dim"), col("v"))
     // round-0 centroids: the label-seeded exact-DECIMAL means on the
     // floor(·1024) grid — exactly the table cellAssignments broadcasts
     var cent = emb.select(col("label").as("c_label"), posexplode(col("embedding")))
@@ -704,10 +746,7 @@ object Similarity {
       val dists = vdim.join(broadcast(cent), Seq("dim"))
         .groupBy("vec_id", "c_label")
         .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
-      val argmin = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(asc("dist"), asc("c_label"))
-      val assign = dists.withColumn("rk", row_number().over(argmin))
-        .filter(col("rk") === 1)
+      val assign = argminLabel(dists, Seq("vec_id"), "dist")
         .select(col("vec_id"), col("c_label").as("cell"))
       val next = assign.join(vd, Seq("vec_id"))
         .groupBy(col("cell").as("c_label"), col("dim"))
@@ -1115,10 +1154,7 @@ object Similarity {
     * raw embeddings for ranking. */
   def pqCodes(spark: SparkSession, dir: String, m: Int = PqSubspaces): DataFrame = {
     Engine.tune(spark)
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "sub").orderBy(asc("sdist"), asc("c_label"))
-    pqSubDists(spark, dir, m).withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+    argminLabel(pqSubDists(spark, dir, m), Seq("vec_id", "sub"), "sdist")
       .select(col("vec_id"), col("sub"), col("c_label").as("code"))
   }
 
@@ -1156,16 +1192,19 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         (size(col("embedding")) / m).cast("long").as("sl"),
         posexplode(col("embedding")))
-    val vdim = base.select(col("vec_id"),
+    // ONE materialization of the exploded component stream carrying both
+    // the quantized (assignment) and exact-DECIMAL (update) views — the
+    // previous two separate localCheckpoints scanned and exploded the
+    // corpus twice to store two near-identical frames (r17 optimization,
+    // guide §1.2 step 1: don't compute things twice)
+    val comps = base.select(col("vec_id"),
         floor(col("pos") / col("sl")).cast("long").as("sub"),
         col("pos").cast("long").as("dim"),
-        floor(col("col").cast("double") * 1024).cast("long").as("xq"))
-      .localCheckpoint(true)
-    val vd = base.select(col("vec_id"),
-        floor(col("pos") / col("sl")).cast("long").as("sub"),
-        col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1024).cast("long").as("xq"),
         col("col").cast("string").cast("decimal(38,30)").as("v"))
       .localCheckpoint(true)
+    val vdim = comps.select(col("vec_id"), col("sub"), col("dim"), col("xq"))
+    val vd = comps.select(col("vec_id"), col("sub"), col("dim"), col("v"))
     var cent = base.groupBy(col("label").as("c_label"),
         floor(col("pos") / col("sl")).cast("long").as("sub"),
         col("pos").cast("long").as("dim"))
@@ -1178,10 +1217,7 @@ object Similarity {
       val dists = vdim.join(broadcast(cent), Seq("sub", "dim"))
         .groupBy("vec_id", "sub", "c_label")
         .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
-      val argmin = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id", "sub").orderBy(asc("dist"), asc("c_label"))
-      val assign = dists.withColumn("rk", row_number().over(argmin))
-        .filter(col("rk") === 1)
+      val assign = argminLabel(dists, Seq("vec_id", "sub"), "dist")
         .select(col("vec_id"), col("sub"), col("c_label").as("cell"))
       val next = assign.join(vd, Seq("vec_id", "sub"))
         .groupBy(col("cell").as("c_label"), col("sub"), col("dim"))
@@ -1241,10 +1277,7 @@ object Similarity {
 
   /** PQ encode: per-(vector, subspace) nearest codeword. */
   private def pqEncode(subDists: DataFrame): DataFrame = {
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "sub").orderBy(asc("sdist"), asc("c_label"))
-    subDists.withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
+    argminLabel(subDists, Seq("vec_id", "sub"), "sdist")
       .select(col("vec_id"), col("sub").as("c_sub"), col("c_label").as("code"))
   }
 
