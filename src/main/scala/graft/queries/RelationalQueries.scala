@@ -779,9 +779,16 @@ object RelationalQueries {
     * nothing edge-squared anywhere. */
   def pagerankIter(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val edges = Tables(spark, dir, "lineitem")
+    pagerankIterFrom(Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
-      .distinct()
+      .distinct())
+  }
+
+  /** [[pagerankIter]] over an explicit edge frame, so [[pagerankRound2]]
+    * can share ONE materialized edge set between both rounds instead of
+    * re-running the lineitem scan + distinct per round (r17 optimization
+    * — measured plan before: 4 scans / 12 exchanges in round 2). */
+  private def pagerankIterFrom(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("part").agg(count(lit(1)).as("deg"))
     edges.join(deg, Seq("part"))
       .select(col("supp"), expr(s"$PrScale div deg").as("c"))
@@ -801,11 +808,14 @@ object RelationalQueries {
     * non-negative) and damped BIGINT sum; same Pregel-round cost. */
   def pagerankRound2(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    // one edge materialization shared by both alternations (the
+    // trajectory loop's discipline, applied to the two-round composition)
     val edges = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
       .distinct()
+      .localCheckpoint(true)
     val sdeg = edges.groupBy("supp").agg(count(lit(1)).as("sdeg"))
-    val r1 = pagerankIter(spark, dir)
+    val r1 = pagerankIterFrom(edges)
       .select(col("suppkey").as("supp"), col("rank_new").as("rank1"))
     edges.join(sdeg, Seq("supp")).join(r1, Seq("supp"))
       .select(col("part"), expr("rank1 div sdeg").as("c"))
@@ -927,16 +937,27 @@ object RelationalQueries {
     * order is (basket choose 2), bounded by the basket size (≤7 lines
     * in TPC-H-shaped data) — never data-squared. One shuffle on the
     * order key, one on the pair. */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables(spark, dir, "lineitem")
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    copurchaseEdgesFrom(distinctOrderParts(spark, dir))
+
+  /** The distinct (order, part) basket frame every co-purchase miner
+    * starts from. */
+  private def distinctOrderParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+
+  /** [[copurchaseEdges]] over an explicit basket frame, so a caller that
+    * needs the basket frame for OTHER aggregates too (the lift query's
+    * item supports and basket total) can materialize it once instead of
+    * re-running the lineitem scan + distinct per reference (r17
+    * optimization, guide §1.2 step 1). */
+  private def copurchaseEdgesFrom(l: DataFrame): DataFrame =
     l.as("a").join(l.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CopurchaseSupport)
-  }
 
   /** Top co-purchased part pairs above the support threshold — frequent
     * pair mining, the first rung of market-basket analysis. Total order
@@ -961,12 +982,14 @@ object RelationalQueries {
     * identical value. */
   def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    val l = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // the basket frame feeds FOUR branches (pair mining self-join × 2,
+    // item supports, basket total): one materialization instead of four
+    // lineitem scans + four distinct shuffles (r17 optimization —
+    // measured plan before: 5 scans / 14 exchanges)
+    val l = distinctOrderParts(spark, dir).localCheckpoint(true)
     val item = l.groupBy("pk").agg(count(lit(1)).as("n_item"))
     val baskets = l.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
-    val top = copurchaseEdges(spark, dir)
+    val top = copurchaseEdgesFrom(l)
       .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(20)
     top
       .join(item.select(col("pk").as("p1"), col("n_item").as("n1")), Seq("p1"))
@@ -1248,7 +1271,13 @@ object RelationalQueries {
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("hops"))
         .localCheckpoint(true)
-      visited = visited.unionAll(next).localCheckpoint(true)
+      // visited stays a LAZY union of the per-hop checkpoints: each hop
+      // already materialized its own frontier, so re-materializing the
+      // growing union every round (the previous spelling) paid one extra
+      // full write+read of the visited set per hop for nothing (r17
+      // optimization — the anti-join reads the union of checkpointed
+      // pieces directly)
+      visited = visited.unionAll(next)
       frontier = next
     }
     visited.groupBy("hops")
