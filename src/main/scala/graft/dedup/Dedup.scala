@@ -111,6 +111,12 @@ object Dedup {
            |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
            |    struct(${pairFields.mkString(", ")}))))""".stripMargin)).as("p"))
       .select(col("p.*"))
+      // index-based expansion assumes one row per (bucket, doc) — every
+      // current caller feeds a distinct banded stream, but a duplicated
+      // doc would emit a doc_a == doc_b self-pair the old self-join's
+      // strict `doc_a < doc_b` predicate excluded, so keep the predicate
+      // explicitly (cheap, local; ADVICE r17)
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 
@@ -373,15 +379,25 @@ object Dedup {
       // count there is bound by nbrMin steps past already-self-rooted
       // local minima, where root(root(x)) = root(x) and jumping is idle;
       // only id-monotone chains compress faster). BENCH_NOTES round 8.
+      // the convergence probe rides the checkpoint action as an observed
+      // metric (r18 optimization, guide §1.2 step 1): one action per
+      // round where the old spelling paid two (checkpoint + a separate
+      // scan of the checkpointed frame for the moved filter)
+      val obs = org.apache.spark.sql.Observation()
       val next = {
         val right = prop.select(col("doc").as("rdoc"), col("root").as("rroot"))
         prop.join(right, col("root") === col("rdoc"), "left")
           .select(col("doc"), col("old"),
             least(col("root"), coalesce(col("rroot"), col("root"))).as("root"))
+          .observe(obs, sum(when(col("root") =!= col("old"), 1L)
+            .otherwise(0L)).as("moved"))
           .localCheckpoint(true)
       }
       prop.unpersist()
-      converged = next.filter(col("root") =!= col("old")).isEmpty
+      // sum over an empty frame observes null — the empty graph is
+      // converged, exactly as the old isEmpty probe reported
+      converged = Option(obs.get("moved"))
+        .forall(_.asInstanceOf[Long] == 0L)
       labels = next.select(col("doc"), col("root"))
       rounds += 1
       if (sys.env.contains("GRAFT_CC_PROF"))

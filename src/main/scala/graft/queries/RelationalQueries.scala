@@ -779,9 +779,15 @@ object RelationalQueries {
     * nothing edge-squared anywhere. */
   def pagerankIter(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
+    // edges materialized once (r18): the round references the edge set
+    // twice (degree aggregate + contribution join) and the planner does
+    // not reuse the distinct's exchange across the two (the join adds a
+    // null filter to one side) — the before-plan ran the lineitem scan +
+    // distinct pipeline twice (plans/r18/rel_pagerank_iter_before.txt).
     pagerankIterFrom(Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
-      .distinct())
+      .distinct()
+      .localCheckpoint(true))
   }
 
   /** [[pagerankIter]] over an explicit edge frame, so [[pagerankRound2]]
@@ -853,37 +859,57 @@ object RelationalQueries {
   private[queries] def pagerankTrajectory(
       spark: SparkSession, dir: String): (DataFrame, Seq[Long]) = {
     Engine.tune(spark)
-    val edges = Tables(spark, dir, "lineitem")
+    // ONE materialization carrying the edge list AND both endpoint
+    // degrees (r18 optimization, guide §1.2 step 1 / §2.4): the old
+    // spelling checkpointed edges, pdeg and sdeg separately (3 actions)
+    // and re-joined the two degree tables into every alternation (8
+    // node-keyed joins across the loop). Folding pd/sd onto the edge
+    // row costs two integer columns on the one checkpoint and removes
+    // both per-round degree joins — the degree of an endpoint is a
+    // function of the endpoint, so the fold is exact.
+    val e = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
       .distinct()
+    val edges = e
+      .join(e.groupBy("part").agg(count(lit(1)).as("pd")), Seq("part"))
+      .join(e.groupBy("supp").agg(count(lit(1)).as("sd")), Seq("supp"))
       .localCheckpoint(true)
-    val pdeg = edges.groupBy("part").agg(count(lit(1)).as("pd")).localCheckpoint(true)
-    val sdeg = edges.groupBy("supp").agg(count(lit(1)).as("sd")).localCheckpoint(true)
-    var ranks = pdeg.select(col("part"), lit(PrScale).as("r")).localCheckpoint(true)
+    // round-0 ranks: every part at PrScale — a lazy 2-column projection
+    // of the checkpointed edges (the old pdeg-based spelling selected
+    // the same part set), folded into round 1's job instead of paying
+    // its own checkpoint action
+    var ranks: DataFrame = edges.select(col("part")).distinct()
+      .select(col("part"), lit(PrScale).as("r"))
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
     var it = 0
     var converged = false
     while (it < PrAlternations && !converged) {
-      val sr = edges.join(ranks, Seq("part")).join(pdeg, Seq("part"))
+      val sr = edges.join(ranks.select(col("part"), col("r")), Seq("part"))
         .select(col("supp"), expr("r div pd").as("c"))
         .groupBy("supp").agg(sum("c").as("c_sum"))
         .select(col("supp"),
           (lit(15L * PrScale / 100) + expr("(85 * c_sum) div 100")).as("r"))
-      val pr = edges.join(sr, Seq("supp")).join(sdeg, Seq("supp"))
+      // the new part ranks CARRY the previous rank (one broadcast-sized
+      // join on the node table before the checkpoint), and the
+      // convergence delta rides the checkpoint action itself as an
+      // observed metric — one action per alternation where the old
+      // spelling paid two (checkpoint + a separate join-probe job)
+      val obs = org.apache.spark.sql.Observation()
+      val pr = edges.join(sr, Seq("supp"))
         .select(col("part"), expr("r div sd").as("c"))
         .groupBy("part").agg(sum("c").as("c_sum"))
         .select(col("part"),
           (lit(15L * PrScale / 100) + expr("(85 * c_sum) div 100")).as("r"))
+        .join(ranks.select(col("part"), col("r").as("prev")), Seq("part"))
+        .observe(obs, max(abs(col("r") - col("prev"))).as("d"))
         .localCheckpoint(true)
-      val d = pr.join(ranks.select(col("part"), col("r").as("prev")), Seq("part"))
-        .agg(max(abs(col("r") - col("prev"))).as("d"))
-        .head().getLong(0)
+      val d = obs.get("d").asInstanceOf[Long]
       deltas += d
       converged = d == 0L
       ranks = pr
       it += 1
     }
-    (ranks, deltas.toSeq)
+    (ranks.select(col("part"), col("r")), deltas.toSeq)
   }
 
   /** Converged-run output: the part-side ranks after the final
@@ -938,7 +964,12 @@ object RelationalQueries {
     * in TPC-H-shaped data) — never data-squared. One shuffle on the
     * order key, one on the pair. */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    copurchaseEdgesFrom(distinctOrderParts(spark, dir))
+    // basket frame materialized once (r18): the pair self-join references
+    // it on both sides, and without the checkpoint each side re-ran the
+    // lineitem scan + distinct (the lift query's r17 fix, applied to the
+    // pairs/triangles path too) — post-checkpoint the two sides are
+    // identical subplans, so AQE can additionally reuse one exchange
+    copurchaseEdgesFrom(distinctOrderParts(spark, dir).localCheckpoint(true))
 
   /** The distinct (order, part) basket frame every co-purchase miner
     * starts from. */
@@ -1263,14 +1294,21 @@ object RelationalQueries {
     var visited = e.agg(min("p1").as("node"))
       .select(col("node"), lit(0).as("hops")).localCheckpoint(true)
     var frontier = visited
+    var frontierEmpty = frontier.isEmpty
     var h = 0
-    while (h < ReachMaxHops && !frontier.isEmpty) {
+    while (h < ReachMaxHops && !frontierEmpty) {
       h += 1
+      // the empty-frontier stop probe rides the checkpoint action as an
+      // observed row count (r18, guide §1.2 step 1) — one action per hop
+      // instead of checkpoint + a separate isEmpty job
+      val obs = org.apache.spark.sql.Observation()
       val next = frontier.join(undirected, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("hops"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
+      frontierEmpty = obs.get("n").asInstanceOf[Long] == 0L
       // visited stays a LAZY union of the per-hop checkpoints: each hop
       // already materialized its own frontier, so re-materializing the
       // growing union every round (the previous spelling) paid one extra

@@ -39,6 +39,17 @@ object Similarity {
     * tiebreak. */
   private def argminLabel(dists: DataFrame, keys: Seq[String],
       distCol: String): DataFrame = {
+    // the tuple aggregate compares LONGs; a fractional distance would be
+    // silently truncated by the cast and could return a wrong argmin, so
+    // fail loudly on any non-integral input (ADVICE r17 — the
+    // GraftLongLongInputs no-implicit-truncation posture)
+    val distType = dists.schema(distCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(distType),
+      s"argminLabel needs an integral distance column, got $distType for " +
+        s"'$distCol' — a fractional distance would truncate, not compare")
     val labelType = dists.schema("c_label").dataType
     val m = org.apache.spark.sql.GraftBridge.column(
       graft.functions.BottomKLongTuples(
@@ -748,20 +759,30 @@ object Similarity {
         .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
       val assign = argminLabel(dists, Seq("vec_id"), "dist")
         .select(col("vec_id"), col("c_label").as("cell"))
+      // moved = (cell, dim) grid entries whose quantized component
+      // changed, a vanished or newborn cell counting as movement (the
+      // full-outer null-safe compare). The compare is folded into the
+      // checkpoint pipeline and read off as an OBSERVED metric (r18,
+      // guide §1.2 step 1): one action per round instead of checkpoint +
+      // a separate join-and-count probe job. Cent-only rows (vanished
+      // cells, n_members null after the full join) are counted by the
+      // metric and then filtered out, so the checkpointed frame is
+      // row-identical to the old aggregate output.
+      val obs = org.apache.spark.sql.Observation()
       val next = assign.join(vd, Seq("vec_id"))
         .groupBy(col("cell").as("c_label"), col("dim"))
         .agg(count(lit(1)).as("n_members"),
           floor((sum("v").cast("double") / count(lit(1))) * 1024)
             .cast("long").as("cq"))
-        .localCheckpoint(true)
-      // moved = (cell, dim) grid entries whose quantized component
-      // changed, a vanished or newborn cell counting as movement (the
-      // full-outer null-safe compare)
-      val moved = next.select(col("c_label"), col("dim"), col("cq").as("cq1"))
         .join(cent.select(col("c_label"), col("dim"), col("cq").as("cq0")),
           Seq("c_label", "dim"), "full")
-        .filter(!(col("cq1") <=> col("cq0")))
-        .count()
+        .observe(obs, sum(when(!(col("cq") <=> col("cq0")), 1L)
+          .otherwise(0L)).as("moved"))
+        .filter(col("n_members").isNotNull)
+        .select(col("c_label"), col("dim"), col("n_members"), col("cq"))
+        .localCheckpoint(true)
+      val moved = Option(obs.get("moved"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       movedPerRound += moved
       converged = moved == 0L
       out = next
@@ -910,9 +931,19 @@ object Similarity {
       probes: Int = MultiprobeProbes, k: Int = 3): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
-    val q = cellCandidates(spark, dir, probes)
-      .filter(col("vec_id") < 4)
+    ivfMultiprobeFrom(emb.join(cellAssignments(spark, dir), Seq("vec_id")),
+      cellCandidates(spark, dir, probes).filter(col("vec_id") < 4), emb, k)
+  }
+
+  /** [[ivfMultiprobe]] over explicit corpus/query-candidate frames, so a
+    * sweep caller ([[probeSweep]]) can materialize the shared quantizer
+    * output ONCE and point every probe level at it instead of re-deriving
+    * the full centroid/assignment pipeline per level (r18 optimization,
+    * guide §1.2 step 1 — the `pagerankIterFrom` pattern). Single-sourced:
+    * the registered [[ivfMultiprobe]] goes through this body verbatim. */
+  private def ivfMultiprobeFrom(corpus: DataFrame, qcands: DataFrame,
+      emb: DataFrame, k: Int): DataFrame = {
+    val q = qcands
       .join(emb, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
     val scored = corpus.join(broadcast(q), col("cell") === col("qcell"))
@@ -1219,16 +1250,25 @@ object Similarity {
         .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("dist"))
       val assign = argminLabel(dists, Seq("vec_id", "sub"), "dist")
         .select(col("vec_id"), col("sub"), col("c_label").as("cell"))
+      // moved-probe folded into the checkpoint as an observed metric —
+      // same one-action-per-round discipline as kmeansTrajectory (r18);
+      // `_p` marks next-side rows so vanished codewords are counted by
+      // the metric but never enter the checkpointed codebook
+      val obs = org.apache.spark.sql.Observation()
       val next = assign.join(vd, Seq("vec_id", "sub"))
         .groupBy(col("cell").as("c_label"), col("sub"), col("dim"))
         .agg(floor((sum("v").cast("double") / count(lit(1))) * 1024)
           .cast("long").as("cq"))
-        .localCheckpoint(true)
-      val moved = next.select(col("c_label"), col("sub"), col("dim"), col("cq").as("cq1"))
+        .withColumn("_p", lit(1))
         .join(cent.select(col("c_label"), col("sub"), col("dim"), col("cq").as("cq0")),
           Seq("c_label", "sub", "dim"), "full")
-        .filter(!(col("cq1") <=> col("cq0")))
-        .count()
+        .observe(obs, sum(when(!(col("cq") <=> col("cq0")), 1L)
+          .otherwise(0L)).as("moved"))
+        .filter(col("_p").isNotNull)
+        .select(col("c_label"), col("sub"), col("dim"), col("cq"))
+        .localCheckpoint(true)
+      val moved = Option(obs.get("moved"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = moved == 0L
       cent = next
       rounds += 1
@@ -1384,16 +1424,32 @@ object Similarity {
   def probeSweep(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val corpus = emb.join(cellAssignments(spark, dir), Seq("vec_id"))
-    val (q, truth) = exactTruth(spark, dir, 4,
+    // r18 optimization (guide §1.2 step 1): ONE quantizer materialization
+    // serves every probe level. cellCandidates at max(Ns) is checkpointed
+    // once; level p's candidate set is exactly its `rk <= p` prefix (the
+    // bottom-k aggregate is a deterministic lexicographic (dist, label)
+    // order, so the k=p table IS the k=max prefix), and the assignment
+    // (rk = 1) + corpus join and the exact ground truth are shared too.
+    // The old spelling re-derived the full centroid pipeline ~10× (3
+    // probe levels × (assignment + query candidates + multiprobe) + the
+    // sweep's own corpus + truth — 84 FileScans in the before-plan).
+    val cands = cellCandidates(spark, dir, ProbeSweepNs.max).localCheckpoint(true)
+    val corpus = emb
+      .join(cands.filter(col("rk") === 1).select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .localCheckpoint(true)
+    val (q, truthRaw) = exactTruth(spark, dir, 4,
       (e, qe) => round(VectorOps.cosine(e, qe), 4))
+    val truth = truthRaw.localCheckpoint(true)
     val frames = ProbeSweepNs.map { p =>
-      val qcells = cellCandidates(spark, dir, p).filter(col("vec_id") < 4)
+      val pcands = cands.filter(col("rk") <= p && col("vec_id") < 4)
+      val qcells = pcands
         .select(col("vec_id").as("qid"), col("cell").as("qcell"))
       val nCand = corpus.join(broadcast(qcells), col("cell") === col("qcell"))
         .filter(col("vec_id") =!= col("qid"))
         .agg(count(lit(1)).as("n_candidates"))
-      val hits = recallVsTruth(q, truth, ivfMultiprobe(spark, dir, probes = p))
+      val hits = recallVsTruth(q, truth,
+          ivfMultiprobeFrom(corpus, pcands, emb, k = 3))
         .agg(sum("n_hits").as("hits"))
       nCand.crossJoin(broadcast(hits))
         .select(lit(p).as("probes"), col("n_candidates"),

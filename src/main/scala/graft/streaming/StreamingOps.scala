@@ -340,10 +340,11 @@ object StreamingOps {
     * module ends (capture sits BEFORE stop so the execution is still
     * current). AvailableNow streams end themselves instead
     * ([[awaitSelfTermination]]). */
-  private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+  private def drainAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+      capture: Boolean = true): Unit =
     try {
       q.processAllAvailable()
-      capturePlan(q)
+      if (capture) capturePlan(q)
     } finally q.stop()
 
   /** Did the last [[runToMemory]] AvailableNow query terminate ITSELF
@@ -408,7 +409,8 @@ object StreamingOps {
       stateParts: String = StreamShufflePartitions,
       rocksDb: Boolean = DefaultRocksDb,
       changelog: Boolean = false,
-      availableNow: Boolean = false): DataFrame = {
+      availableNow: Boolean = false,
+      capturePlanLedger: Boolean = true): DataFrame = {
     val name = "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -437,7 +439,8 @@ object StreamingOps {
         (if (availableNow)
           writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         else writer).start()
-      if (availableNow) awaitSelfTermination(q) else drainAndStop(q)
+      if (availableNow) awaitSelfTermination(q)
+      else drainAndStop(q, capture = capturePlanLedger)
       recordObserved(q)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       if (dataBatches < minDataBatches) throw new IllegalStateException(
@@ -1364,14 +1367,40 @@ object StreamingOps {
     * the corpus drains over ≥3 data batches on both streams. */
   def streamCuration(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
-    // stage 0+1: raw/quality census — upstream of the dedup state
-    val counts = runToMemory(spark,
-      curationGate(curationDocsStream(spark, dir)).groupBy()
-        .agg(count(lit(1)).as("n_raw"), sum("quality").as("n_quality")),
-      mode = "complete", minDataBatches = 3)
-    // stage 2: bounded-state exact dedup of the gate-passing texts;
-    // per-trigger survivors land as append batch dirs (retention ledger)
-    val survivors = curationSurvivors(spark, dir)
+    // The census stream and the survivor stream are INDEPENDENT queries
+    // over the same (pre-built) feed, so they run CONCURRENTLY (r18
+    // optimization, guide §2.6 — overlap independent jobs): the census
+    // drains on a helper thread while the survivor ledger drains on this
+    // one, halving the serial trigger/drain latency the old sequential
+    // spelling paid. Results are unchanged — each query's own drain
+    // protocol (processAllAvailable + multi-trigger proof) is untouched.
+    // The feed dir is built HERE, before the fork, so the cached
+    // build is never raced; the shuffle-partition conf both runs scope
+    // is re-pinned after the join (the inner save/restore pairs can
+    // interleave and leave the session at the streaming value).
+    val censusStream = curationGate(curationDocsStream(spark, dir)).groupBy()
+      .agg(count(lit(1)).as("n_raw"), sum("quality").as("n_quality"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val (counts, survivors) =
+      try {
+        // the census run skips the plan-ledger capture: with both drains
+        // in flight the last-writer-wins capture slot would make the
+        // ledger digest nondeterministic; the survivor (stateful dedup)
+        // plan is the one the sequential spelling recorded, so it stays
+        // the recorded one
+        val countsF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = runToMemory(spark, censusStream,
+            mode = "complete", minDataBatches = 3, capturePlanLedger = false)
+        })
+        // stage 2: bounded-state exact dedup of the gate-passing texts;
+        // per-trigger survivors land as append batch dirs (retention ledger)
+        val s = curationSurvivors(spark, dir)
+        (countsF.get(), s)
+      } finally {
+        pool.shutdown()
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     counts.select(lit(0).as("stage_no"), lit("raw").as("stage"),
         col("n_raw").cast("long").as("n_docs"))
       .unionAll(counts.select(lit(1).as("stage_no"), lit("quality").as("stage"),

@@ -1151,21 +1151,30 @@ object TextAnalysis {
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     Engine.tune(spark)
     val sep2 = BpeSep + BpeSep
+    // r18 optimization (guide §2.3 "aggregate before you shuffle", §1.2
+    // step 1): the trainer loop runs over the DISTINCT word table with
+    // occurrence counts, not the raw occurrence stream — the classic BPE
+    // trainer layout. Pair statistics weight each word's pairs by its
+    // frequency (`sum(freq)` ≡ the old per-occurrence `count(1)` exactly,
+    // integer arithmetic), and every merge round re-materializes a
+    // vocabulary-sized frame instead of a corpus-sized one. At 100 TB the
+    // loop state drops from the token stream to the vocabulary.
     var toks = tokens(spark, dir)
       .filter(length(col("token")) >= 2)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
       .select(concat(lit(sep2),
-        regexp_replace(col("token"), "(.)", "$1" + sep2)).as("s"))
+        regexp_replace(col("token"), "(.)", "$1" + sep2)).as("s"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to BpeMergeRounds) {
       val syms = toks.select(
-        filter(split(col("s"), sep2), x => x =!= lit("")).as("a"))
+        filter(split(col("s"), sep2), x => x =!= lit("")).as("a"), col("freq"))
       val pairs = syms
         .select(explode(arrays_zip(
           slice(col("a"), lit(1), size(col("a")) - 1),
-          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"))
-        .select(col("p.0").as("pa"), col("p.1").as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"), col("freq"))
+        .select(col("p.0").as("pa"), col("p.1").as("pb"), col("freq"))
+        .groupBy("pa", "pb").agg(sum("freq").as("cnt"))
       val best = pairs.orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1)
         .localCheckpoint(true)
       merges += best.select(lit(r).as("round"), col("pa"), col("pb"),
@@ -1174,7 +1183,8 @@ object TextAnalysis {
         toks = toks.crossJoin(broadcast(best))
           .select(replace(col("s"),
             concat(lit(BpeSep), col("pa"), lit(sep2), col("pb"), lit(BpeSep)),
-            concat(lit(BpeSep), col("pa"), col("pb"), lit(BpeSep))).as("s"))
+            concat(lit(BpeSep), col("pa"), col("pb"), lit(BpeSep))).as("s"),
+            col("freq"))
           .localCheckpoint(true)
     }
     merges.reduce(_ union _).orderBy("round")
@@ -1200,36 +1210,48 @@ object TextAnalysis {
     * corpus encoded by hand. */
   private[graft] def bpeEncodeFrom(base: DataFrame, rounds: Int): DataFrame = {
     val sep2 = BpeSep + BpeSep
-    var toks = base
-      .select(col("doc_id"),
-        concat(lit(sep2), regexp_replace(col("token"), "(.)", "$1" + sep2)).as("s"))
+    // r18 optimization (guide §2.3, §1.2 step 1): the merge loop runs on
+    // the DISTINCT token table with occurrence counts (the bpeVocab
+    // discipline — `sum(freq)` ≡ the old per-occurrence `count(1)`
+    // exactly), and the per-doc report re-attaches each word's symbol
+    // count through ONE token-keyed join at the end. The old spelling
+    // re-materialized the corpus-sized (doc_id, symbols) stream every
+    // round; this one re-materializes a vocabulary-sized frame, and the
+    // occurrence stream is materialized once and scanned twice (loop
+    // input + final report).
+    val occ = base.select(col("doc_id"), col("token")).localCheckpoint(true)
+    var words = occ
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .select(col("token"),
+        concat(lit(sep2),
+          regexp_replace(col("token"), "(.)", "$1" + sep2)).as("s"),
+        col("freq"))
       .localCheckpoint(true)
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
-      val syms = toks.select(
-        filter(split(col("s"), sep2), x => x =!= lit("")).as("a"))
+      val syms = words.select(
+        filter(split(col("s"), sep2), x => x =!= lit("")).as("a"), col("freq"))
       val pairs = syms
         .select(explode(arrays_zip(
           slice(col("a"), lit(1), size(col("a")) - 1),
-          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"))
-        .select(col("p.0").as("pa"), col("p.1").as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+          slice(col("a"), lit(2), size(col("a")) - 1))).as("p"), col("freq"))
+        .select(col("p.0").as("pa"), col("p.1").as("pb"), col("freq"))
+        .groupBy("pa", "pb").agg(sum("freq").as("cnt"))
       val best = pairs.orderBy(desc("cnt"), asc("pa"), asc("pb")).limit(1)
         .localCheckpoint(true)
       if (best.isEmpty) exhausted = true
-      else toks = toks.crossJoin(broadcast(best))
-        .select(col("doc_id"), replace(col("s"),
+      else words = words.crossJoin(broadcast(best))
+        .select(col("token"), replace(col("s"),
           concat(lit(BpeSep), col("pa"), lit(sep2), col("pb"), lit(BpeSep)),
-          concat(lit(BpeSep), col("pa"), col("pb"), lit(BpeSep))).as("s"))
+          concat(lit(BpeSep), col("pa"), col("pb"), lit(BpeSep))).as("s"),
+          col("freq"))
         .localCheckpoint(true)
     }
-    val nChars = base.groupBy("doc_id")
-      .agg(sum(length(col("token"))).as("n_chars"))
-    val nBpe = toks
-      .select(col("doc_id"),
-        size(filter(split(col("s"), sep2), x => x =!= lit(""))).as("n"))
-      .groupBy("doc_id").agg(sum(col("n")).as("n_bpe"))
-    nChars.join(nBpe, Seq("doc_id"))
+    val wordN = words.select(col("token"),
+      size(filter(split(col("s"), sep2), x => x =!= lit(""))).as("n"))
+    occ.join(wordN, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(length(col("token"))).as("n_chars"), sum(col("n")).as("n_bpe"))
       .select(col("doc_id"), col("n_chars"), col("n_bpe"))
       .orderBy("doc_id")
   }

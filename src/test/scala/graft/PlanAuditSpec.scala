@@ -69,7 +69,12 @@ class PlanAuditSpec extends SparkSpec {
       "mm_phash_topk", "mm_phash_served",
       // 1-row broadcast scalars: the max-week censoring bound and the
       // corpus token total joining vocab-sized frames
-      "ev_growth_accounting", "text_collocations")
+      "ev_growth_accounting", "text_collocations",
+      // bucketed two-pass prefix sums (r18 — the unpartitioned-window
+      // kills): 1-row range stats broadcast onto the frame + the
+      // ≤(Buckets+1)-row triangular offset self-join, plus rfm's 1-row
+      // user count for the NTile arithmetic
+      "ev_peak_concurrency", "ev_rfm")
 
   test("no batch query plans a cartesian product or an unintended nested-loop join") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
