@@ -106,17 +106,21 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"), ds.as("ds"))
       .filter(col("bsz").between(2, MaxBucket))
     buckets
+      // the `y -> x.c0 < y.c0` guard replicates the old self-join's
+      // strict doc_a < doc_b predicate for the duplicated-(bucket, doc)
+      // corner (ADVICE r17): tuples are sorted, so it keeps every
+      // distinct-doc pair and drops only equal-doc self-pairs. It lives
+      // INSIDE the generator expression deliberately — a post-explode
+      // .filter(doc_a < doc_b) triggered the optimizer to collapse the
+      // projection into the generator and re-evaluate the whole pair
+      // expansion per extracted field (measured: dedup_banding_sweep
+      // 3.2 s → 13.0 s), while the in-lambda guard keeps ONE evaluation.
       .select(explode(expr(
         s"""flatten(transform(ds, (x, i) ->
-           |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+           |  transform(filter(slice(ds, i + 2, size(ds) - i - 1),
+           |      y -> x.c0 < y.c0), y ->
            |    struct(${pairFields.mkString(", ")}))))""".stripMargin)).as("p"))
       .select(col("p.*"))
-      // index-based expansion assumes one row per (bucket, doc) — every
-      // current caller feeds a distinct banded stream, but a duplicated
-      // doc would emit a doc_a == doc_b self-pair the old self-join's
-      // strict `doc_a < doc_b` predicate excluded, so keep the predicate
-      // explicitly (cheap, local; ADVICE r17)
-      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 

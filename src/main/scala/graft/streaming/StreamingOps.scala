@@ -345,7 +345,28 @@ object StreamingOps {
     try {
       q.processAllAvailable()
       if (capture) capturePlan(q)
+      profileProgress(q)
     } finally q.stop()
+
+  /** Opt-in per-trigger cost breakdown (GRAFT_STREAM_PROF=1): one stderr
+    * line per micro-batch with the planner/state/sink durations from
+    * StreamingQueryProgress — the measurement layer for "is this query
+    * per-batch-fixed-cost bound or per-row bound". Never on in bench or
+    * driver runs (env unset). */
+  private def profileProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("GRAFT_STREAM_PROF"))
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        System.err.println(s"[stream-prof] ${q.name} batch=${p.batchId} " +
+          s"rows=${p.numInputRows} total=${d.get("triggerExecution")}ms " +
+          s"addBatch=${d.getOrDefault("addBatch", -1L)} " +
+          s"getBatch=${d.getOrDefault("getBatch", -1L)} " +
+          s"latestOffset=${d.getOrDefault("latestOffset", -1L)} " +
+          s"queryPlanning=${d.getOrDefault("queryPlanning", -1L)} " +
+          s"commitOffsets=${d.getOrDefault("commitOffsets", -1L)} " +
+          s"walCommit=${d.getOrDefault("walCommit", -1L)} " +
+          s"stateRows=${Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)}")
+      }
 
   /** Did the last [[runToMemory]] AvailableNow query terminate ITSELF
     * (awaitTermination returned, no drainAndStop) — pinned by the spec. */
